@@ -1,0 +1,126 @@
+"""Vega three ways: pathwise dual process, AD (jvp) tangents, and CRN
+finite differences with/without market recalibration.
+
+Replaces reference ``src/3_sensitivity_analysis.cu``:
+
+* ``pricing.pathwise_vega`` — hand-derived dual process (C28);
+* ``jvp_vega`` — ``jax.jvp`` of the whole pricing pipeline w.r.t. sigma,
+  which must agree with the hand-derived dual process (a cross-check the
+  reference cannot perform);
+* ``fd_vega_crn`` — central difference under sigma +/- eps with Common
+  Random Numbers.  The reference implements CRN by backing up/restoring the
+  2^20-entry cuRAND state array around each pricing call
+  (3_sensitivity_analysis.cu:407-435); with counter-based keys, passing the
+  same key *is* CRN.  The sigma bump is calibration-consistent: the drift
+  table is rebuilt under the shifted theta (C6/C35) via
+  ``step_tables(cfg, sigma, sigma0=cfg.sigma)``.
+* ``fd_vega_recalibrated`` — re-bootstraps the full P/f market curves at
+  sigma +/- eps before pricing (C36, 3_sensitivity_analysis.cu:449-525),
+  reproducing the reference's finding that recalibration *degrades* the
+  estimate by injecting curve-level Monte Carlo noise (README.md:51).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from .models import hull_white as hw
+from .models.hull_white import MarketCurve
+from .ops import engine_linear, payoffs
+from .ops.rng import block_normals
+from .parallel import mesh as pmesh
+from . import pricing
+
+
+class FDVega(NamedTuple):
+    vega: jax.Array
+    price_minus: jax.Array
+    price_plus: jax.Array
+    epsilon: float
+
+
+def fd_vega_crn(cfg: HWConfig, key, market: MarketCurve, *, eps: float = 1e-3,
+                engine: str = "linear", mesh=None) -> FDVega:
+    """Central-difference vega of the CV-adjusted ZBC price, CRN by key reuse."""
+    p_m = pricing.price_zbc(cfg, key, market, sigma=cfg.sigma - eps,
+                            engine=engine, mesh=mesh).price
+    p_p = pricing.price_zbc(cfg, key, market, sigma=cfg.sigma + eps,
+                            engine=engine, mesh=mesh).price
+    return FDVega((p_p - p_m) / (2.0 * eps), p_m, p_p, eps)
+
+
+def fd_vega_recalibrated(cfg: HWConfig, key, curve_key, *, eps: float = 1e-3,
+                         engine: str = "linear", mesh=None) -> FDVega:
+    """FD vega with full market recalibration at each sigma bump.
+
+    At sigma' the model is re-specified with the ground-truth theta (no
+    calibration shift: sigma0 = sigma'), the P/f curves are re-simulated
+    with the *same* curve key (CRN at the curve level, mirroring the
+    reference's RNG-state copy into recompute_market_data), and the option
+    is priced against the fresh curves.
+    """
+    legs = []
+    for sgn in (-1.0, 1.0):
+        sig = cfg.sigma + sgn * eps
+        mkt = pricing.bootstrap_curve(cfg, curve_key, sigma=sig, sigma0=sig,
+                                      engine=engine, mesh=mesh)
+        est = pricing.price_zbc(cfg, key, mkt, sigma=sig, sigma0=sig,
+                                engine=engine, mesh=mesh)
+        legs.append(est.price)
+    p_m, p_p = legs
+    return FDVega((p_p - p_m) / (2.0 * eps), p_m, p_p, eps)
+
+
+# ---------------------------------------------------------------------------
+# AD vega: jax.jvp through the full pricing pipeline
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _jvp_vega_fn(cfg: HWConfig, mesh, antithetic: bool):
+    dtype = jnp.dtype(cfg.dtype)
+    n1 = cfg.n_steps_s1
+
+    def raw_price_mean(sigma, key, market):
+        """Mean discounted payoff (no control variate) as a function of
+        sigma; everything downstream of sigma (drift tables, shock scale,
+        bond-reconstruction A/B, payoff kink) is differentiated by AD."""
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, dtype)
+        zw = engine_linear.zbc_weights(cfg, tables)
+
+        def block_fn(key, i):
+            G = block_normals(key, i, (cfg.path_block, n1), dtype)
+            st = engine_linear.antithetic_state(cfg, zw, G)
+
+            def leg(r, integral):
+                P = hw.p_bond(cfg, sigma, market, cfg.s1, cfg.s2, r)
+                return jnp.exp(-integral) * jnp.maximum(P - cfg.strike, 0.0)
+
+            x = jnp.sum(leg(st.r_p, st.i_p), dtype=jnp.float32)
+            if antithetic:
+                x = x + jnp.sum(leg(st.r_m, st.i_m), dtype=jnp.float32)
+            return x[None]
+
+        runner = pmesh.shard_blocks(pricing._block_loop(block_fn, 1), mesh)
+        total = runner(key, cfg.n_blocks)[0]
+        denom = (2.0 if antithetic else 1.0) * cfg.n_paths
+        return total / denom
+
+    def compute(sigma, key, market):
+        price, vega = jax.jvp(
+            lambda s: raw_price_mean(s, key, market), (sigma,), (jnp.ones_like(sigma),)
+        )
+        return price, vega
+
+    return jax.jit(compute)
+
+
+def jvp_vega(cfg: HWConfig, key, market: MarketCurve, *, mesh=None,
+             antithetic: bool = False):
+    """(raw price, vega) by forward-mode AD through the simulation."""
+    sigma = jnp.asarray(cfg.sigma, jnp.dtype(cfg.dtype))
+    return _jvp_vega_fn(cfg, mesh, antithetic)(sigma, key, market)

@@ -1,0 +1,78 @@
+"""Device mesh + path-axis sharding.
+
+The reference is single-GPU (SURVEY §2.9): its only parallelism is data
+parallelism over Monte Carlo paths, with a warp-shuffle/shared-memory/atomic
+reduction hierarchy inside the device.  On TPU the same decomposition
+becomes:
+
+* within a chip: ``jnp.sum`` over the path block (XLA on-chip tree
+  reduction) — replaces warp shuffles + shared memory + atomics;
+* across chips: ``lax.psum`` over a 1-D ``Mesh`` on the ICI — a capability
+  the reference does not have (it pins one GPU, makefile:27).
+
+Paths are embarrassingly parallel until the final reduction, so the mesh is
+one axis ("paths") and every collective is a single psum of a tiny vector
+(<= n_mat floats) per pricing call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+AXIS = "paths"
+
+
+def path_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, axis name 'paths'."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def device_count(mesh: Mesh | None) -> int:
+    return 1 if mesh is None else mesh.devices.size
+
+
+def shard_blocks(local_fn, mesh: Mesh | None):
+    """Wrap ``local_fn(key, base_block, n_blocks) -> (k,) partial sums`` into
+    a mesh-wide psum-reduced runner.
+
+    ``local_fn`` must derive all randomness from the *global* block index
+    ``base_block + i`` so the sharded run consumes exactly the same Gaussian
+    blocks as a single-device run (deterministic scale-out).
+    """
+    if mesh is None:
+        def run_single(key, n_blocks):
+            return local_fn(key, 0, n_blocks)
+        return run_single
+
+    ndev = mesh.devices.size
+
+    def run_sharded(key, n_blocks):
+        if n_blocks % ndev != 0:
+            raise ValueError(
+                f"n_blocks={n_blocks} must divide over {ndev} devices")
+        per_dev = n_blocks // ndev
+
+        @partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=P(), out_specs=P(),
+            # the loop carry inside local_fn starts replicated and becomes
+            # device-varying after the first block; skip the VMA type check
+            check_vma=False,
+        )
+        def body(k):
+            d = lax.axis_index(AXIS)
+            local = local_fn(k, d * per_dev, per_dev)
+            return lax.psum(local, AXIS)
+
+        return body(key)
+
+    return run_sharded

@@ -1,0 +1,215 @@
+"""Host drivers & estimators: curve bootstrap, theta recovery, ZBC pricing,
+pathwise vega.
+
+TPU-native replacement for the reference's L4 host-driver layer (the four
+``main()``s and their ``run_*`` helpers, SURVEY §2.6): instead of
+alloc/memcpy/kernel-launch sequences, each product is a single jitted
+function that streams Gaussian blocks through an engine and reduces partial
+sums — on one chip or across a mesh (``parallel.mesh``).
+
+Engines:
+  * ``"linear"`` — the MXU matmul formulation (ops.engine_linear), default;
+  * ``"scan"``   — the lax.scan reference implementation (ops.engine_scan);
+  * ``"pallas"`` — fused on-chip RNG + matmul + reduce kernel (ops from
+                   hullwhite_tpu.pallas), TPU only.
+Cross-engine price agreement is enforced by tests, mirroring the
+reference's <1e-6 reduction-variant consistency check
+(benchmark_reductions.cu:158-169).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .config import HWConfig
+from .models import hull_white as hw
+from .models.hull_white import MarketCurve
+from .ops import engine_linear, engine_scan, payoffs
+from .ops.payoffs import CVEstimate, N_MOMENTS
+from .ops.rng import block_normals
+from .parallel import mesh as pmesh
+
+ENGINES = ("linear", "scan", "pallas")
+
+
+def _dtype(cfg: HWConfig):
+    return jnp.dtype(cfg.dtype)
+
+
+def _block_loop(block_fn, out_dim):
+    """(key, base, n_blocks) -> float32 (out_dim,) partial sums."""
+
+    def local(key, base, n_blocks):
+        def body(i, acc):
+            return acc + block_fn(key, base + i)
+
+        return lax.fori_loop(
+            0, n_blocks, body, jnp.zeros((out_dim,), jnp.float32)
+        )
+
+    return local
+
+
+# ---------------------------------------------------------------------------
+# Q1 — zero-coupon curve bootstrap (reference 1_bond_pricing.cu:23-185)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _curve_sums_fn(cfg: HWConfig, engine: str, mesh):
+    dtype = _dtype(cfg)
+
+    def compute(key, sigma, sigma0):
+        tables = hw.step_tables(cfg, sigma, sigma0, dtype)
+        if engine == "linear":
+            cw = engine_linear.curve_weights(cfg, tables)
+            block_sums = lambda G: engine_linear.curve_discount_sums(cfg, cw, G)
+        elif engine == "scan":
+            block_sums = lambda G: engine_scan.curve_discount_sums(cfg, tables, G)
+        elif engine == "pallas":
+            from .pallas import fused
+
+            return fused.curve_sums(cfg, key, tables)
+        else:
+            raise ValueError(engine)
+
+        def block_fn(key, i):
+            G = block_normals(key, i, (cfg.path_block, cfg.n_steps), dtype)
+            return block_sums(G).astype(jnp.float32)
+
+        runner = pmesh.shard_blocks(_block_loop(block_fn, cfg.n_mat), mesh)
+        return runner(key, cfg.n_blocks)
+
+    return jax.jit(compute)
+
+
+def bootstrap_curve(cfg: HWConfig, key, *, sigma=None, sigma0=None,
+                    engine: str = "linear", mesh=None) -> MarketCurve:
+    """Monte-Carlo P(0,T) curve + forward rates f(0,T).
+
+    P(0,T_m) = E[exp(-int_0^{T_m} r ds)] over 2*n_paths antithetic legs;
+    f = -d ln P / dT by grid finite differences (market_data.cuh:101-127).
+    """
+    if sigma is None:
+        sigma = cfg.sigma
+    if sigma0 is None:
+        sigma0 = cfg.sigma
+    sums = _curve_sums_fn(cfg, engine, mesh)(key, sigma, sigma0)
+    P = sums / (2.0 * cfg.n_paths)
+    f = hw.forward_from_p(cfg, P)
+    return MarketCurve(P=P, f=f)
+
+
+class ThetaRecovery(NamedTuple):
+    Ts: jax.Array
+    theta_recovered: jax.Array
+    theta_true: jax.Array
+    max_error: float
+    mean_error: float
+    success: bool
+
+
+def theta_recovery(cfg: HWConfig, market: MarketCurve,
+                   sigma=None) -> ThetaRecovery:
+    """Q2a: recover theta(T) from the bootstrapped forward curve and gate
+    max error < 0.01 (reference 2_option_pricing.cu:39-102)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    rec, true, Ts = hw.recover_theta(cfg, sigma, market.f)
+    err = jnp.abs(rec - true)
+    max_err = float(jnp.max(err))
+    mean_err = float(jnp.mean(err))
+    return ThetaRecovery(Ts, rec, true, max_err, mean_err, max_err < 0.01)
+
+
+# ---------------------------------------------------------------------------
+# Q2b — ZBC option with optimal-beta control variate
+# (reference simulate_ZBC_control_variate + run_ZBC_control_variate)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _zbc_moments_fn(cfg: HWConfig, engine: str, mesh):
+    dtype = _dtype(cfg)
+    n1 = cfg.n_steps_s1
+
+    def compute(key, sigma, sigma0, market):
+        tables = hw.step_tables(cfg, sigma, sigma0, dtype)
+        if engine == "linear":
+            zw = engine_linear.zbc_weights(cfg, tables)
+            state_of = lambda G: engine_linear.antithetic_state(cfg, zw, G)
+        elif engine == "scan":
+            state_of = lambda G: engine_scan.antithetic_state(cfg, tables, G)
+        elif engine == "pallas":
+            from .pallas import fused
+
+            return fused.zbc_moments(cfg, key, tables, market, sigma)
+        else:
+            raise ValueError(engine)
+
+        def block_fn(key, i):
+            G = block_normals(key, i, (cfg.path_block, n1), dtype)
+            return payoffs.zbc_moments(cfg, sigma, market, state_of(G))
+
+        runner = pmesh.shard_blocks(_block_loop(block_fn, N_MOMENTS), mesh)
+        return runner(key, cfg.n_blocks)
+
+    return jax.jit(compute)
+
+
+def price_zbc(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
+              sigma0=None, engine: str = "linear", mesh=None) -> CVEstimate:
+    """European call on P(S1,S2), CV-adjusted with empirically optimal beta*."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if sigma0 is None:
+        sigma0 = cfg.sigma
+    moments = _zbc_moments_fn(cfg, engine, mesh)(key, sigma, sigma0, market)
+    return payoffs.cv_estimate(moments, market.P[-1])
+
+
+# ---------------------------------------------------------------------------
+# Q3 — pathwise vega via the hand-derived dual (tangent) process
+# (reference simulate_sensitivity, 3_sensitivity_analysis.cu:22-96)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _vega_sums_fn(cfg: HWConfig, engine: str, mesh):
+    dtype = _dtype(cfg)
+    n1 = cfg.n_steps_s1
+
+    def compute(key, sigma, sigma0, market):
+        tables = hw.step_tables(cfg, sigma, sigma0, dtype)
+        if engine == "linear":
+            zw = engine_linear.zbc_weights(cfg, tables)
+            state_of = lambda G: engine_linear.dual_state(cfg, zw, G)
+        elif engine == "scan":
+            state_of = lambda G: engine_scan.dual_state(cfg, tables, G)
+        elif engine == "pallas":
+            from .pallas import fused
+
+            return fused.vega_sums(cfg, key, tables, market, sigma)
+        else:
+            raise ValueError(engine)
+
+        def block_fn(key, i):
+            G = block_normals(key, i, (cfg.path_block, n1), dtype)
+            return payoffs.vega_sum(cfg, sigma, market, state_of(G))
+
+        runner = pmesh.shard_blocks(_block_loop(block_fn, 2), mesh)
+        return runner(key, cfg.n_blocks)
+
+    return jax.jit(compute)
+
+
+def pathwise_vega(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
+                  engine: str = "linear", mesh=None):
+    """E[ 1{P>K} dP/dsigma * D - (int dr/dsigma) * D * payoff ] (single leg
+    per path, like the reference kernel)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    sums = _vega_sums_fn(cfg, engine, mesh)(key, sigma, cfg.sigma, market)
+    return sums[0] / sums[1]

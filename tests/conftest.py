@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device virtual CPU platform so sharding
+paths are exercised without TPU hardware (SURVEY §4 implication)."""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The sandbox pre-imports jax via a sitecustomize (PYTHONPATH=.axon_site), so
+# the env vars above can be too late — force the platform via config too.
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+from hullwhite_tpu import tiny_config  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def cfg():
+    return tiny_config()
+
+
+@pytest.fixture(scope="session")
+def key():
+    return jax.random.key(1234)

@@ -1,0 +1,131 @@
+"""End-to-end product tests against float64 analytic oracles — stronger
+than the reference's runtime range checks (1_bond_pricing.cu:98-104).
+All on a small CPU config; statistical gates sized to its MC error.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hullwhite_tpu import tiny_config
+from hullwhite_tpu.models import hull_white as hw
+from hullwhite_tpu.models import oracles
+from hullwhite_tpu import pricing, greeks
+
+CFG = tiny_config(n_paths=1 << 14, path_block=1 << 12)
+KEY = jax.random.key(42)
+
+
+@pytest.fixture(scope="module")
+def market():
+    return pricing.bootstrap_curve(CFG, KEY)
+
+
+@pytest.fixture(scope="module")
+def analytic_market():
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    f = oracles.forward_rate(CFG, Ts)
+    return hw.MarketCurve(P=jnp.asarray(P, jnp.float32),
+                          f=jnp.asarray(f, jnp.float32))
+
+
+def test_q1_curve_against_analytic(market):
+    """MC P(0,T) must sit within ~4 standard errors of the analytic curve."""
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P_true = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    P_mc = np.asarray(market.P)
+    assert P_mc[0] == 1.0
+    # rough SE of exp(-I): std < 0.1 * P; 2^15 legs
+    se = 0.1 * P_true / math.sqrt(2 * CFG.n_paths)
+    assert np.all(np.abs(P_mc - P_true) < 5 * se + 1e-4), (
+        np.abs(P_mc - P_true) / se)
+
+
+def test_q1_validation_gates(market):
+    """The reference's runtime gates (1_bond_pricing.cu:98-104)."""
+    P = np.asarray(market.P)
+    f = np.asarray(market.f)
+    assert 0.99 < P[0] < 1.01
+    assert 0.3 < P[-1] < 0.9
+    assert 0.005 < f[0] < 0.02  # f(0,0) = r0 = 1.2%
+
+
+def test_q1_engines_agree():
+    """Scan and linear engines consume identical shocks => identical curve
+    up to fp32 reduction order."""
+    m_lin = pricing.bootstrap_curve(CFG, KEY, engine="linear")
+    m_scan = pricing.bootstrap_curve(CFG, KEY, engine="scan")
+    np.testing.assert_allclose(np.asarray(m_lin.P), np.asarray(m_scan.P),
+                               rtol=5e-5)
+
+
+def test_q2a_theta_recovery(market):
+    rec = pricing.theta_recovery(CFG, market)
+    # MC forward-curve noise dominates; gate like the reference (<0.01)
+    assert rec.max_error < 0.01
+    assert rec.success
+
+
+def test_q2b_zbc_price(analytic_market):
+    """CV-adjusted ZBC on the analytic market curve vs closed form."""
+    est = pricing.price_zbc(CFG, KEY, analytic_market)
+    true = oracles.zbc_price(
+        CFG,
+        P0_s1=float(analytic_market.P[CFG.n_mat // 2]),
+        P0_s2=float(analytic_market.P[-1]),
+    )
+    # SE of the raw estimator ~ 0.05/sqrt(2^15) ~ 3e-4; CV cuts it further
+    assert abs(float(est.price) - true) < 1.5e-3
+    assert 0.0 < float(est.beta) < 1.0
+    assert 0.2 < float(est.correlation) < 1.0
+
+
+def test_q2b_engines_agree(analytic_market):
+    e_lin = pricing.price_zbc(CFG, KEY, analytic_market, engine="linear")
+    e_scan = pricing.price_zbc(CFG, KEY, analytic_market, engine="scan")
+    assert abs(float(e_lin.price) - float(e_scan.price)) < 1e-6
+    assert abs(float(e_lin.beta) - float(e_scan.beta)) < 1e-3
+
+
+def test_q3_pathwise_vega_against_analytic(analytic_market):
+    vega = float(pricing.pathwise_vega(CFG, KEY, analytic_market))
+    true = oracles.zbc_vega(
+        CFG,
+        P0_s1=float(analytic_market.P[CFG.n_mat // 2]),
+        P0_s2=float(analytic_market.P[-1]),
+    )
+    assert abs(vega - true) < 0.03 * abs(true) + 5e-3
+
+
+def test_q3_vega_engines_agree(analytic_market):
+    v_lin = float(pricing.pathwise_vega(CFG, KEY, analytic_market, engine="linear"))
+    v_scan = float(pricing.pathwise_vega(CFG, KEY, analytic_market, engine="scan"))
+    assert abs(v_lin - v_scan) < 1e-5
+
+
+def test_q3_fd_crn_matches_pathwise(analytic_market):
+    """FD with CRN must agree with the pathwise tangent to second order in
+    eps (the reference observes 0.18% at eps=1e-3, README.md:50)."""
+    vega_pw = float(pricing.pathwise_vega(CFG, KEY, analytic_market))
+    fd = greeks.fd_vega_crn(CFG, KEY, analytic_market, eps=1e-3)
+    # CRN+same-legs: difference is convexity O(eps^2) + estimator noise
+    # (pathwise is single-leg, FD is CV-adjusted antithetic) -> few %.
+    assert abs(float(fd.vega) - vega_pw) < 0.05 * abs(vega_pw) + 5e-3
+
+
+def test_q3_jvp_vega_matches_dual(analytic_market):
+    """AD through the simulation must reproduce the hand-derived dual
+    process (single +G leg, same shocks) to fp32 accuracy."""
+    vega_pw = float(pricing.pathwise_vega(CFG, KEY, analytic_market))
+    _, vega_ad = greeks.jvp_vega(CFG, KEY, analytic_market, antithetic=False)
+    assert abs(float(vega_ad) - vega_pw) < 1e-4 * max(1.0, abs(vega_pw))
+
+
+def test_q3_recalibrated_fd_runs(analytic_market):
+    fd = greeks.fd_vega_recalibrated(CFG, KEY, jax.random.key(9), eps=1e-3)
+    # recalibration injects curve-level MC noise: only sanity-check output
+    assert np.isfinite(float(fd.vega))
