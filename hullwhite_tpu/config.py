@@ -84,6 +84,9 @@ class HWConfig:
     # 6-significant-digit curve reproduction — keep "highest" unless the
     # statistical gates are re-verified.
     matmul_precision: str = "highest"
+    # Run Pallas kernels in interpreter mode (CPU testing of the fused
+    # engines; slow, functional only).
+    pallas_interpret: bool = False
     seed: int = 0
 
     def __post_init__(self):

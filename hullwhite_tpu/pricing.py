@@ -29,12 +29,52 @@ from jax import lax
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
-from .ops import engine_linear, engine_scan, payoffs
+from .ops import engine_exact, engine_linear, engine_scan, payoffs
 from .ops.payoffs import CVEstimate, N_MOMENTS
 from .ops.rng import block_normals
 from .parallel import mesh as pmesh
 
-ENGINES = ("linear", "scan", "pallas")
+# Engine tiers (the analogue of the reference's three reduction-strategy
+# kernel variants, perf_benchmark.cuh):
+#   scan         lax.scan step-by-step (semantic reference)
+#   linear       full shock matmul on the MXU (step-exact, fp32)
+#   exact        Cholesky functional sampling (distributionally exact)
+#   pallas       fused on-chip RNG + matmul kernel, full steps (TPU)
+#   pallas_exact fused on-chip RNG + Cholesky sampling kernel (TPU)
+ENGINES = ("linear", "scan", "exact", "pallas", "pallas_exact")
+
+_XLA_ENGINES = {"linear": engine_linear, "scan": engine_scan,
+                "exact": engine_exact}
+
+
+def _xla_curve_setup(cfg: HWConfig, engine: str, tables):
+    """(n_cols, block_sums) for the Q1 curve product."""
+    if engine == "scan":
+        return cfg.n_steps, lambda G: engine_scan.curve_discount_sums(cfg, tables, G)
+    if engine == "linear":
+        cw = engine_linear.curve_weights(cfg, tables)
+        return cfg.n_steps, lambda G: engine_linear.curve_discount_sums(cfg, cw, G)
+    if engine == "exact":
+        cw = engine_exact.curve_weights(cfg, tables)
+        return cfg.n_mat - 1, lambda G: engine_exact.curve_discount_sums(cfg, cw, G)
+    raise ValueError(engine)
+
+
+def _xla_state_setup(cfg: HWConfig, engine: str, tables, dual: bool):
+    """(n_cols, state_of) for the option-leg products."""
+    n1 = cfg.n_steps_s1
+    if engine == "scan":
+        fn = engine_scan.dual_state if dual else engine_scan.antithetic_state
+        return n1, lambda G: fn(cfg, tables, G)
+    if engine == "linear":
+        zw = engine_linear.zbc_weights(cfg, tables)
+        fn = engine_linear.dual_state if dual else engine_linear.antithetic_state
+        return n1, lambda G: fn(cfg, zw, G)
+    if engine == "exact":
+        zw = engine_exact.zbc_weights(cfg, tables)
+        fn = engine_exact.dual_state if dual else engine_exact.antithetic_state
+        return 2, lambda G: fn(cfg, zw, G)
+    raise ValueError(engine)
 
 
 def _dtype(cfg: HWConfig):
@@ -65,23 +105,20 @@ def _curve_sums_fn(cfg: HWConfig, engine: str, mesh):
 
     def compute(key, sigma, sigma0):
         tables = hw.step_tables(cfg, sigma, sigma0, dtype)
-        if engine == "linear":
-            cw = engine_linear.curve_weights(cfg, tables)
-            block_sums = lambda G: engine_linear.curve_discount_sums(cfg, cw, G)
-        elif engine == "scan":
-            block_sums = lambda G: engine_scan.curve_discount_sums(cfg, tables, G)
-        elif engine == "pallas":
+        if engine.startswith("pallas"):
             from .pallas import fused
 
-            return fused.curve_sums(cfg, key, tables)
+            local = fused.curve_local_fn(cfg, tables,
+                                         exact=(engine == "pallas_exact"))
         else:
-            raise ValueError(engine)
+            n_cols, block_sums = _xla_curve_setup(cfg, engine, tables)
 
-        def block_fn(key, i):
-            G = block_normals(key, i, (cfg.path_block, cfg.n_steps), dtype)
-            return block_sums(G).astype(jnp.float32)
+            def block_fn(key, i):
+                G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
+                return block_sums(G).astype(jnp.float32)
 
-        runner = pmesh.shard_blocks(_block_loop(block_fn, cfg.n_mat), mesh)
+            local = _block_loop(block_fn, cfg.n_mat)
+        runner = pmesh.shard_blocks(local, mesh)
         return runner(key, cfg.n_blocks)
 
     return jax.jit(compute)
@@ -138,23 +175,20 @@ def _zbc_moments_fn(cfg: HWConfig, engine: str, mesh):
 
     def compute(key, sigma, sigma0, market):
         tables = hw.step_tables(cfg, sigma, sigma0, dtype)
-        if engine == "linear":
-            zw = engine_linear.zbc_weights(cfg, tables)
-            state_of = lambda G: engine_linear.antithetic_state(cfg, zw, G)
-        elif engine == "scan":
-            state_of = lambda G: engine_scan.antithetic_state(cfg, tables, G)
-        elif engine == "pallas":
+        if engine.startswith("pallas"):
             from .pallas import fused
 
-            return fused.zbc_moments(cfg, key, tables, market, sigma)
+            local = fused.zbc_local_fn(cfg, tables, market, sigma,
+                                       exact=(engine == "pallas_exact"))
         else:
-            raise ValueError(engine)
+            n_cols, state_of = _xla_state_setup(cfg, engine, tables, dual=False)
 
-        def block_fn(key, i):
-            G = block_normals(key, i, (cfg.path_block, n1), dtype)
-            return payoffs.zbc_moments(cfg, sigma, market, state_of(G))
+            def block_fn(key, i):
+                G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
+                return payoffs.zbc_moments(cfg, sigma, market, state_of(G))
 
-        runner = pmesh.shard_blocks(_block_loop(block_fn, N_MOMENTS), mesh)
+            local = _block_loop(block_fn, N_MOMENTS)
+        runner = pmesh.shard_blocks(local, mesh)
         return runner(key, cfg.n_blocks)
 
     return jax.jit(compute)
@@ -183,23 +217,20 @@ def _vega_sums_fn(cfg: HWConfig, engine: str, mesh):
 
     def compute(key, sigma, sigma0, market):
         tables = hw.step_tables(cfg, sigma, sigma0, dtype)
-        if engine == "linear":
-            zw = engine_linear.zbc_weights(cfg, tables)
-            state_of = lambda G: engine_linear.dual_state(cfg, zw, G)
-        elif engine == "scan":
-            state_of = lambda G: engine_scan.dual_state(cfg, tables, G)
-        elif engine == "pallas":
+        if engine.startswith("pallas"):
             from .pallas import fused
 
-            return fused.vega_sums(cfg, key, tables, market, sigma)
+            local = fused.vega_local_fn(cfg, tables, market, sigma,
+                                        exact=(engine == "pallas_exact"))
         else:
-            raise ValueError(engine)
+            n_cols, state_of = _xla_state_setup(cfg, engine, tables, dual=True)
 
-        def block_fn(key, i):
-            G = block_normals(key, i, (cfg.path_block, n1), dtype)
-            return payoffs.vega_sum(cfg, sigma, market, state_of(G))
+            def block_fn(key, i):
+                G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
+                return payoffs.vega_sum(cfg, sigma, market, state_of(G))
 
-        runner = pmesh.shard_blocks(_block_loop(block_fn, 2), mesh)
+            local = _block_loop(block_fn, 2)
+        runner = pmesh.shard_blocks(local, mesh)
         return runner(key, cfg.n_blocks)
 
     return jax.jit(compute)

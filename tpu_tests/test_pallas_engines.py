@@ -1,0 +1,79 @@
+"""Pallas-engine tests that require real TPU hardware (the interpreted
+pltpu PRNG returns zero bits, so these cannot run under tests/ which
+forces the CPU backend).  Run manually / in the TPU CI lane:
+
+    python -m pytest tpu_tests -q
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+import pytest
+
+if jax.devices()[0].platform == "cpu":
+    pytest.skip("requires TPU hardware", allow_module_level=True)
+
+from hullwhite_tpu import HWConfig
+from hullwhite_tpu import pricing
+from hullwhite_tpu.models import oracles
+
+CFG = HWConfig(n_paths=1 << 18, path_block=1 << 16)
+KEY = jax.random.key(7)
+
+
+@pytest.fixture(scope="module")
+def market():
+    return pricing.bootstrap_curve(CFG, KEY, engine="exact")
+
+
+def _se(p):  # rough standard error of a bond-price estimate
+    return 0.1 * p / np.sqrt(2 * CFG.n_paths)
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas_exact"])
+def test_curve_statistics(engine):
+    m = pricing.bootstrap_curve(CFG, KEY, engine=engine)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P_true = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    P = np.asarray(m.P)
+    assert P[0] == 1.0
+    assert np.all(np.abs(P - P_true) < 6 * _se(P_true) + 5e-5)
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas_exact"])
+def test_zbc_statistics(engine, market):
+    est = pricing.price_zbc(CFG, KEY, market, engine=engine)
+    true = oracles.zbc_price(CFG, float(market.P[CFG.n_mat // 2]),
+                             float(market.P[-1]))
+    assert abs(float(est.price) - true) < 5e-4
+    assert 0.1 < float(est.beta) < 0.25
+    assert 0.5 < float(est.correlation) < 0.8
+
+
+@pytest.mark.parametrize("engine", ["pallas", "pallas_exact"])
+def test_vega_statistics(engine, market):
+    v = float(pricing.pathwise_vega(CFG, KEY, market, engine=engine))
+    true = oracles.zbc_vega(CFG, float(market.P[CFG.n_mat // 2]),
+                            float(market.P[-1]))
+    assert abs(v - true) < 0.02 * true + 3e-3
+
+
+def test_engine_cross_agreement(market):
+    """All five engines agree on the ZBC price within MC noise — the
+    analogue of the reference's cross-kernel consistency gate
+    (benchmark_reductions.cu:158-169), passed at ~4 sigma tolerance since
+    engines consume different random streams."""
+    # "scan" is excluded here: a 500-step sequential lax.scan is exactly
+    # what this framework exists to avoid on TPU (it is minutes-slow at this
+    # size); its pathwise agreement with "linear" is proven bitwise in
+    # tests/test_engines.py on CPU.
+    prices = {}
+    for eng in ["linear", "exact", "pallas", "pallas_exact"]:
+        prices[eng] = float(pricing.price_zbc(CFG, KEY, market,
+                                              engine=eng).price)
+    vals = np.array(list(prices.values()))
+    assert np.ptp(vals) < 8e-4, prices
