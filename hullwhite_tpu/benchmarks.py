@@ -1,0 +1,119 @@
+"""Engine-tier benchmark harness.
+
+The TPU analogue of the reference's reduction-strategy benchmark
+(src/benchmark_reductions.cu, C40): where the CUDA project compares three
+reduction implementations of the same pricing kernel (naive atomics /
+shared-memory tree / warp+block shuffle), this framework compares its
+engine tiers of the same estimator:
+
+    scan          sequential lax.scan over steps  (the "naive" tier)
+    linear        full shock matmul on the MXU
+    exact         Cholesky functional sampling (XLA)
+    pallas        fused on-chip RNG + matmul kernel, full steps
+    pallas_exact  fused Cholesky kernel
+
+with the same cross-variant price-consistency gate (the reference requires
+< 1e-6 absolute agreement between its kernels, benchmark_reductions.cu:
+158-169; our tiers consume different random streams, so the gate is
+4-sigma statistical).  ``--sweep`` adds the path_block autotune sweep, the
+analogue of the block-size sweep (3_sensitivity_analysis.cu:277-371, C39).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from . import pricing
+from .ops.payoffs import cv_estimate
+from .utils import io as hwio
+from .utils.timing import bench, fetch_rtt
+
+# the scan tier is minutes-slow at full scale on TPU (it is the design
+# antipattern the framework exists to avoid); benchmark it at reduced size
+SCAN_PATHS = 1 << 16
+
+
+def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
+    on_tpu = jax.devices()[0].platform != "cpu"
+    engines = ["linear", "exact"] + (["pallas", "pallas_exact"] if on_tpu else [])
+    rtt = fetch_rtt()
+    market = pricing.bootstrap_curve(
+        cfg, key, engine="pallas_exact" if on_tpu else "exact")
+
+    print("--- Engine-tier benchmark: ZBC control-variate pricing ---")
+    print(f"config: {cfg.n_paths} path pairs x {cfg.n_steps_s1} steps to S1"
+          f" (+ scan tier at {SCAN_PATHS} pairs)\n")
+    print(f"{'engine':14s} {'time (ms)':>10s} {'M paths/s':>10s} "
+          f"{'price':>12s} {'beta':>8s}")
+
+    rows = {}
+    for eng in engines:
+        f = pricing._zbc_moments_fn(cfg, eng, None)
+        dt, m = bench(f, key, cfg.sigma, cfg.sigma, market,
+                      n=reps, rtt=rtt)
+        est = cv_estimate(jnp.asarray(m), market.P[-1])
+        rows[eng] = {"ms": dt * 1e3,
+                     "paths_per_sec": 2 * cfg.n_paths / dt,
+                     "price": float(est.price), "beta": float(est.beta)}
+        print(f"{eng:14s} {dt*1e3:10.3f} {2*cfg.n_paths/dt/1e6:10.0f} "
+              f"{float(est.price):12.8f} {float(est.beta):8.4f}")
+
+    # scan tier, reduced size (normalized throughput still comparable)
+    scfg = cfg.replace(n_paths=SCAN_PATHS,
+                       path_block=min(cfg.path_block, SCAN_PATHS))
+    f = pricing._zbc_moments_fn(scfg, "scan", None)
+    dt, m = bench(f, key, scfg.sigma, scfg.sigma, market, n=3, rtt=rtt)
+    est = cv_estimate(jnp.asarray(m), market.P[-1])
+    rows["scan"] = {"ms": dt * 1e3, "paths_per_sec": 2 * scfg.n_paths / dt,
+                    "price": float(est.price), "beta": float(est.beta),
+                    "n_paths": SCAN_PATHS}
+    print(f"{'scan (2^16)':14s} {dt*1e3:10.3f} {2*scfg.n_paths/dt/1e6:10.0f} "
+          f"{float(est.price):12.8f} {float(est.beta):8.4f}")
+
+    best = max((e for e in rows if e != "scan"),
+               key=lambda e: rows[e]["paths_per_sec"])
+    base = min(rows, key=lambda e: rows[e]["paths_per_sec"])
+    print(f"\nspeedup (best '{best}' vs slowest '{base}'): "
+          f"{rows[best]['paths_per_sec']/rows[base]['paths_per_sec']:.1f}x")
+
+    # price-consistency gate (statistical: independent streams, ~4 sigma)
+    prices = np.array([r["price"] for r in rows.values()])
+    se = 0.05 / np.sqrt(2 * cfg.n_paths)  # payoff sd ~0.05
+    tol = max(8 * se, 3e-4)  # scan tier runs fewer paths
+    consistent = float(np.ptp(prices)) < tol
+    print(f"price consistency: max spread {np.ptp(prices):.2e} "
+          f"(tol {tol:.2e}) -> {'PASS' if consistent else 'FAIL'}")
+
+    result = {"engines": rows, "consistency_pass": bool(consistent),
+              "price_spread": float(np.ptp(prices))}
+
+    if sweep:
+        result["block_sweep"] = _block_sweep(cfg, key, market, rtt,
+                                             best if on_tpu else "exact")
+
+    hwio.write_json(hwio.DATA_DIR / "benchmark_engines.json",
+                    "Engine benchmark", cfg, results=result)
+    print("saved data/benchmark_engines.json")
+    return 0 if consistent else 1
+
+
+def _block_sweep(cfg, key, market, rtt, engine):
+    """path_block autotune sweep (analogue of reference C39 block sizes)."""
+    print(f"\n--- path_block sweep [{engine}] ---")
+    out = {}
+    for pb_log2 in [13, 14, 15, 16, 17]:
+        pb = 1 << pb_log2
+        if cfg.n_paths % pb != 0:
+            continue
+        c = cfg.replace(path_block=pb)
+        f = pricing._vega_sums_fn(c, engine, None)
+        dt, _ = bench(f, key, c.sigma, c.sigma, market, n=10, rtt=rtt)
+        out[pb] = dt * 1e3
+        print(f"path_block=2^{pb_log2}: {dt*1e3:8.3f} ms "
+              f"({c.n_paths/dt/1e6:6.0f} M paths/s)")
+    best = min(out, key=out.get)
+    print(f"best: path_block={best} ({out[best]:.3f} ms)")
+    return {str(k): v for k, v in out.items()}

@@ -1,0 +1,366 @@
+"""Command-line entry points: q1 / q2 / q3 / benchmark / all.
+
+Replaces the reference's four executables (src/1_bond_pricing.cu,
+src/2_option_pricing.cu, src/3_sensitivity_analysis.cu,
+src/benchmark_reductions.cu) with argparse subcommands.  Differences by
+design (SURVEY §5 "config/flag system"): everything is a flag — no
+interactive scanf gates — and validation loops run by default with
+``--validate 0`` to disable.
+
+    python -m hullwhite_tpu.cli q1 --engine pallas_exact
+    python -m hullwhite_tpu.cli q2 --validate 20
+    python -m hullwhite_tpu.cli q3
+    python -m hullwhite_tpu.cli benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from . import greeks, pricing
+from .models import hull_white as hw
+from .ops import engine_scan
+from .ops.rng import block_normals
+from .utils import io as hwio
+from .utils import stats as hwstats
+from .utils.timing import bench, fetch_rtt
+
+
+def _default_engine():
+    return "pallas_exact" if jax.devices()[0].platform != "cpu" else "exact"
+
+
+def _cfg(args) -> HWConfig:
+    kw = {}
+    if args.paths:
+        kw["n_paths"] = args.paths
+        kw["path_block"] = min(args.paths, 1 << 15)
+    return HWConfig(**kw)
+
+
+def _key(cfg, args):
+    return jax.random.key(args.seed if args.seed is not None else cfg.seed)
+
+
+# ---------------------------------------------------------------------------
+# Q1 — bond pricing / curve bootstrap (reference 1_bond_pricing.cu)
+# ---------------------------------------------------------------------------
+
+def cmd_q1(args):
+    cfg = _cfg(args)
+    key = _key(cfg, args)
+    engine = args.engine or _default_engine()
+    print(f"--- Q1: Zero-coupon bond curve bootstrap [{engine}] ---")
+    print(f"paths: {cfg.n_paths} x2 antithetic, steps: {cfg.n_steps}, "
+          f"maturities: {cfg.n_mat}")
+
+    rtt = fetch_rtt()
+    f = pricing._curve_sums_fn(cfg, engine, None)
+    dt, sums = bench(f, key, cfg.sigma, cfg.sigma, n=args.reps, rtt=rtt)
+    P = jnp.asarray(sums) / (2.0 * cfg.n_paths)
+    market = hw.MarketCurve(P=P, f=hw.forward_from_p(cfg, P))
+
+    ms = dt * 1e3
+    paths_s = 2 * cfg.n_paths / dt
+    print(f"simulation time: {ms:.2f} ms   throughput: {paths_s/1e6:.0f} M paths/sec")
+    Pn, fn = np.asarray(market.P), np.asarray(market.f)
+    print(f"P(0,0)  = {Pn[0]:.6f}   (expect 1.0)")
+    print(f"P(0,10) = {Pn[-1]:.6f}   (reference: 0.876844)")
+    print(f"f(0,0)  = {fn[0]*100:.2f}%   (expect ~1.21%)")
+
+    ok = (0.99 < Pn[0] < 1.01) and (0.3 < Pn[-1] < 0.9) and (0.005 < fn[0] < 0.02)
+    print("validation:", "PASS" if ok else "FAIL")
+
+    hwio.save_market(cfg, market)
+    hwio.csv_timeseries(hwio.DATA_DIR / "P.csv", "P", Pn, cfg.mat_spacing)
+    hwio.csv_timeseries(hwio.DATA_DIR / "f.csv", "f", fn, cfg.mat_spacing)
+    hwio.write_json(
+        hwio.DATA_DIR / "q1_results.json", "Q1: Bond Pricing", cfg,
+        results={"P_0_0": float(Pn[0]), "P_0_10": float(Pn[-1]),
+                 "f_0_0": float(fn[0]), "validation_pass": bool(ok),
+                 "engine": engine},
+        performance=hwio.performance_block(ms, 2 * cfg.n_paths),
+        arrays={"P": Pn, "f": fn},
+    )
+
+    # 32 sample r(t) trajectories for plotting (reference simulate_paths_show)
+    tables = hw.step_tables(cfg, cfg.sigma)
+    G = block_normals(jax.random.fold_in(key, 999), 0, (32, cfg.n_steps))
+    paths = np.asarray(engine_scan.sample_paths(cfg, tables, G))
+    hwio.save_bin(hwio.DATA_DIR / "r_paths.bin", paths.astype(np.float32))
+
+    hwio.summary_init(cfg)
+    hwio.summary_append("Q1: BOND PRICING", [
+        f"P(0,10) = {Pn[-1]:.6f}",
+        f"f(0,0)  = {fn[0]*100:.2f}%",
+        f"Simulation: {ms:.2f} ms ({paths_s/1e6:.0f} M paths/sec)",
+        f"Validation: {'PASS' if ok else 'FAIL'}",
+    ])
+    return 0 if ok else 1
+
+
+# ---------------------------------------------------------------------------
+# Q2 — theta recovery + ZBC option pricing (reference 2_option_pricing.cu)
+# ---------------------------------------------------------------------------
+
+def cmd_q2(args):
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 54321)
+    engine = args.engine or _default_engine()
+    market = hwio.load_market(cfg)
+    print(f"--- Q2: Theta recovery & ZBC option pricing [{engine}] ---")
+
+    # Q2a
+    rec = pricing.theta_recovery(cfg, market)
+    print("\n[Q2a] theta(T) recovery from f(0,T):")
+    stride = max(cfg.n_mat // 10, 1)
+    print("   T     theta_true   theta_recovered   |error|")
+    for i in range(0, cfg.n_mat, stride):
+        print(f"  {float(rec.Ts[i]):4.1f}   {float(rec.theta_true[i]):.6f}"
+              f"     {float(rec.theta_recovered[i]):.6f}        "
+              f"{abs(float(rec.theta_recovered[i]-rec.theta_true[i])):.2e}")
+    print(f"max error:  {rec.max_error:.2e}   mean error: {rec.mean_error:.2e}")
+    print(f"recovery: {'SUCCESS' if rec.success else 'FAILED'} (threshold 0.01)")
+    hwio.csv_comparison(hwio.DATA_DIR / "theta_comparison.csv",
+                        np.asarray(rec.Ts), np.asarray(rec.theta_true),
+                        np.asarray(rec.theta_recovered),
+                        ["T", "theta_original", "theta_recovered"])
+    hwio.write_json(hwio.DATA_DIR / "q2a_results.json", "q2a_results", cfg,
+                    results={"max_error": rec.max_error,
+                             "mean_error": rec.mean_error,
+                             "success": bool(rec.success)})
+
+    # Q2b
+    rtt = fetch_rtt()
+    f = pricing._zbc_moments_fn(cfg, engine, None)
+    dt, m = bench(f, key, cfg.sigma, cfg.sigma, market, n=args.reps, rtt=rtt)
+    from .ops.payoffs import cv_estimate
+
+    est = cv_estimate(jnp.asarray(m), market.P[-1])
+    ms = dt * 1e3
+    print(f"\n[Q2b] ZBC(S1={cfg.s1}, S2={cfg.s2}, K=e^-0.1) with optimal-beta CV:")
+    print(f"ZBC raw:                 {float(est.price_raw):.8f}")
+    print(f"control mean:            {float(est.mean_control):.8f} "
+          f"(expected P(0,S2) = {float(market.P[-1]):.8f})")
+    print(f"beta* = Cov/Var:         {float(est.beta):.6f}")
+    print(f"correlation:             {float(est.correlation):.6f}")
+    print(f"expected var reduction:  {float(est.correlation)**2*100:.1f}% (rho^2)")
+    print(f"ZBC (CV adjusted):       {float(est.price):.8f}   (reference: 0.03549203)")
+    print(f"simulation time: {ms:.2f} ms   "
+          f"throughput: {2*cfg.n_paths/dt/1e6:.0f} M paths/sec")
+    hwio.write_json(
+        hwio.DATA_DIR / "q2b_results.json", "q2b_results", cfg,
+        results={"ZBC_control_variate": float(est.price),
+                 "ZBC_raw": float(est.price_raw),
+                 "beta_optimal": float(est.beta),
+                 "correlation": float(est.correlation),
+                 "engine": engine},
+        performance=hwio.performance_block(ms, 2 * cfg.n_paths),
+    )
+
+    lines = [f"Theta recovery: {'SUCCESS' if rec.success else 'FAILED'} "
+             f"(max error {rec.max_error:.2e})",
+             f"ZBC option (CV): {float(est.price):.8f}",
+             f"beta* = {float(est.beta):.6f}, rho = {float(est.correlation):.4f}"]
+
+    if args.validate:
+        lines += _validate_zbc(cfg, key, market, engine, args.validate)
+    hwio.summary_append("Q2: THETA RECOVERY & OPTION PRICING", lines)
+    return 0 if rec.success else 1
+
+
+def _validate_zbc(cfg, key, market, engine, n_runs):
+    """20-run statistical validation (reference 2_option_pricing.cu:210-468)."""
+    from .ops.payoffs import cv_estimate
+
+    print(f"\n[Q2b] statistical validation: {n_runs} independent runs...")
+    f = pricing._zbc_moments_fn(cfg, engine, None)
+    adj, raw, betas, corrs = [], [], [], []
+    for run in range(n_runs):
+        k = jax.random.fold_in(key, 1000 + run)
+        est = cv_estimate(jnp.asarray(f(k, cfg.sigma, cfg.sigma, market)),
+                          market.P[-1])
+        adj.append(float(est.price))
+        raw.append(float(est.price_raw))
+        betas.append(float(est.beta))
+        corrs.append(float(est.correlation))
+        if (run + 1) % 5 == 0:
+            print(f"  completed {run+1}/{n_runs} runs...")
+
+    s = hwstats.summarize(adj)
+    s_raw = hwstats.summarize(raw)
+    s_beta = hwstats.summarize(betas)
+    vr = hwstats.variance_reduction_percent(adj, raw)
+    print(f"mean price (CV):   {s.mean:.8f}  +/- {s.margin_of_error:.8f} (95% CI)")
+    print(f"95% CI:            [{s.ci_lower:.8f}, {s.ci_upper:.8f}]")
+    print(f"CV%:               {s.cv_percent:.4f}%")
+    print(f"mean price (raw):  {s_raw.mean:.8f}  (sd {s_raw.std:.8f})")
+    print(f"variance reduction: {vr:.1f}%")
+    print(f"mean beta:         {s_beta.mean:.6f} (sd {s_beta.std:.6f})")
+    print(f"mean correlation:  {np.mean(corrs):.4f}")
+    if s_beta.std / abs(s_beta.mean) > 0.2:
+        print(f"warning: beta varies significantly "
+              f"(CV = {100*s_beta.std/abs(s_beta.mean):.1f}%)")
+    hwio.csv_rows(hwio.DATA_DIR / "zbc_bootstrap_optimal.csv",
+                  ["run", "price_adjusted", "price_raw", "beta_optimal",
+                   "correlation"],
+                  [(i + 1, adj[i], raw[i], betas[i], corrs[i])
+                   for i in range(n_runs)])
+    hwio.write_json(
+        hwio.DATA_DIR / "zbc_statistics_optimal.json", "q2b_validation",
+        cfg, results={
+            "n_runs": n_runs, "mean_price": s.mean, "std_dev": s.std,
+            "std_error": s.std_error, "ci_95": [s.ci_lower, s.ci_upper],
+            "cv_percent": s.cv_percent,
+            "variance_reduction_percent": vr,
+            "mean_beta": s_beta.mean, "beta_std": s_beta.std,
+            "mean_correlation": float(np.mean(corrs)),
+            "quartiles": s.quartiles,
+        })
+    return [f"20-run mean (CV): {s.mean:.8f} +/- {s.margin_of_error:.8f}",
+            f"Variance reduction: {vr:.1f}%"]
+
+
+# ---------------------------------------------------------------------------
+# Q3 — sensitivity analysis (reference 3_sensitivity_analysis.cu)
+# ---------------------------------------------------------------------------
+
+def cmd_q3(args):
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 777)
+    engine = args.engine or _default_engine()
+    market = hwio.load_market(cfg)
+    print(f"--- Q3: Sensitivity analysis (vega) [{engine}] ---")
+
+    rtt = fetch_rtt()
+    fv = pricing._vega_sums_fn(cfg, engine, None)
+    dt, v = bench(fv, key, cfg.sigma, cfg.sigma, market, n=args.reps, rtt=rtt)
+    vega_pw = float(v[0] / v[1])
+    ms = dt * 1e3
+    print("\n[pathwise derivative] simultaneous r(t), dr/dsigma(t):")
+    print(f"vega: {vega_pw:.6f}   (reference: 0.229895)")
+    print(f"computation: {ms:.2f} ms   throughput: {cfg.n_paths/dt/1e6:.0f} M paths/sec")
+
+    fd = greeks.fd_vega_crn(cfg, key, market, eps=args.eps, engine=engine)
+    print(f"\n[finite difference, CRN] eps = {args.eps}:")
+    print(f"ZBC(sigma-eps) = {float(fd.price_minus):.8f}")
+    print(f"ZBC(sigma+eps) = {float(fd.price_plus):.8f}")
+    print(f"FD vega = {float(fd.vega):.6f}   (reference: 0.230316)")
+
+    fdr = greeks.fd_vega_recalibrated(cfg, key, jax.random.fold_in(key, 5),
+                                      eps=args.eps, engine=engine)
+    print(f"\n[finite difference, full market recalibration]:")
+    print(f"FD vega (recalibrated) = {float(fdr.vega):.6f}")
+    print("note: recalibration injects curve-level MC noise "
+          "(the reference measures 127% error, README.md:51)")
+
+    _, vega_ad = greeks.jvp_vega(cfg, key, market)
+    print(f"\n[AD jvp through the simulation]: vega = {float(vega_ad):.6f}")
+
+    rel = abs(vega_pw - float(fd.vega)) / abs(vega_pw) * 100
+    print(f"\npathwise vs FD-CRN: {rel:.2f}% difference "
+          f"({'<10% PASS' if rel < 10 else 'CHECK'})")
+    sign_ok = vega_pw > 0 and float(fd.vega) > 0
+    mag_ok = 0.05 < vega_pw < 0.5
+    print(f"sign check: {'PASS' if sign_ok else 'FAIL'}   "
+          f"magnitude check: {'PASS' if mag_ok else 'FAIL'}")
+
+    results = {"sensitivity_mc": vega_pw, "sensitivity_fd": float(fd.vega),
+               "sensitivity_fd_recalibrated": float(fdr.vega),
+               "sensitivity_ad_jvp": float(vega_ad),
+               "abs_diff": abs(vega_pw - float(fd.vega)), "engine": engine}
+    lines = [f"Sens (MC): {vega_pw:.6f}", f"Sens (FD): {float(fd.vega):.6f}",
+             f"Sens (FD recal): {float(fdr.vega):.6f}"]
+
+    if args.validate:
+        print(f"\nstatistical validation: {args.validate} independent runs...")
+        samples = []
+        for run in range(args.validate):
+            k = jax.random.fold_in(key, 2000 + run)
+            vv = fv(k, cfg.sigma, cfg.sigma, market)
+            samples.append(float(vv[0] / vv[1]))
+            if (run + 1) % 5 == 0:
+                print(f"  completed {run+1}/{args.validate} runs...")
+        s = hwstats.summarize(samples)
+        print(f"mean vega: {s.mean:.6f}   sd: {s.std:.6f}   SE: {s.std_error:.6f}")
+        print(f"95% CI: [{s.ci_lower:.6f}, {s.ci_upper:.6f}]   CV: {s.cv_percent:.4f}%")
+        agree = hwstats.method_agreement(vega_pw, float(fd.vega), s.std_error)
+        print(f"z-score pathwise vs FD: {agree.z_score:.2f} -> "
+              f"{agree.interpretation}")
+        hwio.csv_rows(hwio.DATA_DIR / "vega_bootstrap.csv", ["run", "vega"],
+                      [(i + 1, x) for i, x in enumerate(samples)])
+        results.update({"validation_mean": s.mean, "validation_se": s.std_error,
+                        "validation_ci": [s.ci_lower, s.ci_upper],
+                        "z_score_vs_fd": agree.z_score})
+        lines.append(f"20-run vega: {s.mean:.6f} +/- {s.margin_of_error:.6f}")
+
+    hwio.write_json(hwio.DATA_DIR / "q3_results.json",
+                    "Q3: Sensitivity Analysis", cfg, results=results,
+                    performance=hwio.performance_block(ms, cfg.n_paths))
+    hwio.summary_append("Q3: SENSITIVITY ANALYSIS", lines)
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# benchmark — engine-tier comparison (reference benchmark_reductions.cu)
+# ---------------------------------------------------------------------------
+
+def cmd_benchmark(args):
+    from .benchmarks import run_benchmark
+
+    return run_benchmark(_cfg(args), _key(_cfg(args), args),
+                         reps=args.reps, sweep=args.sweep)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hullwhite_tpu",
+                                 description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--paths", type=int, default=None,
+                        help="antithetic path pairs (default 2^20)")
+    common.add_argument("--engine", choices=pricing.ENGINES, default=None)
+    common.add_argument("--seed", type=int, default=None)
+    common.add_argument("--reps", type=int, default=10,
+                        help="timing repetitions")
+    sub.add_parser("q1", parents=[common])
+    p2 = sub.add_parser("q2", parents=[common])
+    p2.add_argument("--validate", type=int, default=0, metavar="N",
+                    help="run N-run statistical validation")
+    p3 = sub.add_parser("q3", parents=[common])
+    p3.add_argument("--validate", type=int, default=0, metavar="N")
+    p3.add_argument("--eps", type=float, default=1e-3)
+    pb = sub.add_parser("benchmark", parents=[common])
+    pb.add_argument("--sweep", action="store_true",
+                    help="also sweep path_block sizes (reference C39)")
+    pall = sub.add_parser("all", parents=[common])
+    pall.add_argument("--validate", type=int, default=0)
+    pall.add_argument("--eps", type=float, default=1e-3)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "q1":
+        return cmd_q1(args)
+    if args.cmd == "q2":
+        return cmd_q2(args)
+    if args.cmd == "q3":
+        return cmd_q3(args)
+    if args.cmd == "benchmark":
+        return cmd_benchmark(args)
+    if args.cmd == "all":
+        rc = cmd_q1(args)
+        rc |= cmd_q2(args)
+        rc |= cmd_q3(args)
+        args.sweep = False
+        rc |= cmd_benchmark(args)
+        return rc
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

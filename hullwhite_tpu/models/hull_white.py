@@ -99,6 +99,13 @@ def host_tables(cfg: HWConfig):
     a, dt = cfg.a, cfg.dt
     spec = cfg.theta
     E = math.exp(-a * dt)
+
+    from ..utils import native
+
+    if native.available():
+        base, psi = native.drift_tables(a, dt, cfg.n_steps, spec)
+        return {"E": E, "base": base, "psi": psi}
+
     one_m = (1.0 - E) / a
     i = np.arange(cfg.n_steps, dtype=np.float64)
     s = i * dt

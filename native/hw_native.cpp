@@ -1,0 +1,208 @@
+// hw_native — C++ host runtime for hullwhite_tpu.
+//
+// The CUDA reference's host layer is native C++ (table precompute
+// common.cuh:60-110, persistence common.cuh:144-176, report writers
+// output.cuh, run statistics 2_option_pricing.cu:305-359).  This library is
+// the TPU framework's equivalent: the L1 precompute layer (drift integral
+// tables, shock-weight shapes, checkpoint-covariance Cholesky factors that
+// feed the XLA/Pallas kernels), binary/CSV persistence, and the
+// independent-run statistics.  All math is double precision — the tables
+// are consumed as fp32 by the device but must be built wider (see
+// models/hull_white.host_tables docstring).
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 in this image).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// L1 precompute: drift integral tables (reference compute_drift_tables)
+// ---------------------------------------------------------------------------
+// base[i] = int_{s}^{t} e^{-a(t-u)} theta0(u) du  for the piecewise-linear
+//           theta0(u) = alpha0 + beta0 u (u < t_break) else alpha1 + beta1 u
+// psi[i]  = [1 + e^{-2at} - e^{-a dt} - e^{-a(t+s)}] / a^2
+//           (calibration-shift kernel; drift(sigma) = base + (sigma^2 -
+//            sigma0^2)/2 * psi, d drift/d sigma = sigma * psi)
+void hw_drift_tables(double a, double dt, int n_steps,
+                     double alpha0, double beta0, double alpha1, double beta1,
+                     double t_break, double* base, double* psi) {
+  const double E = std::exp(-a * dt);
+  const double one_m = (1.0 - E) / a;
+  for (int i = 0; i < n_steps; ++i) {
+    const double s = i * dt;
+    const double t = (i + 1) * dt;
+    const double lin = (t - E * s) / a - one_m / a;
+    if (s < t_break) {
+      base[i] = beta0 * lin + alpha0 * one_m;
+    } else {
+      base[i] = beta1 * lin + alpha1 * one_m;
+    }
+    psi[i] = (1.0 + std::exp(-2.0 * a * t) - E - std::exp(-a * (t + s))) /
+             (a * a);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Shock-weight shapes (engine_linear._shock_shapes): with m = n-1-i,
+//   u[i] = E^m                       (dr_n/dG_i / sig_st)
+//   w[i] = dt [ (1-E^m)/(1-E) + E^m/2 ]   (dI_n/dG_i / sig_st)
+// ---------------------------------------------------------------------------
+void hw_shock_shapes(double a, double dt, int n, double* u, double* w) {
+  const double E = std::exp(-a * dt);
+  const double logE = -a * dt;
+  for (int i = 0; i < n; ++i) {
+    const double m = (double)(n - 1 - i);
+    const double Em = std::exp(logE * m);
+    u[i] = Em;
+    w[i] = dt * ((1.0 - Em) / (1.0 - E) + 0.5 * Em);
+  }
+}
+
+// Full curve shape W[i, m] (engine_linear._curve_shape), row-major
+// (n_steps, n_mat); column m corresponds to checkpoint step m*stride.
+void hw_curve_shape(double a, double dt, int n_steps, int n_mat, int stride,
+                    double* W) {
+  const double E = std::exp(-a * dt);
+  const double logE = -a * dt;
+  for (int i = 0; i < n_steps; ++i) {
+    for (int m = 0; m < n_mat; ++m) {
+      const long n = (long)m * stride;
+      if (i < n) {
+        const double mm = (double)(n - 1 - i);
+        const double Em = std::exp(logE * mm);
+        W[(long)i * n_mat + m] = dt * ((1.0 - Em) / (1.0 - E) + 0.5 * Em);
+      } else {
+        W[(long)i * n_mat + m] = 0.0;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Cholesky of C = Ws^T Ws for the exact functional sampler
+// (engine_exact.curve_chol).  In-place lower Cholesky, then transposed into
+// LT (row-major (k, k), upper-triangular) for the z = x @ L^T matmul.
+// Returns 0 on success, -1 if not positive definite.
+// ---------------------------------------------------------------------------
+int hw_curve_chol(double a, double dt, int n_steps, int n_mat, int stride,
+                  double* LT) {
+  const int k = n_mat - 1;
+  std::vector<double> W((size_t)n_steps * n_mat);
+  hw_curve_shape(a, dt, n_steps, n_mat, stride, W.data());
+  std::vector<double> C((size_t)k * k, 0.0);
+  for (int i = 0; i < n_steps; ++i) {
+    const double* row = &W[(size_t)i * n_mat + 1];  // skip m=0 column
+    for (int p = 0; p < k; ++p) {
+      const double rp = row[p];
+      if (rp == 0.0) continue;
+      for (int q = p; q < k; ++q) {
+        C[(size_t)p * k + q] += rp * row[q];
+      }
+    }
+  }
+  // lower Cholesky on the symmetric C (upper stored)
+  std::vector<double> L((size_t)k * k, 0.0);
+  for (int j = 0; j < k; ++j) {
+    double d = C[(size_t)j * k + j];
+    for (int p = 0; p < j; ++p) d -= L[(size_t)j * k + p] * L[(size_t)j * k + p];
+    if (d <= 0.0) return -1;
+    const double ljj = std::sqrt(d);
+    L[(size_t)j * k + j] = ljj;
+    for (int i = j + 1; i < k; ++i) {
+      double s = C[(size_t)j * k + i];  // C[j][i] with j<=i (upper storage)
+      for (int p = 0; p < j; ++p)
+        s -= L[(size_t)i * k + p] * L[(size_t)j * k + p];
+      L[(size_t)i * k + j] = s / ljj;
+    }
+  }
+  for (int i = 0; i < k; ++i)
+    for (int j = 0; j < k; ++j)
+      LT[(size_t)i * k + j] = L[(size_t)j * k + i];
+  return 0;
+}
+
+// 2x2 factor for (r(S1), I(S1)) (engine_exact.zbc_chol): out = {l11,l21,l22}
+void hw_zbc_chol(double a, double dt, int n1, double* out) {
+  std::vector<double> u(n1), w(n1);
+  hw_shock_shapes(a, dt, n1, u.data(), w.data());
+  double c_rr = 0.0, c_ri = 0.0, c_ii = 0.0;
+  for (int i = 0; i < n1; ++i) {
+    c_rr += u[i] * u[i];
+    c_ri += u[i] * w[i];
+    c_ii += w[i] * w[i];
+  }
+  const double l11 = std::sqrt(c_rr);
+  const double l21 = c_ri / l11;
+  out[0] = l11;
+  out[1] = l21;
+  out[2] = std::sqrt(c_ii - l21 * l21);
+}
+
+// ---------------------------------------------------------------------------
+// Persistence & reporting (reference save_array / csv writers)
+// ---------------------------------------------------------------------------
+int hw_save_bin(const char* path, const float* data, long n) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  const size_t written = std::fwrite(data, sizeof(float), (size_t)n, f);
+  std::fclose(f);
+  return written == (size_t)n ? 0 : -1;
+}
+
+long hw_load_bin(const char* path, float* data, long n) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  const size_t got = std::fread(data, sizeof(float), (size_t)n, f);
+  std::fclose(f);
+  return (long)got;
+}
+
+int hw_csv_timeseries(const char* path, const char* header,
+                      const float* data, long n, float spacing) {
+  FILE* f = std::fopen(path, "w");
+  if (!f) return -1;
+  std::fprintf(f, "T,%s\n", header);
+  for (long i = 0; i < n; ++i) {
+    std::fprintf(f, "%.4f,%.8f\n", (double)(i * spacing), (double)data[i]);
+  }
+  std::fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Run statistics (reference 2_option_pricing.cu:305-359): out =
+// [mean, std(ddof=1), std_error, min, q1, median, q3, max]
+// ---------------------------------------------------------------------------
+void hw_summarize(const double* samples, int n, double* out) {
+  std::vector<double> x(samples, samples + n);
+  double mean = 0.0;
+  for (double v : x) mean += v;
+  mean /= n;
+  double var = 0.0;
+  for (double v : x) var += (v - mean) * (v - mean);
+  var = n > 1 ? var / (n - 1) : 0.0;
+  std::sort(x.begin(), x.end());
+  auto quant = [&](double q) {
+    const double pos = q * (n - 1);
+    const int lo = (int)pos;
+    const int hi = std::min(lo + 1, n - 1);
+    const double frac = pos - lo;
+    return x[lo] * (1.0 - frac) + x[hi] * frac;
+  };
+  out[0] = mean;
+  out[1] = std::sqrt(var);
+  out[2] = std::sqrt(var / n);
+  out[3] = x.front();
+  out[4] = quant(0.25);
+  out[5] = quant(0.5);
+  out[6] = quant(0.75);
+  out[7] = x.back();
+}
+
+}  // extern "C"

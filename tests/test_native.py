@@ -1,0 +1,84 @@
+"""Cross-checks of the C++ host-runtime library against the NumPy fallback.
+
+Skipped when native/libhwnative.so has not been built (`make -C native`).
+"""
+
+import numpy as np
+import pytest
+
+from hullwhite_tpu import tiny_config
+from hullwhite_tpu.utils import native
+from hullwhite_tpu.ops import engine_exact, engine_linear
+from hullwhite_tpu.models import hull_white as hw
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+CFG = tiny_config()
+
+
+def _np_drift():
+    # numpy fallback path, bypassing the native branch
+    import math
+    a, dt, spec = CFG.a, CFG.dt, CFG.theta
+    E = math.exp(-a * dt)
+    one_m = (1.0 - E) / a
+    i = np.arange(CFG.n_steps, dtype=np.float64)
+    s, t = i * dt, (i + 1.0) * dt
+    lin = (t - E * s) / a - one_m / a
+    base = np.where(s < spec.t_break,
+                    spec.beta0 * lin + spec.alpha0 * one_m,
+                    spec.beta1 * lin + spec.alpha1 * one_m)
+    psi = (1.0 + np.exp(-2.0 * a * t) - E - np.exp(-a * (t + s))) / (a * a)
+    return base, psi
+
+
+def test_drift_tables_match():
+    base_c, psi_c = native.drift_tables(CFG.a, CFG.dt, CFG.n_steps, CFG.theta)
+    base_np, psi_np = _np_drift()
+    np.testing.assert_allclose(base_c, base_np, rtol=1e-14)
+    np.testing.assert_allclose(psi_c, psi_np, rtol=1e-14)
+
+
+def test_shock_shapes_match():
+    n1 = CFG.n_steps_s1
+    u_c, w_c = native.shock_shapes(CFG.a, CFG.dt, n1)
+    u_py, w_py = engine_linear._shock_shapes(CFG, n1)
+    np.testing.assert_allclose(u_c.astype(np.float32), u_py, rtol=1e-6)
+    np.testing.assert_allclose(w_c.astype(np.float32), w_py, rtol=1e-6)
+
+
+def test_curve_chol_matches_numpy():
+    LT_c = native.curve_chol(CFG.a, CFG.dt, CFG.n_steps, CFG.n_mat,
+                             CFG.save_stride)
+    LT_py = engine_exact.curve_chol(CFG)
+    np.testing.assert_allclose(LT_c.astype(np.float32), LT_py,
+                               rtol=1e-5, atol=1e-9)
+
+
+def test_zbc_chol_matches():
+    c = native.zbc_chol(CFG.a, CFG.dt, CFG.n_steps_s1)
+    py = engine_exact.zbc_chol(CFG)
+    np.testing.assert_allclose(c, py, rtol=1e-6)  # python path sums fp32 shapes
+
+
+def test_summarize_matches(tmp_path):
+    from hullwhite_tpu.utils import stats
+
+    x = np.random.default_rng(0).normal(1.0, 0.1, 20)
+    out = native.summarize(x)
+    s = stats.summarize(x)
+    assert abs(out[0] - s.mean) < 1e-12
+    assert abs(out[1] - s.std) < 1e-12
+    assert abs(out[2] - s.std_error) < 1e-12
+    np.testing.assert_allclose(out[3:8], s.quartiles, rtol=1e-12)
+
+
+def test_save_bin_roundtrip(tmp_path):
+    from hullwhite_tpu.utils import io as hwio
+
+    arr = np.arange(32, dtype=np.float32) * 0.5
+    p = tmp_path / "x.bin"
+    native.save_bin(str(p), arr)
+    back = hwio.load_bin(p, 32)
+    np.testing.assert_array_equal(arr, back)
