@@ -1,0 +1,37 @@
+# hullwhite_tpu — build & run targets (analogue of the reference makefile)
+
+.PHONY: native test tpu-test q1 q2 q3 benchmark all analyze bench clean
+
+native:
+	$(MAKE) -C native
+
+test:
+	python -m pytest tests/ -q
+
+tpu-test:
+	python -m pytest tpu_tests/ -q
+
+q1:
+	python -m hullwhite_tpu.cli q1
+
+q2:
+	python -m hullwhite_tpu.cli q2 --validate 20
+
+q3:
+	python -m hullwhite_tpu.cli q3 --validate 20
+
+benchmark:
+	python -m hullwhite_tpu.cli benchmark --sweep
+
+all:
+	python -m hullwhite_tpu.cli all
+
+analyze:
+	python -m hullwhite_tpu.analyze
+
+bench:
+	python bench.py
+
+clean:
+	rm -rf data plots
+	$(MAKE) -C native clean

@@ -1,0 +1,203 @@
+"""Analysis & visualization of simulation outputs (reference analyze.py,
+C42-C44): consumes only the files produced by the CLI layer in ``data/``
+— no device dependency.
+
+    python -m hullwhite_tpu.analyze [--show] [--data-dir data] [--plots-dir plots]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+def _read_csv(path):
+    rows = np.genfromtxt(path, delimiter=",", names=True)
+    return rows
+
+
+def plot_paths_static(data_dir: Path, plots_dir: Path, n_steps=1000):
+    """32 simulated r(t) trajectories (reference analyze.py:13-57)."""
+    p = data_dir / "r_paths.bin"
+    if not p.exists():
+        return None
+    raw = np.fromfile(p, dtype=np.float32)
+    n_paths = raw.size // (n_steps + 1)
+    paths = raw.reshape(n_paths, n_steps + 1)
+    t = np.linspace(0, 10, n_steps + 1)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for row in paths:
+        ax.plot(t, row * 100, lw=0.7, alpha=0.6)
+    ax.plot(t, paths.mean(axis=0) * 100, "k-", lw=2, label="mean")
+    ax.set_xlabel("time (years)")
+    ax.set_ylabel("short rate r(t) (%)")
+    ax.set_title(f"Hull-White short-rate paths ({n_paths} samples)")
+    ax.legend()
+    out = plots_dir / "simulated_paths.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_p_and_f(data_dir: Path, plots_dir: Path):
+    """Bond price and forward curves (reference analyze.py:59-98)."""
+    try:
+        P = _read_csv(data_dir / "P.csv")
+        f = _read_csv(data_dir / "f.csv")
+    except (OSError, ValueError):
+        return None
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 5))
+    a1.plot(P["T"], P["P"], "b-")
+    a1.set_xlabel("maturity T")
+    a1.set_ylabel("P(0,T)")
+    a1.set_title("Zero-coupon bond prices")
+    a2.plot(f["T"], f["f"] * 100, "r-")
+    a2.set_xlabel("maturity T")
+    a2.set_ylabel("f(0,T) (%)")
+    a2.set_title("Instantaneous forward rates")
+    out = plots_dir / "market_data.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_theta_recovery(data_dir: Path, plots_dir: Path):
+    """Recovered vs true theta + log error (reference analyze.py:100-139)."""
+    try:
+        d = _read_csv(data_dir / "theta_comparison.csv")
+    except (OSError, ValueError):
+        return None
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 5))
+    a1.plot(d["T"], d["theta_original"], "k-", label="theta true")
+    a1.plot(d["T"], d["theta_recovered"], "r--", label="theta recovered")
+    a1.set_xlabel("T")
+    a1.legend()
+    a1.set_title("Theta recovery from forward curve")
+    err = np.abs(d["theta_recovered"] - d["theta_original"])
+    a2.semilogy(d["T"], np.maximum(err, 1e-12), "b-")
+    a2.axhline(0.01, color="r", ls=":", label="success threshold 0.01")
+    a2.set_xlabel("T")
+    a2.set_ylabel("|error|")
+    a2.legend()
+    a2.set_title("Recovery error")
+    out = plots_dir / "theta_recovery.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_sensitivity_comparison(data_dir: Path, plots_dir: Path):
+    """Vega estimates bar chart (reference analyze.py:141-188)."""
+    p = data_dir / "q3_results.json"
+    if not p.exists():
+        return None
+    r = json.loads(p.read_text())["results"]
+    labels, vals = [], []
+    for key, label in [("sensitivity_mc", "pathwise"),
+                       ("sensitivity_fd", "FD (CRN)"),
+                       ("sensitivity_ad_jvp", "AD (jvp)"),
+                       ("sensitivity_fd_recalibrated", "FD recalibrated")]:
+        if key in r:
+            labels.append(label)
+            vals.append(r[key])
+    fig, ax = plt.subplots(figsize=(8, 5))
+    colors = ["#2b6cb0", "#2f855a", "#6b46c1", "#c05621"][: len(vals)]
+    ax.bar(labels, vals, color=colors)
+    ax.set_ylabel("vega dV/dsigma")
+    ax.set_title("ZBC vega: estimation methods")
+    for i, v in enumerate(vals):
+        ax.text(i, v, f"{v:.5f}", ha="center", va="bottom")
+    out = plots_dir / "sensitivity_comparison.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def plot_engine_benchmark(data_dir: Path, plots_dir: Path):
+    """Engine-tier time/throughput (reference analyze.py:190-247, which
+    plotted the three reduction strategies)."""
+    p = data_dir / "benchmark_engines.json"
+    if not p.exists():
+        return None
+    r = json.loads(p.read_text())["results"]["engines"]
+    names = list(r)
+    times = [r[n]["ms"] for n in names]
+    thru = [r[n]["paths_per_sec"] / 1e6 for n in names]
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 5))
+    a1.bar(names, times, color="#2b6cb0")
+    a1.set_yscale("log")
+    a1.set_ylabel("time (ms, log)")
+    a1.set_title("ZBC pricing time by engine")
+    a1.tick_params(axis="x", rotation=30)
+    a2.bar(names, thru, color="#2f855a")
+    a2.set_yscale("log")
+    a2.set_ylabel("M paths/sec (log)")
+    a2.set_title("Throughput by engine")
+    a2.tick_params(axis="x", rotation=30)
+    out = plots_dir / "engine_benchmark.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
+def print_summary(data_dir: Path):
+    """Consolidated run report (reference analyze.py:249-344)."""
+    print("=" * 72)
+    print("HULLWHITE_TPU RUN SUMMARY")
+    print("=" * 72)
+    for name in ["q1_results.json", "q2a_results.json", "q2b_results.json",
+                 "q3_results.json", "zbc_statistics_optimal.json",
+                 "benchmark_engines.json"]:
+        p = data_dir / name
+        if not p.exists():
+            continue
+        doc = json.loads(p.read_text())
+        print(f"\n[{doc.get('task', name)}]  ({doc.get('timestamp', '')})")
+        res = doc.get("results", {})
+        for k, v in res.items():
+            if isinstance(v, dict):
+                continue
+            print(f"  {k}: {v}")
+        if "performance" in doc:
+            perf = doc["performance"]
+            print(f"  time: {perf['simulation_time_ms']} ms   "
+                  f"throughput: {perf['throughput_Mpaths_per_sec']} M paths/s")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--show", "-s", action="store_true")
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--plots-dir", default="plots")
+    args = ap.parse_args(argv)
+    data_dir = Path(args.data_dir)
+    plots_dir = Path(args.plots_dir)
+    plots_dir.mkdir(parents=True, exist_ok=True)
+
+    made = []
+    for fn in [plot_paths_static, plot_p_and_f, plot_theta_recovery,
+               plot_sensitivity_comparison, plot_engine_benchmark]:
+        out = fn(data_dir, plots_dir)
+        if out:
+            made.append(out)
+            print(f"saved {out}")
+    print_summary(data_dir)
+    if args.show and made and os.environ.get("DISPLAY"):
+        import subprocess
+
+        for m in made:
+            subprocess.Popen(["xdg-open", str(m)])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
