@@ -18,48 +18,36 @@ measured fetch round-trip is subtracted.
 """
 
 import json
-import time
+import os
 
-import numpy as np
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: the remote TPU compiler costs 30-90 s per
+# kernel; cache across runs so the benchmark is compile-free after the
+# first invocation
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 from hullwhite_tpu import HWConfig
 from hullwhite_tpu import pricing
 from hullwhite_tpu.ops.payoffs import cv_estimate
+from hullwhite_tpu.utils.timing import bench, fetch_rtt
 
 BASELINE_Q1 = 391e6     # V100 paths/s, reference README.md:12
 BASELINE_Q2B = 1064e6   # reference README.md:44
 BASELINE_Q3 = 509e6     # reference README.md:163
 
 
-def _fetch_rtt():
-    @jax.jit
-    def tiny(x):
-        return x + 1.0
-
-    x = jnp.zeros((8,))
-    np.asarray(tiny(x))
-    t0 = time.perf_counter()
-    for _ in range(10):
-        np.asarray(tiny(x))
-    return (time.perf_counter() - t0) / 10
-
-
-def bench(fn, *args, n=20, rtt=0.0):
-    np.asarray(fn(*args))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    out = np.asarray(out)
-    dt = (time.perf_counter() - t0 - rtt) / n
-    return max(dt, 1e-9), out
-
-
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     engine = "pallas_exact" if on_tpu else "exact"
-    rtt = _fetch_rtt()
+    rtt = fetch_rtt()
 
     # Reference scale: 2^20 pairs, 1000 steps, 101 mats.  The benchmark
     # config uses one bf16 MXU pass for the sampling matmul ("default"):
@@ -90,9 +78,6 @@ def main():
 
     # --- Q2b / Q3 at 2^24 paths (amortizes launch overhead) ---
     big = cfg.replace(n_paths=1 << 24, path_block=1 << 19)
-    fq = pricing._curve_sums_fn(big, engine, None)
-    dtq, _ = bench(fq, key, big.sigma, big.sigma, n=10, rtt=rtt)
-    extras["q1_paths_per_sec_2e24"] = round(2 * big.n_paths / dtq)
     market = pricing.bootstrap_curve(cfg, key, engine=engine)
     fz = pricing._zbc_moments_fn(big, engine, None)
     dtz, m = bench(fz, key, big.sigma, big.sigma, market, rtt=rtt)

@@ -240,6 +240,16 @@ def cmd_q3(args):
 
     rtt = fetch_rtt()
     fv = pricing._vega_sums_fn(cfg, engine, None)
+    # pre-flight compile report (the reference prints its CUDA occupancy
+    # analysis before launching the sensitivity kernel)
+    try:
+        from .utils.profile import format_report, kernel_report
+
+        rep = kernel_report(fv, key, jnp.float32(cfg.sigma),
+                            jnp.float32(cfg.sigma), market)
+        print("\n" + format_report(rep))
+    except Exception as e:  # noqa: BLE001 - introspection is best-effort
+        print(f"\n(kernel analysis unavailable: {e})")
     dt, v = bench(fv, key, cfg.sigma, cfg.sigma, market, n=args.reps, rtt=rtt)
     vega_pw = float(v[0] / v[1])
     ms = dt * 1e3

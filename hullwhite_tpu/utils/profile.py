@@ -1,0 +1,91 @@
+"""Compiled-kernel introspection — the TPU analogue of the reference's
+CUDA occupancy analyzer (3_sensitivity_analysis.cu:183-239, C34), which
+reported registers/thread, shared-memory usage, spilling and theoretical
+occupancy before launching the hot kernel.
+
+On TPU the analogous pre-flight introspection is the XLA compile report:
+FLOPs and transcendentals from ``cost_analysis`` and the HBM/argument/
+output/temp/code footprint from ``memory_analysis``; "occupancy" is
+replaced by arithmetic-intensity and roofline utilization against the
+device's published peaks.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+
+# rough single-chip peaks for roofline context
+_PEAKS = {
+    "TPU v5 lite": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
+    "TPU v4": {"bf16_tflops": 275.0, "hbm_gbps": 1228.0},
+}
+
+
+def kernel_report(fn, *args, static_argnums=()) -> dict[str, Any]:
+    """Lower + compile ``fn`` on ``args`` and extract the compile report."""
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn,
+                                                     static_argnums=static_argnums)
+    compiled = jitted.lower(*args).compile()
+    cost = compiled.cost_analysis() or {}
+    try:
+        mem = compiled.memory_analysis()
+    except Exception:  # noqa: BLE001 - backend-dependent
+        mem = None
+
+    report: dict[str, Any] = {
+        "flops": cost.get("flops"),
+        "transcendentals": cost.get("transcendentals"),
+        "bytes_accessed": cost.get("bytes accessed"),
+    }
+    if mem is not None:
+        for field in ("argument_size_in_bytes", "output_size_in_bytes",
+                      "temp_size_in_bytes", "generated_code_size_in_bytes"):
+            report[field] = getattr(mem, field, None)
+    dev = jax.devices()[0]
+    report["device"] = str(dev)
+    for name, peaks in _PEAKS.items():
+        if name in str(dev):
+            report["peaks"] = peaks
+            if report.get("flops") and report.get("bytes_accessed"):
+                report["arithmetic_intensity_flops_per_byte"] = (
+                    report["flops"] / max(report["bytes_accessed"], 1.0))
+    return report
+
+
+def format_report(report: dict[str, Any], time_s: float | None = None) -> str:
+    """Human-readable block, printed by the CLI before the hot launch
+    (mirrors the reference's 'CUDA Kernel Analysis' section)."""
+    lines = ["XLA kernel analysis"]
+
+    def fmt(v, unit=""):
+        if v is None:
+            return "n/a"
+        if v > 1e9:
+            return f"{v/1e9:.2f} G{unit}"
+        if v > 1e6:
+            return f"{v/1e6:.2f} M{unit}"
+        return f"{v:.0f} {unit}"
+
+    lines.append(f"  FLOPs:                {fmt(report.get('flops'))}")
+    lines.append(f"  transcendentals:      {fmt(report.get('transcendentals'))}")
+    lines.append(f"  bytes accessed (HBM): {fmt(report.get('bytes_accessed'), 'B')}")
+    for k, label in [("argument_size_in_bytes", "argument bytes"),
+                     ("output_size_in_bytes", "output bytes"),
+                     ("temp_size_in_bytes", "temp (scratch) bytes"),
+                     ("generated_code_size_in_bytes", "code size")]:
+        if report.get(k) is not None:
+            lines.append(f"  {label + ':':22s}{fmt(report[k], 'B')}")
+    ai = report.get("arithmetic_intensity_flops_per_byte")
+    if ai is not None:
+        lines.append(f"  arithmetic intensity: {ai:.1f} flop/byte")
+    if time_s and report.get("peaks"):
+        p = report["peaks"]
+        if report.get("flops"):
+            util = report["flops"] / time_s / (p["bf16_tflops"] * 1e12) * 100
+            lines.append(f"  MXU utilization:      {util:.1f}% of bf16 peak")
+        if report.get("bytes_accessed"):
+            bw = report["bytes_accessed"] / time_s / (p["hbm_gbps"] * 1e9) * 100
+            lines.append(f"  HBM utilization:      {bw:.1f}% of peak")
+    return "\n".join(lines)

@@ -36,15 +36,26 @@ def fetch_rtt(n: int = 10) -> float:
 
 
 def bench(fn, *args, n: int = 20, rtt: float | None = None, warmup: int = 1):
-    """(seconds_per_call, last_result). Compiles on the first warmup call."""
+    """(seconds_per_call, last_result). Compiles on the first warmup call.
+
+    Adaptive: doubles the repetition count until the measured span exceeds
+    the fetch RTT by enough margin that RTT jitter (~ms) cannot swamp a
+    sub-millisecond kernel.
+    """
     if rtt is None:
         rtt = fetch_rtt()
     for _ in range(max(warmup, 1)):
         out = fn(*args)
         jax.tree_util.tree_map(np.asarray, out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    out = jax.tree_util.tree_map(np.asarray, out)
-    dt = (time.perf_counter() - t0 - rtt) / n
+
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        out = jax.tree_util.tree_map(np.asarray, out)
+        elapsed = time.perf_counter() - t0
+        if elapsed > rtt + max(5 * rtt, 0.05) or n >= 5000:
+            break
+        n *= 4
+    dt = (elapsed - rtt) / n
     return max(dt, 1e-9), out

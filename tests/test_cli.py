@@ -1,0 +1,60 @@
+"""CLI smoke tests: the full q1 -> q2 -> q3 -> benchmark pipeline on CPU in
+a temp directory, exercising the persistence handoff and artifact schema."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hullwhite_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    old = os.getcwd()
+    os.chdir(d)
+    yield d
+    os.chdir(old)
+
+
+def test_pipeline(workdir):
+    assert main(["q1", "--paths", "8192", "--reps", "1"]) == 0
+    assert (workdir / "data" / "market.npz").exists()
+    assert (workdir / "data" / "P.bin").stat().st_size == 101 * 4
+
+    assert main(["q2", "--paths", "8192", "--reps", "1", "--validate", "3"]) == 0
+    doc = json.loads((workdir / "data" / "q2b_results.json").read_text())
+    assert doc["parameters"]["N_PATHS"] == 8192
+    assert 0.0 < doc["results"]["ZBC_control_variate"] < 0.1
+    assert (workdir / "data" / "zbc_bootstrap_optimal.csv").exists()
+
+    assert main(["q3", "--paths", "8192", "--reps", "1"]) == 0
+    doc = json.loads((workdir / "data" / "q3_results.json").read_text())
+    r = doc["results"]
+    # pathwise, FD-CRN and AD must all be near the true vega ~0.23
+    for k in ["sensitivity_mc", "sensitivity_fd", "sensitivity_ad_jvp"]:
+        assert 0.15 < r[k] < 0.32, (k, r[k])
+
+    assert main(["benchmark", "--paths", "8192", "--reps", "1"]) == 0
+    doc = json.loads((workdir / "data" / "benchmark_engines.json").read_text())
+    assert doc["results"]["consistency_pass"]
+
+
+def test_q2_requires_q1(tmp_path):
+    old = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        with pytest.raises(FileNotFoundError, match="Did you run Q1 first"):
+            main(["q2", "--paths", "4096", "--reps", "1"])
+    finally:
+        os.chdir(old)
+
+
+def test_bin_files_match_reference_format(workdir):
+    """P.bin must be raw little-endian fp32, loadable the way the reference
+    loads it (common.cuh:155-169)."""
+    raw = np.fromfile(workdir / "data" / "P.bin", dtype="<f4")
+    assert raw.shape == (101,)
+    assert abs(raw[0] - 1.0) < 1e-6
