@@ -136,3 +136,108 @@ def vega_zbc_qmc(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
     mean, se, vals = _qmc_fn(cfg, n_points, n_shifts, "vega")(
         key, jnp.asarray(sigma, jnp.float32), market)
     return QMCResult(mean, se, n_points, n_shifts, vals)
+
+
+# ---------------------------------------------------------------------------
+# Q1 curve via PCA-ordered hybrid RQMC
+# ---------------------------------------------------------------------------
+# The 100-d checkpoint Gaussian concentrates in its leading principal
+# components (PC1+PC2 = 95.8%, PC1..8 = 99.8% of variance for the standard
+# config), so a PCA construction assigns low-discrepancy coordinates to the
+# high-variance directions: dims 1-2 scrambled Sobol, dims 3-8 a
+# Cranley-Patterson-shifted Kronecker sequence (frac(i sqrt(p_j))), the
+# remaining dims plain MC.  Every randomization keeps the estimator
+# unbiased with a valid shift-replicate SE.
+
+_KRON_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37)
+
+
+@lru_cache(maxsize=None)
+def _curve_pca(cfg: HWConfig):
+    """B with B B^T = Ws^T Ws, columns ordered by descending eigenvalue.
+    Returns fp32 B^T for z = x @ B^T."""
+    Ws = np.asarray(engine_linear._curve_shape(cfg), np.float64)[:, 1:]
+    C = Ws.T @ Ws
+    lam, U = np.linalg.eigh(C)
+    order = np.argsort(lam)[::-1]
+    B = U[:, order] * np.sqrt(np.maximum(lam[order], 0.0))[None, :]
+    return np.asarray(B.T, np.float32)  # (k, k): row j = PC j direction
+
+
+def hybrid_uniforms(n: int, n_kron: int, shift_sobol, shift_kron):
+    """(n, 2 + n_kron) uniforms: scrambled Sobol dims 1-2 + shifted
+    Kronecker dims.
+
+    The Kronecker sequence frac(i * sqrt(p_j)) is computed in exact uint32
+    modular arithmetic (u_i = i * round(frac(sqrt p) 2^32) mod 2^32): fp32
+    frac() of i*alpha destroys the low-discrepancy structure beyond
+    i ~ 2^12 (measured: the dims stopped contributing at all).
+    """
+    u_sob = sobol2(n, shift_sobol)
+    if n_kron == 0:
+        return u_sob
+    ii = jnp.arange(n, dtype=jnp.uint32)
+    a_ints = [np.uint32(round((np.sqrt(p) % 1.0) * 2.0 ** 32) % (2 ** 32))
+              for p in _KRON_PRIMES[:n_kron]]
+    u_kr = jnp.stack([
+        ((ii * a + s) >> jnp.uint32(8)).astype(jnp.float32)
+        * jnp.float32(2.0 ** -24) + jnp.float32(2.0 ** -25)
+        for a, s in zip(a_ints, shift_kron)
+    ], axis=1)
+    return jnp.concatenate([u_sob, u_kr], axis=1)
+
+
+@lru_cache(maxsize=None)
+def _curve_qmc_fn(cfg: HWConfig, n_points: int, n_shifts: int, n_kron: int):
+    dtype = jnp.dtype(cfg.dtype)
+    k = cfg.n_mat - 1
+    n_qmc = 2 + n_kron
+
+    def one_shift(key, sigma):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, dtype)
+        BT = tables.sig_st * jnp.asarray(_curve_pca(cfg))
+        cw = engine_exact.curve_weights(cfg, tables)   # for c only
+        k_s, k_k, k_mc = jax.random.split(key, 3)
+        shift_sobol = jax.random.bits(k_s, (2,), jnp.uint32)
+        shift_kron = jax.random.bits(k_k, (n_kron,), jnp.uint32)
+        u = hybrid_uniforms(n_points, n_kron, shift_sobol, shift_kron)
+        x_q = jax.scipy.special.ndtri(u)               # (n, n_qmc)
+        x_mc = jax.random.normal(k_mc, (n_points, k - n_qmc), dtype)
+        x = jnp.concatenate([x_q, x_mc], axis=1)
+        z = jnp.dot(x, BT, preferred_element_type=jnp.float32,
+                    precision=cfg.matmul_precision)
+        c = cw.c[1:][None, :]
+        contrib = jnp.exp(-(c + z)) + jnp.exp(-(c - z))
+        return jnp.sum(contrib, axis=0) / (2.0 * n_points)
+
+    def compute(key, sigma):
+        keys = jax.random.split(key, n_shifts)
+        Ps = jax.lax.map(lambda kk: one_shift(kk, sigma), keys)  # (s, k)
+        mean = jnp.mean(Ps, axis=0)
+        se = jnp.std(Ps, axis=0, ddof=1) / jnp.sqrt(1.0 * n_shifts)
+        one = jnp.ones((n_shifts, 1), jnp.float32)
+        return (jnp.concatenate([jnp.ones((1,)), mean]),
+                jnp.concatenate([jnp.zeros((1,)), se]),
+                jnp.concatenate([one, Ps], axis=1))
+
+    return jax.jit(compute)
+
+
+class CurveQMC(NamedTuple):
+    market: MarketCurve
+    std_error: jax.Array   # (n_mat,) per-maturity SE over shifts
+    n_points: int
+    n_shifts: int
+
+
+def bootstrap_curve_qmc(cfg: HWConfig, key, *, sigma=None,
+                        n_points: int = 1 << 16, n_shifts: int = 8,
+                        n_kron: int = 6) -> CurveQMC:
+    """Q1 curve bootstrap with PCA-ordered hybrid RQMC (antithetic)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    P, se, _ = _curve_qmc_fn(cfg, n_points, n_shifts, n_kron)(
+        key, jnp.asarray(sigma, jnp.float32))
+    market = MarketCurve(P=P, f=hw.forward_from_p(cfg, P))
+    return CurveQMC(market=market, std_error=se, n_points=n_points,
+                    n_shifts=n_shifts)

@@ -80,3 +80,23 @@ def test_qmc_vega(analytic_market):
     true = oracles.zbc_vega(CFG, float(analytic_market.P[CFG.n_mat // 2]),
                             float(analytic_market.P[-1]))
     assert abs(float(res.value) - true) < 5 * float(res.std_error) + 1e-3
+
+
+def test_curve_qmc_unbiased_and_tighter():
+    """PCA-ordered hybrid RQMC curve: unbiased vs analytic, and its
+    per-replicate SE beats plain-MC SE at the same point budget."""
+    from hullwhite_tpu import HWConfig
+    from hullwhite_tpu.ops.qmc import bootstrap_curve_qmc
+
+    cfg = HWConfig(n_paths=1 << 12, path_block=1 << 12)  # full 101-mat grid
+    res = bootstrap_curve_qmc(cfg, KEY, n_points=1 << 12, n_shifts=8)
+    P = np.asarray(res.market.P)
+    se = np.asarray(res.std_error)
+    Ts = np.linspace(0, cfg.t_final, cfg.n_mat)
+    true = np.array([oracles.bond_price(cfg, T) for T in Ts])
+    assert P[0] == 1.0
+    # unbiasedness: every maturity within 5 SE (+fp32 slack)
+    assert np.all(np.abs(P[1:] - true[1:]) < 5 * se[1:] + 3e-5)
+    # variance: per-replicate SE at T=10 well under the MC SE at 2*N legs
+    mc_se = 0.07 * true[-1] / np.sqrt(2 * (1 << 12))
+    assert float(se[-1]) * np.sqrt(8) < 0.5 * mc_se
