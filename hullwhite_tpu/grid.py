@@ -125,3 +125,35 @@ def price_zbc_grid(cfg: HWConfig, key, market: MarketCurve, strikes,
     se_raw = jnp.sqrt(jnp.maximum(var_x, 0.0) / n)
     return ZBCGrid(strikes=Ks, maturities=S2s, price=price,
                    price_raw=mean_x, beta=beta, std_error_raw=se_raw)
+
+
+@lru_cache(maxsize=None)
+def _grid_vega_fn(cfg: HWConfig, engine: str, mesh, n_k: int, n_s2: int):
+    moments_fn = _grid_fn(cfg, engine, mesh, n_k, n_s2)
+
+    def compute(key, sigma, market, Ks, S2s):
+        def raw_surface(s):
+            m = moments_fn(key, s, market, Ks, S2s)
+            return m["sx"] / m["n"]
+
+        return jax.jvp(raw_surface, (sigma,), (jnp.ones_like(sigma),))
+
+    return jax.jit(compute)
+
+
+def vega_zbc_grid(cfg: HWConfig, key, market: MarketCurve, strikes,
+                  maturities, *, sigma=None, engine: str = "exact",
+                  mesh=None):
+    """(price_raw, vega) surfaces over (strikes x maturities) by forward-
+    mode AD through the shared-path simulation — every cell's vega from
+    the same Gaussian draws, one jvp.  The sigma-dependence flows through
+    the calibration-consistent drift tables, the shock scale, and the
+    A(t,T) reconstruction exactly as in the single-option pathwise method.
+    """
+    if sigma is None:
+        sigma = cfg.sigma
+    Ks = jnp.asarray(strikes, jnp.float32)
+    S2s = jnp.asarray(maturities, jnp.float32)
+    sigma = jnp.asarray(sigma, jnp.float32)
+    return _grid_vega_fn(cfg, engine, mesh, len(Ks), len(S2s))(
+        key, sigma, market, Ks, S2s)

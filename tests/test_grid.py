@@ -72,3 +72,34 @@ def test_grid_sharded(analytic_market):
     g8 = grid.price_zbc_grid(cfg, KEY, analytic_market, [0.9], [10.0],
                              mesh=mesh)
     assert abs(float(g1.price[0, 0]) - float(g8.price[0, 0])) < 1e-6
+
+
+def test_grid_vega_matches_analytic(analytic_market):
+    from hullwhite_tpu.grid import vega_zbc_grid
+
+    Ks = [0.88, CFG.strike]
+    S2s = [8.0, CFG.s2]
+    prices, vegas = vega_zbc_grid(CFG, KEY, analytic_market, Ks, S2s)
+    P = np.asarray(analytic_market.P)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    for i, K in enumerate(Ks):
+        for j, S2 in enumerate(S2s):
+            cfg_ij = CFG.replace(strike=K, s2=S2)
+            true = oracles.zbc_vega(cfg_ij, float(np.interp(CFG.s1, Ts, P)),
+                                    float(np.interp(S2, Ts, P)))
+            got = float(vegas[i, j])
+            assert abs(got - true) < 0.06 * abs(true) + 5e-3, (K, S2, got, true)
+
+
+def test_grid_vega_cell_matches_single_jvp(analytic_market):
+    """The (cfg.strike, cfg.s2) cell of the vega surface must equal the
+    single-option AD vega on the same key (same draws, antithetic)."""
+    from hullwhite_tpu import greeks
+    from hullwhite_tpu.grid import vega_zbc_grid
+
+    _, vegas = vega_zbc_grid(CFG, KEY, analytic_market,
+                             [CFG.strike], [CFG.s2])
+    # note: greeks.jvp_vega uses the linear engine; grid uses exact ->
+    # different draws, so compare statistically (both ~0.23 +- MC noise)
+    _, v_single = greeks.jvp_vega(CFG, KEY, analytic_market, antithetic=True)
+    assert abs(float(vegas[0, 0]) - float(v_single)) < 0.03
