@@ -59,22 +59,29 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
                      "paths_per_sec": 2 * cfg.n_paths / dt,
                      "price": float(est.price), "beta": float(est.beta)}
         print(f"{eng:14s} {dt*1e3:10.3f} {2*cfg.n_paths/dt/1e6:10.0f} "
-              f"{float(est.price):12.8f} {float(est.beta):8.4f}")
+              f"{float(est.price):12.8f} {float(est.beta):8.4f}", flush=True)
 
-    # scan tier, reduced size (normalized throughput still comparable)
-    scfg = cfg.replace(n_paths=SCAN_PATHS,
-                       path_block=min(cfg.path_block, SCAN_PATHS))
-    f = pricing._zbc_moments_fn(scfg, "scan", None)
-    dt, m = bench(f, key, scfg.sigma, scfg.sigma, market, n=3, rtt=rtt)
-    est = cv_estimate(jnp.asarray(m), market.P[-1])
-    rows["scan"] = {"ms": dt * 1e3, "paths_per_sec": 2 * scfg.n_paths / dt,
-                    "price": float(est.price), "beta": float(est.beta),
-                    "n_paths": SCAN_PATHS}
-    print(f"{'scan (2^16)':14s} {dt*1e3:10.3f} {2*scfg.n_paths/dt/1e6:10.0f} "
-          f"{float(est.price):12.8f} {float(est.beta):8.4f}")
+    # scan tier, reduced size (normalized throughput still comparable).
+    # Excluded on TPU: the remote Mosaic/XLA compiler takes ~7 minutes to
+    # compile the 500-step sequential scan (measured 410 s; the run itself
+    # is 30 ms) — the CPU CI lane covers this tier.
+    if not on_tpu:
+        scfg = cfg.replace(n_paths=SCAN_PATHS,
+                           path_block=min(cfg.path_block, SCAN_PATHS))
+        f = pricing._zbc_moments_fn(scfg, "scan", None)
+        dt, m = bench(f, key, scfg.sigma, scfg.sigma, market, n=3, rtt=rtt)
+        est = cv_estimate(jnp.asarray(m), market.P[-1])
+        rows["scan"] = {"ms": dt * 1e3,
+                        "paths_per_sec": 2 * scfg.n_paths / dt,
+                        "price": float(est.price), "beta": float(est.beta),
+                        "n_paths": SCAN_PATHS}
+        print(f"{'scan (2^16)':14s} {dt*1e3:10.3f} "
+              f"{2*scfg.n_paths/dt/1e6:10.0f} "
+              f"{float(est.price):12.8f} {float(est.beta):8.4f}", flush=True)
 
     best = max((e for e in rows if e != "scan"),
                key=lambda e: rows[e]["paths_per_sec"])
+
     base = min(rows, key=lambda e: rows[e]["paths_per_sec"])
     print(f"\nspeedup (best '{best}' vs slowest '{base}'): "
           f"{rows[best]['paths_per_sec']/rows[base]['paths_per_sec']:.1f}x")
@@ -110,7 +117,12 @@ def _block_sweep(cfg, key, market, rtt, engine):
             continue
         c = cfg.replace(path_block=pb)
         f = pricing._vega_sums_fn(c, engine, None)
-        dt, _ = bench(f, key, c.sigma, c.sigma, market, n=10, rtt=rtt)
+        try:
+            dt, _ = bench(f, key, c.sigma, c.sigma, market, n=10, rtt=rtt)
+        except ValueError as e:
+            # fused kernels need path_block >= their path tile
+            print(f"path_block=2^{pb_log2}: skipped ({e})")
+            continue
         out[pb] = dt * 1e3
         print(f"path_block=2^{pb_log2}: {dt*1e3:8.3f} ms "
               f"({c.n_paths/dt/1e6:6.0f} M paths/s)")

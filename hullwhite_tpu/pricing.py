@@ -171,7 +171,6 @@ def theta_recovery(cfg: HWConfig, market: MarketCurve,
 @lru_cache(maxsize=None)
 def _zbc_moments_fn(cfg: HWConfig, engine: str, mesh):
     dtype = _dtype(cfg)
-    n1 = cfg.n_steps_s1
 
     def compute(key, sigma, sigma0, market):
         tables = hw.step_tables(cfg, sigma, sigma0, dtype)
@@ -213,7 +212,6 @@ def price_zbc(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
 @lru_cache(maxsize=None)
 def _vega_sums_fn(cfg: HWConfig, engine: str, mesh):
     dtype = _dtype(cfg)
-    n1 = cfg.n_steps_s1
 
     def compute(key, sigma, sigma0, market):
         tables = hw.step_tables(cfg, sigma, sigma0, dtype)
