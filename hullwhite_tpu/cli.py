@@ -169,6 +169,20 @@ def cmd_q2(args):
              f"ZBC option (CV): {float(est.price):.8f}",
              f"beta* = {float(est.beta):.6f}, rho = {float(est.correlation):.4f}"]
 
+    if args.qmc:
+        from .ops.qmc import price_zbc_qmc
+
+        res = price_zbc_qmc(cfg, key, market, n_points=args.qmc)
+        print(f"\n[Q2b] RQMC (scrambled Sobol, {res.n_points} pts x "
+              f"{res.n_shifts} shifts):")
+        print(f"price = {float(res.value):.8f} +/- {float(res.std_error):.2e} (SE)")
+        mc_se = float(jnp.sqrt(est.var_x / est.n))
+        print(f"SE vs plain MC at 2^{cfg.n_paths.bit_length()-1} pairs: "
+              f"{float(res.std_error):.2e} vs {mc_se:.2e} "
+              f"({mc_se/max(float(res.std_error),1e-12):.0f}x tighter)")
+        lines.append(f"RQMC price: {float(res.value):.8f} "
+                     f"+/- {float(res.std_error):.2e}")
+
     if args.validate:
         lines += _validate_zbc(cfg, key, market, engine, args.validate)
     hwio.summary_append("Q2: THETA RECOVERY & OPTION PRICING", lines)
@@ -285,6 +299,15 @@ def cmd_q3(args):
                "sensitivity_fd_recalibrated": float(fdr.vega),
                "sensitivity_ad_jvp": float(vega_ad),
                "abs_diff": abs(vega_pw - float(fd.vega)), "engine": engine}
+
+    if args.qmc:
+        from .ops.qmc import vega_zbc_qmc
+
+        res = vega_zbc_qmc(cfg, key, market, n_points=args.qmc)
+        print(f"\n[RQMC vega] {res.n_points} pts x {res.n_shifts} shifts: "
+              f"{float(res.value):.6f} +/- {float(res.std_error):.2e} (SE)")
+        results["sensitivity_qmc"] = float(res.value)
+        results["sensitivity_qmc_se"] = float(res.std_error)
     lines = [f"Sens (MC): {vega_pw:.6f}", f"Sens (FD): {float(fd.vega):.6f}",
              f"Sens (FD recal): {float(fdr.vega):.6f}"]
 
@@ -343,15 +366,19 @@ def main(argv=None):
     p2 = sub.add_parser("q2", parents=[common])
     p2.add_argument("--validate", type=int, default=0, metavar="N",
                     help="run N-run statistical validation")
+    p2.add_argument("--qmc", type=int, default=0, metavar="NPTS",
+                    help="also price with randomized QMC on NPTS points")
     p3 = sub.add_parser("q3", parents=[common])
     p3.add_argument("--validate", type=int, default=0, metavar="N")
     p3.add_argument("--eps", type=float, default=1e-3)
+    p3.add_argument("--qmc", type=int, default=0, metavar="NPTS")
     pb = sub.add_parser("benchmark", parents=[common])
     pb.add_argument("--sweep", action="store_true",
                     help="also sweep path_block sizes (reference C39)")
     pall = sub.add_parser("all", parents=[common])
     pall.add_argument("--validate", type=int, default=0)
     pall.add_argument("--eps", type=float, default=1e-3)
+    pall.add_argument("--qmc", type=int, default=0)
 
     args = ap.parse_args(argv)
     if args.cmd == "q1":
