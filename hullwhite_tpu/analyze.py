@@ -25,13 +25,16 @@ def _read_csv(path):
     return rows
 
 
-def plot_paths_static(data_dir: Path, plots_dir: Path, n_steps=1000):
-    """32 simulated r(t) trajectories (reference analyze.py:13-57)."""
+def plot_paths_static(data_dir: Path, plots_dir: Path, n_paths=32):
+    """Sampled r(t) trajectories (reference analyze.py:13-57).  The file
+    holds ``n_paths`` rows of n_steps+1 floats; infer the step count."""
     p = data_dir / "r_paths.bin"
     if not p.exists():
         return None
     raw = np.fromfile(p, dtype=np.float32)
-    n_paths = raw.size // (n_steps + 1)
+    if raw.size == 0 or raw.size % n_paths != 0:
+        return None
+    n_steps = raw.size // n_paths - 1
     paths = raw.reshape(n_paths, n_steps + 1)
     t = np.linspace(0, 10, n_steps + 1)
     fig, ax = plt.subplots(figsize=(10, 6))

@@ -44,8 +44,9 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
         cfg, key, engine="pallas_exact" if on_tpu else "exact")
 
     print("--- Engine-tier benchmark: ZBC control-variate pricing ---")
+    scan_note = f" (+ scan tier at {SCAN_PATHS} pairs)" if not on_tpu else ""
     print(f"config: {cfg.n_paths} path pairs x {cfg.n_steps_s1} steps to S1"
-          f" (+ scan tier at {SCAN_PATHS} pairs)\n")
+          f"{scan_note}\n")
     print(f"{'engine':14s} {'time (ms)':>10s} {'M paths/s':>10s} "
           f"{'price':>12s} {'beta':>8s}")
 

@@ -176,10 +176,13 @@ def cmd_q2(args):
         print(f"\n[Q2b] RQMC (scrambled Sobol, {res.n_points} pts x "
               f"{res.n_shifts} shifts):")
         print(f"price = {float(res.value):.8f} +/- {float(res.std_error):.2e} (SE)")
+        # per-leg iid SE; antithetic pairing improves plain MC by a
+        # further ~1.45x (measured), which this comparison does not credit
         mc_se = float(jnp.sqrt(est.var_x / est.n))
-        print(f"SE vs plain MC at 2^{cfg.n_paths.bit_length()-1} pairs: "
+        print(f"SE vs per-leg-iid MC at 2^{cfg.n_paths.bit_length()-1} pairs: "
               f"{float(res.std_error):.2e} vs {mc_se:.2e} "
-              f"({mc_se/max(float(res.std_error),1e-12):.0f}x tighter)")
+              f"({mc_se/max(float(res.std_error),1e-12):.0f}x tighter; "
+              f"~{mc_se/1.45/max(float(res.std_error),1e-12):.0f}x vs antithetic MC)")
         lines.append(f"RQMC price: {float(res.value):.8f} "
                      f"+/- {float(res.std_error):.2e}")
 

@@ -114,6 +114,10 @@ def price_zbc_grid(cfg: HWConfig, key, market: MarketCurve, strikes,
     m = _grid_fn(cfg, engine, mesh, len(Ks), len(S2s))(
         key, sigma, market, Ks, S2s)
 
+    # NOTE: this re-derives the centered-control beta* algebra of
+    # payoffs.cv_estimate for the (nK, nS2) moment layout (shared Y per
+    # maturity).  tests/test_grid.py::test_grid_matches_single_option pins
+    # the two implementations together cell-by-cell.
     n = m["n"]
     mean_x = m["sx"] / n                       # (nK, nS2)
     mean_yc = m["sy"] / n                      # (nS2,)

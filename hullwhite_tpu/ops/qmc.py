@@ -121,6 +121,8 @@ def _qmc_fn(cfg: HWConfig, n_points: int, n_shifts: int, what: str):
 def price_zbc_qmc(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
                   n_points: int = 1 << 16, n_shifts: int = 8) -> QMCResult:
     """RQMC ZBC price with a valid SE from shift replicates."""
+    if n_shifts < 2:
+        raise ValueError("n_shifts must be >= 2 for a valid standard error")
     if sigma is None:
         sigma = cfg.sigma
     mean, se, vals = _qmc_fn(cfg, n_points, n_shifts, "price")(
@@ -131,6 +133,8 @@ def price_zbc_qmc(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
 def vega_zbc_qmc(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
                  n_points: int = 1 << 16, n_shifts: int = 8) -> QMCResult:
     """RQMC pathwise vega (dual-process integrand on the Sobol points)."""
+    if n_shifts < 2:
+        raise ValueError("n_shifts must be >= 2 for a valid standard error")
     if sigma is None:
         sigma = cfg.sigma
     mean, se, vals = _qmc_fn(cfg, n_points, n_shifts, "vega")(
@@ -234,6 +238,10 @@ def bootstrap_curve_qmc(cfg: HWConfig, key, *, sigma=None,
                         n_points: int = 1 << 16, n_shifts: int = 8,
                         n_kron: int = 6) -> CurveQMC:
     """Q1 curve bootstrap with PCA-ordered hybrid RQMC (antithetic)."""
+    if n_shifts < 2:
+        raise ValueError("n_shifts must be >= 2 for a valid standard error")
+    # at most (n_mat - 1) - 2 Kronecker dims after the two Sobol dims
+    n_kron = max(0, min(n_kron, cfg.n_mat - 3, len(_KRON_PRIMES)))
     if sigma is None:
         sigma = cfg.sigma
     P, se, _ = _curve_qmc_fn(cfg, n_points, n_shifts, n_kron)(

@@ -38,9 +38,9 @@ def fetch_rtt(n: int = 10) -> float:
 def bench(fn, *args, n: int = 20, rtt: float | None = None, warmup: int = 1):
     """(seconds_per_call, last_result). Compiles on the first warmup call.
 
-    Adaptive: doubles the repetition count until the measured span exceeds
-    the fetch RTT by enough margin that RTT jitter (~ms) cannot swamp a
-    sub-millisecond kernel.
+    Adaptive: ``n`` is a floor — the repetition count is grown (x4) until
+    the measured span exceeds the fetch RTT by enough margin that RTT
+    jitter (~ms) cannot swamp a sub-millisecond kernel.
     """
     if rtt is None:
         rtt = fetch_rtt()
