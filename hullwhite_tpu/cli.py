@@ -257,16 +257,18 @@ def cmd_q3(args):
 
     rtt = fetch_rtt()
     fv = pricing._vega_sums_fn(cfg, engine, None)
-    # pre-flight compile report (the reference prints its CUDA occupancy
-    # analysis before launching the sensitivity kernel)
-    try:
-        from .utils.profile import format_report, kernel_report
+    if args.profile:
+        # pre-flight compile report (the reference prints its CUDA occupancy
+        # analysis before launching the sensitivity kernel).  Opt-in: the
+        # AOT lower/compile cannot share the jit cache, so on TPU this
+        # costs one extra remote kernel compile.
+        try:
+            from .utils.profile import format_report, kernel_report
 
-        rep = kernel_report(fv, key, jnp.float32(cfg.sigma),
-                            jnp.float32(cfg.sigma), market)
-        print("\n" + format_report(rep))
-    except Exception as e:  # noqa: BLE001 - introspection is best-effort
-        print(f"\n(kernel analysis unavailable: {e})")
+            rep = kernel_report(fv, key, cfg.sigma, cfg.sigma, market)
+            print("\n" + format_report(rep))
+        except Exception as e:  # noqa: BLE001 - introspection is best-effort
+            print(f"\n(kernel analysis unavailable: {e})")
     dt, v = bench(fv, key, cfg.sigma, cfg.sigma, market, n=args.reps, rtt=rtt)
     vega_pw = float(v[0] / v[1])
     ms = dt * 1e3
@@ -375,6 +377,8 @@ def main(argv=None):
     p3.add_argument("--validate", type=int, default=0, metavar="N")
     p3.add_argument("--eps", type=float, default=1e-3)
     p3.add_argument("--qmc", type=int, default=0, metavar="NPTS")
+    p3.add_argument("--profile", action="store_true",
+                    help="print the XLA compile report before the hot launch")
     pb = sub.add_parser("benchmark", parents=[common])
     pb.add_argument("--sweep", action="store_true",
                     help="also sweep path_block sizes (reference C39)")
@@ -382,6 +386,7 @@ def main(argv=None):
     pall.add_argument("--validate", type=int, default=0)
     pall.add_argument("--eps", type=float, default=1e-3)
     pall.add_argument("--qmc", type=int, default=0)
+    pall.add_argument("--profile", action="store_true")
 
     args = ap.parse_args(argv)
     if args.cmd == "q1":
