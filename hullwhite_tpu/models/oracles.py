@@ -113,6 +113,33 @@ def zbc_price(cfg: HWConfig, P0_s1=None, P0_s2=None, sigma=None):
     return P0_s2 * _phi(h) - K * P0_s1 * _phi(h - sp)
 
 
+def zbc_delta(cfg: HWConfig, P0_s1=None, P0_s2=None, sigma=None,
+              dr_dr0=None, di_dr0=None):
+    """d ZBC / d r0 at fixed market curve.
+
+    (r(S1), I(S1)) are jointly normal; bumping r0 shifts their means by
+    (dr_dr0, di_dr0). d/dmu_I multiplies the discounted payoff by e^{-d} so
+    contributes -V; d/dmu_r = E[e^{-I} 1{P>K} (-B P)] = -B P(0,S2) Phi(h).
+    """
+    if P0_s1 is None:
+        P0_s1 = bond_price(cfg, cfg.s1)
+    if P0_s2 is None:
+        P0_s2 = bond_price(cfg, cfg.s2)
+    a = cfg.a
+    if dr_dr0 is None:
+        E = math.exp(-a * cfg.dt)
+        n1 = cfg.n_steps_s1
+        dr_dr0 = E ** n1
+        di_dr0 = cfg.dt * (0.5 + sum(E ** k for k in range(1, n1)) +
+                           0.5 * E ** n1)
+    K = cfg.strike
+    sp = _sigma_p(cfg, sigma)
+    h = math.log(P0_s2 / (K * P0_s1)) / sp + 0.5 * sp
+    B = (1.0 - math.exp(-a * (cfg.s2 - cfg.s1))) / a
+    V = P0_s2 * _phi(h) - K * P0_s1 * _phi(h - sp)
+    return -B * P0_s2 * _phi(h) * dr_dr0 - V * di_dr0
+
+
 def zbc_vega(cfg: HWConfig, P0_s1=None, P0_s2=None, sigma=None):
     """d ZBC / d sigma at fixed market curve: K P(0,S1) phi(h - sp) sp/sigma."""
     if P0_s1 is None:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import HWConfig
-from ..models.hull_white import MarketCurve, dp_bond_dsigma, p_bond
+from ..models.hull_white import MarketCurve, b_func, dp_bond_dsigma, p_bond
 from .engine_scan import DualState, PathState
 
 # Moment vector layout (per reference simulate_ZBC_control_variate's five
@@ -92,6 +92,34 @@ def cv_estimate(moments, p0_s2) -> CVEstimate:
         var_y=var_y,
         n=n,
     )
+
+
+def delta_sum(cfg: HWConfig, sigma, market: MarketCurve, state: PathState,
+              dr_dr0: float, di_dr0: float):
+    """Pathwise delta (d price / d r0) contributions, both antithetic legs.
+
+    The initial rate enters every path affinely: dr(S1)/dr0 = E^{n1} and
+    dI(S1)/dr0 = dt (1/2 + sum_k E^k + E^{n1}/2) are deterministic scalars
+    (precomputed by the caller), so
+
+      d/dr0 [ e^{-I} (P-K)^+ ] =
+          1{P>K} (-P B) dr/dr0 e^{-I}  -  (dI/dr0) e^{-I} (P-K)^+
+
+    This greek is beyond the CUDA reference's scope (it computes vega only).
+    """
+    B = b_func(cfg.s1, cfg.s2, cfg.a)
+
+    def leg(r, integral):
+        P = p_bond(cfg, sigma, market, cfg.s1, cfg.s2, r)
+        disc = jnp.exp(-integral)
+        term1 = jnp.where(P > cfg.strike, -P * B * dr_dr0 * disc, 0.0)
+        term2 = di_dr0 * disc * jnp.maximum(P - cfg.strike, 0.0)
+        return term1 - term2
+
+    total = (jnp.sum(leg(state.r_p, state.i_p), dtype=jnp.float32)
+             + jnp.sum(leg(state.r_m, state.i_m), dtype=jnp.float32))
+    return jnp.stack([total,
+                      jnp.asarray(2.0 * state.r_p.shape[0], jnp.float32)])
 
 
 def vega_sum(cfg: HWConfig, sigma, market: MarketCurve, state: DualState):

@@ -242,3 +242,50 @@ def pathwise_vega(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
         sigma = cfg.sigma
     sums = _vega_sums_fn(cfg, engine, mesh)(key, sigma, cfg.sigma, market)
     return sums[0] / sums[1]
+
+
+# ---------------------------------------------------------------------------
+# Pathwise delta (d price / d r0) — beyond the reference's greeks
+# ---------------------------------------------------------------------------
+
+def _r0_sensitivities(cfg: HWConfig):
+    """Deterministic (dr(S1)/dr0, dI(S1)/dr0) in float64 on the host."""
+    import math
+
+    E = math.exp(-cfg.a * cfg.dt)
+    n1 = cfg.n_steps_s1
+    dr = E ** n1
+    di = cfg.dt * (0.5 + sum(E ** k for k in range(1, n1)) + 0.5 * E ** n1)
+    return dr, di
+
+
+@lru_cache(maxsize=None)
+def _delta_sums_fn(cfg: HWConfig, engine: str, mesh):
+    dtype = _dtype(cfg)
+    dr_dr0, di_dr0 = _r0_sensitivities(cfg)
+
+    def compute(key, sigma, sigma0, market):
+        tables = hw.step_tables(cfg, sigma, sigma0, dtype)
+        n_cols, state_of = _xla_state_setup(cfg, engine, tables, dual=False)
+
+        def block_fn(key, i):
+            G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
+            return payoffs.delta_sum(cfg, sigma, market, state_of(G),
+                                     dr_dr0, di_dr0)
+
+        runner = pmesh.shard_blocks(_block_loop(block_fn, 2), mesh)
+        return runner(key, cfg.n_blocks)
+
+    return jax.jit(compute)
+
+
+def pathwise_delta(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
+                   engine: str = "exact", mesh=None):
+    """Pathwise d price / d r0 over both antithetic legs (sensitivity to
+    the initial short rate at fixed market data)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if engine.startswith("pallas"):
+        raise ValueError("pathwise_delta supports the XLA engines")
+    sums = _delta_sums_fn(cfg, engine, mesh)(key, sigma, cfg.sigma, market)
+    return sums[0] / sums[1]

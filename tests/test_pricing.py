@@ -129,3 +129,29 @@ def test_q3_recalibrated_fd_runs(analytic_market):
     fd = greeks.fd_vega_recalibrated(CFG, KEY, jax.random.key(9), eps=1e-3)
     # recalibration injects curve-level MC noise: only sanity-check output
     assert np.isfinite(float(fd.vega))
+
+
+def test_pathwise_delta_against_analytic(analytic_market):
+    """d price / d r0 (beyond the reference's greeks) vs the closed form."""
+    delta = float(pricing.pathwise_delta(CFG, KEY, analytic_market))
+    true = oracles.zbc_delta(
+        CFG,
+        P0_s1=float(analytic_market.P[CFG.n_mat // 2]),
+        P0_s2=float(analytic_market.P[-1]),
+    )
+    assert true < 0  # call on a bond loses value as rates rise
+    assert abs(delta - true) < 0.03 * abs(true) + 5e-3, (delta, true)
+
+
+def test_pathwise_delta_matches_fd(analytic_market):
+    """Central difference of the raw price under an r0 bump (CRN) must
+    agree with the pathwise estimator on the same draws."""
+    eps = 1e-4
+    vals = {}
+    for s in (-1.0, 1.0):
+        cfg_b = CFG.replace(r0=CFG.r0 + s * eps)
+        est = pricing.price_zbc(cfg_b, KEY, analytic_market, engine="exact")
+        vals[s] = float(est.price_raw)
+    fd = (vals[1.0] - vals[-1.0]) / (2 * eps)
+    delta = float(pricing.pathwise_delta(CFG, KEY, analytic_market))
+    assert abs(delta - fd) < 0.02 * abs(delta) + 1e-3, (delta, fd)
