@@ -1,0 +1,77 @@
+"""Coupon-bond options & swaptions: MC vs the exact Jamshidian
+decomposition, plus payer/receiver parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hullwhite_tpu import tiny_config
+from hullwhite_tpu import instruments, pricing
+from hullwhite_tpu.models import hull_white as hw
+from hullwhite_tpu.models import oracles
+
+CFG = tiny_config(n_paths=1 << 14, path_block=1 << 12)
+KEY = jax.random.key(77)
+
+
+@pytest.fixture(scope="module")
+def analytic_market():
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    f = oracles.forward_rate(CFG, Ts)
+    return hw.MarketCurve(P=jnp.asarray(P, jnp.float32),
+                          f=jnp.asarray(f, jnp.float32))
+
+
+@pytest.fixture(scope="module")
+def sched():
+    # 4-year annual swap fixed leg starting at S1 = 5
+    return instruments.swap_fixed_leg(CFG, rate=0.025, tenor=4.0, freq=1.0)
+
+
+def test_degenerate_single_cashflow_equals_zbc(analytic_market):
+    """A one-cashflow coupon bond option IS the ZBC of the reference."""
+    sched1 = instruments.CouponSchedule(times=(CFG.s2,), coupons=(1.0,))
+    est = instruments.price_coupon_bond_option(
+        CFG, KEY, analytic_market, sched1, strike=CFG.strike)
+    true = oracles.zbc_price(CFG,
+                             float(analytic_market.P[CFG.n_mat // 2]),
+                             float(analytic_market.P[-1]))
+    assert abs(float(est.price) - true) < 1e-3
+    jam = instruments.jamshidian_price(CFG, analytic_market, sched1,
+                                       strike=CFG.strike)
+    assert abs(jam - true) < 1e-6  # degenerate Jamshidian = the ZBC itself
+
+
+@pytest.mark.parametrize("payer", [False, True])
+def test_swaption_mc_matches_jamshidian(analytic_market, sched, payer):
+    est = instruments.price_coupon_bond_option(
+        CFG, KEY, analytic_market, sched, strike=1.0, payer=payer)
+    jam = instruments.jamshidian_price(CFG, analytic_market, sched,
+                                       strike=1.0, payer=payer)
+    se = float(jnp.sqrt(est.var_x / est.n))
+    assert jam > 0
+    assert abs(float(est.price) - jam) < 5 * se + 2e-4, (
+        payer, float(est.price), jam, se)
+
+
+def test_payer_receiver_parity(analytic_market, sched):
+    """receiver - payer = sum c_i P(0,T_i) - P(0,S1) (forward swap value)."""
+    rec = instruments.price_coupon_bond_option(
+        CFG, KEY, analytic_market, sched, 1.0, payer=False)
+    pay = instruments.price_coupon_bond_option(
+        CFG, KEY, analytic_market, sched, 1.0, payer=True)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.asarray(analytic_market.P, np.float64)
+    fwd = sum(c * np.interp(t, Ts, P)
+              for c, t in zip(sched.coupons, sched.times)) - np.interp(
+                  CFG.s1, Ts, P)
+    # same draws (same key): parity holds up to MC noise of the shared part
+    assert abs((float(rec.price) - float(pay.price)) - fwd) < 5e-4
+
+
+def test_swaption_wrapper(analytic_market):
+    est = instruments.price_swaption(CFG, KEY, analytic_market, rate=0.025,
+                                     tenor=4.0, payer=True)
+    assert 0.0 < float(est.price) < 0.2
