@@ -51,3 +51,13 @@ def test_uneven_blocks_rejected(mesh):
     bad = tiny_config(n_paths=1 << 12, path_block=1 << 10)  # 4 blocks, 8 dev
     with pytest.raises(ValueError):
         pricing.bootstrap_curve(bad, KEY, mesh=mesh)
+
+
+def test_jvp_vega_under_mesh(mesh):
+    """Forward-mode AD must differentiate through shard_map + psum."""
+    from hullwhite_tpu import greeks
+
+    market = pricing.bootstrap_curve(CFG, KEY)
+    _, v1 = greeks.jvp_vega(CFG, KEY, market)
+    _, v8 = greeks.jvp_vega(CFG, KEY, market, mesh=mesh)
+    assert abs(float(v1) - float(v8)) < 1e-6
