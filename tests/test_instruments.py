@@ -75,3 +75,16 @@ def test_swaption_wrapper(analytic_market):
     est = instruments.price_swaption(CFG, KEY, analytic_market, rate=0.025,
                                      tenor=4.0, payer=True)
     assert 0.0 < float(est.price) < 0.2
+
+
+def test_swaption_qmc_nails_jamshidian(analytic_market, sched):
+    """RQMC swaption price must land on the Jamshidian exact value with a
+    tiny SE (QMC advantage carries over from the ZBC case)."""
+    price, se = instruments.price_coupon_bond_option_qmc(
+        CFG, KEY, analytic_market, sched, 1.0, payer=True,
+        n_points=1 << 13, n_shifts=8)
+    jam = instruments.jamshidian_price(CFG, analytic_market, sched,
+                                       strike=1.0, payer=True)
+    assert float(se) < 5e-5
+    assert abs(float(price) - jam) < 6 * float(se) + 5e-5, (
+        float(price), jam, float(se))
