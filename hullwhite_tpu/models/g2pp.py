@@ -1,0 +1,186 @@
+"""G2++ two-factor Gaussian short-rate model — a second model family.
+
+r(t) = x(t) + y(t) + phi(t),  dx = -a x dt + sigma dW1,
+dy = -b y dt + eta dW2,  d<W1,W2> = rho dt,  x(0) = y(0) = 0,
+with phi calibrated to the market discount curve P(0,.).
+
+This module demonstrates that the framework's exact-functional design
+(SURVEY §7 / docs/MATH.md §3) is not special to Hull-White: the option
+state (x(S1), y(S1), int_0^S1 (x+y) ds) is jointly Gaussian with
+closed-form covariance, so ZBC pricing under G2++ needs THREE normals per
+path and no time grid at all — the law is the exact continuous-time one
+(zero discretization error, unlike the reference's per-step scheme).
+
+Closed forms (Brigo & Mercurio ch. 4): bond reconstruction
+P(t,T) = A(t,T) e^{-Ba(t,T) x - Bb(t,T) y} with A from the market curve
+plus the variance adjustment, and the ZBC price is Black-like with total
+log-bond volatility Sigma^2 given below; both are implemented in float64
+as validation oracles.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import HWConfig
+from . import hull_white as hw
+from .hull_white import MarketCurve
+
+
+@dataclass(frozen=True)
+class G2Params:
+    a: float = 1.0
+    b: float = 0.1
+    sigma: float = 0.08
+    eta: float = 0.02
+    rho: float = -0.6
+
+
+def _B(k: float, tau: float) -> float:
+    return (1.0 - math.exp(-k * tau)) / k
+
+
+def _v_integral(g: G2Params, tau: float) -> float:
+    """V(tau) = Var( int_0^tau (x+y) ds ) for x(0)=y(0)=0 over [0, tau]."""
+    a, b, s, e, r = g.a, g.b, g.sigma, g.eta, g.rho
+    Ba, Bb = _B(a, tau), _B(b, tau)
+    Bab = _B(a + b, tau)
+    va = s * s / (a * a) * (tau - 2 * Ba + _B(2 * a, tau))
+    vb = e * e / (b * b) * (tau - 2 * Bb + _B(2 * b, tau))
+    vab = 2 * r * s * e / (a * b) * (tau - Ba - Bb + Bab)
+    return va + vb + vab
+
+
+@lru_cache(maxsize=None)
+def _state_chol(g: G2Params, s1: float):
+    """fp64 Cholesky^T of Cov(x(S1), y(S1), I) with I = int_0^S1 (x+y) ds.
+
+    All entries in closed form:
+      Var x       = s^2 (1-e^{-2aT})/(2a)
+      Cov(x,y)    = rho s e (1-e^{-(a+b)T})/(a+b)
+      Cov(x, Ix)  = s^2/(2a^2) (1-e^{-aT})^2
+      Cov(x, Iy)  = rho s e / b [ (1-e^{-aT})/a - (1-e^{-(a+b)T})/(a+b) ]
+      Var I       = _v_integral
+    """
+    a, b, s, e, r = g.a, g.b, g.sigma, g.eta, g.rho
+    T = s1
+    vx = s * s * (1 - math.exp(-2 * a * T)) / (2 * a)
+    vy = e * e * (1 - math.exp(-2 * b * T)) / (2 * b)
+    cxy = r * s * e * (1 - math.exp(-(a + b) * T)) / (a + b)
+
+    def cov_x_I(k1, v1, k2, v2, corr):
+        # Cov( v1 int e^{-k1(T-u)} dW1(u),  v2 int B_{k2}(u,T) dW2(u) )
+        return corr * v1 * v2 / k2 * (_B(k1, T) - (1 - math.exp(-(k1 + k2) * T)) / (k1 + k2))
+
+    c_x_I = cov_x_I(a, s, a, s, 1.0) + cov_x_I(a, s, b, e, r)
+    c_y_I = cov_x_I(b, e, b, e, 1.0) + cov_x_I(b, e, a, s, r)
+    vI = _v_integral(g, T)
+    C = np.array([
+        [vx, cxy, c_x_I],
+        [cxy, vy, c_y_I],
+        [c_x_I, c_y_I, vI],
+    ])
+    L = np.linalg.cholesky(C + 1e-18 * np.eye(3))
+    return np.asarray(L.T, np.float32)
+
+
+def _sigma_zbc(g: G2Params, s1: float, s2: float) -> float:
+    """Total log-bond volatility of P(S1,S2) under the S1-forward measure."""
+    a, b, s, e, r = g.a, g.b, g.sigma, g.eta, g.rho
+    tau = s2 - s1
+    Ba, Bb = _B(a, tau), _B(b, tau)
+    v = (s * s / (2 * a) * Ba * Ba * (1 - math.exp(-2 * a * s1))
+         + e * e / (2 * b) * Bb * Bb * (1 - math.exp(-2 * b * s1))
+         + 2 * r * s * e / (a + b) * Ba * Bb * (1 - math.exp(-(a + b) * s1)))
+    return math.sqrt(v)
+
+
+def zbc_price_analytic(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                       K: float | None = None) -> float:
+    """Closed-form G2++ ZBC on the given market curve (float64)."""
+    if K is None:
+        K = cfg.strike
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    P1 = float(np.interp(cfg.s1, Ts, P))
+    P2 = float(np.interp(cfg.s2, Ts, P))
+    S = _sigma_zbc(g, cfg.s1, cfg.s2)
+    h = math.log(P2 / (K * P1)) / S + 0.5 * S
+    from .oracles import _phi
+
+    return P2 * _phi(h) - K * P1 * _phi(h - S)
+
+
+class G2ZBC(NamedTuple):
+    price: jax.Array
+    price_raw: jax.Array
+    beta: jax.Array
+    std_error_raw: jax.Array
+    n: int
+
+
+@lru_cache(maxsize=None)
+def _g2_zbc_fn(cfg: HWConfig, g: G2Params, n_paths: int):
+    LT = jnp.asarray(_state_chol(g, cfg.s1))
+    a, b = g.a, g.b
+    tau = cfg.s2 - cfg.s1
+    Ba = jnp.float32(_B(a, tau))
+    Bb = jnp.float32(_B(b, tau))
+    # A(t,T) variance adjustment: ln A = ln(P2/P1) + 1/2[V(t,T)-V(0,T)+V(0,t)]
+    vadj = 0.5 * (_v_integral(g, tau) - _v_integral(g, cfg.s2)
+                  + _v_integral(g, cfg.s1))
+    # discount to 0: exp(-int phi) * exp(-I) with int_0^S1 phi =
+    # -ln P(0,S1) + V(0,S1)/2
+    d0 = -0.5 * _v_integral(g, cfg.s1)
+
+    def compute(key, market):
+        Ts = jnp.linspace(0.0, cfg.t_final, cfg.n_mat)
+        P1 = jnp.interp(jnp.float32(cfg.s1), Ts, market.P)
+        P2 = jnp.interp(jnp.float32(cfg.s2), Ts, market.P)
+        A = (P2 / P1) * jnp.exp(jnp.float32(vadj))
+        disc0 = P1 * jnp.exp(jnp.float32(d0))
+
+        xn = jax.random.normal(key, (n_paths, 3), jnp.float32)
+        z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                    precision=cfg.matmul_precision)
+
+        def leg(sgn):
+            x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
+            Pb = A * jnp.exp(-Ba * x - Bb * y)
+            disc = disc0 * jnp.exp(-I)
+            X = disc * jnp.maximum(Pb - cfg.strike, 0.0)
+            Yc = disc * Pb - P2
+            return X, Yc
+
+        x1, y1 = leg(1.0)
+        x2, y2 = leg(-1.0)
+        n = 2.0 * n_paths
+        mean_x = (jnp.sum(x1) + jnp.sum(x2)) / n
+        mean_yc = (jnp.sum(y1) + jnp.sum(y2)) / n
+        var_y = (jnp.sum(y1 * y1) + jnp.sum(y2 * y2)) / n - mean_yc ** 2
+        var_x = (jnp.sum(x1 * x1) + jnp.sum(x2 * x2)) / n - mean_x ** 2
+        cov = (jnp.sum(x1 * y1) + jnp.sum(x2 * y2)) / n - mean_x * mean_yc
+        beta = cov / var_y
+        price = mean_x - beta * mean_yc
+        se = jnp.sqrt(jnp.maximum(var_x, 0.0) / n)
+        return price, mean_x, beta, se
+
+    return jax.jit(compute)
+
+
+def price_zbc_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
+                 n_paths: int | None = None) -> G2ZBC:
+    """CV-adjusted G2++ ZBC price by exact functional sampling: 3 normals
+    per path, exact continuous-time law (no time grid)."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    price, raw, beta, se = _g2_zbc_fn(cfg, g, int(n_paths))(key, market)
+    return G2ZBC(price=price, price_raw=raw, beta=beta, std_error_raw=se,
+                 n=int(n_paths))

@@ -1,0 +1,84 @@
+"""G2++ two-factor model: MC-vs-closed-form, martingale identities, and
+the one-factor degeneracy against the Hull-White oracles."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hullwhite_tpu import tiny_config
+from hullwhite_tpu.models import g2pp, hull_white as hw, oracles
+
+CFG = tiny_config(n_paths=1 << 14, path_block=1 << 12)
+KEY = jax.random.key(31)
+G2 = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
+
+
+@pytest.fixture(scope="module")
+def analytic_market():
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    f = oracles.forward_rate(CFG, Ts)
+    return hw.MarketCurve(P=jnp.asarray(P, jnp.float32),
+                          f=jnp.asarray(f, jnp.float32))
+
+
+def test_state_covariance_psd_and_consistent():
+    LT = g2pp._state_chol(G2, CFG.s1)
+    C = LT.T @ LT
+    # diagonal matches the closed forms
+    a, s = G2.a, G2.sigma
+    assert abs(C[0, 0] - s * s * (1 - math.exp(-2 * a * CFG.s1)) / (2 * a)) < 1e-9
+    assert abs(C[2, 2] - g2pp._v_integral(G2, CFG.s1)) < 1e-7
+    # symmetric PSD by construction
+    assert np.all(np.linalg.eigvalsh(C) > 0)
+
+
+def test_discount_martingale(analytic_market):
+    """E[discount to S1] must equal P(0,S1) — pins phi handling + the law
+    of I = int (x+y) ds.  Checked analytically: with I ~ N(0, V),
+    E[e^{-I}] = e^{V/2}, so disc0 * E[e^{-I}] = P(0,S1) exactly; and by MC."""
+    import math as m
+
+    V = g2pp._v_integral(G2, CFG.s1)
+    disc0_over_P1 = m.exp(-0.5 * V)   # module's d0 factor
+    assert abs(disc0_over_P1 * m.exp(0.5 * V) - 1.0) < 1e-12
+    # MC version: mean of disc0 * e^{-I} over sampled I
+    LT = g2pp._state_chol(G2, CFG.s1)
+    rng = np.random.default_rng(0)
+    xn = rng.standard_normal((1 << 16, 3))
+    I = (xn @ LT)[:, 2]
+    got = disc0_over_P1 * 0.5 * (np.exp(-I).mean() + np.exp(I).mean())
+    assert abs(got - 1.0) < 5e-4
+
+
+def test_g2_mc_matches_closed_form(analytic_market):
+    res = g2pp.price_zbc_g2(CFG, G2, KEY, analytic_market, n_paths=1 << 16)
+    true = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
+    se = float(res.std_error_raw)
+    assert abs(float(res.price) - true) < 5 * se + 1e-4, (
+        float(res.price), true, se)
+
+
+def test_one_factor_degeneracy(analytic_market):
+    """eta -> 0 reduces G2++ to Hull-White with the same a, sigma: the
+    closed forms and the MC price must match the HW oracles."""
+    g1 = g2pp.G2Params(a=CFG.a, b=0.5, sigma=CFG.sigma, eta=0.0, rho=0.0)
+    true_hw = oracles.zbc_price(
+        CFG,
+        P0_s1=float(analytic_market.P[CFG.n_mat // 2]),
+        P0_s2=float(analytic_market.P[-1]),
+    )
+    true_g2 = g2pp.zbc_price_analytic(CFG, g1, analytic_market)
+    assert abs(true_g2 - true_hw) < 1e-6
+    res = g2pp.price_zbc_g2(CFG, g1, KEY, analytic_market, n_paths=1 << 16)
+    assert abs(float(res.price) - true_hw) < 5 * float(res.std_error_raw) + 1e-4
+
+
+def test_second_factor_changes_price(analytic_market):
+    p1 = g2pp.zbc_price_analytic(
+        CFG, g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.0), analytic_market)
+    p2 = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
+    assert p2 != pytest.approx(p1, abs=1e-5)
