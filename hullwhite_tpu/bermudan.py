@@ -23,7 +23,6 @@ more dates never cheapen the option; out-of-sample <= in-sample.
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
 from typing import NamedTuple, Sequence
 

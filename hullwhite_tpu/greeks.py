@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
-from .ops import engine_linear, payoffs
+from .ops import engine_linear
 from .ops.rng import block_normals
 from .parallel import mesh as pmesh
 from . import pricing

@@ -21,7 +21,6 @@ from jax import lax
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
-from .ops import engine_exact, engine_linear
 from .ops.rng import block_normals
 from .parallel import mesh as pmesh
 from . import pricing

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -210,7 +210,6 @@ def _np_AB(cfg: HWConfig, market: MarketCurve, t: float, T, sigma: float):
 def _zbc_closed(cfg: HWConfig, market: MarketCurve, T_mat: float, K: float,
                 sigma: float):
     """Closed-form ZBC(S1, T_mat, K) on the given market curve."""
-    from .models.oracles import _pdf, _phi  # noqa: F401 (phi used below)
     from .models.oracles import _phi as phi
 
     Ts, P, _ = _np_curve(cfg, market)

@@ -15,7 +15,6 @@ otherwise the pure-Python implementation is used.  Behaviour is identical.
 from __future__ import annotations
 
 import json
-import os
 import time
 from pathlib import Path
 
