@@ -346,6 +346,73 @@ def cmd_q3(args):
 
 
 # ---------------------------------------------------------------------------
+# swaption / grid — instrument-family extensions (beyond the reference)
+# ---------------------------------------------------------------------------
+
+def cmd_swaption(args):
+    from . import bermudan as bermudan_mod
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 4242)
+    market = hwio.load_market(cfg)
+    kind = "payer" if args.payer else "receiver"
+    print(f"--- European {kind} swaption: expiry {cfg.s1}y, "
+          f"tenor {args.tenor}y @ {args.rate*100:.2f}% ---")
+    est = instruments.price_swaption(cfg, key, market, rate=args.rate,
+                                     tenor=args.tenor, freq=args.freq,
+                                     payer=args.payer)
+    sched = instruments.swap_fixed_leg(cfg, args.rate, args.tenor, args.freq)
+    jam = instruments.jamshidian_price(cfg, market, sched, payer=args.payer)
+    qp, qse = instruments.price_coupon_bond_option_qmc(
+        cfg, key, market, sched, 1.0, payer=args.payer)
+    print(f"MC (CV-adjusted):   {float(est.price):.8f}  (beta {float(est.beta):.4f})")
+    print(f"RQMC:               {float(qp):.8f} +/- {float(qse):.2e} (SE)")
+    print(f"Jamshidian (exact): {jam:.8f}")
+    results = {"mc_price": float(est.price), "qmc_price": float(qp),
+               "qmc_se": float(qse), "jamshidian": jam,
+               "rate": args.rate, "tenor": args.tenor, "payer": args.payer}
+    if args.bermudan:
+        ex = [cfg.s1 + j for j in range(int(args.tenor))]
+        res = bermudan_mod.price_bermudan(cfg, key, market, sched,
+                                          ex, payer=args.payer)
+        print(f"Bermudan ({len(ex)} annual exercises): "
+              f"{float(res.price):.8f} +/- {float(res.std_error):.2e} "
+              f"(early-exercise premium {float(res.price)-jam:.6f})")
+        results["bermudan_price"] = float(res.price)
+        results["bermudan_se"] = float(res.std_error)
+    hwio.write_json(hwio.DATA_DIR / "swaption_results.json",
+                    "Swaption pricing", cfg, results=results)
+    return 0
+
+
+def cmd_grid(args):
+    from . import grid as grid_mod
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 3333)
+    market = hwio.load_market(cfg)
+    Ks = [cfg.strike * (1 + s) for s in (-0.03, -0.015, 0.0, 0.015, 0.03)]
+    S2s = [6.0, 7.0, 8.0, 9.0, 10.0]
+    print(f"--- ZBC option surface: {len(Ks)} strikes x {len(S2s)} "
+          f"maturities, shared paths ---")
+    g = grid_mod.price_zbc_grid(cfg, key, market, Ks, S2s)
+    _, vegas = grid_mod.vega_zbc_grid(cfg, key, market, Ks, S2s)
+    print("prices (rows = strikes, cols = S2):")
+    print(np.array2string(np.asarray(g.price), precision=6))
+    print("vegas:")
+    print(np.array2string(np.asarray(vegas), precision=5))
+    hwio.write_json(
+        hwio.DATA_DIR / "grid_results.json", "Option surface", cfg,
+        results={"strikes": [float(x) for x in Ks],
+                 "maturities": S2s},
+        arrays={"price": np.asarray(g.price),
+                "beta": np.asarray(g.beta),
+                "vega": np.asarray(vegas)})
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # benchmark — engine-tier comparison (reference benchmark_reductions.cu)
 # ---------------------------------------------------------------------------
 
@@ -382,6 +449,14 @@ def main(argv=None):
     pb = sub.add_parser("benchmark", parents=[common])
     pb.add_argument("--sweep", action="store_true",
                     help="also sweep path_block sizes (reference C39)")
+    ps = sub.add_parser("swaption", parents=[common])
+    ps.add_argument("--rate", type=float, default=0.025)
+    ps.add_argument("--tenor", type=float, default=5.0)
+    ps.add_argument("--freq", type=float, default=1.0)
+    ps.add_argument("--payer", action="store_true")
+    ps.add_argument("--bermudan", action="store_true",
+                    help="also price the Bermudan with annual exercises")
+    sub.add_parser("grid", parents=[common])
     pall = sub.add_parser("all", parents=[common])
     pall.add_argument("--validate", type=int, default=0)
     pall.add_argument("--eps", type=float, default=1e-3)
@@ -397,6 +472,10 @@ def main(argv=None):
         return cmd_q3(args)
     if args.cmd == "benchmark":
         return cmd_benchmark(args)
+    if args.cmd == "swaption":
+        return cmd_swaption(args)
+    if args.cmd == "grid":
+        return cmd_grid(args)
     if args.cmd == "all":
         rc = cmd_q1(args)
         rc |= cmd_q2(args)

@@ -58,3 +58,12 @@ def test_bin_files_match_reference_format(workdir):
     raw = np.fromfile(workdir / "data" / "P.bin", dtype="<f4")
     assert raw.shape == (101,)
     assert abs(raw[0] - 1.0) < 1e-6
+
+
+def test_swaption_and_grid_subcommands(workdir):
+    assert main(["swaption", "--paths", "8192", "--payer"]) == 0
+    doc = json.loads((workdir / "data" / "swaption_results.json").read_text())
+    assert abs(doc["results"]["qmc_price"] - doc["results"]["jamshidian"]) < 1e-4
+    assert main(["grid", "--paths", "8192"]) == 0
+    doc = json.loads((workdir / "data" / "grid_results.json").read_text())
+    assert np.asarray(doc["price"]).shape == (5, 5)
