@@ -33,8 +33,8 @@ import jax.numpy as jnp
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
-from .instruments import CouponSchedule
-from .ops.engine_linear import _shock_shapes
+from .instruments import CouponSchedule, _bond_value_terms
+from .ops.engine_linear import _shock_shapes, det_trajectory
 from . import pricing
 
 BASIS_DEGREE = 3   # regression basis: [1, r, r^2, r^3]
@@ -67,32 +67,28 @@ def _joint_chol(cfg: HWConfig, ex_dates: tuple):
 
 def _det_states(cfg: HWConfig, tables, ex_dates: tuple):
     """(k,) deterministic r and I at the exercise dates (G = 0 scan)."""
-    dtype = tables.drift.dtype
-
-    def step(carry, drift):
-        r, integral = carry
-        r_next = r * tables.exp_adt + drift
-        integral = integral + 0.5 * (r + r_next) * tables.dt
-        return (r_next, integral), (r_next, integral)
-
-    (_, _), (rs, Is) = jax.lax.scan(
-        step, (jnp.asarray(cfg.r0, dtype), jnp.zeros((), dtype)),
-        tables.drift)
+    rs, Is = det_trajectory(cfg, tables)
     idx = jnp.asarray([_step_index(cfg, t) - 1 for t in ex_dates])
     return rs[idx], Is[idx]
 
 
-def _basis(r):
-    """(n, BASIS_DEGREE+1) polynomial design matrix, r standardized."""
-    r = (r - jnp.mean(r)) / (jnp.std(r) + 1e-12)
+def _basis(r, mu, sd):
+    """(n, BASIS_DEGREE+1) polynomial design matrix.  ``mu``/``sd`` are the
+    MODEL's mean and sd of r at the date (not batch statistics): the policy
+    must be a fixed function of r, or the out-of-sample pass would apply a
+    different, evaluation-set-dependent policy and lose the lower-bound
+    guarantee."""
+    r = (r - mu) / sd
     return jnp.stack([r ** p for p in range(BASIS_DEGREE + 1)], axis=1)
 
 
-def _wls(X, y, w):
-    """Ridge-regularized weighted least squares on device."""
+def _wls(X, y, w, prec):
+    """Ridge-regularized weighted least squares on device (explicit matmul
+    precision: the platform default is bf16-level)."""
     Xw = X * w[:, None]
-    A = X.T @ Xw + RIDGE * jnp.eye(X.shape[1], dtype=X.dtype)
-    b = Xw.T @ y
+    A = jnp.dot(X.T, Xw, precision=prec) + RIDGE * jnp.eye(
+        X.shape[1], dtype=X.dtype)
+    b = jnp.dot(Xw.T, y, precision=prec)
     return jnp.linalg.solve(A, b)
 
 
@@ -121,37 +117,33 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
         return r, integral
 
     def payoff_at(j, r, sigma, market):
-        """Exercise value at date e_j for short rate r: option on the
-        REMAINING cashflows (T_i > e_j)."""
-        t = ex_dates[j]
-        Ts = jnp.asarray(sched.times, jnp.float32)
-        cs = jnp.asarray(sched.coupons, jnp.float32)
-        alive = (Ts > t + 1e-9).astype(jnp.float32)
-        A = hw.a_hw(cfg, sigma, market, t, Ts)
-        B = hw.b_func(t, Ts, cfg.a)
-        V = jnp.sum(alive[None, :] * cs[None, :] * A[None, :]
-                    * jnp.exp(-B[None, :] * r[:, None]), axis=1)
+        """Exercise value at date e_j: option on the remaining cashflows
+        (valuation shared with instruments._bond_value_terms)."""
+        cA, B = _bond_value_terms(cfg, sigma, market, sched, t=ex_dates[j])
+        V = jnp.sum(cA[None, :] * jnp.exp(-B[None, :] * r[:, None]), axis=1)
         intrinsic = (strike - V) if payer else (V - strike)
         return jnp.maximum(intrinsic, 0.0)
 
-    def backward(r, integral, sigma, market, betas=None):
+    def backward(r, integral, sigma, market, stats, betas=None):
         """LSMC backward induction.  betas=None: estimate the policy and
-        return (price, betas); else apply the given policy."""
+        return (price, betas); else apply the given frozen policy.
+        ``stats`` are the model's (mu_j, sd_j) of r at each date."""
+        prec = cfg.matmul_precision
         D = jnp.exp(-integral)                       # (n, k) discounts to 0
         cf = payoff_at(k - 1, r[:, k - 1], sigma, market) * D[:, k - 1]
         est = betas is None
         out_betas = [None] * max(k - 1, 0)
         for j in range(k - 2, -1, -1):
             pj = payoff_at(j, r[:, j], sigma, market)
-            X = _basis(r[:, j])
+            X = _basis(r[:, j], stats[0][j], stats[1][j])
             y = cf / D[:, j]                         # continuation at e_j
             itm = (pj > 0.0).astype(jnp.float32)
             if est:
-                beta = _wls(X, y, itm)
+                beta = _wls(X, y, itm, prec)
                 out_betas[j] = beta
             else:
                 beta = betas[j]
-            cont = X @ beta
+            cont = jnp.dot(X, beta, precision=prec)
             exercise = (pj > cont) & (pj > 0.0)
             cf = jnp.where(exercise, pj * D[:, j], cf)
         price = jnp.mean(cf)
@@ -160,11 +152,17 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
 
     def compute(key, sigma, market):
         tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        # model mean/sd of r(e_j): deterministic part + sig_st * ||u_j||
+        r_det, _ = _det_states(cfg, tables, ex_dates)
+        sds = tables.sig_st * jnp.asarray(
+            [float(np.linalg.norm(_shock_shapes(cfg, _step_index(cfg, t))[0],
+                                  ord=2)) for t in ex_dates], jnp.float32)
+        stats = (r_det, sds)
         k_est, k_val = jax.random.split(key)
         r_a, i_a = states(k_est, sigma, tables)
-        p_in, _, betas = backward(r_a, i_a, sigma, market)
+        p_in, _, betas = backward(r_a, i_a, sigma, market, stats)
         r_b, i_b = states(k_val, sigma, tables)
-        p_out, se, _ = backward(r_b, i_b, sigma, market, betas=betas)
+        p_out, se, _ = backward(r_b, i_b, sigma, market, stats, betas=betas)
         return p_out, p_in, se
 
     return jax.jit(compute)

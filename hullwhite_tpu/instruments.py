@@ -56,13 +56,17 @@ def swap_fixed_leg(cfg: HWConfig, rate: float, tenor: float,
 
 
 def _bond_value_terms(cfg: HWConfig, sigma, market: MarketCurve,
-                      sched: CouponSchedule):
-    """(A_i c_i, B_i) arrays so V(r) = sum_i (c_i A_i) e^{-B_i r}."""
+                      sched: CouponSchedule, t=None):
+    """(A_i c_i, B_i) arrays so V(r) = sum_i (c_i A_i) e^{-B_i r} at time
+    ``t`` (default cfg.s1); cashflows at or before t are zeroed."""
+    if t is None:
+        t = cfg.s1
     Ts = jnp.asarray(sched.times, jnp.float32)
     cs = jnp.asarray(sched.coupons, jnp.float32)
-    A = hw.a_hw(cfg, sigma, market, cfg.s1, Ts)
-    B = hw.b_func(cfg.s1, Ts, cfg.a)
-    return cs * A, B
+    alive = (Ts > t + 1e-9).astype(jnp.float32)
+    A = hw.a_hw(cfg, sigma, market, t, Ts)
+    B = hw.b_func(t, Ts, cfg.a)
+    return alive * cs * A, B
 
 
 @lru_cache(maxsize=None)
@@ -144,13 +148,10 @@ def _cbo_qmc_fn(cfg: HWConfig, sched: CouponSchedule, strike: float,
     from .ops import engine_exact
     from .ops.qmc import sobol2
 
-    def one_shift(shift, sigma, market):
-        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
-        zw = engine_exact.zbc_weights(cfg, tables)
+    def one_shift(shift, zw, cA, B):
         u = sobol2(n_points, shift)
         x = jax.scipy.special.ndtri(u)
         st = engine_exact.antithetic_state(cfg, zw, x)
-        cA, B = _bond_value_terms(cfg, sigma, market, sched)
 
         def leg(r, integral):
             V = jnp.sum(cA[None, :] * jnp.exp(-B[None, :] * r[:, None]),
@@ -162,8 +163,12 @@ def _cbo_qmc_fn(cfg: HWConfig, sched: CouponSchedule, strike: float,
                       + jnp.mean(leg(st.r_m, st.i_m)))
 
     def compute(key, sigma, market):
+        # shift-invariant work hoisted out of the replicate loop
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        zw = engine_exact.zbc_weights(cfg, tables)
+        cA, B = _bond_value_terms(cfg, sigma, market, sched)
         shifts = jax.random.bits(key, (n_shifts, 2), jnp.uint32)
-        vals = jax.lax.map(lambda s: one_shift(s, sigma, market), shifts)
+        vals = jax.lax.map(lambda s: one_shift(s, zw, cA, B), shifts)
         return (jnp.mean(vals),
                 jnp.std(vals, ddof=1) / jnp.sqrt(1.0 * n_shifts))
 

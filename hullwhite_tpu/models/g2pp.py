@@ -141,9 +141,8 @@ def _g2_zbc_fn(cfg: HWConfig, g: G2Params, n_paths: int):
     d0 = -0.5 * _v_integral(g, cfg.s1)
 
     def compute(key, market):
-        Ts = jnp.linspace(0.0, cfg.t_final, cfg.n_mat)
-        P1 = jnp.interp(jnp.float32(cfg.s1), Ts, market.P)
-        P2 = jnp.interp(jnp.float32(cfg.s2), Ts, market.P)
+        P1 = hw.interp_curve(market.P, jnp.float32(cfg.s1), cfg)
+        P2 = hw.interp_curve(market.P, jnp.float32(cfg.s2), cfg)
         A = (P2 / P1) * jnp.exp(jnp.float32(vadj))
         disc0 = P1 * jnp.exp(jnp.float32(d0))
 

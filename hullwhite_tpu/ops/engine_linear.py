@@ -104,20 +104,25 @@ def curve_weights(cfg: HWConfig, tables: StepTables) -> CurveWeights:
     return CurveWeights(W=W, c=c)
 
 
-def _det_integrals(cfg: HWConfig, tables: StepTables):
-    """Deterministic I_n for every step n (G = 0), shape (n_steps,)."""
+def det_trajectory(cfg: HWConfig, tables: StepTables):
+    """Deterministic (r_n, I_n) for every step n (G = 0 scan)."""
     dtype = tables.drift.dtype
 
     def step(carry, drift):
         r, integral = carry
         r_next = r * tables.exp_adt + drift
         integral = integral + 0.5 * (r + r_next) * tables.dt
-        return (r_next, integral), integral
+        return (r_next, integral), (r_next, integral)
 
-    (_, _), integrals = jax.lax.scan(
+    (_, _), (rs, integrals) = jax.lax.scan(
         step, (jnp.asarray(cfg.r0, dtype), jnp.zeros((), dtype)), tables.drift
     )
-    return integrals
+    return rs, integrals
+
+
+def _det_integrals(cfg: HWConfig, tables: StepTables):
+    """Deterministic I_n for every step n (G = 0), shape (n_steps,)."""
+    return det_trajectory(cfg, tables)[1]
 
 
 def zbc_weights(cfg: HWConfig, tables: StepTables) -> ZBCWeights:
