@@ -88,6 +88,14 @@ def main():
     extras["q2b_price"] = round(float(est.price), 8)
     extras["q2b_beta"] = round(float(est.beta), 6)
 
+    # RQMC evidence: option price SE at 2^16 points x 8 shifts
+    if on_tpu:
+        from hullwhite_tpu.ops.qmc import price_zbc_qmc
+
+        res = price_zbc_qmc(cfg, key, market)
+        extras["qmc_price"] = round(float(res.value), 8)
+        extras["qmc_se"] = float(res.std_error)
+
     fv = pricing._vega_sums_fn(big, engine, None)
     dtv, v = bench(fv, key, big.sigma, big.sigma, market, rtt=rtt)
     extras["q3_ms_2e24"] = round(dtv * 1e3, 3)
