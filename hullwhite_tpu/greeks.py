@@ -124,3 +124,46 @@ def jvp_vega(cfg: HWConfig, key, market: MarketCurve, *, mesh=None,
     """(raw price, vega) by forward-mode AD through the simulation."""
     sigma = jnp.asarray(cfg.sigma, jnp.dtype(cfg.dtype))
     return _jvp_vega_fn(cfg, mesh, antithetic)(sigma, key, market)
+
+
+def gamma_zbc(cfg: HWConfig, key, market: MarketCurve, *, eps: float = 1e-4,
+              engine: str = "exact", mesh=None):
+    """Gamma (d^2 price / d r0^2) by a CRN central difference of the
+    pathwise delta.  The payoff kink makes a pure second-order pathwise
+    estimator ill-defined (Dirac term); differencing the pathwise delta
+    under common random numbers sidesteps it with O(eps^2) bias."""
+    d = {}
+    for sgn in (-1.0, 1.0):
+        cfg_b = cfg.replace(r0=cfg.r0 + sgn * eps)
+        d[sgn] = pricing.pathwise_delta(cfg_b, key, market, engine=engine,
+                                        mesh=mesh)
+    return (d[1.0] - d[-1.0]) / (2.0 * eps)
+
+
+@lru_cache(maxsize=None)
+def _swaption_vega_fn(cfg: HWConfig, sched, strike: float, payer: bool,
+                      engine: str, mesh):
+    from .instruments import _cbo_moments_fn
+    from .ops.payoffs import cv_estimate
+
+    moments_fn = _cbo_moments_fn(cfg, engine, mesh, sched, strike, payer)
+
+    def compute(sigma, key, market):
+        def price_of(s):
+            moments, ey = moments_fn(key, s, market)
+            return cv_estimate(moments, ey).price
+
+        return jax.jvp(price_of, (sigma,), (jnp.ones_like(sigma),))
+
+    return jax.jit(compute)
+
+
+def vega_swaption(cfg: HWConfig, key, market: MarketCurve, sched,
+                  strike: float = 1.0, *, payer: bool = False,
+                  engine: str = "exact", mesh=None):
+    """(price, vega) of a coupon-bond option / swaption by forward-mode AD
+    through the CV-adjusted pricer (calibration-consistent sigma bump, same
+    convention as the ZBC vega)."""
+    sigma = jnp.asarray(cfg.sigma, jnp.float32)
+    return _swaption_vega_fn(cfg, sched, float(strike), bool(payer),
+                             engine, mesh)(sigma, key, market)

@@ -88,3 +88,22 @@ def test_swaption_qmc_nails_jamshidian(analytic_market, sched):
     assert float(se) < 5e-5
     assert abs(float(price) - jam) < 6 * float(se) + 5e-5, (
         float(price), jam, float(se))
+
+
+def test_swaption_vega_matches_fd(analytic_market, sched):
+    """AD vega of the swaption must agree with a CRN central difference of
+    the Jamshidian-validated MC pricer."""
+    from hullwhite_tpu import greeks
+
+    _, vega_ad = greeks.vega_swaption(CFG, KEY, analytic_market, sched,
+                                      1.0, payer=True)
+    eps = 1e-3
+    ps = {}
+    for s in (-1.0, 1.0):
+        est = instruments.price_coupon_bond_option(
+            CFG, KEY, analytic_market, sched, 1.0, payer=True,
+            sigma=CFG.sigma + s * eps)
+        ps[s] = float(est.price)
+    fd = (ps[1.0] - ps[-1.0]) / (2 * eps)
+    assert abs(float(vega_ad) - fd) < 0.03 * abs(fd) + 5e-4, (
+        float(vega_ad), fd)

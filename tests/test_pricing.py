@@ -155,3 +155,32 @@ def test_pathwise_delta_matches_fd(analytic_market):
     fd = (vals[1.0] - vals[-1.0]) / (2 * eps)
     delta = float(pricing.pathwise_delta(CFG, KEY, analytic_market))
     assert abs(delta - fd) < 0.02 * abs(delta) + 1e-3, (delta, fd)
+
+
+def test_gamma_matches_analytic_fd(analytic_market):
+    """CRN-FD gamma of the pathwise delta vs fp64 finite difference of the
+    closed-form delta oracle."""
+    gamma = float(greeks.gamma_zbc(CFG, KEY, analytic_market, eps=2e-4))
+    P1 = float(analytic_market.P[CFG.n_mat // 2])
+    P2 = float(analytic_market.P[-1])
+    # oracle: the mean shifts scale P(S1,S2) by e^{-B dr} and the discount
+    # by e^{-dI}; differentiate the closed-form delta numerically in fp64
+    import math as m
+
+    E = m.exp(-CFG.a * CFG.dt)
+    n1 = CFG.n_steps_s1
+    dr = E ** n1
+    dI = CFG.dt * (0.5 + sum(E ** k for k in range(1, n1)) + 0.5 * E ** n1)
+    B = (1 - m.exp(-CFG.a * (CFG.s2 - CFG.s1))) / CFG.a
+
+    def delta_at(shift):
+        # shifted effective curve points seen by the option
+        P1s = P1 * m.exp(-dI * shift)  # discount shift folds into P(0,S1)
+        P2s = P2 * m.exp(-(dI + B * dr) * shift)
+        return oracles.zbc_delta(CFG, P0_s1=P1s, P0_s2=P2s,
+                                 dr_dr0=dr, di_dr0=dI)
+
+    h = 1e-5
+    gamma_true = (delta_at(h) - delta_at(-h)) / (2 * h)
+    assert abs(gamma - gamma_true) < 0.05 * abs(gamma_true) + 5e-3, (
+        gamma, gamma_true)
