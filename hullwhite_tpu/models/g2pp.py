@@ -183,3 +183,71 @@ def price_zbc_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
     price, raw, beta, se = _g2_zbc_fn(cfg, g, int(n_paths))(key, market)
     return G2ZBC(price=price, price_raw=raw, beta=beta, std_error_raw=se,
                  n=int(n_paths))
+
+
+# ---------------------------------------------------------------------------
+# Q1 analogue: curve bootstrap under G2++ (exact joint checkpoint law)
+# ---------------------------------------------------------------------------
+
+def _cov_integrals(g: G2Params, T1: float, T2: float) -> float:
+    """Cov( int_0^{T1} (x+y) ds,  int_0^{T2} (x+y) ds ) for T1 <= T2.
+
+    Per factor pair (k1,v1),(k2,v2) with correlation c:
+      c v1 v2/(k1 k2) [ T1 - B_{k1}(T1) - e^{-k2 (T2-T1)} B_{k2}(T1)
+                        + e^{-k2 (T2-T1)} B_{k1+k2}(T1) ]
+    summed over the four (factor1/factor2) combinations.
+    """
+    assert T1 <= T2
+    a, b, s, e, r = g.a, g.b, g.sigma, g.eta, g.rho
+    d = T2 - T1
+
+    def term(k1, v1, k2, v2, c):
+        return (c * v1 * v2 / (k1 * k2)
+                * (T1 - _B(k1, T1) - math.exp(-k2 * d) * _B(k2, T1)
+                   + math.exp(-k2 * d) * _B(k1 + k2, T1)))
+
+    return (term(a, s, a, s, 1.0) + term(b, e, b, e, 1.0)
+            + term(a, s, b, e, r) + term(b, e, a, s, r))
+
+
+@lru_cache(maxsize=None)
+def _curve_chol_g2(cfg: HWConfig, g: G2Params):
+    """fp64 Cholesky^T of Cov(I(T_1)..I(T_{n_mat-1})) under G2++."""
+    Ts = [cfg.mat_spacing * m for m in range(1, cfg.n_mat)]
+    k = len(Ts)
+    C = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            C[i, j] = C[j, i] = _cov_integrals(g, Ts[i], Ts[j])
+    L = np.linalg.cholesky(C + 1e-16 * np.eye(k))
+    return np.asarray(L.T, np.float32)
+
+
+def bootstrap_curve_g2(cfg: HWConfig, g: G2Params, key,
+                       target: MarketCurve, n_paths: int | None = None):
+    """Monte-Carlo P(0,T) curve under G2++ calibrated to ``target``.
+
+    The MC estimate must reproduce ``target.P`` within noise — the G2++
+    analogue of the reference's Q1, validating the cross-checkpoint
+    covariance law: P(0,T_m) = disc0_m * E[e^{-I_m}] with
+    disc0_m = P_target(0,T_m) e^{-V(0,T_m)/2}.
+    """
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    LT = jnp.asarray(_curve_chol_g2(cfg, g))
+    v_half = jnp.asarray([0.5 * _v_integral(g, cfg.mat_spacing * m)
+                          for m in range(1, cfg.n_mat)], jnp.float32)
+
+    @jax.jit
+    def compute(key, P_target):
+        x = jax.random.normal(key, (int(n_paths), cfg.n_mat - 1), jnp.float32)
+        z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                    precision=cfg.matmul_precision)
+        # antithetic: E[e^{-I}] over +/- z; disc0 folds in phi
+        ez = 0.5 * (jnp.mean(jnp.exp(-z), axis=0)
+                    + jnp.mean(jnp.exp(z), axis=0))
+        P = P_target[1:] * jnp.exp(-v_half) * ez
+        return jnp.concatenate([jnp.ones((1,), jnp.float32), P])
+
+    P = compute(key, target.P)
+    return MarketCurve(P=P, f=hw.forward_from_p(cfg, P))

@@ -82,3 +82,27 @@ def test_second_factor_changes_price(analytic_market):
         CFG, g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.0), analytic_market)
     p2 = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
     assert p2 != pytest.approx(p1, abs=1e-5)
+
+
+def test_g2_curve_bootstrap_reproduces_target(analytic_market):
+    """The G2++ Q1 analogue: MC curve must reproduce the calibration target
+    within MC noise — validates the cross-checkpoint covariance law."""
+    cfg = tiny_config(n_paths=1 << 15, path_block=1 << 15, n_mat=21,
+                      n_steps=100)
+    Ts = np.linspace(0, cfg.t_final, cfg.n_mat)
+    P = np.array([oracles.bond_price(cfg, T) for T in Ts])
+    target = hw.MarketCurve(P=jnp.asarray(P, jnp.float32),
+                            f=jnp.asarray(oracles.forward_rate(cfg, Ts),
+                                          jnp.float32))
+    mc = g2pp.bootstrap_curve_g2(cfg, G2, jax.random.key(6), target)
+    got = np.asarray(mc.P)
+    se = 0.15 * P / np.sqrt(2 * (1 << 15))   # G2 vol is larger than HW's
+    assert got[0] == 1.0
+    assert np.all(np.abs(got - P) < 6 * se + 5e-5), (
+        np.abs(got - P) / np.maximum(se, 1e-9))
+
+
+def test_g2_cov_integrals_diagonal_matches_v():
+    for T in [1.0, 4.0, 10.0]:
+        assert abs(g2pp._cov_integrals(G2, T, T)
+                   - g2pp._v_integral(G2, T)) < 1e-12
