@@ -32,8 +32,19 @@ from .utils import stats as hwstats
 from .utils.timing import bench, fetch_rtt
 
 
-def _default_engine():
-    return "pallas_exact" if jax.devices()[0].platform != "cpu" else "exact"
+def _default_engine(cfg=None):
+    if jax.devices()[0].platform == "cpu":
+        return "exact"
+    if cfg is not None:
+        from .pallas import fused
+
+        # the fused option kernels need path_block to be a multiple of
+        # their path tile; small --paths runs fall back to the XLA exact
+        # engine (still fast) instead of erroring
+        if (cfg.path_block % (fused.TILE_OPT * fused.PAD) != 0
+                or cfg.path_block % (2 * fused.TILE_EXACT) != 0):
+            return "exact"
+    return "pallas_exact"
 
 
 def _cfg(args) -> HWConfig:
@@ -55,7 +66,7 @@ def _key(cfg, args):
 def cmd_q1(args):
     cfg = _cfg(args)
     key = _key(cfg, args)
-    engine = args.engine or _default_engine()
+    engine = args.engine or _default_engine(cfg)
     print(f"--- Q1: Zero-coupon bond curve bootstrap [{engine}] ---")
     print(f"paths: {cfg.n_paths} x2 antithetic, steps: {cfg.n_steps}, "
           f"maturities: {cfg.n_mat}")
@@ -112,7 +123,7 @@ def cmd_q1(args):
 def cmd_q2(args):
     cfg = _cfg(args)
     key = jax.random.fold_in(_key(cfg, args), 54321)
-    engine = args.engine or _default_engine()
+    engine = args.engine or _default_engine(cfg)
     market = hwio.load_market(cfg)
     print(f"--- Q2: Theta recovery & ZBC option pricing [{engine}] ---")
 
@@ -251,7 +262,7 @@ def _validate_zbc(cfg, key, market, engine, n_runs):
 def cmd_q3(args):
     cfg = _cfg(args)
     key = jax.random.fold_in(_key(cfg, args), 777)
-    engine = args.engine or _default_engine()
+    engine = args.engine or _default_engine(cfg)
     market = hwio.load_market(cfg)
     print(f"--- Q3: Sensitivity analysis (vega) [{engine}] ---")
 
