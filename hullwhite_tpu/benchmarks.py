@@ -39,18 +39,21 @@ SCAN_PATHS = 1 << 16
 def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
     on_tpu = jax.devices()[0].platform != "cpu"
     engines = ["linear", "exact"]
+    bootstrap_engine = "exact"
     if on_tpu:
         from .pallas import fused
 
-        # fused kernels need path_block to be a multiple of their tile
-        if (cfg.path_block % fused.TILE_FULL == 0
-                and cfg.path_block % (2 * fused.TILE_EXACT) == 0):
+        # fused kernels need path_block to be a multiple of their tile;
+        # the full-step ZBC kernel only needs TILE_FULL, the curve/option
+        # exact kernels have their own (larger) tiles
+        if cfg.path_block % fused.TILE_FULL == 0:
             engines.append("pallas")
         if cfg.path_block % (fused.TILE_OPT * fused.PAD) == 0:
             engines.append("pallas_exact")
+        if cfg.path_block % (2 * fused.TILE_EXACT) == 0:
+            bootstrap_engine = "pallas_exact"
     rtt = fetch_rtt()
-    market = pricing.bootstrap_curve(
-        cfg, key, engine="pallas_exact" if on_tpu else "exact")
+    market = pricing.bootstrap_curve(cfg, key, engine=bootstrap_engine)
 
     print("--- Engine-tier benchmark: ZBC control-variate pricing ---")
     scan_note = f" (+ scan tier at {SCAN_PATHS} pairs)" if not on_tpu else ""

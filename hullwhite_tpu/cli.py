@@ -51,7 +51,9 @@ def _cfg(args) -> HWConfig:
     kw = {}
     if args.paths:
         kw["n_paths"] = args.paths
-        kw["path_block"] = min(args.paths, 1 << 15)
+        # largest power-of-two divisor of n_paths, capped at 2^15 — always a
+        # valid block size, so any --paths value is accepted
+        kw["path_block"] = min(args.paths & -args.paths, 1 << 15)
     return HWConfig(**kw)
 
 

@@ -27,11 +27,13 @@ _T_CRIT = {2: 12.706, 3: 4.303, 4: 3.182, 5: 2.776, 6: 2.571, 7: 2.447,
 def t_critical(n_runs: int) -> float:
     if n_runs in _T_CRIT:
         return _T_CRIT[n_runs]
+    # round DOWN to the previous tabulated n: t decreases with n, so the
+    # smaller-n entry is the larger (conservative) critical value
     keys = sorted(_T_CRIT)
-    for k in keys:
-        if k >= n_runs:
-            return _T_CRIT[k]
-    return 1.96
+    below = [k for k in keys if k <= n_runs]
+    if below:
+        return _T_CRIT[below[-1]]
+    return _T_CRIT[keys[0]]
 
 
 @dataclass
