@@ -206,22 +206,20 @@ def cmd_q2(args):
 
 
 def _validate_zbc(cfg, key, market, engine, n_runs):
-    """20-run statistical validation (reference 2_option_pricing.cu:210-468)."""
-    from .ops.payoffs import cv_estimate
+    """20-run statistical validation (reference 2_option_pricing.cu:210-468).
 
-    print(f"\n[Q2b] statistical validation: {n_runs} independent runs...")
-    f = pricing._zbc_moments_fn(cfg, engine, None)
-    adj, raw, betas, corrs = [], [], [], []
-    for run in range(n_runs):
-        k = jax.random.fold_in(key, 1000 + run)
-        est = cv_estimate(jnp.asarray(f(k, cfg.sigma, cfg.sigma, market)),
-                          market.P[-1])
-        adj.append(float(est.price))
-        raw.append(float(est.price_raw))
-        betas.append(float(est.beta))
-        corrs.append(float(est.correlation))
-        if (run + 1) % 5 == 0:
-            print(f"  completed {run+1}/{n_runs} runs...")
+    All n runs execute in ONE device call (lax.map over folded keys) —
+    the reference's host loop re-launching the kernel per seed costs
+    ~30 ms tunnel RTT per run here, so the batch form is what lets the
+    validation run at every CI scale."""
+    print(f"\n[Q2b] statistical validation: {n_runs} independent runs "
+          "(single device call)...")
+    est = pricing.validate_zbc_runs(cfg, key, market, n_runs=n_runs,
+                                    engine=engine, offset=1000)
+    adj = [float(x) for x in est.price]
+    raw = [float(x) for x in est.price_raw]
+    betas = [float(x) for x in est.beta]
+    corrs = [float(x) for x in est.correlation]
 
     s = hwstats.summarize(adj)
     s_raw = hwstats.summarize(raw)
@@ -330,14 +328,11 @@ def cmd_q3(args):
              f"Sens (FD recal): {float(fdr.vega):.6f}"]
 
     if args.validate:
-        print(f"\nstatistical validation: {args.validate} independent runs...")
-        samples = []
-        for run in range(args.validate):
-            k = jax.random.fold_in(key, 2000 + run)
-            vv = fv(k, cfg.sigma, cfg.sigma, market)
-            samples.append(float(vv[0] / vv[1]))
-            if (run + 1) % 5 == 0:
-                print(f"  completed {run+1}/{args.validate} runs...")
+        print(f"\nstatistical validation: {args.validate} independent runs "
+              "(single device call)...")
+        samples = [float(x) for x in pricing.validate_vega_runs(
+            cfg, key, market, n_runs=args.validate, engine=engine,
+            offset=2000)]
         s = hwstats.summarize(samples)
         print(f"mean vega: {s.mean:.6f}   sd: {s.std:.6f}   SE: {s.std_error:.6f}")
         print(f"95% CI: [{s.ci_lower:.6f}, {s.ci_upper:.6f}]   CV: {s.cv_percent:.4f}%")

@@ -205,6 +205,67 @@ def price_zbc(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
 
 
 # ---------------------------------------------------------------------------
+# N-run statistical validation, batched on device
+#
+# The reference re-launches its kernel from a host loop, once per seed
+# (2_option_pricing.cu:210-468).  Here the whole validation is ONE device
+# call: lax.map over run indices (each folding its own key), with the
+# CV-estimator math vmapped inside the same jit — one compile, one host
+# fetch, so it runs at full scale even over a ~30 ms tunnel RTT.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _validate_zbc_fn(cfg: HWConfig, engine: str, mesh, n_runs: int,
+                     offset: int):
+    inner = _zbc_moments_fn(cfg, engine, mesh)
+
+    def compute(key, sigma, sigma0, market):
+        def one(i):
+            m = inner(jax.random.fold_in(key, offset + i), sigma, sigma0,
+                      market)
+            return payoffs.cv_estimate(m, market.P[-1])
+
+        return lax.map(one, jnp.arange(n_runs))
+
+    return jax.jit(compute)
+
+
+def validate_zbc_runs(cfg: HWConfig, key, market: MarketCurve, *,
+                      n_runs: int, engine: str = "linear", mesh=None,
+                      offset: int = 1000) -> CVEstimate:
+    """n_runs independent CV estimates in one device call; every leaf of the
+    returned CVEstimate is a host (n_runs,) array."""
+    est = _validate_zbc_fn(cfg, engine, mesh, n_runs, offset)(
+        key, cfg.sigma, cfg.sigma, market)
+    return jax.device_get(est)
+
+
+@lru_cache(maxsize=None)
+def _validate_vega_fn(cfg: HWConfig, engine: str, mesh, n_runs: int,
+                      offset: int):
+    inner = _vega_sums_fn(cfg, engine, mesh)
+
+    def compute(key, sigma, sigma0, market):
+        def one(i):
+            s = inner(jax.random.fold_in(key, offset + i), sigma, sigma0,
+                      market)
+            return s[0] / s[1]
+
+        return lax.map(one, jnp.arange(n_runs))
+
+    return jax.jit(compute)
+
+
+def validate_vega_runs(cfg: HWConfig, key, market: MarketCurve, *,
+                       n_runs: int, engine: str = "linear", mesh=None,
+                       offset: int = 2000):
+    """n_runs independent pathwise-vega estimates, one device call."""
+    v = _validate_vega_fn(cfg, engine, mesh, n_runs, offset)(
+        key, cfg.sigma, cfg.sigma, market)
+    return jax.device_get(v)
+
+
+# ---------------------------------------------------------------------------
 # Q3 — pathwise vega via the hand-derived dual (tangent) process
 # (reference simulate_sensitivity, 3_sensitivity_analysis.cu:22-96)
 # ---------------------------------------------------------------------------

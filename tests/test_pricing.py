@@ -184,3 +184,28 @@ def test_gamma_matches_analytic_fd(analytic_market):
     gamma_true = (delta_at(h) - delta_at(-h)) / (2 * h)
     assert abs(gamma - gamma_true) < 0.05 * abs(gamma_true) + 5e-3, (
         gamma, gamma_true)
+
+
+def test_batched_validation_matches_host_loop(market):
+    """validate_zbc_runs / validate_vega_runs (one lax.map device call)
+    must reproduce the per-run host loop exactly (same folded keys)."""
+    from hullwhite_tpu.ops.payoffs import cv_estimate
+
+    n = 4
+    est = pricing.validate_zbc_runs(CFG, KEY, market, n_runs=n,
+                                    engine="linear", offset=1000)
+    f = pricing._zbc_moments_fn(CFG, "linear", None)
+    for run in range(n):
+        k = jax.random.fold_in(KEY, 1000 + run)
+        ref = cv_estimate(jnp.asarray(f(k, CFG.sigma, CFG.sigma, market)),
+                          market.P[-1])
+        assert abs(float(ref.price) - float(est.price[run])) < 1e-7
+        assert abs(float(ref.beta) - float(est.beta[run])) < 1e-6
+
+    v = pricing.validate_vega_runs(CFG, KEY, market, n_runs=n,
+                                   engine="linear", offset=2000)
+    fv = pricing._vega_sums_fn(CFG, "linear", None)
+    for run in range(n):
+        k = jax.random.fold_in(KEY, 2000 + run)
+        s = fv(k, CFG.sigma, CFG.sigma, market)
+        assert abs(float(s[0] / s[1]) - float(v[run])) < 1e-7
