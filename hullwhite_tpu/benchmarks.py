@@ -44,9 +44,9 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
         from .pallas import fused
 
         # fused kernels need path_block to be a multiple of their tile;
-        # the full-step ZBC kernel only needs TILE_FULL, the curve/option
-        # exact kernels have their own (larger) tiles
-        if cfg.path_block % fused.TILE_FULL == 0:
+        # the full-step ZBC kernel only needs TILE_FULL_OPT, the
+        # curve/option exact kernels have their own tiles
+        if cfg.path_block % fused.TILE_FULL_OPT == 0:
             engines.append("pallas")
         if cfg.path_block % (fused.TILE_OPT * fused.PAD) == 0:
             engines.append("pallas_exact")

@@ -38,63 +38,140 @@ from ..ops import engine_exact, engine_linear
 PAD = 128          # lane padding for maturity/functional axes
 SEED_STRIDE = 1000003  # odd stride decorrelating per-tile PRNG seeds
 
-# Path-tile sizes (paths per grid step). Fullstep kernels hold a
-# (TILE, n_steps) Gaussian tile in VMEM; exact kernels hold (TILE, 128).
-TILE_FULL = 512
+# Path-tile sizes (paths per grid step). The fullstep curve kernel holds a
+# (TILE, n_steps) Gaussian tile in VMEM; exact kernels hold (TILE, 128);
+# the transposed fullstep option kernels hold (n_steps_s1/2, TILE) with
+# paths on lanes — bigger tiles amortize per-grid-step overhead (measured
+# 782 -> 999 M paths/s from 512 -> 4096 on the ZBC fullstep kernel;
+# 512 -> 2048 took Q1 361 -> 396 M paths/s; 4096 exceeds the 16 MB scoped
+# VMEM limit for the curve kernel's (TILE, 500) Box-Muller fields).
+TILE_FULL = 2048
+TILE_FULL_OPT = 4096  # option fullstep kernels: paths per tile (lane axis)
 TILE_EXACT = 1024  # curve kernels: paths per BM half-tile
 TILE_OPT = 256     # option exact kernels: (TILE_OPT, 128) paths per step
 
 
-def _seed_tile(seed_ref):
-    """Seed the core PRNG uniquely per (key, global tile)."""
+def _mix(x):
+    """murmur3 finalizer — a bijective 32-bit avalanche mix."""
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    return x
+
+
+def _tile_rng(seed_ref, interpret: bool):
+    """Per-tile random-bits source: ``draw(shape, salt) -> uint32``.
+
+    Hardware: seeds the core PRNG uniquely per (key, global tile) and
+    ignores ``salt`` (the stateful generator advances between draws).
+
+    Interpret mode: ``pltpu.prng_random_bits`` returns all zeros under
+    ``InterpretParams`` (so the fused kernels were untestable on CPU);
+    fall back to a stateless counter hash of (seeds, tile, salt, index) —
+    two murmur3 finalizer rounds with seed injection in between.  Distinct
+    draws must pass distinct ``salt`` values in this mode.
+    """
     i = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[0] + (seed_ref[2] + i) * SEED_STRIDE, seed_ref[1])
+    if not interpret:
+        pltpu.prng_seed(seed_ref[0] + (seed_ref[2] + i) * SEED_STRIDE,
+                        seed_ref[1])
+
+        def draw(shape, salt):
+            return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+        return draw
+
+    s0 = (seed_ref[0] + (seed_ref[2] + i) * SEED_STRIDE).astype(jnp.uint32)
+    s1 = seed_ref[1].astype(jnp.uint32)
+
+    def draw(shape, salt):
+        idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+               * jnp.uint32(shape[-1])
+               + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        x = _mix(idx ^ (jnp.uint32(salt) * jnp.uint32(0x9E3779B9)) ^ s0)
+        x = _mix(x + s1)
+        x = _mix(x ^ s0)
+        return x
+
+    return draw
 
 
-def _uniform(shape):
-    """U[1, 2) from raw bits via the mantissa trick (cast-free)."""
-    b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+def _bits_float12(b):
+    """[1, 2) float from the top 23 of 32 random bits (mantissa trick)."""
     return pltpu.bitcast((b >> 9) | jnp.uint32(0x3F800000), jnp.float32)
 
 
-# Taylor coefficients of cos(pi x) / sin(pi x) on |x| <= 1 (Horner order).
+# Chebyshev-fitted even polynomials in y = x^2 on [0, 1]:
+#   cos(pi x) ~ sum COS*[k] y^k,   sin(pi x)/x ~ sum SIN*[k] y^k.
 # Mosaic's general-range sin/cos dominate Box-Muller cost (measured: 2.6x
-# whole-kernel speedup from this bounded-range polynomial: 56 -> 149 G
-# normals/s on v5e).  Truncation error (verified numerically on |x| <= 1):
-# cos 1.4e-7, sin 7.7e-7 — below fp32 evaluation noise.
-_PI = np.pi
-_COS_K = [1.0, -_PI**2 / 2, _PI**4 / 24, -_PI**6 / 720, _PI**8 / 40320,
-          -_PI**10 / 3628800, _PI**12 / 479001600, -_PI**14 / 87178291200,
-          _PI**16 / 20922789888000]
-_SIN_K = [_PI, -_PI**3 / 6, _PI**5 / 120, -_PI**7 / 5040, _PI**9 / 362880,
-          -_PI**11 / 39916800, _PI**13 / 6227020800,
-          -_PI**15 / 1307674368000]
+# whole-kernel speedup from bounded-range polynomials: 56 -> 149 G
+# normals/s on v5e).  Degree-5 fits (quality tier) have max error
+# 7.9e-7 / 1.9e-7 — better than the former degree-8 Taylor forms at 2/3 the
+# terms; degree-4 (fast tier) 4.1e-5 / 1.2e-5, which perturbs the sampled
+# angle by <1e-4 rad — validated against the quality tier at the 20-run CI
+# level (RESULTS.md).
+_COS5 = [0.9999992108812327, -4.934745090535487, 4.0580410955948345,
+         -1.3323690970594237, 0.22965036551851092, -0.020577251866763305]
+_SIN5 = [3.1415924582721866, -5.167698654480206, 2.5499982307289915,
+         -0.5985505692547316, 0.08074781848280516, -0.006089474441873218]
+_COS4 = [0.9999590249547727, -4.9327356334688, 4.0419652140201565,
+         -1.2873564228983718, 0.17820723585160603]
+_SIN4 = [3.1415805659566503, -5.167103991134066, 2.545240857362848,
+         -0.5852298629408376, 0.0655241323781149]
 
 
-def _cospi_sinpi(x):
+def _cospi_sinpi(x, cos_k=_COS5, sin_k=_SIN5):
     """(cos(pi x), sin(pi x)) for x in [-1, 1)."""
-    x2 = x * x
-    c = _COS_K[8]
-    for k in range(7, -1, -1):
-        c = c * x2 + _COS_K[k]
-    s = _SIN_K[7]
-    for k in range(6, -1, -1):
-        s = s * x2 + _SIN_K[k]
+    y = x * x
+    c = cos_k[-1]
+    for k in range(len(cos_k) - 2, -1, -1):
+        c = c * y + cos_k[k]
+    s = sin_k[-1]
+    for k in range(len(sin_k) - 2, -1, -1):
+        s = s * y + sin_k[k]
     return c, s * x
 
 
-def _box_muller(shape):
-    """Two independent N(0,1) fields of ``shape``.
+def _box_muller(draw, shape, salt=0):
+    """Two independent N(0,1) fields of ``shape`` (quality tier).
 
-    Radius from the builtin log (fast on Mosaic); angle trig from the
-    bounded-range polynomial above.  24-bit uniforms truncate the tails at
-    |z| <= sqrt(-2 ln 2^-24) ~ 5.8 (P ~ 1e-8/draw — same granularity class
-    as cuRAND's fp32 normal).  Device-verified moments: mean 0 +/- SE,
-    std 0.9997, kurtosis 2.992 on 2^20 samples.
+    Radius from the builtin log (fast on Mosaic; a polynomial fastlog
+    measured slower); angle trig from the bounded-range polynomials above.
+    23-bit uniforms truncate the tails at |z| <= sqrt(-2 ln 2^-23) ~ 5.65
+    (P ~ 1e-8/draw — same granularity class as cuRAND's fp32 normal).
+    Device-verified moments: mean 0 +/- SE, std 0.9997, kurtosis 2.992 on
+    2^20 samples.
     """
-    u1 = 2.0 - _uniform(shape)       # (0, 1] — safe for log
+    u1 = 2.0 - _bits_float12(draw(shape, salt))    # (0, 1] — safe for log
     rad = jnp.sqrt(-2.0 * jnp.log(u1))
-    c, s = _cospi_sinpi(2.0 * _uniform(shape) - 3.0)   # x in [-1, 1)
+    x = 2.0 * _bits_float12(draw(shape, salt + 1)) - 3.0   # [-1, 1)
+    c, s = _cospi_sinpi(x)
+    return rad * c, rad * s
+
+
+def _box_muller_fast(draw, shape, salt=0):
+    """Two N(0,1) fields from ONE 32-bit draw per pair (full-step tier).
+
+    The honest brute-force kernels burn one normal per path per time step,
+    so bits->normal throughput bounds the whole tier (CLAUDE.md known
+    gaps).  This variant halves the PRNG traffic — radius from the high 16
+    bits, angle from the low 16 — and drops the trig fits one degree.
+    Costs vs the quality tier: tail truncation at sqrt(-2 ln 2^-16) = 4.71
+    sigma (variance deficit 2.8e-5, price-level effect ~1e-7 — measured
+    A/B at the 20-run CI level, RESULTS.md) and angle granularity 2^-16.
+    The time-integral functionals average 500-1000 of these per path, so
+    per-draw quantization washes out by CLT long before the MC noise
+    floor.
+    """
+    b = draw(shape, salt)
+    u1 = 2.0 - pltpu.bitcast(
+        ((b >> 16) << 7) | jnp.uint32(0x3F800000), jnp.float32)  # (0, 1]
+    rad = jnp.sqrt(-2.0 * jnp.log(u1))
+    fa = pltpu.bitcast(
+        ((b & jnp.uint32(0xFFFF)) << 7) | jnp.uint32(0x3F800000), jnp.float32)
+    c, s = _cospi_sinpi(2.0 * fa - 3.0, _COS4, _SIN4)
     return rad * c, rad * s
 
 
@@ -120,9 +197,9 @@ def _dot(a, b, prec="highest"):
     )
 
 
-def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows):
+def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
     """Common pallas_call shape: SMEM seeds + VMEM operands -> accumulated
-    (out_rows, PAD) float32 output."""
+    (out_rows, out_cols) float32 output."""
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args[1:]
     ]
@@ -131,7 +208,7 @@ def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows):
         grid=(grid,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((out_rows, PAD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, out_cols), jnp.float32),
         interpret=(pltpu.InterpretParams()
                    if cfg.pallas_interpret else False),
     )(*args)
@@ -141,18 +218,25 @@ def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows):
 # Q1: curve discount sums
 # ---------------------------------------------------------------------------
 
-def _curve_kernel(seed_ref, w_ref, c_ref, out_ref, *, n_steps, prec):
-    """Fullstep: G (TILE, n_steps) ~ BM; I = c +/- G @ W; accumulate
-    sum exp(-I) per maturity column."""
-    _seed_tile(seed_ref)
-    z0, z1 = _box_muller((TILE_FULL, n_steps // 2))
-    G = jnp.concatenate([z0, z1], axis=1)
-    z = _dot(G, w_ref[:], prec)
+def _curve_kernel(seed_ref, w0_ref, w1_ref, out_ref, *, prec, interpret):
+    """Fullstep: one fast-BM pair per step; z = z0 W0 + z1 W1; accumulate
+    sum (e^-z + e^+z) per maturity column.
+
+    Path-major layout (paths in sublanes): with 128 maturity columns the
+    payoff tile (TILE, PAD) is fully lane-utilized either way, and the
+    path-major matmul measured ~1.3x faster than the transposed form (the
+    option kernels, whose payoff is 2 columns wide, use the transposed
+    layout instead).  The deterministic exp(-c) scaling happens outside
+    the kernel; the step axis is pre-split between the two Box-Muller
+    output fields (W0 = rows for the cos field, W1 = sin) so the kernel
+    never materializes a concatenated G tile."""
+    draw = _tile_rng(seed_ref, interpret)
+    z0, z1 = _box_muller_fast(draw, (TILE_FULL, w0_ref.shape[0]))
+    z = _dot(z0, w0_ref[:], prec) + _dot(z1, w1_ref[:], prec)
     # antithetic pair via one exp + one reciprocal:
     #   exp(-(c+z)) + exp(-(c-z)) = exp(-c) * (t + 1/t),  t = exp(-z)
     t = jnp.exp(-z)
     contrib = jnp.sum(t + pl.reciprocal(t, approx=False), axis=0)
-    contrib = contrib * jnp.exp(-c_ref[0, :])
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -161,15 +245,15 @@ def _curve_kernel(seed_ref, w_ref, c_ref, out_ref, *, n_steps, prec):
     out_ref[0, :] += contrib
 
 
-def _curve_exact_kernel(seed_ref, w_ref, c_ref, out_ref, *, prec):
+def _curve_exact_kernel(seed_ref, w_ref, c_ref, out_ref, *, prec, interpret):
     """Exact: two tiles of paths per step, each row = 128 std normals,
     z = X @ (sig_st L^T) (zero-padded), I = c +/- z."""
-    _seed_tile(seed_ref)
-    z0, z1 = _box_muller((TILE_EXACT, PAD))
-    X = jnp.concatenate([z0, z1], axis=0)          # (2*TILE, PAD)
-    z = _dot(X, w_ref[:], prec)
-    t = jnp.exp(-z)
-    contrib = jnp.sum(t + pl.reciprocal(t, approx=False), axis=0)
+    draw = _tile_rng(seed_ref, interpret)
+    z0, z1 = _box_muller(draw, (TILE_EXACT, PAD))
+    contrib = jnp.zeros((PAD,), jnp.float32)
+    for zi in (z0, z1):
+        t = jnp.exp(-_dot(zi, w_ref[:], prec))
+        contrib += jnp.sum(t + pl.reciprocal(t, approx=False), axis=0)
     contrib = contrib * jnp.exp(-c_ref[0, :])
 
     @pl.when(pl.program_id(0) == 0)
@@ -180,6 +264,8 @@ def _curve_exact_kernel(seed_ref, w_ref, c_ref, out_ref, *, prec):
 
 
 def curve_local_fn(cfg: HWConfig, tables, exact: bool):
+    from functools import partial
+
     nm = cfg.n_mat
     if nm - 1 > PAD:
         raise ValueError("n_mat - 1 must be <= 128 for the fused kernels")
@@ -191,10 +277,10 @@ def curve_local_fn(cfg: HWConfig, tables, exact: bool):
         W = tables.sig_st * jnp.asarray(LT)
         cw = engine_exact.curve_weights(cfg, tables)
         c_pad = jnp.zeros((1, PAD), dtype).at[0, : nm - 1].set(cw.c[1:])
-        from functools import partial
-
         paths_per_tile = 2 * TILE_EXACT
-        kernel = partial(_curve_exact_kernel, prec=cfg.matmul_precision)
+        kernel = partial(_curve_exact_kernel, prec=cfg.matmul_precision,
+                         interpret=cfg.pallas_interpret)
+        w_args = (W,)
     else:
         if cfg.n_steps % 2 != 0:
             raise ValueError("n_steps must be even for Box-Muller pairing")
@@ -202,12 +288,12 @@ def curve_local_fn(cfg: HWConfig, tables, exact: bool):
         Wsh[:, :nm] = engine_linear._curve_shape(cfg)
         W = tables.sig_st * jnp.asarray(Wsh)
         cw = engine_linear.curve_weights(cfg, tables)
-        c_pad = jnp.zeros((1, PAD), dtype).at[0, :nm].set(cw.c)
+        exp_c = jnp.exp(-jnp.zeros((PAD,), dtype).at[:nm].set(cw.c))
         paths_per_tile = TILE_FULL
-        from functools import partial
-
-        kernel = partial(_curve_kernel, n_steps=cfg.n_steps,
-                         prec=cfg.matmul_precision)
+        kernel = partial(_curve_kernel, prec=cfg.matmul_precision,
+                         interpret=cfg.pallas_interpret)
+        h = cfg.n_steps // 2
+        w_args = (W[:h], W[h:])
 
     def local_fn(key, base_block, n_blocks):
         local_paths = n_blocks * cfg.path_block
@@ -216,12 +302,15 @@ def curve_local_fn(cfg: HWConfig, tables, exact: bool):
                 f"path_block must be a multiple of {paths_per_tile}")
         tiles_per_block = cfg.path_block // paths_per_tile
         seeds = _key_seed(key, base_block * tiles_per_block, salt=101)
-        out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
-                          (seeds, W, c_pad), out_rows=1)[0]
         if exact:
+            out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
+                              (seeds,) + w_args + (c_pad,), out_rows=1)[0]
             return jnp.concatenate(
                 [jnp.full((1,), 2.0 * local_paths, dtype), out[: nm - 1]])
-        return out[:nm].at[0].set(2.0 * local_paths)
+        out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
+                          (seeds,) + w_args, out_rows=1)[0]
+        sums = out * exp_c
+        return sums[:nm].at[0].set(2.0 * local_paths)
 
     return local_fn
 
@@ -268,6 +357,14 @@ def _legs_pair(consts_ref, z_r, z_i):
 
 
 def _moment_accum(out_ref, x1, y1, x2, y2, count):
+    """Accumulate the 5 CV moment rows + count into (6+, width) VMEM.
+
+    Leg values may be (TILE, width) (exact kernels: paths on both axes —
+    reduced over sublanes here) or (1, width) (transposed fullstep kernels:
+    paths on lanes only — the axis-0 sum is a squeeze).  The caller
+    lane-sums the output once; the count is spread across the lane row
+    (scalar VMEM stores are unsupported)."""
+    width = out_ref.shape[1]
     rows = [
         x1 + x2, y1 + y2,
         x1 * x1 + x2 * x2, y1 * y1 + y2 * y2,
@@ -280,32 +377,12 @@ def _moment_accum(out_ref, x1, y1, x2, y2, count):
 
     for j, v in enumerate(rows):
         out_ref[j, :] += jnp.sum(v, axis=0)
-    # count spread across the lane row (scalar VMEM stores are unsupported)
-    out_ref[5, :] += jnp.full((PAD,), count / PAD, jnp.float32)
+    out_ref[5, :] += jnp.full((width,), count / width, jnp.float32)
 
 
-def _moment_accum_scalar(out_ref, x1, y1, x2, y2, count):
-    """Variant for kernels whose leg values are (TILE, 1): reduce to scalars
-    and spread across the lane row so the caller's lane-sum recovers them."""
-    rows = [
-        x1 + x2, y1 + y2,
-        x1 * x1 + x2 * x2, y1 * y1 + y2 * y2,
-        x1 * y1 + x2 * y2,
-    ]
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    for j, v in enumerate(rows):
-        out_ref[j, :] += jnp.full((PAD,), jnp.sum(v) / PAD, jnp.float32)
-    out_ref[5, :] += jnp.full((PAD,), count / PAD, jnp.float32)
-
-
-
-def _zbc_exact_kernel(seed_ref, consts_ref, out_ref):
-    _seed_tile(seed_ref)
-    x1, x2 = _box_muller((TILE_OPT, PAD))
+def _zbc_exact_kernel(seed_ref, consts_ref, out_ref, *, interpret):
+    draw = _tile_rng(seed_ref, interpret)
+    x1, x2 = _box_muller(draw, (TILE_OPT, PAD))
     l11, l21, l22 = consts_ref[10], consts_ref[11], consts_ref[12]
     z_r = l11 * x1
     z_i = l21 * x1 + l22 * x2
@@ -313,14 +390,17 @@ def _zbc_exact_kernel(seed_ref, consts_ref, out_ref):
     _moment_accum(out_ref, xa, ya, xb, yb, 2.0 * TILE_OPT * PAD)
 
 
-def _zbc_full_kernel(seed_ref, u_ref, consts_ref, out_ref, *, n1, prec):
-    _seed_tile(seed_ref)
-    z0, z1 = _box_muller((TILE_FULL, (n1 + 1) // 2))
-    G = jnp.concatenate([z0, z1], axis=1)[:, :n1]
-    z = _dot(G, u_ref[:], prec)
-    z_r, z_i = z[:, 0:1], z[:, 1:2]
+def _zbc_full_kernel(seed_ref, u0_ref, u1_ref, consts_ref, out_ref, *, prec,
+                     interpret):
+    """Transposed fullstep ZBC: steps in sublanes, paths in lanes;
+    z = U0 z0 + U1 z1 is an (8, TILE) matmul (rows 0/1 = z_r/z_i), so the
+    payoff/moment math runs on fully lane-utilized (1, TILE) rows."""
+    draw = _tile_rng(seed_ref, interpret)
+    z0, z1 = _box_muller_fast(draw, (u0_ref.shape[1], TILE_FULL_OPT))
+    z = _dot(u0_ref[:], z0, prec) + _dot(u1_ref[:], z1, prec)
+    z_r, z_i = z[0:1, :], z[1:2, :]
     xa, ya, xb, yb = _legs_pair(consts_ref, z_r, z_i)
-    _moment_accum_scalar(out_ref, xa, ya, xb, yb, 2.0 * TILE_FULL)
+    _moment_accum(out_ref, xa, ya, xb, yb, 2.0 * TILE_FULL_OPT)
 
 
 def _vega_terms(consts_ref, r, i_r, dr, di):
@@ -334,9 +414,9 @@ def _vega_terms(consts_ref, r, i_r, dr, di):
     return term1 - term2
 
 
-def _vega_exact_kernel(seed_ref, consts_ref, out_ref):
-    _seed_tile(seed_ref)
-    x1, x2 = _box_muller((TILE_OPT, PAD))
+def _vega_exact_kernel(seed_ref, consts_ref, out_ref, *, interpret):
+    draw = _tile_rng(seed_ref, interpret)
+    x1, x2 = _box_muller(draw, (TILE_OPT, PAD))
     l11, l21, l22 = consts_ref[10], consts_ref[11], consts_ref[12]
     z_r = l11 * x1
     z_i = l21 * x1 + l22 * x2
@@ -353,12 +433,51 @@ def _vega_exact_kernel(seed_ref, consts_ref, out_ref):
     out_ref[1, :] += jnp.full((PAD,), TILE_OPT * PAD / PAD, jnp.float32)
 
 
-def _vega_full_kernel(seed_ref, u_ref, consts_ref, out_ref, *, n1, prec):
-    _seed_tile(seed_ref)
-    z0, z1 = _box_muller((TILE_FULL, (n1 + 1) // 2))
-    G = jnp.concatenate([z0, z1], axis=1)[:, :n1]
-    z = _dot(G, u_ref[:], prec)
-    z_r, z_i = z[:, 0:1], z[:, 1:2]
+def _delta_exact_kernel(seed_ref, consts_ref, out_ref, *, interpret):
+    """Pathwise delta (d price / d r0), both antithetic legs, fused tier.
+
+    Same exact-sampling state as _zbc_exact_kernel; the deterministic
+    sensitivities dr(S1)/dr0, dI(S1)/dr0 arrive as consts[13:15]
+    (pricing._r0_sensitivities).  Mirrors payoffs.delta_sum; generalizes
+    the reference's fused sensitivity-kernel pattern
+    (3_sensitivity_analysis.cu:22-96) to a greek it does not compute."""
+    draw = _tile_rng(seed_ref, interpret)
+    x1, x2 = _box_muller(draw, (TILE_OPT, PAD))
+    l11, l21, l22 = consts_ref[10], consts_ref[11], consts_ref[12]
+    dr_dr0, di_dr0 = consts_ref[13], consts_ref[14]
+    z_r = l11 * x1
+    z_i = l21 * x1 + l22 * x2
+    A, B, K = consts_ref[2], consts_ref[3], consts_ref[4]
+    c_r, c_i = consts_ref[0], consts_ref[1]
+    t_r = jnp.exp(-B * z_r)
+    t_i = jnp.exp(-z_i)
+    P_base = A * jnp.exp(-B * c_r)
+    d_base = jnp.exp(-c_i)
+    total = jnp.zeros((PAD,), jnp.float32)
+    for tr, ti in ((t_r, t_i),
+                   (pl.reciprocal(t_r, approx=False),
+                    pl.reciprocal(t_i, approx=False))):
+        P = P_base * tr
+        disc = d_base * ti
+        term1 = jnp.where(P > K, -P * B * dr_dr0 * disc, 0.0)
+        term2 = di_dr0 * disc * jnp.maximum(P - K, 0.0)
+        total += jnp.sum(term1 - term2, axis=0)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :] += total
+    out_ref[1, :] += jnp.full((PAD,), 2.0 * TILE_OPT * PAD / PAD, jnp.float32)
+
+
+def _vega_full_kernel(seed_ref, u0_ref, u1_ref, consts_ref, out_ref, *, prec,
+                      interpret):
+    """Transposed fullstep vega (see _zbc_full_kernel for the layout)."""
+    draw = _tile_rng(seed_ref, interpret)
+    z0, z1 = _box_muller_fast(draw, (u0_ref.shape[1], TILE_FULL_OPT))
+    z = _dot(u0_ref[:], z0, prec) + _dot(u1_ref[:], z1, prec)
+    z_r, z_i = z[0:1, :], z[1:2, :]
     sigma = consts_ref[8]
     v = _vega_terms(consts_ref,
                     consts_ref[0] + z_r, consts_ref[1] + z_i,
@@ -368,12 +487,12 @@ def _vega_full_kernel(seed_ref, u_ref, consts_ref, out_ref, *, n1, prec):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[0, :] += jnp.full((PAD,), jnp.sum(v) / PAD, jnp.float32)
-    out_ref[1, :] += jnp.full((PAD,), TILE_FULL / PAD, jnp.float32)
+    out_ref[0, :] += jnp.sum(v, axis=0)
+    out_ref[1, :] += jnp.full((TILE_FULL_OPT,), 1.0, jnp.float32)
 
 
 def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
-                     vega: bool):
+                     kind: str, extra_consts=()):
     from functools import partial
 
     n1 = cfg.n_steps_s1
@@ -381,24 +500,37 @@ def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
     if exact:
         l11, l21, l22 = engine_exact.zbc_chol(cfg)
         lvec = tables.sig_st * jnp.asarray([l11, l21, l22], jnp.float32)
-        consts = jnp.concatenate([consts, lvec])
+        parts = [consts, lvec]
+        if extra_consts:
+            parts.append(jnp.asarray(extra_consts, jnp.float32))
+        consts = jnp.concatenate(parts)
         paths_per_tile = TILE_OPT * PAD
-        kernel = _vega_exact_kernel if vega else _zbc_exact_kernel
+        kernel = partial({"vega": _vega_exact_kernel,
+                          "zbc": _zbc_exact_kernel,
+                          "delta": _delta_exact_kernel}[kind],
+                         interpret=cfg.pallas_interpret)
         args_tail = (consts,)
     else:
+        if kind == "delta":
+            raise ValueError("fused delta requires the exact tier")
         u_shape, w_shape = engine_linear._shock_shapes(cfg, n1)
-        Up = np.zeros((n1, PAD), np.float32)
-        Up[:, 0] = u_shape
-        Up[:, 1] = w_shape
+        h = (n1 + 1) // 2
+        # transposed: (8, 2h) with rows 0/1 = the r/I shock shapes
+        Up = np.zeros((8, 2 * h), np.float32)
+        Up[0, :n1] = u_shape
+        Up[1, :n1] = w_shape
         U = tables.sig_st * jnp.asarray(Up)
-        paths_per_tile = TILE_FULL
-        kernel = partial(_vega_full_kernel if vega else _zbc_full_kernel,
-                         n1=n1, prec=cfg.matmul_precision)
-        args_tail = (U, consts)
+        paths_per_tile = TILE_FULL_OPT
+        kernel = partial(_vega_full_kernel if kind == "vega"
+                         else _zbc_full_kernel,
+                         prec=cfg.matmul_precision,
+                         interpret=cfg.pallas_interpret)
+        args_tail = (U[:, :h], U[:, h:], consts)
 
     # vega kernels are single-leg (like reference simulate_sensitivity);
     # the count they record already reflects that.
-    salt = 303 if vega else 202
+    salt = {"zbc": 202, "vega": 303, "delta": 404}[kind]
+    out_cols = PAD if exact else TILE_FULL_OPT
 
     def local_fn(key, base_block, n_blocks):
         local_paths = n_blocks * cfg.path_block
@@ -408,19 +540,61 @@ def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
         tiles_per_block = cfg.path_block // paths_per_tile
         seeds = _key_seed(key, base_block * tiles_per_block, salt=salt)
         out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
-                          (seeds,) + args_tail, out_rows=8)
-        if vega:
-            return jnp.sum(out[:2, :], axis=1)
-        return jnp.sum(out[:6, :], axis=1)
+                          (seeds,) + args_tail, out_rows=8,
+                          out_cols=out_cols)
+        if kind == "zbc":
+            return jnp.sum(out[:6, :], axis=1)
+        return jnp.sum(out[:2, :], axis=1)
 
     return local_fn
 
 
 def zbc_local_fn(cfg, tables, market, sigma, exact: bool):
     """(6,) CV moments accumulated by the fused kernel."""
-    return _option_local_fn(cfg, tables, market, sigma, exact, vega=False)
+    return _option_local_fn(cfg, tables, market, sigma, exact, kind="zbc")
 
 
 def vega_local_fn(cfg, tables, market, sigma, exact: bool):
     """(2,) [vega sum, count] accumulated by the fused kernel."""
-    return _option_local_fn(cfg, tables, market, sigma, exact, vega=True)
+    return _option_local_fn(cfg, tables, market, sigma, exact, kind="vega")
+
+
+def delta_local_fn(cfg, tables, market, sigma, dr_dr0: float, di_dr0: float):
+    """(2,) [delta sum, count] accumulated by the fused exact kernel."""
+    return _option_local_fn(cfg, tables, market, sigma, exact=True,
+                            kind="delta", extra_consts=(dr_dr0, di_dr0))
+
+
+def dump_option_normals(cfg: HWConfig, key, n_tiles: int = 1,
+                        kind: str = "zbc"):
+    """Materialize the exact Gaussians the fused option kernel consumes.
+
+    Same per-tile seeding and Box-Muller pipeline as ``_zbc_exact_kernel``
+    for ``key`` at base block 0 — feeding these into the XLA exact engine
+    reproduces the fused kernel's estimate deterministically, restoring the
+    reference's <1e-6-style cross-kernel agreement gate on hardware
+    (benchmark_reductions.cu:158-169) instead of a statistical one.
+
+    Returns (x1, x2), each (n_tiles * TILE_OPT, PAD) float32.
+    """
+    salt = {"zbc": 202, "vega": 303, "delta": 404}[kind]
+
+    def kernel(seed_ref, x1_ref, x2_ref):
+        draw = _tile_rng(seed_ref, cfg.pallas_interpret)
+        x1, x2 = _box_muller(draw, (TILE_OPT, PAD))
+        x1_ref[...] = x1
+        x2_ref[...] = x2
+
+    seeds = _key_seed(key, jnp.int32(0), salt=salt)
+    out_spec = pl.BlockSpec((TILE_OPT, PAD), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n_tiles * TILE_OPT, PAD), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(shape, shape),
+        interpret=(pltpu.InterpretParams()
+                   if cfg.pallas_interpret else False),
+    )(seeds)

@@ -327,14 +327,22 @@ def _delta_sums_fn(cfg: HWConfig, engine: str, mesh):
 
     def compute(key, sigma, sigma0, market):
         tables = hw.step_tables(cfg, sigma, sigma0, dtype)
-        n_cols, state_of = _xla_state_setup(cfg, engine, tables, dual=False)
+        if engine == "pallas_exact":
+            from .pallas import fused
 
-        def block_fn(key, i):
-            G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
-            return payoffs.delta_sum(cfg, sigma, market, state_of(G),
-                                     dr_dr0, di_dr0)
+            local = fused.delta_local_fn(cfg, tables, market, sigma,
+                                         dr_dr0, di_dr0)
+        else:
+            n_cols, state_of = _xla_state_setup(cfg, engine, tables,
+                                                dual=False)
 
-        runner = pmesh.shard_blocks(_block_loop(block_fn, 2), mesh)
+            def block_fn(key, i):
+                G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
+                return payoffs.delta_sum(cfg, sigma, market, state_of(G),
+                                         dr_dr0, di_dr0)
+
+            local = _block_loop(block_fn, 2)
+        runner = pmesh.shard_blocks(local, mesh)
         return runner(key, cfg.n_blocks)
 
     return jax.jit(compute)
@@ -346,7 +354,8 @@ def pathwise_delta(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
     the initial short rate at fixed market data)."""
     if sigma is None:
         sigma = cfg.sigma
-    if engine.startswith("pallas"):
-        raise ValueError("pathwise_delta supports the XLA engines")
+    if engine == "pallas":
+        raise ValueError(
+            "pathwise_delta supports the XLA engines and pallas_exact")
     sums = _delta_sums_fn(cfg, engine, mesh)(key, sigma, cfg.sigma, market)
     return sums[0] / sums[1]
