@@ -29,6 +29,7 @@ from .config import HWConfig
 from . import pricing
 from .ops.payoffs import cv_estimate
 from .utils import io as hwio
+from .utils import stats as hwstats
 from .utils.timing import bench, fetch_rtt
 
 # the scan tier is minutes-slow at full scale on TPU (it is the design
@@ -118,6 +119,41 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
                     "Engine benchmark", cfg, results=result)
     print("saved data/benchmark_engines.json")
     return 0 if consistent else 1
+
+
+def ab_compare(cfg_a, cfg_b, key, market, engine_a, engine_b,
+               n_runs: int = 20, label: str = ""):
+    """N-run A/B of two (config, engine) arms at the 20-run CI level.
+
+    The statistical-validation analogue of the reference's method-agreement
+    z-test (3_sensitivity_analysis.cu:656-695), applied to engineering
+    choices instead of estimators: RNG designs (MXU-mixed vs exact
+    Gaussian) or MXU precisions (bf16 'default' vs fp32 'highest').  Both
+    arms run n_runs independent seeds in one device call each
+    (pricing.validate_zbc_runs / validate_vega_runs); the z-score uses the
+    measured per-arm standard errors.
+    """
+    out = {"label": label, "n_runs": n_runs,
+           "a": f"{engine_a}/{cfg_a.matmul_precision}",
+           "b": f"{engine_b}/{cfg_b.matmul_precision}"}
+    for kind in ("price", "vega"):
+        if kind == "price":
+            sa = hwstats.summarize([float(x) for x in pricing.validate_zbc_runs(
+                cfg_a, key, market, n_runs=n_runs, engine=engine_a).price])
+            sb = hwstats.summarize([float(x) for x in pricing.validate_zbc_runs(
+                cfg_b, key, market, n_runs=n_runs, engine=engine_b).price])
+        else:
+            sa = hwstats.summarize([float(x) for x in pricing.validate_vega_runs(
+                cfg_a, key, market, n_runs=n_runs, engine=engine_a)])
+            sb = hwstats.summarize([float(x) for x in pricing.validate_vega_runs(
+                cfg_b, key, market, n_runs=n_runs, engine=engine_b)])
+        se = (sa.std_error ** 2 + sb.std_error ** 2) ** 0.5
+        z = (sa.mean - sb.mean) / se if se > 0 else 0.0
+        out[kind] = {"mean_a": sa.mean, "mean_b": sb.mean,
+                     "diff": sa.mean - sb.mean, "se_diff": se, "z": z}
+        print(f"[A/B {label}] {kind}: A={sa.mean:.8f} B={sb.mean:.8f} "
+              f"diff={sa.mean - sb.mean:+.2e} (SE {se:.2e}, z={z:+.2f})")
+    return out
 
 
 def _block_sweep(cfg, key, market, rtt, engine):

@@ -25,6 +25,8 @@ grid over a device mesh with psum combines unchanged.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -38,13 +40,13 @@ from ..ops import engine_exact, engine_linear
 PAD = 128          # lane padding for maturity/functional axes
 SEED_STRIDE = 1000003  # odd stride decorrelating per-tile PRNG seeds
 
-# Path-tile sizes (paths per grid step). The fullstep curve kernel holds a
-# (TILE, n_steps) Gaussian tile in VMEM; exact kernels hold (TILE, 128);
-# the transposed fullstep option kernels hold (n_steps_s1/2, TILE) with
-# paths on lanes — bigger tiles amortize per-grid-step overhead (measured
-# 782 -> 999 M paths/s from 512 -> 4096 on the ZBC fullstep kernel;
-# 512 -> 2048 took Q1 361 -> 396 M paths/s; 4096 exceeds the 16 MB scoped
-# VMEM limit for the curve kernel's (TILE, 500) Box-Muller fields).
+# Path-tile sizes (paths per grid step). The fullstep curve kernel holds
+# (TILE, 128)-block shock tiles in VMEM (path-major); exact kernels hold
+# (TILE, 128); the transposed fullstep option kernels hold (128, TILE)
+# blocks with paths on lanes — bigger tiles amortize per-grid-step
+# overhead (measured 782 -> 999 M paths/s from 512 -> 4096 on the ZBC
+# fullstep kernel; 4096 exceeded the 16 MB scoped VMEM limit for the
+# curve kernel, hence 2048 there).
 TILE_FULL = 2048
 TILE_FULL_OPT = 4096  # option fullstep kernels: paths per tile (lane axis)
 TILE_EXACT = 1024  # curve kernels: paths per BM half-tile
@@ -116,12 +118,6 @@ _COS5 = [0.9999992108812327, -4.934745090535487, 4.0580410955948345,
          -1.3323690970594237, 0.22965036551851092, -0.020577251866763305]
 _SIN5 = [3.1415924582721866, -5.167698654480206, 2.5499982307289915,
          -0.5985505692547316, 0.08074781848280516, -0.006089474441873218]
-_COS4 = [0.9999590249547727, -4.9327356334688, 4.0419652140201565,
-         -1.2873564228983718, 0.17820723585160603]
-_SIN4 = [3.1415805659566503, -5.167103991134066, 2.545240857362848,
-         -0.5852298629408376, 0.0655241323781149]
-
-
 def _cospi_sinpi(x, cos_k=_COS5, sin_k=_SIN5):
     """(cos(pi x), sin(pi x)) for x in [-1, 1)."""
     y = x * x
@@ -151,28 +147,85 @@ def _box_muller(draw, shape, salt=0):
     return rad * c, rad * s
 
 
-def _box_muller_fast(draw, shape, salt=0):
-    """Two N(0,1) fields from ONE 32-bit draw per pair (full-step tier).
+# --- MXU-mixed shock generator (full-step tier) -----------------------------
+#
+# The honest brute-force kernels burn one fresh random value per path per
+# time step; with Box-Muller the VPU transcendentals bound the whole tier
+# at ~250 G normals/s (measured at VPU peak — reducing the polynomial
+# degree or sharing the log across chi^2(4) pairs moved nothing).  The TPU
+# answer is to move normal SYNTHESIS onto the idle MXU:
+#
+#   1. unpack each 32-bit word into TWO bf16 raw values
+#      v = +/- (1 + m/128) * 16^c  with m a 7-bit mantissa and
+#      c ~ Bernoulli(3/8) from three spare bits (c = b8 & (b9 | b10)).
+#      The 3/8-octave spread is chosen so the raw kurtosis is 2.9994 —
+#      i.e. the raw 4th cumulant is already ~zero, so the leading CLT
+#      kurtosis error of the mix CANCELS instead of decaying like 1/128
+#      (a plain +/-[1,2) bimodal costs kurt 2.985 after mixing AND biases
+#      smooth functionals, see the D-scramble note below).  ~4 VPU ops
+#      per word, no transcendentals at all;
+#   2. mix 128 of them with a scaled Hadamard matrix on the MXU:
+#      G = H_q v,  |H_q| = q0 (bf16-exact), H orthogonal.
+#
+# Each shock is a CLT sum of 128 bounded symmetric iid near-zero-kurtosis
+# terms: mean 0 exactly, unit variance EXACTLY (the 128 q0^2 E[v^2]
+# residual is folded into the downstream weights via _MIX_W_SCALE), all
+# odd moments 0, 4th cumulant ~6e-4/128.  Shocks within a block are
+# exactly uncorrelated (H orthogonal).
+#
+# THE D-SCRAMBLE (essential): downstream linear functionals z = sum w_s G_s
+# with SMOOTH step weights w are nearly aligned with the Hadamard's
+# all-ones row, so H^T w concentrates on few raw values and z degenerates
+# to a handful of raws (measured kurt(z_r) = 1.97 on hardware — a +5%
+# option-price bias).  Folding a fixed pseudorandom sign vector D into the
+# weights (z = (Dw) G == w (DG)) scrambles w's Walsh spectrum flat, so
+# every functional mixes ~n_steps raw values.  Combined with the zero-
+# kurtosis raw population, the measured price/vega bias vs the exact-
+# Gaussian tier is below 1e-5 at 2^24 paths (RESULTS.md A/B).
+#
+# One fresh 16-bit value per step per path is consumed and the per-step
+# shock field G is materialized in VMEM — the stepwise simulation
+# semantics of the reference kernel are kept.
 
-    The honest brute-force kernels burn one normal per path per time step,
-    so bits->normal throughput bounds the whole tier (CLAUDE.md known
-    gaps).  This variant halves the PRNG traffic — radius from the high 16
-    bits, angle from the low 16 — and drops the trig fits one degree.
-    Costs vs the quality tier: tail truncation at sqrt(-2 ln 2^-16) = 4.71
-    sigma (variance deficit 2.8e-5, price-level effect ~1e-7 — measured
-    A/B at the 20-run CI level, RESULTS.md) and angle granularity 2^-16.
-    The time-integral functionals average 500-1000 of these per path, so
-    per-draw quantization washes out by CLT long before the MC noise
-    floor.
-    """
-    b = draw(shape, salt)
-    u1 = 2.0 - pltpu.bitcast(
-        ((b >> 16) << 7) | jnp.uint32(0x3F800000), jnp.float32)  # (0, 1]
-    rad = jnp.sqrt(-2.0 * jnp.log(u1))
-    fa = pltpu.bitcast(
-        ((b & jnp.uint32(0xFFFF)) << 7) | jnp.uint32(0x3F800000), jnp.float32)
-    c, s = _cospi_sinpi(2.0 * fa - 3.0, _COS4, _SIN4)
-    return rad * c, rad * s
+_MIX_BLOCK = 128
+# E[v^2] = mean((1+k/128)^2) * (0.625 + 0.375*256) over the 7-bit grid
+_MIX_E2 = 224.3269920349121
+_MIX_Q0 = float(np.float32(0.005889892578125))  # bf16(1/sqrt(128 E[v^2]))
+_MIX_W_SCALE = 1.0 / math.sqrt(128 * _MIX_Q0 * _MIX_Q0 * _MIX_E2)
+_MIX_D_SEED = 12345
+
+
+def _mix_d(n: int):
+    """Fixed pseudorandom +/-1 spectrum scrambler for n step rows."""
+    return np.random.default_rng(_MIX_D_SEED).choice([-1.0, 1.0], n)
+
+
+def _hadamard_mix():
+    """(128, 128) bf16 Sylvester-Hadamard scaled by the bf16-exact q0."""
+    H = np.array([[1.0]], np.float64)
+    while H.shape[0] < _MIX_BLOCK:
+        H = np.block([[H, H], [H, -H]])
+    return jnp.asarray(H * _MIX_Q0, jnp.bfloat16)
+
+
+def _mixed_block(draw, h_ref, half_shape, salt, transposed: bool):
+    """One (128, cols) [transposed] or (rows, 128) [path-major] fp32 block
+    of CLT-mixed unit shocks from ``half_shape`` u32 draws (each word
+    yields two bf16 raws, doubling the sublane dim on bitcast)."""
+    b = draw(half_shape, salt)
+    base = (b & jnp.uint32(0x807F807F)) | jnp.uint32(0x3F803F80)
+    c = ((b >> 8) & ((b >> 9) | (b >> 10))) & jnp.uint32(0x00010001)
+    U = pltpu.bitcast(base + (c << 9), jnp.bfloat16)  # exponent += 4 w.p. 3/8
+    if transposed:          # U (128, cols): mix sublanes -> G = H @ U
+        return jax.lax.dot_general(
+            h_ref[:], U, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    # path-major U (rows, 128): mix lanes -> G = U @ H (H symmetric)
+    return jax.lax.dot_general(
+        U, h_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
 
 def _key_seed(key, base_block: jax.Array, salt: int):
@@ -197,12 +250,17 @@ def _dot(a, b, prec="highest"):
     )
 
 
-def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
+def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD,
+                smem_last=False):
     """Common pallas_call shape: SMEM seeds + VMEM operands -> accumulated
-    (out_rows, out_cols) float32 output."""
+    (out_rows, out_cols) float32 output.  ``smem_last`` places the final
+    operand (a scalar-consts vector) in SMEM — scalar element reads from
+    VMEM cost vector relayouts on Mosaic."""
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args[1:]
     ]
+    if smem_last:
+        in_specs[-1] = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -218,21 +276,23 @@ def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
 # Q1: curve discount sums
 # ---------------------------------------------------------------------------
 
-def _curve_kernel(seed_ref, w0_ref, w1_ref, out_ref, *, prec, interpret):
-    """Fullstep: one fast-BM pair per step; z = z0 W0 + z1 W1; accumulate
-    sum (e^-z + e^+z) per maturity column.
+def _curve_kernel(seed_ref, w_ref, h_ref, out_ref, *, prec, interpret):
+    """Fullstep: one MXU-mixed shock per path per step (see _mixed_block);
+    z = sum_q G_q W_q; accumulate sum (e^-z + e^+z) per maturity column.
 
     Path-major layout (paths in sublanes): with 128 maturity columns the
-    payoff tile (TILE, PAD) is fully lane-utilized either way, and the
-    path-major matmul measured ~1.3x faster than the transposed form (the
-    option kernels, whose payoff is 2 columns wide, use the transposed
-    layout instead).  The deterministic exp(-c) scaling happens outside
-    the kernel; the step axis is pre-split between the two Box-Muller
-    output fields (W0 = rows for the cos field, W1 = sin) so the kernel
-    never materializes a concatenated G tile."""
+    payoff tile (TILE, PAD) is fully lane-utilized, and the path-major
+    matmul measured ~1.3x faster than the transposed form (the option
+    kernels, whose payoff is 2 columns wide, use the transposed layout).
+    The step axis is processed in 128-step mixing blocks (G_q = U_q H on
+    lanes); the deterministic exp(-c) scaling happens outside."""
     draw = _tile_rng(seed_ref, interpret)
-    z0, z1 = _box_muller_fast(draw, (TILE_FULL, w0_ref.shape[0]))
-    z = _dot(z0, w0_ref[:], prec) + _dot(z1, w1_ref[:], prec)
+    nb = w_ref.shape[0] // _MIX_BLOCK
+    z = jnp.zeros((TILE_FULL, PAD), jnp.float32)
+    for q in range(nb):
+        G = _mixed_block(draw, h_ref, (TILE_FULL // 2, _MIX_BLOCK), q,
+                         transposed=False)
+        z += _dot(G, w_ref[q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], prec)
     # antithetic pair via one exp + one reciprocal:
     #   exp(-(c+z)) + exp(-(c-z)) = exp(-c) * (t + 1/t),  t = exp(-z)
     t = jnp.exp(-z)
@@ -282,18 +342,17 @@ def curve_local_fn(cfg: HWConfig, tables, exact: bool):
                          interpret=cfg.pallas_interpret)
         w_args = (W,)
     else:
-        if cfg.n_steps % 2 != 0:
-            raise ValueError("n_steps must be even for Box-Muller pairing")
-        Wsh = np.zeros((cfg.n_steps, PAD), np.float32)
-        Wsh[:, :nm] = engine_linear._curve_shape(cfg)
-        W = tables.sig_st * jnp.asarray(Wsh)
+        nb = -(-cfg.n_steps // _MIX_BLOCK)
+        Wsh = np.zeros((nb * _MIX_BLOCK, PAD), np.float32)
+        Wsh[: cfg.n_steps, :nm] = engine_linear._curve_shape(cfg)
+        Wsh *= _mix_d(nb * _MIX_BLOCK)[:, None]  # spectrum scrambler
+        W = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Wsh)
         cw = engine_linear.curve_weights(cfg, tables)
         exp_c = jnp.exp(-jnp.zeros((PAD,), dtype).at[:nm].set(cw.c))
         paths_per_tile = TILE_FULL
         kernel = partial(_curve_kernel, prec=cfg.matmul_precision,
                          interpret=cfg.pallas_interpret)
-        h = cfg.n_steps // 2
-        w_args = (W[:h], W[h:])
+        w_args = (W, _hadamard_mix())
 
     def local_fn(key, base_block, n_blocks):
         local_paths = n_blocks * cfg.path_block
@@ -390,14 +449,20 @@ def _zbc_exact_kernel(seed_ref, consts_ref, out_ref, *, interpret):
     _moment_accum(out_ref, xa, ya, xb, yb, 2.0 * TILE_OPT * PAD)
 
 
-def _zbc_full_kernel(seed_ref, u0_ref, u1_ref, consts_ref, out_ref, *, prec,
+def _zbc_full_kernel(seed_ref, w_ref, h_ref, consts_ref, out_ref, *, prec,
                      interpret):
     """Transposed fullstep ZBC: steps in sublanes, paths in lanes;
-    z = U0 z0 + U1 z1 is an (8, TILE) matmul (rows 0/1 = z_r/z_i), so the
-    payoff/moment math runs on fully lane-utilized (1, TILE) rows."""
+    shocks from the MXU-mixed generator in 128-step blocks (G_q = H U_q
+    on sublanes); z = sum_q W_q G_q is an (8, TILE) matmul (rows 0/1 =
+    z_r/z_i), so the payoff/moment math runs on fully lane-utilized
+    (1, TILE) rows."""
     draw = _tile_rng(seed_ref, interpret)
-    z0, z1 = _box_muller_fast(draw, (u0_ref.shape[1], TILE_FULL_OPT))
-    z = _dot(u0_ref[:], z0, prec) + _dot(u1_ref[:], z1, prec)
+    nb = w_ref.shape[1] // _MIX_BLOCK
+    z = jnp.zeros((8, TILE_FULL_OPT), jnp.float32)
+    for q in range(nb):
+        G = _mixed_block(draw, h_ref, (_MIX_BLOCK // 2, TILE_FULL_OPT), q,
+                         transposed=True)
+        z += _dot(w_ref[:, q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], G, prec)
     z_r, z_i = z[0:1, :], z[1:2, :]
     xa, ya, xb, yb = _legs_pair(consts_ref, z_r, z_i)
     _moment_accum(out_ref, xa, ya, xb, yb, 2.0 * TILE_FULL_OPT)
@@ -471,12 +536,16 @@ def _delta_exact_kernel(seed_ref, consts_ref, out_ref, *, interpret):
     out_ref[1, :] += jnp.full((PAD,), 2.0 * TILE_OPT * PAD / PAD, jnp.float32)
 
 
-def _vega_full_kernel(seed_ref, u0_ref, u1_ref, consts_ref, out_ref, *, prec,
+def _vega_full_kernel(seed_ref, w_ref, h_ref, consts_ref, out_ref, *, prec,
                       interpret):
     """Transposed fullstep vega (see _zbc_full_kernel for the layout)."""
     draw = _tile_rng(seed_ref, interpret)
-    z0, z1 = _box_muller_fast(draw, (u0_ref.shape[1], TILE_FULL_OPT))
-    z = _dot(u0_ref[:], z0, prec) + _dot(u1_ref[:], z1, prec)
+    nb = w_ref.shape[1] // _MIX_BLOCK
+    z = jnp.zeros((8, TILE_FULL_OPT), jnp.float32)
+    for q in range(nb):
+        G = _mixed_block(draw, h_ref, (_MIX_BLOCK // 2, TILE_FULL_OPT), q,
+                         transposed=True)
+        z += _dot(w_ref[:, q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], G, prec)
     z_r, z_i = z[0:1, :], z[1:2, :]
     sigma = consts_ref[8]
     v = _vega_terms(consts_ref,
@@ -514,18 +583,19 @@ def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
         if kind == "delta":
             raise ValueError("fused delta requires the exact tier")
         u_shape, w_shape = engine_linear._shock_shapes(cfg, n1)
-        h = (n1 + 1) // 2
-        # transposed: (8, 2h) with rows 0/1 = the r/I shock shapes
-        Up = np.zeros((8, 2 * h), np.float32)
+        nb = -(-n1 // _MIX_BLOCK)
+        # transposed: (8, nb*128) with rows 0/1 = the r/I shock shapes
+        Up = np.zeros((8, nb * _MIX_BLOCK), np.float32)
         Up[0, :n1] = u_shape
         Up[1, :n1] = w_shape
-        U = tables.sig_st * jnp.asarray(Up)
+        Up *= _mix_d(nb * _MIX_BLOCK)[None, :]  # spectrum scrambler
+        U = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Up)
         paths_per_tile = TILE_FULL_OPT
         kernel = partial(_vega_full_kernel if kind == "vega"
                          else _zbc_full_kernel,
                          prec=cfg.matmul_precision,
                          interpret=cfg.pallas_interpret)
-        args_tail = (U[:, :h], U[:, h:], consts)
+        args_tail = (U, _hadamard_mix(), consts)
 
     # vega kernels are single-leg (like reference simulate_sensitivity);
     # the count they record already reflects that.
@@ -541,7 +611,7 @@ def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
         seeds = _key_seed(key, base_block * tiles_per_block, salt=salt)
         out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
                           (seeds,) + args_tail, out_rows=8,
-                          out_cols=out_cols)
+                          out_cols=out_cols, smem_last=False)
         if kind == "zbc":
             return jnp.sum(out[:6, :], axis=1)
         return jnp.sum(out[:2, :], axis=1)
