@@ -50,11 +50,13 @@ def main():
     rtt = fetch_rtt()
 
     # Reference scale: 2^20 pairs, 1000 steps, 101 mats.  The benchmark
-    # config uses one bf16 MXU pass for the sampling matmul ("default"):
-    # the bf16 rounding of the Gaussians is mean-zero with relative bias
-    # ~6e-7 on exp(-I) — invisible next to the 7e-5 MC noise of the
-    # published numbers — and worth ~1.6x on Q1 (measured).  The library
-    # default stays "highest" (true fp32).
+    # config uses one bf16 MXU pass for the sampling matmul ("default").
+    # Measured A/B at the 20-run CI level (RESULTS.md): the option price
+    # and vega are bit-identical (the exact option kernel has no matmul);
+    # P(0,10) shifts deterministically by -2.6e-5 (-3e-5 relative, paired
+    # seeds) — 0.4 sigma of the single-run MC noise of the published
+    # numbers — and is worth ~1.6x on Q1.  The library default stays
+    # "highest" (true fp32).
     cfg = HWConfig(matmul_precision="default" if on_tpu else "highest",
                    path_block=1 << 16)
     key = jax.random.key(cfg.seed)

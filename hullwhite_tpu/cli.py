@@ -394,6 +394,68 @@ def cmd_swaption(args):
     return 0
 
 
+def cmd_g2pp(args):
+    """Second model family at product parity: curve bootstrap, ZBC
+    (MC + RQMC + closed form), swaption (MC + conditional-decomposition
+    oracle), and CRN-FD vega — everything the Q1-Q3 pipeline does for
+    Hull-White, under G2++."""
+    from .instruments import swap_fixed_leg
+    from .models import g2pp
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 9292)
+    market = hwio.load_market(cfg)
+    g = g2pp.G2Params(a=args.g2a, b=args.g2b, sigma=args.g2sigma,
+                      eta=args.g2eta, rho=args.g2rho)
+    print(f"--- G2++ two-factor model: {g} ---")
+
+    # Q1 analogue: curve bootstrap must reproduce the calibration target
+    mc = g2pp.bootstrap_curve_g2(cfg, g, key, market,
+                                 n_paths=min(cfg.n_paths, 1 << 18))
+    err = float(np.max(np.abs(np.asarray(mc.P) - np.asarray(market.P))))
+    print(f"[curve] max |P_mc - P_target| = {err:.2e} "
+          f"({'PASS' if err < 5e-4 else 'CHECK'})")
+
+    # ZBC three ways
+    est = g2pp.price_zbc_g2(cfg, g, key, market)
+    true = g2pp.zbc_price_analytic(cfg, g, market)
+    q, qse = g2pp.price_zbc_g2_qmc(cfg, g, key, market)
+    print(f"[ZBC] MC (CV): {float(est.price):.8f} "
+          f"(raw SE {float(est.std_error_raw):.2e}, beta {float(est.beta):.4f})")
+    print(f"[ZBC] RQMC:    {float(q):.8f} +/- {float(qse):.2e} (SE)")
+    print(f"[ZBC] closed:  {true:.8f}")
+
+    # swaption / coupon-bond option vs the 1-d integral oracle
+    sched = swap_fixed_leg(cfg, args.rate, args.tenor, args.freq)
+    results = {"curve_max_err": err, "zbc_mc": float(est.price),
+               "zbc_qmc": float(q), "zbc_qmc_se": float(qse),
+               "zbc_closed": true}
+    for payer in (False, True):
+        kind = "payer" if payer else "receiver"
+        orc = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=payer)
+        sw = g2pp.price_swaption_g2(cfg, g, key, market, sched, payer=payer)
+        print(f"[swaption {kind}] MC {float(sw.price):.8f} "
+              f"(raw SE {float(sw.std_error_raw):.2e})  "
+              f"oracle {orc:.8f}")
+        results[f"swaption_{kind}_mc"] = float(sw.price)
+        results[f"swaption_{kind}_oracle"] = orc
+
+    v = float(g2pp.vega_zbc_g2(cfg, g, key, market, eps=args.eps))
+    v_an = g2pp.vega_zbc_g2_analytic(cfg, g, market)
+    vs = float(g2pp.vega_swaption_g2(cfg, g, key, market, sched,
+                                     eps=args.eps))
+    print(f"[vega] ZBC d/dsigma: CRN-FD {v:.6f}  closed-form FD {v_an:.6f}")
+    print(f"[vega] swaption d/dsigma (CRN-FD): {vs:.6f}")
+    results.update({"zbc_vega_fd": v, "zbc_vega_analytic": v_an,
+                    "swaption_vega_fd": vs})
+    hwio.write_json(hwio.DATA_DIR / "g2pp_results.json", "G2++ model", cfg,
+                    results=results)
+    ok = (err < 5e-4 and abs(float(est.price) - true) < 5e-4
+          and abs(v - v_an) < 0.15 * abs(v_an) + 1e-3)
+    print("validation:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def cmd_grid(args):
     from . import grid as grid_mod
 
@@ -465,6 +527,16 @@ def main(argv=None):
     ps.add_argument("--bermudan", action="store_true",
                     help="also price the Bermudan with annual exercises")
     sub.add_parser("grid", parents=[common])
+    pg2 = sub.add_parser("g2pp", parents=[common])
+    pg2.add_argument("--g2a", type=float, default=1.0)
+    pg2.add_argument("--g2b", type=float, default=0.1)
+    pg2.add_argument("--g2sigma", type=float, default=0.08)
+    pg2.add_argument("--g2eta", type=float, default=0.02)
+    pg2.add_argument("--g2rho", type=float, default=-0.6)
+    pg2.add_argument("--rate", type=float, default=0.025)
+    pg2.add_argument("--tenor", type=float, default=5.0)
+    pg2.add_argument("--freq", type=float, default=1.0)
+    pg2.add_argument("--eps", type=float, default=1e-2)
     pall = sub.add_parser("all", parents=[common])
     pall.add_argument("--validate", type=int, default=0)
     pall.add_argument("--eps", type=float, default=1e-3)
@@ -484,6 +556,8 @@ def main(argv=None):
         return cmd_swaption(args)
     if args.cmd == "grid":
         return cmd_grid(args)
+    if args.cmd == "g2pp":
+        return cmd_g2pp(args)
     if args.cmd == "all":
         rc = cmd_q1(args)
         rc |= cmd_q2(args)

@@ -251,3 +251,272 @@ def bootstrap_curve_g2(cfg: HWConfig, g: G2Params, key,
 
     P = compute(key, target.P)
     return MarketCurve(P=P, f=hw.forward_from_p(cfg, P))
+
+
+# ---------------------------------------------------------------------------
+# Coupon-bond options / European swaptions under G2++ (round 2)
+#
+# Jamshidian decomposition does not apply with two factors (the exercise
+# boundary is a curve in (x, y), not a point in r); the reference has no
+# two-factor analogue at all.  Pricing is by the same exact functional
+# sampling as the ZBC (3 normals per path, zero time-stepping), and the
+# oracle is the standard conditional-decomposition integral: conditional
+# on x(S1) the payoff is monotone in y, so the inner y-integral is a sum
+# of closed-form Gaussian terms around the root y-bar(x) and only a 1-d
+# fp64 quadrature over x remains (the structure of Brigo & Mercurio's
+# semi-analytic swaption formula, derived here from scratch).
+# ---------------------------------------------------------------------------
+
+def _fwd_means(g: G2Params, T: float):
+    """E^{Q^T}[x(T)], E^{Q^T}[y(T)] (the T-forward-measure drift of each
+    factor; symmetric formula, Brigo & Mercurio 4.30 style)."""
+    a, b, s, e, r = g.a, g.b, g.sigma, g.eta, g.rho
+
+    def m(k1, v1, k2, v2):
+        # mean of factor-1 with its own vol v1, speed k1, partner (k2, v2)
+        return ((v1 * v1 / (k1 * k1) + r * v1 * v2 / (k1 * k2))
+                * (1 - math.exp(-k1 * T))
+                - v1 * v1 / (2 * k1 * k1) * (1 - math.exp(-2 * k1 * T))
+                - r * v1 * v2 / (k2 * (k1 + k2))
+                * (1 - math.exp(-(k1 + k2) * T)))
+
+    return -m(a, s, b, e), -m(b, e, a, s)
+
+
+def _xy_cov(g: G2Params, T: float):
+    """(sx, sy, rho_xy) of (x(T), y(T)) — measure-independent."""
+    a, b, s, e, r = g.a, g.b, g.sigma, g.eta, g.rho
+    sx = s * math.sqrt((1 - math.exp(-2 * a * T)) / (2 * a))
+    sy = e * math.sqrt((1 - math.exp(-2 * b * T)) / (2 * b))
+    rxy = r * s * e * (1 - math.exp(-(a + b) * T)) / ((a + b) * sx * sy)
+    return sx, sy, rxy
+
+
+def _bond_terms_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                   times, coupons):
+    """fp64 (lam0_i, Ba_i, Bb_i): P(S1, T_i) = lam0_i e^{-Ba_i x - Bb_i y}
+    reconstructed from the market curve with the G2++ variance adjustment
+    ln A = ln(P(0,T)/P(0,S1)) + 1/2 [V(S1,T) - V(0,T) + V(0,S1)]."""
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    P1 = float(np.interp(cfg.s1, Ts_grid, P))
+    out = []
+    for T_i, c_i in zip(times, coupons):
+        tau = T_i - cfg.s1
+        vadj = 0.5 * (_v_integral(g, tau) - _v_integral(g, T_i)
+                      + _v_integral(g, cfg.s1))
+        A = float(np.interp(T_i, Ts_grid, P)) / P1 * math.exp(vadj)
+        out.append((c_i * A, _B(g.a, tau), _B(g.b, tau)))
+    return out, P1
+
+
+def swaption_g2_analytic(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                         sched, strike: float = 1.0, payer: bool = False,
+                         n_quad: int = 2001, width: float = 8.0) -> float:
+    """fp64 coupon-bond-option / swaption price by conditional
+    decomposition: payer = P(0,S1) E^{S1}[ (K - sum c_i P(S1,T_i))^+ ].
+
+    Conditional on x, V(x, y) = sum lam_i(x) e^{-Bb_i y} is decreasing in
+    y; the exercise root y-bar(x) is found by Newton and the inner
+    y-integral is closed-form:  E[e^{-beta y} 1{y > ybar}] =
+    e^{-beta m + beta^2 s^2 / 2} Phi((m - beta s^2 - ybar)/s).
+    """
+    terms, P1 = _bond_terms_g2(cfg, g, market, sched.times, sched.coupons)
+    lam0 = np.array([t[0] for t in terms])
+    Ba = np.array([t[1] for t in terms])
+    Bb = np.array([t[2] for t in terms])
+    mx, my = _fwd_means(g, cfg.s1)
+    sx, sy, rxy = _xy_cov(g, cfg.s1)
+
+    xs = mx + sx * np.linspace(-width, width, n_quad)
+    wpdf = np.exp(-0.5 * ((xs - mx) / sx) ** 2) / (sx * math.sqrt(2 * math.pi))
+    lam = lam0[None, :] * np.exp(-Ba[None, :] * xs[:, None])  # (nx, ni)
+    m_c = my + rxy * sy / sx * (xs - mx)          # conditional mean of y
+    s_c = sy * math.sqrt(1.0 - rxy * rxy)
+
+    # Newton for ybar(x): V(x, ybar) = strike  (V decreasing in y)
+    yb = np.full_like(xs, my)
+    for _ in range(60):
+        V = np.sum(lam * np.exp(-Bb[None, :] * yb[:, None]), axis=1)
+        dV = -np.sum(lam * Bb[None, :] *
+                     np.exp(-Bb[None, :] * yb[:, None]), axis=1)
+        step = (V - strike) / dV
+        yb = yb - step
+        if np.max(np.abs(step)) < 1e-14:
+            break
+
+    # inner closed form: for y > ybar, V < strike -> payer payoff K - V
+    d = (m_c - yb) / s_c
+    from scipy.stats import norm  # fp64 Phi; scipy is available
+    e_ind = norm.cdf(d)
+    e_v = np.sum(
+        lam * np.exp(-Bb[None, :] * m_c[:, None]
+                     + 0.5 * (Bb[None, :] * s_c) ** 2)
+        * norm.cdf(d[:, None] - Bb[None, :] * s_c), axis=1)
+    payer_inner = strike * e_ind - e_v          # E[(K - V) 1{y > ybar}]
+    inner = payer_inner if payer else (
+        payer_inner + np.sum(lam * np.exp(-Bb[None, :] * m_c[:, None]
+                                          + 0.5 * (Bb[None, :] * s_c) ** 2),
+                             axis=1) - strike)  # put-call parity per x
+    val = np.trapezoid(wpdf * inner, xs)
+    return float(P1 * val)
+
+
+class G2CBO(NamedTuple):
+    price: jax.Array
+    price_raw: jax.Array
+    beta: jax.Array
+    std_error_raw: jax.Array
+    n: int
+
+
+@lru_cache(maxsize=None)
+def _g2_cbo_fn(cfg: HWConfig, g: G2Params, times, coupons, strike: float,
+               payer: bool, n_paths: int):
+    LT = jnp.asarray(_state_chol(g, cfg.s1))
+    d0 = -0.5 * _v_integral(g, cfg.s1)
+    # static per-cashflow quantities (the market curve stays traced)
+    vadj = [0.5 * (_v_integral(g, t - cfg.s1) - _v_integral(g, t)
+                   + _v_integral(g, cfg.s1)) for t in times]
+    Ba = jnp.asarray([_B(g.a, t - cfg.s1) for t in times], jnp.float32)
+    Bb = jnp.asarray([_B(g.b, t - cfg.s1) for t in times], jnp.float32)
+
+    def compute(key, market):
+        P1 = hw.interp_curve(market.P, jnp.float32(cfg.s1), cfg)
+        P0i = hw.interp_curve(market.P, jnp.asarray(times, jnp.float32),
+                              cfg)
+        lam0 = (jnp.asarray(coupons, jnp.float32) * P0i / P1
+                * jnp.exp(jnp.asarray(vadj, jnp.float32)))
+        disc0 = P1 * jnp.exp(jnp.float32(d0))
+        # E[disc * V_bond] = sum c_i P(0, T_i) (martingale control)
+        EY = jnp.sum(jnp.asarray(coupons, jnp.float32) * P0i)
+
+        xn = jax.random.normal(key, (n_paths, 3), jnp.float32)
+        z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                    precision=cfg.matmul_precision)
+
+        sgn_pay = -1.0 if payer else 1.0
+
+        def leg(sgn):
+            x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
+            V = jnp.sum(lam0[None, :] * jnp.exp(-Ba[None, :] * x[:, None]
+                                                - Bb[None, :] * y[:, None]),
+                        axis=1)
+            disc = disc0 * jnp.exp(-I)
+            X = disc * jnp.maximum(sgn_pay * (V - strike), 0.0)
+            Yc = disc * V - EY
+            return X, Yc
+
+        x1, y1 = leg(1.0)
+        x2, y2 = leg(-1.0)
+        n = 2.0 * n_paths
+        mean_x = (jnp.sum(x1) + jnp.sum(x2)) / n
+        mean_yc = (jnp.sum(y1) + jnp.sum(y2)) / n
+        var_y = (jnp.sum(y1 * y1) + jnp.sum(y2 * y2)) / n - mean_yc ** 2
+        var_x = (jnp.sum(x1 * x1) + jnp.sum(x2 * x2)) / n - mean_x ** 2
+        cov = (jnp.sum(x1 * y1) + jnp.sum(x2 * y2)) / n - mean_x * mean_yc
+        beta = cov / var_y
+        return (mean_x - beta * mean_yc, mean_x, beta,
+                jnp.sqrt(jnp.maximum(var_x, 0.0) / n))
+
+    return jax.jit(compute)
+
+
+def price_swaption_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
+                      sched, strike: float = 1.0, payer: bool = False,
+                      n_paths: int | None = None) -> G2CBO:
+    """CV-adjusted G2++ coupon-bond option (== European swaption on the
+    fixed leg) by exact functional sampling: 3 normals per path."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    price, raw, beta, se = _g2_cbo_fn(
+        cfg, g, tuple(sched.times), tuple(sched.coupons), float(strike),
+        bool(payer), int(n_paths))(key, market)
+    return G2CBO(price=price, price_raw=raw, beta=beta, std_error_raw=se,
+                 n=int(n_paths))
+
+
+# ---------------------------------------------------------------------------
+# G2++ vega (CRN finite differences) and 3-d RQMC
+# ---------------------------------------------------------------------------
+
+def vega_zbc_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve, *,
+                eps: float = 1e-3, n_paths: int | None = None):
+    """d price / d sigma by central differences under common random
+    numbers (same key => identical normals; the Cholesky factor carries
+    all the sigma-dependence, mirroring greeks.fd_vega_crn)."""
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    pp = price_zbc_g2(cfg, gp, key, market, n_paths=n_paths).price
+    pm = price_zbc_g2(cfg, gm, key, market, n_paths=n_paths).price
+    return (pp - pm) / (2.0 * eps)
+
+
+def vega_zbc_g2_analytic(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                         eps: float = 1e-6) -> float:
+    """fp64 oracle: central difference of the closed form."""
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    return (zbc_price_analytic(cfg, gp, market)
+            - zbc_price_analytic(cfg, gm, market)) / (2.0 * eps)
+
+
+def vega_swaption_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
+                     sched, *, strike: float = 1.0, payer: bool = False,
+                     eps: float = 1e-3, n_paths: int | None = None):
+    """Swaption vega by CRN central differences (MC)."""
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    pp = price_swaption_g2(cfg, gp, key, market, sched, strike=strike,
+                           payer=payer, n_paths=n_paths).price
+    pm = price_swaption_g2(cfg, gm, key, market, sched, strike=strike,
+                           payer=payer, n_paths=n_paths).price
+    return (pp - pm) / (2.0 * eps)
+
+
+@lru_cache(maxsize=None)
+def _g2_zbc_qmc_fn(cfg: HWConfig, g: G2Params, n_points: int,
+                   n_shifts: int):
+    from ..ops.sobol import sobol
+
+    LT = jnp.asarray(_state_chol(g, cfg.s1))
+    a, b = g.a, g.b
+    tau = cfg.s2 - cfg.s1
+    Ba = jnp.float32(_B(a, tau))
+    Bb = jnp.float32(_B(b, tau))
+    vadj = 0.5 * (_v_integral(g, tau) - _v_integral(g, cfg.s2)
+                  + _v_integral(g, cfg.s1))
+    d0 = -0.5 * _v_integral(g, cfg.s1)
+
+    def one_shift(shift, market):
+        P1 = hw.interp_curve(market.P, jnp.float32(cfg.s1), cfg)
+        P2 = hw.interp_curve(market.P, jnp.float32(cfg.s2), cfg)
+        A = (P2 / P1) * jnp.exp(jnp.float32(vadj))
+        disc0 = P1 * jnp.exp(jnp.float32(d0))
+        u = sobol(n_points, 3, shift)
+        xn = jax.scipy.special.ndtri(u)
+        z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                    precision=cfg.matmul_precision)
+
+        def leg(sgn):
+            Pb = A * jnp.exp(-Ba * sgn * z[:, 0] - Bb * sgn * z[:, 1])
+            return jnp.mean(disc0 * jnp.exp(-sgn * z[:, 2])
+                            * jnp.maximum(Pb - cfg.strike, 0.0))
+
+        return 0.5 * (leg(1.0) + leg(-1.0))
+
+    def compute(key, market):
+        shifts = jax.random.bits(key, (n_shifts, 3), jnp.uint32)
+        vals = jax.lax.map(lambda s: one_shift(s, market), shifts)
+        return (jnp.mean(vals),
+                jnp.std(vals, ddof=1) / jnp.sqrt(1.0 * n_shifts))
+
+    return jax.jit(compute)
+
+
+def price_zbc_g2_qmc(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
+                     n_points: int = 1 << 16, n_shifts: int = 8):
+    """Randomized-QMC G2++ ZBC: 3-d scrambled Sobol through the exact
+    functional law (the G2++ analogue of ops.qmc.price_zbc_qmc)."""
+    mean, se = _g2_zbc_qmc_fn(cfg, g, n_points, n_shifts)(key, market)
+    return mean, se

@@ -106,3 +106,65 @@ def test_g2_cov_integrals_diagonal_matches_v():
     for T in [1.0, 4.0, 10.0]:
         assert abs(g2pp._cov_integrals(G2, T, T)
                    - g2pp._v_integral(G2, T)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Round 2: coupon-bond options / swaptions, vega, 3-d RQMC
+# ---------------------------------------------------------------------------
+
+def test_swaption_oracle_degenerates_to_zbc(analytic_market):
+    """A single-cashflow CBO with strike K is exactly the ZBC: the 1-d
+    conditional-decomposition integral must match the closed form."""
+    from hullwhite_tpu.instruments import CouponSchedule
+
+    sched = CouponSchedule(times=(CFG.s2,), coupons=(1.0,))
+    orc = g2pp.swaption_g2_analytic(CFG, G2, analytic_market, sched,
+                                    strike=CFG.strike, payer=False)
+    zbc = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
+    assert abs(orc - zbc) < 1e-9
+
+
+def test_swaption_mc_matches_oracle(analytic_market):
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    for payer in (False, True):
+        orc = g2pp.swaption_g2_analytic(CFG, G2, analytic_market, sched,
+                                        payer=payer)
+        est = g2pp.price_swaption_g2(CFG, G2, KEY, analytic_market, sched,
+                                     payer=payer, n_paths=1 << 16)
+        se = float(est.std_error_raw)
+        assert abs(float(est.price) - orc) < 5 * se + 2e-4, (payer, orc)
+
+
+def test_swaption_payer_receiver_parity(analytic_market):
+    """payer - receiver = K P(0,S1) - sum c_i P(0,T_i) (model-free)."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    pay = g2pp.swaption_g2_analytic(CFG, G2, analytic_market, sched,
+                                    payer=True)
+    rec = g2pp.swaption_g2_analytic(CFG, G2, analytic_market, sched,
+                                    payer=False)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.asarray(analytic_market.P, np.float64)
+    fwd = (float(np.interp(CFG.s1, Ts, P))
+           - sum(c * float(np.interp(t, Ts, P))
+                 for t, c in zip(sched.times, sched.coupons)))
+    assert abs((pay - rec) - fwd) < 2e-6
+
+
+def test_g2_vega_crn_fd_matches_analytic(analytic_market):
+    v = float(g2pp.vega_zbc_g2(CFG, G2, KEY, analytic_market, eps=1e-2,
+                               n_paths=1 << 18))
+    v_an = g2pp.vega_zbc_g2_analytic(CFG, G2, analytic_market)
+    assert abs(v - v_an) < 0.10 * abs(v_an) + 5e-4, (v, v_an)
+
+
+def test_g2_zbc_qmc_matches_analytic(analytic_market):
+    q, qse = g2pp.price_zbc_g2_qmc(CFG, G2, KEY, analytic_market,
+                                   n_points=1 << 12, n_shifts=8)
+    true = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
+    assert abs(float(q) - true) < 6 * float(qse) + 1e-5
+    # RQMC must beat plain MC SE at the same budget by a wide margin
+    assert float(qse) < 2e-5
