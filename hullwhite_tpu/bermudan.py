@@ -1,4 +1,5 @@
-"""Bermudan swaptions / coupon-bond options via two-pass Longstaff-Schwartz.
+"""Bermudan swaptions / coupon-bond options: two-pass Longstaff-Schwartz
+lower bound + Andersen-Broadie dual upper bound + near-exact DP oracle.
 
 A multi-date extension of the exact functional engine: the state the policy
 needs — (r(e_1), I(e_1), ..., r(e_k), I(e_k)) at the exercise dates — is
@@ -6,29 +7,48 @@ jointly Gaussian with covariance computable from the same shock shapes as
 everything else, so Bermudan paths are sampled EXACTLY with 2k normals per
 path (no time stepping, no discretization of the policy dates).
 
-Pricing follows the standard regression method (cf. the regression-based
-variance-reduction literature in PAPERS.md):
+Pricing (cf. the regression-based literature in PAPERS.md):
 
-* backward induction over exercise dates, regressing the realized
-  discounted continuation value on a polynomial basis in r(e_j) over
-  in-the-money paths (ridge-regularized normal equations on device);
-* TWO-PASS to remove foresight bias: the policy (regression coefficients)
-  is estimated on one set of paths and the price evaluated on an
-  independent set — the out-of-sample price is a true lower bound in
-  expectation.
+* LOWER bound: backward induction over exercise dates, regressing realized
+  discounted continuation on a basis [1, r, r^2, r^3, V_bond(r)] over
+  in-the-money paths (ridge-regularized normal equations on device); the
+  TWO-PASS split (policy estimated on one path set, price evaluated
+  out-of-sample on independent paths) removes foresight bias, so the price
+  is a true lower bound in expectation.  The evaluation pass streams path
+  blocks (lax.map over folded keys) so the SE-determining sample size is
+  unbounded by memory, and can optionally use randomized QMC (2k-dim
+  scrambled Sobol from ops.sobol).
+
+* UPPER bound: Andersen-Broadie duality, price <= E[max_j (Z_j - M_j)]
+  for ANY martingale M.  M is built from a smooth value proxy
+  V^_j(r) = gamma_j . basis(r) fitted in the estimation pass; the
+  one-step conditional expectations E[e^{-dI} phi(r_t) | r_s] that make M
+  a martingale are CLOSED FORM for every basis feature (Gaussian
+  exponential tilting for the polynomial features; a bivariate-lognormal
+  mean for the bond-value feature), so no nested simulation is needed —
+  the reference's GPU literature pays an inner simulation per date here.
+
+* ORACLE: r(t) is 1-d Gauss-Markov, so the true Bermudan price is a 1-d
+  dynamic program: V_j(r) = max(payoff_j(r), E[e^{-dI} V_{j+1}(r_t)|r_s]),
+  evaluated in float64 on a fine grid with Gauss-Hermite quadrature and
+  the same closed-form discount tilting.  ``dp_oracle`` is exact up to
+  quadrature/interpolation error (~1e-6) and pins BOTH Monte Carlo bounds
+  in tests — far stronger than bracket-width checks alone.
 
 Sanity identities tested: one exercise date == European (Jamshidian);
-more dates never cheapen the option; out-of-sample <= in-sample.
+lower <= oracle <= upper within MC noise; more dates never cheapen.
 """
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 from typing import NamedTuple, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .config import HWConfig
 from .models import hull_white as hw
@@ -37,8 +57,9 @@ from .instruments import CouponSchedule, _bond_value_terms
 from .ops.engine_linear import _shock_shapes, det_trajectory
 from . import pricing
 
-BASIS_DEGREE = 3   # regression basis: [1, r, r^2, r^3]
+BASIS_DEGREE = 3   # polynomial part of the basis: [1, r, r^2, r^3]
 RIDGE = 1e-9
+_DOUBLE_FACT = {0: 1.0, 2: 1.0, 4: 3.0, 6: 15.0}  # E[zeta^q], q even
 
 
 def _step_index(cfg: HWConfig, t: float) -> int:
@@ -51,8 +72,7 @@ def _step_index(cfg: HWConfig, t: float) -> int:
 @lru_cache(maxsize=None)
 def _joint_chol(cfg: HWConfig, ex_dates: tuple):
     """fp64 Cholesky^T of the (2k, 2k) covariance of
-    (r(e_1), I(e_1), ..., r(e_k), I(e_k)) / sig_st, plus the deterministic
-    means /1 (r_det, I_det) at each date."""
+    (r(e_1), I(e_1), ..., r(e_k), I(e_k)) / sig_st."""
     k = len(ex_dates)
     U = np.zeros((cfg.n_steps, 2 * k))
     for j, t in enumerate(ex_dates):
@@ -65,6 +85,53 @@ def _joint_chol(cfg: HWConfig, ex_dates: tuple):
     return np.asarray(L.T, np.float32)  # z = x @ L^T
 
 
+@lru_cache(maxsize=None)
+def _interval_params(cfg: HWConfig, ex_dates: tuple):
+    """fp64 conditional-Gaussian parameters of each exercise interval.
+
+    For interval i (from s = e_{i-1}, with e_0 = 0, to t = e_i), writing
+    centered variables per unit sig_st, conditional on r_s:
+
+      r_t | r_s  ~  N( rdet_t + bt (r_s - rdet_s),  sig^2 vt )
+      dI  | r_s  ~  N( didet  + bI (r_s - rdet_s),  sig^2 vI )
+      Cov(r_t, dI | r_s) = sig^2 ctI
+
+    Returns a list of dicts {bt, bI, vt, vI, ctI} (sig-independent; the
+    deterministic parts come from the runtime drift tables).
+    """
+    out = []
+    prev_n = 0
+    u_prev = w_prev = None
+    for t in ex_dates:
+        n = _step_index(cfg, t)
+        u_cur, w_cur = (np.asarray(a, np.float64)
+                        for a in _shock_shapes(cfg, n))
+        d = w_cur.copy()
+        if prev_n:
+            d[:prev_n] -= w_prev
+            up = np.zeros(n)
+            up[:prev_n] = u_prev
+        else:
+            up = np.zeros(n)
+        v_ss = float(up @ up)
+        c_st = float(up @ u_cur)
+        v_tt = float(u_cur @ u_cur)
+        c_sI = float(up @ d)
+        c_tI = float(u_cur @ d)
+        v_II = float(d @ d)
+        if v_ss > 1e-14:
+            bt, bI = c_st / v_ss, c_sI / v_ss
+            vt = v_tt - c_st * c_st / v_ss
+            vI = v_II - c_sI * c_sI / v_ss
+            ctI = c_tI - c_st * c_sI / v_ss
+        else:
+            bt = bI = 0.0
+            vt, vI, ctI = v_tt, v_II, c_tI
+        out.append(dict(bt=bt, bI=bI, vt=vt, vI=vI, ctI=ctI))
+        prev_n, u_prev, w_prev = n, u_cur, w_cur
+    return tuple(out)
+
+
 def _det_states(cfg: HWConfig, tables, ex_dates: tuple):
     """(k,) deterministic r and I at the exercise dates (G = 0 scan)."""
     rs, Is = det_trajectory(cfg, tables)
@@ -72,71 +139,134 @@ def _det_states(cfg: HWConfig, tables, ex_dates: tuple):
     return rs[idx], Is[idx]
 
 
-def _basis(r, mu, sd):
-    """(n, BASIS_DEGREE+1) polynomial design matrix.  ``mu``/``sd`` are the
-    MODEL's mean and sd of r at the date (not batch statistics): the policy
-    must be a fixed function of r, or the out-of-sample pass would apply a
-    different, evaluation-set-dependent policy and lose the lower-bound
-    guarantee."""
-    r = (r - mu) / sd
-    return jnp.stack([r ** p for p in range(BASIS_DEGREE + 1)], axis=1)
+# ---------------------------------------------------------------------------
+# Regression basis: [1, r~, r~^2, r~^3, V_bond(r)] — a fixed function of r
+# per date (model statistics, never batch statistics: the out-of-sample
+# pass must apply the SAME policy or the lower-bound guarantee is lost).
+# ---------------------------------------------------------------------------
+
+def _vb_norms(mu, sd, cA, B, v0):
+    """Linear-detrend slope and curvature scale of the bond-value feature
+    at the model mean (both deterministic functions of the date): the raw
+    V_bond(r)/v0 is ~0.999-correlated with the linear term over the state
+    range, which makes the fp32 normal equations solve unstable (observed:
+    compiled vs eager solutions diverged).  The detrended, curvature-
+    rescaled residual is O(r~^2)-shaped and well conditioned."""
+    e = cA * jnp.exp(-B * mu)
+    c1 = -sd * jnp.sum(e * B) / v0
+    c2 = 0.5 * sd * sd * jnp.sum(e * B * B) / v0
+    return c1, c2
+
+
+def _basis(r, mu, sd, cA, B, v0):
+    """Policy basis: [1, r~, r~^2, r~^3, clip(V-residual)].  The bond
+    feature is clipped at +/-8 (its exponential tails otherwise dominate
+    the fp32 Gram matrix); the policy may be ANY fixed function of r, so
+    clipping costs nothing in lower-bound validity.  The dual value proxy
+    uses only the polynomial columns (closed-form expectations)."""
+    rt = (r - mu) / sd
+    vb = jnp.sum(cA[None, :] * jnp.exp(-B[None, :] * r[:, None]), axis=1)
+    c1, c2 = _vb_norms(mu, sd, cA, B, v0)
+    feat = jnp.clip((vb / v0 - 1.0 - c1 * rt) / c2, -8.0, 8.0)
+    cols = [rt ** p for p in range(BASIS_DEGREE + 1)] + [feat]
+    return jnp.stack(cols, axis=1)
 
 
 def _wls(X, y, w, prec):
-    """Ridge-regularized weighted least squares on device (explicit matmul
-    precision: the platform default is bf16-level)."""
-    Xw = X * w[:, None]
-    A = jnp.dot(X.T, Xw, precision=prec) + RIDGE * jnp.eye(
-        X.shape[1], dtype=X.dtype)
-    b = jnp.dot(Xw.T, y, precision=prec)
-    return jnp.linalg.solve(A, b)
+    """Weighted least squares by QR (normal equations in fp32 were
+    observed to flip solutions between compiled and eager execution on
+    this basis; QR is backward-stable)."""
+    sw = jnp.sqrt(w)[:, None]
+    Xw = jnp.concatenate(
+        [X * sw, math.sqrt(RIDGE) * jnp.eye(X.shape[1], dtype=X.dtype)])
+    yw = jnp.concatenate([y * sw[:, 0], jnp.zeros((X.shape[1],), X.dtype)])
+    Q, R = jnp.linalg.qr(Xw)
+    return jax.scipy.linalg.solve_triangular(
+        R, jnp.dot(Q.T, yw, precision=prec), lower=False)
+
+
+def _tilted_basis_expectation(gamma, mu, sd, m_t, v_t, mI, vI, ctI):
+    """E[ e^{-dI} (gamma . poly_basis(r_t)) | r_s ], closed form.
+
+    (r_t, dI) | r_s is bivariate normal with means (m_t, mI) (arrays over
+    paths) and constants (v_t, vI, ctI).  Tilting by e^{-dI} multiplies by
+    e^{-mI + vI/2} and shifts r_t's mean by -ctI; the polynomial features
+    then take Gaussian power moments (the dual value proxy is polynomial-
+    only so this expectation — hence the martingale property — is exact).
+    """
+    w0 = jnp.exp(-mI + 0.5 * vI)
+    m_tilt = m_t - ctI
+    s = (m_tilt - mu) / sd
+    wv = v_t / (sd * sd)
+    # E[r~^p] via the binomial/(q-1)!! expansion, p <= 3
+    e_pow = [jnp.ones_like(s), s, s * s + wv, s ** 3 + 3 * s * wv]
+    acc = sum(gamma[p] * e_pow[p] for p in range(BASIS_DEGREE + 1))
+    return w0 * acc
 
 
 class BermudanResult(NamedTuple):
-    price: jax.Array            # out-of-sample (policy-independent paths)
+    price: jax.Array            # out-of-sample LSMC lower bound
     price_in_sample: jax.Array  # in-sample (upward-biased)
     std_error: jax.Array        # out-of-sample SE
+    upper: jax.Array            # Andersen-Broadie dual upper bound
+    upper_std_error: jax.Array
     n_paths: int
     exercise_dates: tuple
 
 
 @lru_cache(maxsize=None)
 def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
-                 strike: float, payer: bool, n_paths: int):
+                 strike: float, payer: bool, n_paths: int, n_blocks: int,
+                 rqmc: bool):
     k = len(ex_dates)
     LT = jnp.asarray(_joint_chol(cfg, ex_dates))
+    ivp = _interval_params(cfg, ex_dates)
 
-    def states(key, sigma, tables):
-        """(r, I) at all exercise dates for n_paths paths: (n, k) each."""
-        x = jax.random.normal(key, (n_paths, 2 * k), jnp.float32)
-        z = tables.sig_st * jnp.dot(x, LT, preferred_element_type=jnp.float32,
+    def states_from_normals(x, sigma, tables):
+        z = tables.sig_st * jnp.dot(x, LT,
+                                    preferred_element_type=jnp.float32,
                                     precision=cfg.matmul_precision)
         r_det, i_det = _det_states(cfg, tables, ex_dates)
-        r = r_det[None, :] + z[:, 0::2]
-        integral = i_det[None, :] + z[:, 1::2]
-        return r, integral
+        return r_det[None, :] + z[:, 0::2], i_det[None, :] + z[:, 1::2]
 
-    def payoff_at(j, r, sigma, market):
-        """Exercise value at date e_j: option on the remaining cashflows
-        (valuation shared with instruments._bond_value_terms)."""
+    def payoff_terms(j, sigma, market):
         cA, B = _bond_value_terms(cfg, sigma, market, sched, t=ex_dates[j])
-        V = jnp.sum(cA[None, :] * jnp.exp(-B[None, :] * r[:, None]), axis=1)
+        return cA, B
+
+    def payoff_at(r_j, cA, B):
+        V = jnp.sum(cA[None, :] * jnp.exp(-B[None, :] * r_j[:, None]),
+                    axis=1)
         intrinsic = (strike - V) if payer else (V - strike)
         return jnp.maximum(intrinsic, 0.0)
 
-    def backward(r, integral, sigma, market, stats, betas=None):
-        """LSMC backward induction.  betas=None: estimate the policy and
-        return (price, betas); else apply the given frozen policy.
-        ``stats`` are the model's (mu_j, sd_j) of r at each date."""
+    def model_stats(sigma, tables):
+        r_det, _ = _det_states(cfg, tables, ex_dates)
+        sds = tables.sig_st * jnp.asarray(
+            [float(np.linalg.norm(
+                _shock_shapes(cfg, _step_index(cfg, t))[0], ord=2))
+             for t in ex_dates], jnp.float32)
+        return r_det, sds
+
+    def backward(r, integral, sigma, market, stats, terms, v0s,
+                 betas=None, fit_value=False):
+        """LSMC backward induction; optionally also fit the value-proxy
+        coefficients gamma_j (for the dual martingale) on ALL paths."""
         prec = cfg.matmul_precision
-        D = jnp.exp(-integral)                       # (n, k) discounts to 0
-        cf = payoff_at(k - 1, r[:, k - 1], sigma, market) * D[:, k - 1]
+        n = r.shape[0]
+        D = jnp.exp(-integral)
+        ones = jnp.ones((n,), jnp.float32)
+        cf = payoff_at(r[:, k - 1], *terms[k - 1]) * D[:, k - 1]
         est = betas is None
         out_betas = [None] * max(k - 1, 0)
+        gammas = [None] * k
+        if fit_value:
+            Xl = _basis(r[:, k - 1], stats[0][k - 1], stats[1][k - 1],
+                        *terms[k - 1], v0s[k - 1])[:, :BASIS_DEGREE + 1]
+            gammas[k - 1] = _wls(Xl, cf / D[:, k - 1], ones, prec)
         for j in range(k - 2, -1, -1):
-            pj = payoff_at(j, r[:, j], sigma, market)
-            X = _basis(r[:, j], stats[0][j], stats[1][j])
-            y = cf / D[:, j]                         # continuation at e_j
+            pj = payoff_at(r[:, j], *terms[j])
+            X = _basis(r[:, j], stats[0][j], stats[1][j], *terms[j], v0s[j])
+            y = cf / D[:, j]
             itm = (pj > 0.0).astype(jnp.float32)
             if est:
                 beta = _wls(X, y, itm, prec)
@@ -146,24 +276,93 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             cont = jnp.dot(X, beta, precision=prec)
             exercise = (pj > cont) & (pj > 0.0)
             cf = jnp.where(exercise, pj * D[:, j], cf)
-        price = jnp.mean(cf)
-        se = jnp.std(cf, ddof=1) / jnp.sqrt(1.0 * n_paths)
-        return price, se, out_betas
+            if fit_value:
+                gammas[j] = _wls(X[:, :BASIS_DEGREE + 1], cf / D[:, j],
+                                 ones, prec)
+        return cf, out_betas, gammas
+
+    def dual_path_bound(r, integral, sigma, tables, market, stats, terms,
+                        v0s, gammas):
+        """max_j (Z_j - M_j) per path: the AB dual with the closed-form
+        martingale increments (no nested simulation)."""
+        sig2 = tables.sig_st * tables.sig_st
+        r_det, i_det = _det_states(cfg, tables, ex_dates)
+        D = jnp.exp(-integral)
+        M = jnp.zeros((r.shape[0],), jnp.float32)
+        best = None   # initialized from the first date (no -inf literal:
+        # an infinity constant in the traced graph can surface as NaN
+        # under XLA fusion in some branch combinations)
+        for j in range(k):
+            p = ivp[j]
+            if j == 0:
+                r_s = jnp.full((r.shape[0],), cfg.r0, jnp.float32)
+                D_prev = jnp.ones_like(M)
+                rdet_s = jnp.float32(cfg.r0)
+                didet = i_det[0]
+            else:
+                r_s = r[:, j - 1]
+                D_prev = D[:, j - 1]
+                rdet_s = r_det[j - 1]
+                didet = i_det[j] - i_det[j - 1]
+            m_t = r_det[j] + jnp.float32(p["bt"]) * (r_s - rdet_s)
+            mI = didet + jnp.float32(p["bI"]) * (r_s - rdet_s)
+            v_t = sig2 * jnp.float32(p["vt"])
+            vI = sig2 * jnp.float32(p["vI"])
+            ctI = sig2 * jnp.float32(p["ctI"])
+            cond = _tilted_basis_expectation(
+                gammas[j], stats[0][j], stats[1][j], m_t, v_t, mI, vI, ctI)
+            X = _basis(r[:, j], stats[0][j], stats[1][j], *terms[j],
+                       v0s[j])[:, :BASIS_DEGREE + 1]
+            vhat = jnp.dot(X, gammas[j], precision=cfg.matmul_precision)
+            M = M + D[:, j] * vhat - D_prev * cond
+            Z = D[:, j] * payoff_at(r[:, j], *terms[j])
+            best = Z - M if best is None else jnp.maximum(best, Z - M)
+        return best
 
     def compute(key, sigma, market):
         tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
-        # model mean/sd of r(e_j): deterministic part + sig_st * ||u_j||
-        r_det, _ = _det_states(cfg, tables, ex_dates)
-        sds = tables.sig_st * jnp.asarray(
-            [float(np.linalg.norm(_shock_shapes(cfg, _step_index(cfg, t))[0],
-                                  ord=2)) for t in ex_dates], jnp.float32)
-        stats = (r_det, sds)
+        stats = model_stats(sigma, tables)
+        terms = [payoff_terms(j, sigma, market) for j in range(k)]
+        # bond value at the model-mean rate (basis normalizer)
+        v0s = [jnp.sum(terms[j][0] * jnp.exp(-terms[j][1] * stats[0][j]))
+               for j in range(k)]
         k_est, k_val = jax.random.split(key)
-        r_a, i_a = states(k_est, sigma, tables)
-        p_in, _, betas = backward(r_a, i_a, sigma, market, stats)
-        r_b, i_b = states(k_val, sigma, tables)
-        p_out, se, _ = backward(r_b, i_b, sigma, market, stats, betas=betas)
-        return p_out, p_in, se
+
+        # --- pass 1: estimate policy + value proxy (single batch) ---
+        x = jax.random.normal(k_est, (n_paths, 2 * k), jnp.float32)
+        r_a, i_a = states_from_normals(x, sigma, tables)
+        cf_in, betas, gammas = backward(r_a, i_a, sigma, market, stats,
+                                        terms, v0s, fit_value=True)
+        p_in = jnp.mean(cf_in)
+
+        # --- pass 2: out-of-sample lower + dual upper, block-streamed ---
+        def block(b):
+            if rqmc:
+                from .ops.sobol import sobol
+
+                shift = jax.random.bits(jax.random.fold_in(k_val, b),
+                                        (2 * k,), jnp.uint32)
+                x = jax.scipy.special.ndtri(sobol(n_paths, 2 * k, shift))
+            else:
+                x = jax.random.normal(jax.random.fold_in(k_val, b),
+                                      (n_paths, 2 * k), jnp.float32)
+            r_b, i_b = states_from_normals(x, sigma, tables)
+            cf, _, _ = backward(r_b, i_b, sigma, market, stats, terms,
+                                v0s, betas=betas)
+            u = dual_path_bound(r_b, i_b, sigma, tables, market, stats,
+                                terms, v0s, gammas)
+            return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
+                              jnp.sum(u), jnp.sum(u * u)])
+
+        sums = jnp.sum(lax.map(block, jnp.arange(n_blocks)), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        p_out = sums[0] / n_tot
+        se = jnp.sqrt(jnp.maximum(sums[1] / n_tot - p_out ** 2, 0.0)
+                      / n_tot)
+        up = sums[2] / n_tot
+        up_se = jnp.sqrt(jnp.maximum(sums[3] / n_tot - up ** 2, 0.0)
+                         / n_tot)
+        return p_out, p_in, se, up, up_se
 
     return jax.jit(compute)
 
@@ -171,8 +370,17 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
 def price_bermudan(cfg: HWConfig, key, market: MarketCurve,
                    sched: CouponSchedule, exercise_dates: Sequence[float],
                    *, strike: float = 1.0, payer: bool = False, sigma=None,
-                   n_paths: int | None = None) -> BermudanResult:
-    """Two-pass LSMC Bermudan coupon-bond option / swaption price."""
+                   n_paths: int | None = None, n_blocks: int = 1,
+                   rqmc: bool = False) -> BermudanResult:
+    """Two-pass LSMC Bermudan price bracketed by the AB dual upper bound.
+
+    ``n_paths`` is the per-block path count (the policy-estimation pass
+    uses one block); the evaluation pass streams ``n_blocks`` independent
+    blocks, so the total out-of-sample sample is n_paths * n_blocks with
+    constant memory.  ``rqmc=True`` draws each evaluation block from a
+    2k-dimensional digitally-shifted Sobol sequence instead (the shifts
+    are the block replicates).
+    """
     if sigma is None:
         sigma = cfg.sigma
     if n_paths is None:
@@ -185,8 +393,77 @@ def price_bermudan(cfg: HWConfig, key, market: MarketCurve,
     # convention: exercising exactly on a payment date forfeits that
     # payment (the `alive` mask in payoff_at is strict), i.e. exercise
     # happens immediately after the coupon.
-    p_out, p_in, se = _bermudan_fn(cfg, ex, sched, float(strike),
-                                   bool(payer), int(n_paths))(
+    p_out, p_in, se, up, up_se = _bermudan_fn(
+        cfg, ex, sched, float(strike), bool(payer), int(n_paths),
+        int(n_blocks), bool(rqmc))(
         key, jnp.asarray(sigma, jnp.float32), market)
     return BermudanResult(price=p_out, price_in_sample=p_in, std_error=se,
-                          n_paths=int(n_paths), exercise_dates=ex)
+                          upper=up, upper_std_error=up_se,
+                          n_paths=int(n_paths) * int(n_blocks),
+                          exercise_dates=ex)
+
+
+# ---------------------------------------------------------------------------
+# Near-exact oracle: 1-d dynamic programming on the Gauss-Markov short rate
+# ---------------------------------------------------------------------------
+
+def dp_oracle(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
+              exercise_dates: Sequence[float], *, strike: float = 1.0,
+              payer: bool = False, n_grid: int = 4001, width: float = 9.0,
+              n_quad: int = 192) -> float:
+    """float64 Bermudan price by backward induction on an r-grid.
+
+    V_k(r) = payoff_k(r); V_j(r) = max(payoff_j(r),
+    E[e^{-dI} V_{j+1}(r') | r]) with the conditional expectation evaluated
+    by Gauss-Hermite quadrature under the e^{-dI} exponential tilt (shift
+    the conditional mean of r' by -Cov(r', dI | r), multiply by
+    e^{-mu_I + v_I/2}); finally discount from e_1 back to 0 the same way.
+    Exact up to quadrature + linear-interpolation error (~1e-5 at the
+    default resolution; numpy's hermegauss overflows above ~200 nodes).
+    """
+    ex = tuple(sorted(float(t) for t in exercise_dates))
+    k = len(ex)
+    ivp = _interval_params(cfg, ex)
+    tables = hw.step_tables(cfg, cfg.sigma, cfg.sigma, jnp.float32)
+    r_det, i_det = (np.asarray(a, np.float64)
+                    for a in _det_states(cfg, tables, ex))
+    sig = float(tables.sig_st)
+    sds = np.array([np.linalg.norm(np.asarray(
+        _shock_shapes(cfg, _step_index(cfg, t))[0], np.float64))
+        for t in ex]) * sig
+
+    def payoff_np(j, r):
+        cA, B = _bond_value_terms(cfg, cfg.sigma, market, sched, t=ex[j])
+        cA = np.asarray(cA, np.float64)
+        B = np.asarray(B, np.float64)
+        V = np.sum(cA[None, :] * np.exp(-B[None, :] * r[:, None]), axis=1)
+        return np.maximum((strike - V) if payer else (V - strike), 0.0)
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2 * math.pi)
+
+    grids = [r_det[j] + sds[j] * np.linspace(-width, width, n_grid)
+             for j in range(k)]
+    V = payoff_np(k - 1, grids[k - 1])
+    for j in range(k - 2, -1, -1):
+        p = ivp[j + 1]
+        r_s = grids[j]
+        didet = i_det[j + 1] - i_det[j]
+        m_t = r_det[j + 1] + p["bt"] * (r_s - r_det[j])
+        mI = didet + p["bI"] * (r_s - r_det[j])
+        v_t, vI, ctI = (sig * sig * p["vt"], sig * sig * p["vI"],
+                        sig * sig * p["ctI"])
+        w0 = np.exp(-mI + 0.5 * vI)
+        rq = (m_t - ctI)[:, None] + math.sqrt(v_t) * nodes[None, :]
+        cont = w0 * np.sum(wq[None, :] * np.interp(
+            rq, grids[j + 1], V, left=V[0], right=V[-1]), axis=1)
+        V = np.maximum(payoff_np(j, r_s), cont)
+    # discount from e_1 to 0 (deterministic start r(0) = r0)
+    p = ivp[0]
+    mI = i_det[0]
+    v_t, vI, ctI = (sig * sig * p["vt"], sig * sig * p["vI"],
+                    sig * sig * p["ctI"])
+    w0 = math.exp(-mI + 0.5 * vI)
+    rq = r_det[0] - ctI + math.sqrt(v_t) * nodes
+    return float(w0 * np.sum(wq * np.interp(rq, grids[0], V,
+                                            left=V[0], right=V[-1])))

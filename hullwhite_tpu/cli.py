@@ -384,10 +384,16 @@ def cmd_swaption(args):
         ex = [cfg.s1 + j for j in range(int(args.tenor))]
         res = bermudan_mod.price_bermudan(cfg, key, market, sched,
                                           ex, payer=args.payer)
+        orc = bermudan_mod.dp_oracle(cfg, market, sched, ex,
+                                     payer=args.payer)
         print(f"Bermudan ({len(ex)} annual exercises): "
-              f"{float(res.price):.8f} +/- {float(res.std_error):.2e} "
-              f"(early-exercise premium {float(res.price)-jam:.6f})")
-        results["bermudan_price"] = float(res.price)
+              f"[{float(res.price):.8f}, {float(res.upper):.8f}] "
+              f"(SE {float(res.std_error):.2e}/{float(res.upper_std_error):.2e}; "
+              f"DP oracle {orc:.8f}; "
+              f"early-exercise premium {float(res.price)-jam:.6f})")
+        results["bermudan_lower"] = float(res.price)
+        results["bermudan_upper"] = float(res.upper)
+        results["bermudan_dp_oracle"] = orc
         results["bermudan_se"] = float(res.std_error)
     hwio.write_json(hwio.DATA_DIR / "swaption_results.json",
                     "Swaption pricing", cfg, results=results)

@@ -83,3 +83,49 @@ def test_exercise_after_last_cashflow_rejected(analytic_market, sched):
     with pytest.raises(ValueError, match="precede the last cashflow"):
         bermudan.price_bermudan(CFG, KEY, analytic_market, sched, [9.5],
                                 n_paths=1024)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: DP oracle, dual upper bound, RQMC, block streaming
+# ---------------------------------------------------------------------------
+
+def test_dp_oracle_single_date_is_european(analytic_market, sched):
+    """The 1-d dynamic program with one date must equal Jamshidian."""
+    jam = instruments.jamshidian_price(CFG, analytic_market, sched,
+                                       strike=1.0, payer=False)
+    orc = bermudan.dp_oracle(CFG, analytic_market, sched, [5.0])
+    assert abs(orc - jam) < 3e-5, (orc, jam)
+
+
+def test_bracket_contains_dp_oracle(analytic_market, sched):
+    """lower - 4 SE <= DP oracle <= upper + 4 SE, and the bracket is
+    tight (< 1.5% of price)."""
+    ex = [5.0, 6.0, 7.0, 8.0]
+    res = bermudan.price_bermudan(CFG, KEY, analytic_market, sched, ex,
+                                  n_paths=N, n_blocks=2)
+    orc = bermudan.dp_oracle(CFG, analytic_market, sched, ex)
+    lo, up = float(res.price), float(res.upper)
+    assert lo - 4 * float(res.std_error) <= orc, (lo, orc)
+    assert orc <= up + 4 * float(res.upper_std_error), (orc, up)
+    assert up - lo < 0.015 * orc + 4 * float(res.std_error), (lo, up, orc)
+
+
+def test_upper_single_date_unbiased(analytic_market, sched):
+    """With one exercise date the dual max is linear, so the upper bound
+    is an UNBIASED European estimator (martingale increments cancel)."""
+    res = bermudan.price_bermudan(CFG, KEY, analytic_market, sched, [5.0],
+                                  n_paths=N)
+    jam = instruments.jamshidian_price(CFG, analytic_market, sched,
+                                       strike=1.0, payer=False)
+    assert abs(float(res.upper) - jam) < 5 * float(res.upper_std_error) + 5e-5
+
+
+def test_rqmc_and_streaming_consistent(analytic_market, sched):
+    ex = [5.0, 6.0, 7.0]
+    orc = bermudan.dp_oracle(CFG, analytic_market, sched, ex)
+    res = bermudan.price_bermudan(CFG, KEY, analytic_market, sched, ex,
+                                  n_paths=1 << 13, n_blocks=4, rqmc=True)
+    assert float(res.price) - 4 * float(res.std_error) <= orc
+    assert orc <= float(res.upper) + 4 * float(res.upper_std_error)
+    # streamed evaluation: total paths = n_paths * n_blocks
+    assert res.n_paths == (1 << 13) * 4
