@@ -71,12 +71,15 @@ def main():
     extras["q1_ms"] = round(dt * 1e3, 3)
     extras["q1_P_0_10"] = round(float(P[-1]), 6)
 
-    # --- honest full-step fused kernel (simulates all 1000 steps) ---
+    # --- honest full-step fused kernels (simulate every SDE step, one
+    # fresh random value per path per step; MXU-mixed shock generator) ---
     if on_tpu:
         ff = pricing._curve_sums_fn(cfg, "pallas", None)
         dtf, _ = bench(ff, key, cfg.sigma, cfg.sigma, n=10, rtt=rtt)
         extras["q1_fullstep_ms"] = round(dtf * 1e3, 3)
         extras["q1_fullstep_paths_per_sec"] = round(2 * cfg.n_paths / dtf)
+        extras["q1_fullstep_vs_v100"] = round(
+            2 * cfg.n_paths / dtf / BASELINE_Q1, 2)
 
     # --- Q2b / Q3 at 2^24 paths (amortizes launch overhead) ---
     big = cfg.replace(n_paths=1 << 24, path_block=1 << 19)
@@ -104,6 +107,24 @@ def main():
     extras["q3_paths_per_sec"] = round(big.n_paths / dtv)
     extras["q3_vs_v100"] = round(big.n_paths / dtv / BASELINE_Q3, 2)
     extras["q3_vega"] = round(float(v[0] / v[1]), 6)
+
+    # full-step ZBC / vega tiers at 2^24 (like-for-like with the
+    # reference's simulate_ZBC_control_variate / simulate_sensitivity)
+    if on_tpu:
+        fz = pricing._zbc_moments_fn(big, "pallas", None)
+        dtz, m = bench(fz, key, big.sigma, big.sigma, market, n=5, rtt=rtt)
+        est = cv_estimate(jnp.asarray(m), market.P[-1])
+        extras["q2b_fullstep_paths_per_sec"] = round(2 * big.n_paths / dtz)
+        extras["q2b_fullstep_vs_v100"] = round(
+            2 * big.n_paths / dtz / BASELINE_Q2B, 2)
+        extras["q2b_fullstep_price"] = round(float(est.price), 8)
+        fvf = pricing._vega_sums_fn(big, "pallas", None)
+        dtvf, vf = bench(fvf, key, big.sigma, big.sigma, market, n=5,
+                         rtt=rtt)
+        extras["q3_fullstep_paths_per_sec"] = round(big.n_paths / dtvf)
+        extras["q3_fullstep_vs_v100"] = round(
+            big.n_paths / dtvf / BASELINE_Q3, 2)
+        extras["q3_fullstep_vega"] = round(float(vf[0] / vf[1]), 6)
 
     result = {
         "metric": "Q1 curve bootstrap throughput "
