@@ -64,11 +64,21 @@ def _grid_moments(cfg: HWConfig, sigma, market: MarketCurve, state, Ks, S2s):
 
 
 @lru_cache(maxsize=None)
-def _grid_fn(cfg: HWConfig, engine: str, mesh, n_k: int, n_s2: int):
+def _grid_fn(cfg: HWConfig, engine: str, mesh, Ks_t: tuple, S2_t: tuple):
     dtype = jnp.dtype(cfg.dtype)
+    n_k, n_s2 = len(Ks_t), len(S2_t)
 
-    def compute(key, sigma, market, Ks, S2s):
+    def compute(key, sigma, market):
         tables = hw.step_tables(cfg, sigma, cfg.sigma, dtype)
+        if engine.startswith("pallas"):
+            from .pallas import fused
+
+            local = fused.grid_local_fn(cfg, tables, market, sigma,
+                                        Ks_t, S2_t)
+            runner = pmesh.shard_blocks(local, mesh)
+            return runner(key, cfg.n_blocks)
+        Ks = jnp.asarray(Ks_t, jnp.float32)
+        S2s = jnp.asarray(S2_t, jnp.float32)
         n_cols, state_of = pricing._xla_state_setup(cfg, engine, tables,
                                                     dual=False)
 
@@ -108,10 +118,11 @@ def price_zbc_grid(cfg: HWConfig, key, market: MarketCurve, strikes,
     """
     if sigma is None:
         sigma = cfg.sigma
-    Ks = jnp.asarray(strikes, jnp.float32)
-    S2s = jnp.asarray(maturities, jnp.float32)
-    m = _grid_fn(cfg, engine, mesh, len(Ks), len(S2s))(
-        key, sigma, market, Ks, S2s)
+    Ks_t = tuple(float(x) for x in strikes)
+    S2_t = tuple(float(x) for x in maturities)
+    Ks = jnp.asarray(Ks_t, jnp.float32)
+    S2s = jnp.asarray(S2_t, jnp.float32)
+    m = _grid_fn(cfg, engine, mesh, Ks_t, S2_t)(key, sigma, market)
 
     # NOTE: this re-derives the centered-control beta* algebra of
     # payoffs.cv_estimate for the (nK, nS2) moment layout (shared Y per
@@ -131,12 +142,18 @@ def price_zbc_grid(cfg: HWConfig, key, market: MarketCurve, strikes,
 
 
 @lru_cache(maxsize=None)
-def _grid_vega_fn(cfg: HWConfig, engine: str, mesh, n_k: int, n_s2: int):
-    moments_fn = _grid_fn(cfg, engine, mesh, n_k, n_s2)
+def _grid_vega_fn(cfg: HWConfig, engine: str, mesh, Ks_t: tuple,
+                  S2_t: tuple):
+    if engine.startswith("pallas"):
+        # forward-mode AD cannot flow through the fused kernel's in-chip
+        # PRNG; the vega surface runs on the XLA exact tier (same
+        # estimator law) regardless of the price-surface engine.
+        engine = "exact"
+    moments_fn = _grid_fn(cfg, engine, mesh, Ks_t, S2_t)
 
-    def compute(key, sigma, market, Ks, S2s):
+    def compute(key, sigma, market):
         def raw_surface(s):
-            m = moments_fn(key, s, market, Ks, S2s)
+            m = moments_fn(key, s, market)
             return m["sx"] / m["n"]
 
         return jax.jvp(raw_surface, (sigma,), (jnp.ones_like(sigma),))
@@ -155,8 +172,7 @@ def vega_zbc_grid(cfg: HWConfig, key, market: MarketCurve, strikes,
     """
     if sigma is None:
         sigma = cfg.sigma
-    Ks = jnp.asarray(strikes, jnp.float32)
-    S2s = jnp.asarray(maturities, jnp.float32)
+    Ks_t = tuple(float(x) for x in strikes)
+    S2_t = tuple(float(x) for x in maturities)
     sigma = jnp.asarray(sigma, jnp.float32)
-    return _grid_vega_fn(cfg, engine, mesh, len(Ks), len(S2s))(
-        key, sigma, market, Ks, S2s)
+    return _grid_vega_fn(cfg, engine, mesh, Ks_t, S2_t)(key, sigma, market)

@@ -668,3 +668,107 @@ def dump_option_normals(cfg: HWConfig, key, n_tiles: int = 1,
         interpret=(pltpu.InterpretParams()
                    if cfg.pallas_interpret else False),
     )(seeds)
+
+
+# ---------------------------------------------------------------------------
+# Option surface (strikes x maturities), fused exact tier
+# ---------------------------------------------------------------------------
+
+def _grid_exact_kernel(seed_ref, consts_ref, out_ref, *, Bs, Ks, n_s2,
+                       interpret):
+    """CV moment surface over a static (strikes x maturities) grid from
+    one exact-sampled path tile (grid.py's _grid_moments, fused).
+
+    consts layout: [c_r, c_i, l11, l21, l22, A_1..A_ns2, P0_1..P0_ns2].
+    Output rows: [count | sy_j | syy_j | sx_ij | sxx_ij | sxy_ij] with the
+    (i, j) blocks flattened row-major; the caller lane-sums and reshapes.
+    """
+    draw = _tile_rng(seed_ref, interpret)
+    x1, x2 = _box_muller(draw, (TILE_OPT, PAD))
+    c_r, c_i = consts_ref[0], consts_ref[1]
+    l11, l21, l22 = consts_ref[2], consts_ref[3], consts_ref[4]
+    z_r = l11 * x1
+    z_i = l21 * x1 + l22 * x2
+    t_i = jnp.exp(-z_i)
+    d_base = jnp.exp(-c_i)
+    disc_p = d_base * t_i
+    disc_m = d_base * pl.reciprocal(t_i, approx=False)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    n_k = len(Ks)
+    count = 2.0 * TILE_OPT * PAD
+    out_ref[0, :] += jnp.full((PAD,), count / PAD, jnp.float32)
+    for j in range(n_s2):
+        A_j = consts_ref[5 + j]
+        P0_j = consts_ref[5 + n_s2 + j]
+        B_j = jnp.float32(Bs[j])
+        t_r = jnp.exp(-B_j * z_r)
+        P_base = A_j * jnp.exp(-B_j * c_r)
+        P_p = P_base * t_r
+        P_m = P_base * pl.reciprocal(t_r, approx=False)
+        y_p = disc_p * P_p - P0_j
+        y_m = disc_m * P_m - P0_j
+        out_ref[1 + j, :] += jnp.sum(y_p + y_m, axis=0)
+        out_ref[1 + n_s2 + j, :] += jnp.sum(y_p * y_p + y_m * y_m, axis=0)
+        for i in range(n_k):
+            K_i = jnp.float32(Ks[i])
+            x_p = disc_p * jnp.maximum(P_p - K_i, 0.0)
+            x_m = disc_m * jnp.maximum(P_m - K_i, 0.0)
+            cell = i * n_s2 + j
+            base = 1 + 2 * n_s2
+            out_ref[base + cell, :] += jnp.sum(x_p + x_m, axis=0)
+            out_ref[base + n_k * n_s2 + cell, :] += jnp.sum(
+                x_p * x_p + x_m * x_m, axis=0)
+            out_ref[base + 2 * n_k * n_s2 + cell, :] += jnp.sum(
+                x_p * y_p + x_m * y_m, axis=0)
+
+
+def grid_local_fn(cfg: HWConfig, tables, market, sigma, Ks: tuple,
+                  S2s: tuple):
+    """Fused option-surface moments with the same dict contract as
+    grid._grid_moments (sx/sxx/sxy (nK, nS2); sy/syy (nS2,); n scalar)."""
+    from functools import partial
+
+    n_k, n_s2 = len(Ks), len(S2s)
+    l11, l21, l22 = engine_exact.zbc_chol(cfg)
+    lvec = tables.sig_st * jnp.asarray([l11, l21, l22], jnp.float32)
+    zw = engine_linear.zbc_weights(cfg, tables)
+    Bs = tuple((1.0 - math.exp(-cfg.a * (t - cfg.s1))) / cfg.a
+               for t in S2s)
+    A = hw.a_hw(cfg, sigma, market, cfg.s1,
+                jnp.asarray(S2s, jnp.float32))
+    P0 = hw.interp_curve(market.P, jnp.asarray(S2s, jnp.float32), cfg)
+    consts = jnp.concatenate([
+        jnp.stack([zw.det[0], zw.det[1]]).astype(jnp.float32), lvec,
+        A.astype(jnp.float32), P0.astype(jnp.float32)])
+    kernel = partial(_grid_exact_kernel, Bs=Bs, Ks=tuple(float(k) for k in Ks),
+                     n_s2=n_s2, interpret=cfg.pallas_interpret)
+    paths_per_tile = TILE_OPT * PAD
+    out_rows = 1 + 2 * n_s2 + 3 * n_k * n_s2
+
+    def local_fn(key, base_block, n_blocks):
+        local_paths = n_blocks * cfg.path_block
+        if cfg.path_block % paths_per_tile != 0:
+            raise ValueError(
+                f"path_block must be a multiple of {paths_per_tile}")
+        tiles_per_block = cfg.path_block // paths_per_tile
+        seeds = _key_seed(key, base_block * tiles_per_block, salt=505)
+        out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
+                          (seeds, consts), out_rows=out_rows)
+        s = jnp.sum(out, axis=1)
+        base = 1 + 2 * n_s2
+        nk_ns2 = n_k * n_s2
+        return {
+            "n": s[0],
+            "sy": s[1:1 + n_s2],
+            "syy": s[1 + n_s2:1 + 2 * n_s2],
+            "sx": s[base:base + nk_ns2].reshape(n_k, n_s2),
+            "sxx": s[base + nk_ns2:base + 2 * nk_ns2].reshape(n_k, n_s2),
+            "sxy": s[base + 2 * nk_ns2:base + 3 * nk_ns2].reshape(n_k,
+                                                                  n_s2),
+        }
+
+    return local_fn

@@ -54,6 +54,39 @@ def kernel_report(fn, *args, static_argnums=()) -> dict[str, Any]:
     return report
 
 
+def limiting_factor(report: dict[str, Any],
+                    time_s: float | None = None) -> dict[str, Any]:
+    """Name the resource that bounds the kernel — the analogue of the
+    reference analyzer's 'limiting factor' line (it reports which of
+    registers/shared-memory/blocks caps occupancy,
+    3_sensitivity_analysis.cu:183-239).
+
+    Pre-flight (no timing): classify by arithmetic intensity against the
+    device's roofline ridge point.  With a measured ``time_s``: compute
+    both achieved utilizations and name the higher one.
+    """
+    peaks = report.get("peaks")
+    flops = report.get("flops")
+    bts = report.get("bytes_accessed")
+    if not peaks or not flops or not bts:
+        return {"factor": "unknown",
+                "detail": "no peak table or cost analysis for this device"}
+    ridge = peaks["bf16_tflops"] * 1e12 / (peaks["hbm_gbps"] * 1e9)
+    ai = flops / max(bts, 1.0)
+    if time_s:
+        mxu = flops / time_s / (peaks["bf16_tflops"] * 1e12)
+        hbm = bts / time_s / (peaks["hbm_gbps"] * 1e9)
+        factor = "MXU compute" if mxu >= hbm else "HBM bandwidth"
+        return {"factor": factor, "mxu_utilization": mxu,
+                "hbm_utilization": hbm,
+                "detail": f"achieved {mxu:.1%} of bf16 peak, "
+                          f"{hbm:.1%} of HBM peak"}
+    factor = "MXU compute" if ai >= ridge else "HBM bandwidth"
+    return {"factor": factor, "arithmetic_intensity": ai,
+            "ridge_point": ridge,
+            "detail": f"AI {ai:.1f} flop/B vs ridge {ridge:.1f} flop/B"}
+
+
 def format_report(report: dict[str, Any], time_s: float | None = None) -> str:
     """Human-readable block, printed by the CLI before the hot launch
     (mirrors the reference's 'CUDA Kernel Analysis' section)."""
@@ -88,4 +121,6 @@ def format_report(report: dict[str, Any], time_s: float | None = None) -> str:
         if report.get("bytes_accessed"):
             bw = report["bytes_accessed"] / time_s / (p["hbm_gbps"] * 1e9) * 100
             lines.append(f"  HBM utilization:      {bw:.1f}% of peak")
+    lf = limiting_factor(report, time_s)
+    lines.append(f"  limiting factor:      {lf['factor']} ({lf['detail']})")
     return "\n".join(lines)

@@ -126,3 +126,19 @@ def test_deterministic_cross_engine_gate(market):
     est = pricing.price_zbc(cfg1, KEY, market, engine="pallas_exact")
     assert abs(float(est.price) - float(ref.price)) < 1e-6
     assert abs(float(est.beta) - float(ref.beta)) < 1e-4
+
+
+def test_fused_grid_matches_xla(market):
+    """Fused option-surface kernel vs the XLA exact grid, cell by cell."""
+    from hullwhite_tpu import grid as grid_mod
+
+    Ks = [CFG.strike * (1 + s) for s in (-0.02, 0.0, 0.02)]
+    S2s = [8.0, 9.0, 10.0]
+    g_p = grid_mod.price_zbc_grid(CFG, KEY, market, Ks, S2s,
+                                  engine="pallas_exact")
+    g_x = grid_mod.price_zbc_grid(CFG, KEY, market, Ks, S2s,
+                                  engine="exact")
+    se = np.asarray(g_x.std_error_raw)
+    assert np.all(np.abs(np.asarray(g_p.price) - np.asarray(g_x.price))
+                  < 6 * se + 1e-4)
+    assert np.all(np.abs(np.asarray(g_p.beta) - np.asarray(g_x.beta)) < 0.05)

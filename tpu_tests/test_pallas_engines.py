@@ -133,3 +133,18 @@ def test_fused_delta_oracle(market):
                          float(market.P[-1]))
     assert abs(d - d_xla) < 0.02 * abs(true)
     assert abs(d - true) < 0.03 * abs(true)
+
+
+def test_fused_grid_on_chip(market):
+    """Fused option-surface kernel vs the XLA exact grid on hardware."""
+    from hullwhite_tpu import grid as grid_mod
+
+    Ks = [CFG.strike * (1 + s) for s in (-0.02, 0.0, 0.02)]
+    S2s = [8.0, 9.0, 10.0]
+    g_p = grid_mod.price_zbc_grid(CFG, KEY, market, Ks, S2s,
+                                  engine="pallas_exact")
+    g_x = grid_mod.price_zbc_grid(CFG, KEY, market, Ks, S2s,
+                                  engine="exact")
+    se = np.asarray(g_x.std_error_raw)
+    assert np.all(np.abs(np.asarray(g_p.price) - np.asarray(g_x.price))
+                  < 6 * se + 5e-5)
