@@ -75,12 +75,12 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
         print(f"{eng:14s} {dt*1e3:10.3f} {2*cfg.n_paths/dt/1e6:10.0f} "
               f"{float(est.price):12.8f} {float(est.beta):8.4f}", flush=True)
 
-    # scan tier, reduced size (normalized throughput still comparable).
-    # Excluded on TPU: the remote Mosaic/XLA compiler takes ~7 minutes to
-    # compile the 500-step sequential scan (measured 410 s; the run itself
-    # is 30 ms) — the CPU CI lane covers this tier.
-    if not on_tpu:
-        scfg = cfg.replace(n_paths=SCAN_PATHS,
+    # scan tier, reduced size (normalized throughput still comparable;
+    # the tier exists as the semantic reference — it is the step-by-step
+    # antipattern the framework avoids, ~700x slower than the exact tier
+    # at full scale on v5e: 37 M paths/s, RESULTS.md)
+    if True:
+        scfg = cfg.replace(n_paths=min(cfg.n_paths, SCAN_PATHS),
                            path_block=min(cfg.path_block, SCAN_PATHS))
         f = pricing._zbc_moments_fn(scfg, "scan", None)
         dt, m = bench(f, key, scfg.sigma, scfg.sigma, market, n=3, rtt=rtt)
