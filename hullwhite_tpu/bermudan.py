@@ -443,7 +443,10 @@ def dp_oracle(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
 
     def exact_lin_expect(m, s, grid, V):
         """E[V^(X)], X ~ N(m, s^2) per element of m, with V^ the piecewise
-        linear interpolant of (grid, V) and flat extrapolation."""
+        linear interpolant of (grid, V) and flat extrapolation.  (The
+        production path runs the same sweep in the native C++ runtime,
+        hw_dp_continuation; this is the NumPy reference/fallback,
+        cross-checked by tests/test_native.py.)"""
         m = np.atleast_1d(m)
         t = (grid[None, :] - m[:, None]) / s          # (nm, ng)
         Phi = norm.cdf(t)
@@ -456,26 +459,32 @@ def dp_oracle(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
                      - b[None, :] * s * dphi, axis=1)
         return mid + V[0] * Phi[:, 0] + V[-1] * (1.0 - Phi[:, -1])
 
+    from .utils import native as hw_native
+
+    use_native = hw_native.available()
+
+    def continuation(r_s, j_to, rdet_s, V):
+        """cont(r_s) for the interval ending at date index j_to."""
+        p = ivp[j_to]
+        didet = i_det[j_to] - (i_det[j_to - 1] if j_to > 0 else 0.0)
+        v_t, vI, ctI = (sig * sig * p["vt"], sig * sig * p["vI"],
+                        sig * sig * p["ctI"])
+        grid_t = grids[j_to]
+        if use_native:
+            return hw_native.dp_continuation(
+                r_s, grid_t, V, rdet_s, r_det[j_to], didet,
+                p["bt"], p["bI"], v_t, vI, ctI)
+        m_t = r_det[j_to] + p["bt"] * (r_s - rdet_s)
+        mI = didet + p["bI"] * (r_s - rdet_s)
+        w0 = np.exp(-mI + 0.5 * vI)
+        return w0 * exact_lin_expect(m_t - ctI, math.sqrt(v_t), grid_t, V)
+
     grids = [r_det[j] + sds[j] * np.linspace(-width, width, n_grid)
              for j in range(k)]
     V = payoff_np(k - 1, grids[k - 1])
     for j in range(k - 2, -1, -1):
-        p = ivp[j + 1]
-        r_s = grids[j]
-        didet = i_det[j + 1] - i_det[j]
-        m_t = r_det[j + 1] + p["bt"] * (r_s - r_det[j])
-        mI = didet + p["bI"] * (r_s - r_det[j])
-        v_t, vI, ctI = (sig * sig * p["vt"], sig * sig * p["vI"],
-                        sig * sig * p["ctI"])
-        w0 = np.exp(-mI + 0.5 * vI)
-        cont = w0 * exact_lin_expect(m_t - ctI, math.sqrt(v_t),
-                                     grids[j + 1], V)
-        V = np.maximum(payoff_np(j, r_s), cont)
+        cont = continuation(grids[j], j + 1, r_det[j], V)
+        V = np.maximum(payoff_np(j, grids[j]), cont)
     # discount from e_1 to 0 (deterministic start r(0) = r0)
-    p = ivp[0]
-    mI = i_det[0]
-    v_t, vI, ctI = (sig * sig * p["vt"], sig * sig * p["vI"],
-                    sig * sig * p["ctI"])
-    w0 = math.exp(-mI + 0.5 * vI)
-    return float(w0 * exact_lin_expect(
-        np.array([r_det[0] - ctI]), math.sqrt(v_t), grids[0], V)[0])
+    return float(continuation(np.array([cfg.r0]), 0, cfg.r0, V)[0])
+

@@ -41,6 +41,9 @@ def _lib():
             lib.hw_csv_timeseries.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _f, ctypes.c_long, ctypes.c_float]
             lib.hw_csv_timeseries.restype = ctypes.c_int
             lib.hw_summarize.argtypes = [_d, ctypes.c_int, _d]
+            lib.hw_dp_continuation.argtypes = (
+                [_d, ctypes.c_int, _d, _d, ctypes.c_int]
+                + [ctypes.c_double] * 8 + [_d])
             return lib
     return None
 
@@ -107,4 +110,19 @@ def summarize(samples) -> np.ndarray:
     x = np.ascontiguousarray(samples, np.float64)
     out = np.empty(8, np.float64)
     _lib().hw_summarize(_dp(x), len(x), _dp(out))
+    return out
+
+
+def dp_continuation(grid_s, grid_t, V, rdet_s, rdet_t, didet, bt, bI,
+                    vt, vI, ctI):
+    """One Bermudan DP conditional-expectation sweep (float64, exact
+    piecewise-linear Gaussian integration) — the O(n^2) hot loop of
+    bermudan.dp_oracle in native C++."""
+    grid_s = np.ascontiguousarray(grid_s, np.float64)
+    grid_t = np.ascontiguousarray(grid_t, np.float64)
+    V = np.ascontiguousarray(V, np.float64)
+    out = np.empty(len(grid_s), np.float64)
+    _lib().hw_dp_continuation(_dp(grid_s), len(grid_s), _dp(grid_t),
+                              _dp(V), len(grid_t), rdet_s, rdet_t, didet,
+                              bt, bI, vt, vI, ctI, _dp(out))
     return out

@@ -205,4 +205,54 @@ void hw_summarize(const double* samples, int n, double* out) {
   out[7] = x.back();
 }
 
+
+// ---------------------------------------------------------------------------
+// Bermudan DP backward step (bermudan.dp_oracle): one conditional
+// expectation sweep, cont[i] = e^{-mI + vI/2} E[ V^(X) ],
+// X ~ N(m_t(r_s_i) - ctI, vt), with V^ the piecewise-linear interpolant of
+// (grid_t, V) and flat extrapolation.  The e^{-dI} exponential tilt is
+// already folded into the mean shift -ctI and the e^{-mI + vI/2} factor
+// (dI | r_s, r_t Gaussian).  Exact per segment via Phi/phi closed forms --
+// Gauss-Hermite quadrature converges slowly on the kinked value function.
+// O(ns * nt) doubles: the hot loop of the float64 oracle.
+// ---------------------------------------------------------------------------
+static inline double hw_phi_pdf(double x) {
+  return std::exp(-0.5 * x * x) * 0.3989422804014327;
+}
+static inline double hw_phi_cdf(double x) {
+  return 0.5 * std::erfc(-x * 0.7071067811865476);
+}
+
+void hw_dp_continuation(const double* grid_s, int ns, const double* grid_t,
+                        const double* V, int nt, double rdet_s,
+                        double rdet_t, double didet, double bt, double bI,
+                        double vt, double vI, double ctI, double* cont) {
+  const double s = std::sqrt(vt);
+  std::vector<double> a(nt - 1), b(nt - 1);
+  for (int j = 0; j + 1 < nt; ++j) {
+    b[j] = (V[j + 1] - V[j]) / (grid_t[j + 1] - grid_t[j]);
+    a[j] = V[j] - b[j] * grid_t[j];
+  }
+  for (int i = 0; i < ns; ++i) {
+    const double dr = grid_s[i] - rdet_s;
+    const double mI = didet + bI * dr;
+    const double m = rdet_t + bt * dr - ctI;   // tilted conditional mean
+    const double w0 = std::exp(-mI + 0.5 * vI);
+    double t0 = (grid_t[0] - m) / s;
+    double Phi0 = hw_phi_cdf(t0);
+    double phi0 = hw_phi_pdf(t0);
+    double acc = V[0] * Phi0;                  // flat left tail
+    for (int j = 0; j + 1 < nt; ++j) {
+      const double t1 = (grid_t[j + 1] - m) / s;
+      const double Phi1 = hw_phi_cdf(t1);
+      const double phi1 = hw_phi_pdf(t1);
+      acc += (a[j] + b[j] * m) * (Phi1 - Phi0) - b[j] * s * (phi1 - phi0);
+      Phi0 = Phi1;
+      phi0 = phi1;
+    }
+    acc += V[nt - 1] * (1.0 - Phi0);           // flat right tail
+    cont[i] = w0 * acc;
+  }
+}
+
 }  // extern "C"

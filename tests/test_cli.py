@@ -67,3 +67,20 @@ def test_swaption_and_grid_subcommands(workdir):
     assert main(["grid", "--paths", "8192"]) == 0
     doc = json.loads((workdir / "data" / "grid_results.json").read_text())
     assert np.asarray(doc["price"]).shape == (5, 5)
+
+
+def test_q3_profile_flag(tmp_path, monkeypatch):
+    """--profile prints the compile report (limiting factor included)."""
+    import contextlib
+    import io
+
+    monkeypatch.chdir(tmp_path)
+    from hullwhite_tpu.cli import main
+
+    assert main(["q1", "--paths", "8192", "--reps", "1"]) == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["q3", "--paths", "8192", "--reps", "1", "--profile"])
+    assert rc == 0
+    out = buf.getvalue()
+    assert "XLA kernel analysis" in out or "kernel analysis unavailable" in out

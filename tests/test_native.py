@@ -82,3 +82,33 @@ def test_save_bin_roundtrip(tmp_path):
     native.save_bin(str(p), arr)
     back = hwio.load_bin(p, 32)
     np.testing.assert_array_equal(arr, back)
+
+
+def test_dp_continuation_matches_numpy():
+    """C++ hw_dp_continuation vs the NumPy piecewise-linear-exact form."""
+    if not native.available():
+        pytest.skip("native library not built")
+    from scipy.stats import norm
+
+    rng = np.random.default_rng(3)
+    grid_t = np.linspace(-0.3, 0.5, 401)
+    V = np.maximum(0.9 - np.exp(-grid_t), 0.0) + 0.05 * grid_t ** 2
+    grid_s = np.linspace(-0.2, 0.4, 97)
+    args = dict(rdet_s=0.05, rdet_t=0.06, didet=0.12, bt=0.8, bI=0.04,
+                vt=0.004, vI=0.03, ctI=0.0008)
+    got = native.dp_continuation(grid_s, grid_t, V, **args)
+
+    # NumPy reference (same math as bermudan.dp_oracle's fallback)
+    m_t = args["rdet_t"] + args["bt"] * (grid_s - args["rdet_s"])
+    mI = args["didet"] + args["bI"] * (grid_s - args["rdet_s"])
+    s = np.sqrt(args["vt"])
+    m = (m_t - args["ctI"])[:, None]
+    t = (grid_t[None, :] - m) / s
+    Phi, phi = norm.cdf(t), norm.pdf(t)
+    b = np.diff(V) / np.diff(grid_t)
+    a = V[:-1] - b * grid_t[:-1]
+    mid = np.sum((a[None, :] + b[None, :] * m) * (Phi[:, 1:] - Phi[:, :-1])
+                 - b[None, :] * s * (phi[:, 1:] - phi[:, :-1]), axis=1)
+    want = (np.exp(-mI + 0.5 * args["vI"])
+            * (mid + V[0] * Phi[:, 0] + V[-1] * (1 - Phi[:, -1])))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
