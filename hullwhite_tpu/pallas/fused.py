@@ -49,7 +49,7 @@ SEED_STRIDE = 1000003  # odd stride decorrelating per-tile PRNG seeds
 # curve kernel, hence 2048 there).
 TILE_FULL = 2048
 TILE_FULL_OPT = 4096  # option fullstep kernels: paths per tile (lane axis)
-TILE_EXACT = 1024  # curve kernels: paths per BM half-tile
+TILE_EXACT = 4096  # curve kernels: paths per BM half-tile
 TILE_OPT = 256     # option exact kernels: (TILE_OPT, 128) paths per step
 
 
