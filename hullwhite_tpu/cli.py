@@ -400,6 +400,39 @@ def cmd_swaption(args):
     return 0
 
 
+def cmd_cap(args):
+    """Cap/floor pricing: MC on exact multi-date states vs the per-caplet
+    ZBP closed forms (instrument family beyond the reference)."""
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 6161)
+    market = hwio.load_market(cfg)
+    kind = "floor" if args.floor else "cap"
+    print(f"--- {kind}: start {cfg.s1}y, tenor {args.tenor}y @ "
+          f"{args.rate*100:.2f}%, freq {args.freq}/y ---")
+    res = instruments.price_cap(cfg, key, market, rate=args.rate,
+                                tenor=args.tenor, freq=args.freq,
+                                floor=args.floor)
+    tot, per = instruments.cap_closed_form(cfg, market, rate=args.rate,
+                                           tenor=args.tenor, freq=args.freq,
+                                           floor=args.floor)
+    print(f"MC:           {float(res.price):.8f} +/- {float(res.std_error):.2e} (SE)")
+    print(f"closed form:  {tot:.8f}")
+    print("per-caplet MC:", np.array2string(np.asarray(res.caplets),
+                                            precision=6))
+    z = (float(res.price) - tot) / max(float(res.std_error), 1e-12)
+    print(f"agreement: z = {z:.2f} ({'PASS' if abs(z) < 4 else 'CHECK'})")
+    hwio.write_json(hwio.DATA_DIR / f"{kind}_results.json",
+                    f"{kind} pricing", cfg,
+                    results={"mc_price": float(res.price),
+                             "mc_se": float(res.std_error),
+                             "closed_form": tot, "z": z,
+                             "caplets_mc": [float(x) for x in res.caplets],
+                             "caplets_closed": per})
+    return 0 if abs(z) < 4 else 1
+
+
 def cmd_g2pp(args):
     """Second model family at product parity: curve bootstrap, ZBC
     (MC + RQMC + closed form), swaption (MC + conditional-decomposition
@@ -543,6 +576,11 @@ def main(argv=None):
     pg2.add_argument("--tenor", type=float, default=5.0)
     pg2.add_argument("--freq", type=float, default=1.0)
     pg2.add_argument("--eps", type=float, default=1e-2)
+    pc = sub.add_parser("cap", parents=[common])
+    pc.add_argument("--rate", type=float, default=0.02)
+    pc.add_argument("--tenor", type=float, default=4.0)
+    pc.add_argument("--freq", type=float, default=1.0)
+    pc.add_argument("--floor", action="store_true")
     pall = sub.add_parser("all", parents=[common])
     pall.add_argument("--validate", type=int, default=0)
     pall.add_argument("--eps", type=float, default=1e-3)
@@ -564,6 +602,8 @@ def main(argv=None):
         return cmd_grid(args)
     if args.cmd == "g2pp":
         return cmd_g2pp(args)
+    if args.cmd == "cap":
+        return cmd_cap(args)
     if args.cmd == "all":
         rc = cmd_q1(args)
         rc |= cmd_q2(args)

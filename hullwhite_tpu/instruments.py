@@ -266,3 +266,135 @@ def jamshidian_price(cfg: HWConfig, market: MarketCurve,
             zbc = zbc - float(p0) + float(k_i) * P0s1  # put by parity
         total += float(c) * zbc
     return total
+
+
+# ---------------------------------------------------------------------------
+# Caps / floors (round 2) — a further instrument family beyond the reference
+#
+# A caplet on the simple forward rate L(t1, t2) with strike K and accrual
+# tau = t2 - t1 equals (1 + tau K) zero-bond PUTS struck at 1/(1 + tau K)
+# (classic static replication), so the float64 oracle is the Hull-White
+# ZBP closed form per period.  Monte Carlo prices every caplet from ONE
+# exactly-sampled multi-date state set (the Bermudan machinery's joint
+# (r, I) Cholesky over reset/payment dates): payoff_j =
+# e^{-I(t_{j+1})} tau max(L_j - K, 0) with L_j a function of r(t_j) only.
+# ---------------------------------------------------------------------------
+
+class CapResult(NamedTuple):
+    price: jax.Array          # cap (or floor) value
+    std_error: jax.Array
+    caplets: jax.Array        # (n_periods,) per-caplet values
+    reset_times: tuple
+    n_paths: int
+
+
+def _zbp_closed(cfg: HWConfig, market: MarketCurve, t1: float, t2: float,
+                K: float, sigma: float | None = None) -> float:
+    """float64 Hull-White zero-bond put P(t1)-strike-K on P(t1, t2)."""
+    import math as m
+
+    if sigma is None:
+        sigma = cfg.sigma
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    P1 = float(np.interp(t1, Ts, P))
+    P2 = float(np.interp(t2, Ts, P))
+    a = cfg.a
+    B = (1.0 - m.exp(-a * (t2 - t1))) / a
+    sp = sigma * B * m.sqrt((1.0 - m.exp(-2.0 * a * t1)) / (2.0 * a))
+    h = m.log(P2 / (K * P1)) / sp + 0.5 * sp
+    from .models.oracles import _phi
+
+    return K * P1 * _phi(-h + sp) - P2 * _phi(-h)
+
+
+def cap_closed_form(cfg: HWConfig, market: MarketCurve, *, rate: float,
+                    start: float | None = None, tenor: float = 5.0,
+                    freq: float = 1.0, floor: bool = False,
+                    sigma: float | None = None):
+    """float64 cap/floor value: sum of caplets = scaled ZBP/ZBC options."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    total = 0.0
+    per = []
+    for j in range(n):
+        t1 = start + j * tau
+        t2 = t1 + tau
+        Kb = 1.0 / (1.0 + tau * rate)
+        zbp = _zbp_closed(cfg, market, t1, t2, Kb, sigma)
+        v = (1.0 + tau * rate) * zbp
+        if floor:
+            # floorlet = caplet - forward value (put-call parity per period)
+            Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+            P = np.asarray(market.P, np.float64)
+            P1 = float(np.interp(t1, Ts, P))
+            P2 = float(np.interp(t2, Ts, P))
+            v = v - (P1 - (1.0 + tau * rate) * P2)
+        per.append(v)
+        total += v
+    return total, per
+
+
+@lru_cache(maxsize=None)
+def _cap_fn(cfg: HWConfig, rate: float, start: float, n: int, tau: float,
+            floor: bool, n_paths: int):
+    from .bermudan import _joint_chol, _det_states
+
+    dates = tuple(start + j * tau for j in range(n + 1))
+    LT = jnp.asarray(_joint_chol(cfg, dates))
+    k = len(dates)
+
+    def compute(key, sigma, market):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        x = jax.random.normal(key, (n_paths, 2 * k), jnp.float32)
+        z = tables.sig_st * jnp.dot(x, LT,
+                                    preferred_element_type=jnp.float32,
+                                    precision=cfg.matmul_precision)
+        r_det, i_det = _det_states(cfg, tables, dates)
+
+        def leg(sgn):
+            r = r_det[None, :] + sgn * z[:, 0::2]
+            integral = i_det[None, :] + sgn * z[:, 1::2]
+            vals = []
+            for j in range(n):
+                t1, t2 = dates[j], dates[j + 1]
+                A = hw.a_hw(cfg, sigma, market, t1, jnp.float32(t2))
+                B = hw.b_func(t1, t2, cfg.a)
+                Pb = A * jnp.exp(-B * r[:, j])        # P(t1, t2) on path
+                L = (1.0 / Pb - 1.0) / tau
+                disc = jnp.exp(-integral[:, j + 1])
+                intrinsic = (rate - L) if floor else (L - rate)
+                vals.append(disc * tau * jnp.maximum(intrinsic, 0.0))
+            return jnp.stack(vals, axis=1)            # (n_paths, n)
+
+        V = 0.5 * (leg(1.0) + leg(-1.0))
+        tot = jnp.sum(V, axis=1)
+        caplets = jnp.mean(V, axis=0)
+        return (jnp.mean(tot),
+                jnp.std(tot, ddof=1) / jnp.sqrt(1.0 * n_paths), caplets)
+
+    return jax.jit(compute)
+
+
+def price_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
+              start: float | None = None, tenor: float = 5.0,
+              freq: float = 1.0, floor: bool = False, sigma=None,
+              n_paths: int | None = None) -> CapResult:
+    """Monte Carlo cap/floor on the simple forward rate, all periods from
+    one exactly-sampled multi-date state set (antithetic)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    price, se, caplets = _cap_fn(cfg, float(rate), float(start), n,
+                                 float(tau), bool(floor), int(n_paths))(
+        key, jnp.asarray(sigma, jnp.float32), market)
+    return CapResult(price=price, std_error=se, caplets=caplets,
+                     reset_times=tuple(start + j * tau for j in range(n)),
+                     n_paths=int(n_paths))

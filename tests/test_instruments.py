@@ -107,3 +107,50 @@ def test_swaption_vega_matches_fd(analytic_market, sched):
     fd = (ps[1.0] - ps[-1.0]) / (2 * eps)
     assert abs(float(vega_ad) - fd) < 0.03 * abs(fd) + 5e-4, (
         float(vega_ad), fd)
+
+
+# ---------------------------------------------------------------------------
+# Caps / floors (round 2)
+# ---------------------------------------------------------------------------
+
+def test_cap_mc_matches_closed_form(analytic_market):
+    res = instruments.price_cap(CFG, KEY, analytic_market, rate=0.02,
+                                tenor=4.0, n_paths=1 << 16)
+    tot, per = instruments.cap_closed_form(CFG, analytic_market, rate=0.02,
+                                           tenor=4.0)
+    assert abs(float(res.price) - tot) < 5 * float(res.std_error) + 5e-5
+    assert len(per) == len(res.reset_times) == 4
+
+
+def test_cap_floor_parity(analytic_market):
+    """cap - floor = sum_j [P(0,t_j) - (1 + tau K) P(0,t_{j+1})]
+    (model-free); holds exactly for the closed forms and within noise
+    for shared-path MC."""
+    import numpy as np
+
+    tot_c, _ = instruments.cap_closed_form(CFG, analytic_market, rate=0.02,
+                                           tenor=4.0)
+    tot_f, _ = instruments.cap_closed_form(CFG, analytic_market, rate=0.02,
+                                           tenor=4.0, floor=True)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.asarray(analytic_market.P, np.float64)
+    fwd = sum(float(np.interp(5.0 + j, Ts, P))
+              - 1.02 * float(np.interp(6.0 + j, Ts, P)) for j in range(4))
+    assert abs((tot_c - tot_f) - fwd) < 1e-9
+    rc = instruments.price_cap(CFG, KEY, analytic_market, rate=0.02,
+                               tenor=4.0, n_paths=1 << 15)
+    rf = instruments.price_cap(CFG, KEY, analytic_market, rate=0.02,
+                               tenor=4.0, floor=True, n_paths=1 << 15)
+    se = (float(rc.std_error) ** 2 + float(rf.std_error) ** 2) ** 0.5
+    assert abs((float(rc.price) - float(rf.price)) - fwd) < 5 * se + 5e-5
+
+
+def test_caplet_is_scaled_zbp(analytic_market):
+    """One caplet == (1 + tau K) ZBP struck at 1/(1 + tau K) — the static
+    replication the closed form is built on, checked independently."""
+    tau, K = 1.0, 0.02
+    zbp = instruments._zbp_closed(CFG, analytic_market, 5.0, 6.0,
+                                  1.0 / (1.0 + tau * K))
+    tot, per = instruments.cap_closed_form(CFG, analytic_market, rate=K,
+                                           start=5.0, tenor=1.0)
+    assert abs(per[0] - (1.0 + tau * K) * zbp) < 1e-12
