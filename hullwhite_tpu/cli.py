@@ -487,6 +487,15 @@ def cmd_g2pp(args):
     print(f"[vega] swaption d/dsigma (CRN-FD): {vs:.6f}")
     results.update({"zbc_vega_fd": v, "zbc_vega_analytic": v_an,
                     "swaption_vega_fd": vs})
+
+    ex = [cfg.s1 + j for j in range(int(args.tenor))]
+    bm = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex)
+    orc_e = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=False)
+    print(f"[Bermudan] ({len(ex)} annual exercises, 2-factor LSMC): "
+          f"{float(bm.price):.8f} +/- {float(bm.std_error):.2e} "
+          f"(early-exercise premium {float(bm.price) - orc_e:.6f})")
+    results["bermudan_lower"] = float(bm.price)
+    results["bermudan_se"] = float(bm.std_error)
     hwio.write_json(hwio.DATA_DIR / "g2pp_results.json", "G2++ model", cfg,
                     results=results)
     ok = (err < 5e-4 and abs(float(est.price) - true) < 5e-4

@@ -520,3 +520,198 @@ def price_zbc_g2_qmc(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
     functional law (the G2++ analogue of ops.qmc.price_zbc_qmc)."""
     mean, se = _g2_zbc_qmc_fn(cfg, g, n_points, n_shifts)(key, market)
     return mean, se
+
+
+# ---------------------------------------------------------------------------
+# Bermudan under G2++ (round 2): exact multi-date states + two-pass LSMC
+# ---------------------------------------------------------------------------
+
+def _eint(alpha: float, m: float) -> float:
+    """int_0^m e^{alpha u} du (exact, alpha -> 0 safe)."""
+    if abs(alpha) < 1e-14:
+        return m
+    return (math.exp(alpha * m) - 1.0) / alpha
+
+
+def _cov_xx(k1, v1, k2, v2, c, s, t):
+    """Cov(x1(s), x2(t)) for OU factors driven by c-correlated Brownians."""
+    m = min(s, t)
+    return c * v1 * v2 * math.exp(-k1 * s - k2 * t) * _eint(k1 + k2, m)
+
+
+def _cov_xI(k1, v1, k2, v2, c, s, T):
+    """Cov(x1(s), I2(T)) with I2(T) = v2/k2 int_0^T (1-e^{-k2(T-u)}) dW2."""
+    m = min(s, T)
+    return (c * v1 * v2 / k2
+            * (math.exp(-k1 * s) * _eint(k1, m)
+               - math.exp(-k1 * s - k2 * T) * _eint(k1 + k2, m)))
+
+
+def _cov_II(k1, v1, k2, v2, c, T1, T2):
+    """Cov(I1(T1), I2(T2)) (both factors' integral contributions)."""
+    m = min(T1, T2)
+    return (c * v1 * v2 / (k1 * k2)
+            * (m - math.exp(-k1 * T1) * _eint(k1, m)
+               - math.exp(-k2 * T2) * _eint(k2, m)
+               + math.exp(-k1 * T1 - k2 * T2) * _eint(k1 + k2, m)))
+
+
+@lru_cache(maxsize=None)
+def _g2_joint_chol(g: G2Params, ex_dates: tuple):
+    """fp64 Cholesky^T of Cov(x_1, y_1, I_1, ..., x_k, y_k, I_k) at the
+    exercise dates (exact continuous-time law, assembled from the
+    elementary exponential integral _eint)."""
+    a, b, s_, e_, r = g.a, g.b, g.sigma, g.eta, g.rho
+    k = len(ex_dates)
+    # factor spec per state row: x -> (a, sigma), y -> (b, eta)
+    C = np.zeros((3 * k, 3 * k))
+
+    def cov(i_kind, ti, j_kind, tj):
+        # kinds: 0 = x, 1 = y, 2 = I (= Ix + Iy)
+        facs = [(a, s_), (b, e_)]
+
+        def corr(f1, f2):
+            return 1.0 if f1 == f2 else r
+
+        if i_kind < 2 and j_kind < 2:
+            k1, v1 = facs[i_kind]
+            k2, v2 = facs[j_kind]
+            return _cov_xx(k1, v1, k2, v2, corr(i_kind, j_kind), ti, tj)
+        if i_kind < 2 and j_kind == 2:
+            k1, v1 = facs[i_kind]
+            return sum(_cov_xI(k1, v1, facs[f][0], facs[f][1],
+                               corr(i_kind, f), ti, tj) for f in (0, 1))
+        if i_kind == 2 and j_kind < 2:
+            return cov(j_kind, tj, i_kind, ti)
+        return sum(_cov_II(facs[f1][0], facs[f1][1], facs[f2][0],
+                           facs[f2][1], corr(f1, f2), ti, tj)
+                   for f1 in (0, 1) for f2 in (0, 1))
+
+    for i in range(3 * k):
+        for j in range(i, 3 * k):
+            C[i, j] = C[j, i] = cov(i % 3, ex_dates[i // 3],
+                                    j % 3, ex_dates[j // 3])
+    L = np.linalg.cholesky(C + 1e-16 * np.eye(3 * k))
+    return np.asarray(L.T, np.float32)
+
+
+class G2Bermudan(NamedTuple):
+    price: jax.Array            # out-of-sample LSMC lower bound
+    price_in_sample: jax.Array
+    std_error: jax.Array
+    n_paths: int
+    exercise_dates: tuple
+
+
+@lru_cache(maxsize=None)
+def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
+                    coupons, strike: float, payer: bool, n_paths: int):
+    k = len(ex_dates)
+    LT = jnp.asarray(_g2_joint_chol(g, ex_dates))
+    # per-date bond-term statics and discounting constants
+    date_stat = []
+    for t_ex in ex_dates:
+        alive = [i for i, t in enumerate(times) if t > t_ex + 1e-9]
+        vadj = [0.5 * (_v_integral(g, times[i] - t_ex)
+                       - _v_integral(g, times[i]) + _v_integral(g, t_ex))
+                for i in alive]
+        Ba = [_B(g.a, times[i] - t_ex) for i in alive]
+        Bb = [_B(g.b, times[i] - t_ex) for i in alive]
+        date_stat.append((alive, vadj, Ba, Bb,
+                          -0.5 * _v_integral(g, t_ex)))
+    sx = [math.sqrt(max(_cov_xx(g.a, g.sigma, g.a, g.sigma, 1.0, t, t),
+                        1e-18)) for t in ex_dates]
+    sy = [math.sqrt(max(_cov_xx(g.b, g.eta, g.b, g.eta, 1.0, t, t),
+                        1e-18)) for t in ex_dates]
+
+    def compute(key, market):
+        P_at = lambda t: hw.interp_curve(market.P, jnp.float32(t), cfg)
+        lam = []
+        disc_det = []
+        for j, t_ex in enumerate(ex_dates):
+            alive, vadj, Ba, Bb, d0 = date_stat[j]
+            P1 = P_at(t_ex)
+            lam_j = jnp.stack([
+                coupons[i] * P_at(times[i]) / P1 * jnp.exp(jnp.float32(v))
+                for i, v in zip(alive, vadj)])
+            lam.append((lam_j, jnp.asarray(Ba, jnp.float32),
+                        jnp.asarray(Bb, jnp.float32)))
+            disc_det.append(P1 * jnp.exp(jnp.float32(d0)))
+
+        def states(subkey):
+            xn = jax.random.normal(subkey, (n_paths, 3 * k), jnp.float32)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+            return z[:, 0::3], z[:, 1::3], z[:, 2::3]
+
+        def payoff_at(j, x, y):
+            lam_j, Ba, Bb = lam[j]
+            V = jnp.sum(lam_j[None, :]
+                        * jnp.exp(-Ba[None, :] * x[:, None]
+                                  - Bb[None, :] * y[:, None]), axis=1)
+            intrinsic = (strike - V) if payer else (V - strike)
+            return jnp.maximum(intrinsic, 0.0)
+
+        def basis(j, x, y):
+            xt = x / sx[j]
+            yt = y / sy[j]
+            return jnp.stack([jnp.ones_like(xt), xt, yt, xt * xt, xt * yt,
+                              yt * yt, xt ** 3, yt ** 3], axis=1)
+
+        def backward(x, y, I, betas=None):
+            prec = cfg.matmul_precision
+            D = jnp.stack([disc_det[j] * jnp.exp(-I[:, j])
+                           for j in range(k)], axis=1)
+            cf = payoff_at(k - 1, x[:, k - 1], y[:, k - 1]) * D[:, k - 1]
+            est = betas is None
+            out = [None] * max(k - 1, 0)
+            for j in range(k - 2, -1, -1):
+                pj = payoff_at(j, x[:, j], y[:, j])
+                X = basis(j, x[:, j], y[:, j])
+                itm = (pj > 0.0).astype(jnp.float32)
+                if est:
+                    from ..bermudan import _wls
+
+                    beta = _wls(X, cf / D[:, j], itm, prec)
+                    out[j] = beta
+                else:
+                    beta = betas[j]
+                cont = jnp.dot(X, beta, precision=prec)
+                cf = jnp.where((pj > cont) & (pj > 0.0), pj * D[:, j], cf)
+            return cf, out
+
+        k_est, k_val = jax.random.split(key)
+        cf_in, betas = backward(*states(k_est))
+        cf, _ = backward(*states(k_val), betas=betas)
+        return (jnp.mean(cf), jnp.mean(cf_in),
+                jnp.std(cf, ddof=1) / jnp.sqrt(1.0 * n_paths))
+
+    return jax.jit(compute)
+
+
+def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
+                      market: MarketCurve, sched, exercise_dates, *,
+                      strike: float = 1.0, payer: bool = False,
+                      n_paths: int | None = None) -> G2Bermudan:
+    """Two-pass LSMC Bermudan coupon-bond option under G2++: states
+    (x, y, int r) at the exercise dates sampled EXACTLY (3k normals per
+    path, continuous-time law), policy regressed on a 2-d polynomial
+    basis in (x, y) over in-the-money paths, evaluated out-of-sample.
+
+    Beyond-reference capability of the second model family; the dual
+    upper bound / DP oracle of the 1-factor module do not transfer (the
+    value function is 2-d), so sanity is pinned by k=1 == the European
+    conditional-decomposition oracle and monotonicity in rights.
+    """
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    ex = tuple(sorted(float(t) for t in exercise_dates))
+    if not ex:
+        raise ValueError("need at least one exercise date")
+    if ex[-1] >= max(sched.times):
+        raise ValueError("exercise dates must precede the last cashflow")
+    p, p_in, se = _g2_bermudan_fn(
+        cfg, g, ex, tuple(sched.times), tuple(sched.coupons),
+        float(strike), bool(payer), int(n_paths))(key, market)
+    return G2Bermudan(price=p, price_in_sample=p_in, std_error=se,
+                      n_paths=int(n_paths), exercise_dates=ex)

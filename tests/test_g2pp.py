@@ -168,3 +168,49 @@ def test_g2_zbc_qmc_matches_analytic(analytic_market):
     assert abs(float(q) - true) < 6 * float(qse) + 1e-5
     # RQMC must beat plain MC SE at the same budget by a wide margin
     assert float(qse) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# Round 2b: G2++ Bermudan (exact multi-date states, 2-factor LSMC)
+# ---------------------------------------------------------------------------
+
+def test_g2_joint_chol_single_date_matches_state_chol():
+    LT = g2pp._g2_joint_chol(G2, (CFG.s1,))
+    C = LT.T @ LT
+    Cs = g2pp._state_chol(G2, CFG.s1)
+    np.testing.assert_allclose(C, Cs.T @ Cs, rtol=0, atol=1e-9)
+
+
+def test_g2_joint_chol_blocks_match_closed_forms():
+    ex = (3.0, 5.0, 8.0)
+    LT = g2pp._g2_joint_chol(G2, ex)
+    C = LT.T @ LT
+    # I x I diagonal/off-diagonal blocks vs the curve-bootstrap formulas
+    for i, t1 in enumerate(ex):
+        for j, t2 in enumerate(ex):
+            got = C[3 * i + 2, 3 * j + 2]
+            want = g2pp._cov_integrals(G2, min(t1, t2), max(t1, t2))
+            assert abs(got - want) < 1e-8, (t1, t2)
+
+
+def test_g2_bermudan_single_date_is_european(analytic_market):
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    res = g2pp.price_bermudan_g2(CFG, G2, KEY, analytic_market, sched,
+                                 [5.0], n_paths=1 << 16)
+    orc = g2pp.swaption_g2_analytic(CFG, G2, analytic_market, sched,
+                                    payer=False)
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 1e-4
+
+
+def test_g2_bermudan_monotone_in_rights(analytic_market):
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    e1 = g2pp.price_bermudan_g2(CFG, G2, KEY, analytic_market, sched,
+                                [5.0], n_paths=1 << 15)
+    e3 = g2pp.price_bermudan_g2(CFG, G2, KEY, analytic_market, sched,
+                                [5.0, 6.0, 7.0], n_paths=1 << 15)
+    assert float(e3.price) >= float(e1.price) - 3 * float(e1.std_error)
+    assert float(e3.price) <= float(e3.price_in_sample) + 3 * float(e3.std_error)
