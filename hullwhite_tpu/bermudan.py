@@ -55,11 +55,9 @@ from .models import hull_white as hw
 from .models.hull_white import MarketCurve
 from .instruments import CouponSchedule, _bond_value_terms
 from .ops.engine_linear import _shock_shapes, det_trajectory
-from . import pricing
 
 BASIS_DEGREE = 3   # polynomial part of the basis: [1, r, r^2, r^3]
 RIDGE = 1e-9
-_DOUBLE_FACT = {0: 1.0, 2: 1.0, 4: 3.0, 6: 15.0}  # E[zeta^q], q even
 
 
 def _step_index(cfg: HWConfig, t: float) -> int:
