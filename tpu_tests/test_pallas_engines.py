@@ -148,3 +148,70 @@ def test_fused_grid_on_chip(market):
     se = np.asarray(g_x.std_error_raw)
     assert np.all(np.abs(np.asarray(g_p.price) - np.asarray(g_x.price))
                   < 6 * se + 5e-5)
+
+
+def test_mixed_generator_moments_on_chip():
+    """Pins the MXU-mixed shock generator's functional law on hardware:
+    the (z_r, z_i) functionals of the fullstep ZBC kernel must have the
+    exact Cholesky covariance and near-Gaussian kurtosis (the D-scramble
+    regression in round 2 showed kurt(z_r) = 1.97 without it)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from hullwhite_tpu.models import hull_white as hw
+    from hullwhite_tpu.ops import engine_exact, engine_linear
+    from hullwhite_tpu.pallas import fused
+
+    cfg = CFG
+    tables = hw.step_tables(cfg, cfg.sigma, cfg.sigma, jnp.float32)
+    n1 = cfg.n_steps_s1
+    u_shape, w_shape = engine_linear._shock_shapes(cfg, n1)
+    nb = -(-n1 // fused._MIX_BLOCK)
+    Up = np.zeros((8, nb * 128), np.float32)
+    Up[0, :n1] = u_shape
+    Up[1, :n1] = w_shape
+    Up *= fused._mix_d(nb * 128)[None, :]
+    W = (float(tables.sig_st) * fused._MIX_W_SCALE) * jnp.asarray(Up)
+    T = fused.TILE_FULL_OPT
+    NT = 256
+
+    def kern(seed_ref, w_ref, h_ref, o_ref):
+        draw = fused._tile_rng(seed_ref, False)
+        z = jnp.zeros((8, T), jnp.float32)
+        for q in range(nb):
+            G = fused._mixed_block(draw, h_ref, (64, T), q,
+                                   transposed=True)
+            z += fused._dot(w_ref[:, q * 128:(q + 1) * 128], G, "default")
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        zr, zi = z[0:1, :], z[1:2, :]
+        o_ref[0, :] += zr[0]
+        o_ref[1, :] += zr[0] ** 2
+        o_ref[2, :] += zr[0] ** 4
+        o_ref[3, :] += zi[0] ** 2
+        o_ref[4, :] += zr[0] * zi[0]
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    seeds = fused._key_seed(KEY, jnp.int32(0), salt=202)
+    o = np.asarray(pl.pallas_call(
+        kern, grid=(NT,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, T), jnp.float32),
+    )(seeds, W, fused._hadamard_mix())).sum(axis=1)
+    n = NT * T
+    l11, l21, l22 = engine_exact.zbc_chol(cfg)
+    sig = float(tables.sig_st)
+    vr = (sig * l11) ** 2
+    vi = (sig * np.hypot(l21, l22)) ** 2
+    cov = sig * sig * l11 * l21
+    assert abs(o[0] / n) < 5 * np.sqrt(vr / n)                 # mean
+    assert abs(o[1] / n - vr) < 0.02 * vr                      # var z_r
+    assert abs(o[3] / n - vi) < 0.02 * vi                      # var z_i
+    assert abs(o[4] / n - cov) < 0.05 * abs(cov) + 2e-5        # cov
+    kurt = (o[2] / n) / (o[1] / n) ** 2
+    assert 2.9 < kurt < 3.1, kurt                              # Gaussianity
