@@ -65,9 +65,10 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
 
     rows = {}
     for eng in engines:
-        f = pricing._zbc_moments_fn(cfg, eng, None)
-        dt, m = bench(f, key, cfg.sigma, cfg.sigma, market,
-                      n=reps, rtt=rtt)
+        prep = pricing._option_prep_fn(cfg, eng, "zbc")(
+            cfg.sigma, cfg.sigma, market)
+        f = pricing._option_run_fn(cfg, eng, "zbc", None)
+        dt, m = bench(f, key, prep, market, n=reps, rtt=rtt)
         est = cv_estimate(jnp.asarray(m), market.P[-1])
         rows[eng] = {"ms": dt * 1e3,
                      "paths_per_sec": 2 * cfg.n_paths / dt,
@@ -82,8 +83,10 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
     if True:
         scfg = cfg.replace(n_paths=min(cfg.n_paths, SCAN_PATHS),
                            path_block=min(cfg.path_block, SCAN_PATHS))
-        f = pricing._zbc_moments_fn(scfg, "scan", None)
-        dt, m = bench(f, key, scfg.sigma, scfg.sigma, market, n=3, rtt=rtt)
+        prep = pricing._option_prep_fn(scfg, "scan", "zbc")(
+            scfg.sigma, scfg.sigma, market)
+        f = pricing._option_run_fn(scfg, "scan", "zbc", None)
+        dt, m = bench(f, key, prep, market, n=3, rtt=rtt)
         est = cv_estimate(jnp.asarray(m), market.P[-1])
         rows["scan"] = {"ms": dt * 1e3,
                         "paths_per_sec": 2 * scfg.n_paths / dt,
@@ -165,9 +168,11 @@ def _block_sweep(cfg, key, market, rtt, engine):
         if cfg.n_paths % pb != 0:
             continue
         c = cfg.replace(path_block=pb)
-        f = pricing._vega_sums_fn(c, engine, None)
         try:
-            dt, _ = bench(f, key, c.sigma, c.sigma, market, n=10, rtt=rtt)
+            prep = pricing._option_prep_fn(c, engine, "vega")(
+                c.sigma, c.sigma, market)
+            f = pricing._option_run_fn(c, engine, "vega", None)
+            dt, _ = bench(f, key, prep, market, n=10, rtt=rtt)
         except ValueError as e:
             # fused kernels need path_block >= their path tile
             print(f"path_block=2^{pb_log2}: skipped ({e})")

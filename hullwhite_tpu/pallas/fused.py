@@ -323,36 +323,52 @@ def _curve_exact_kernel(seed_ref, w_ref, c_ref, out_ref, *, prec, interpret):
     out_ref[0, :] += contrib
 
 
-def curve_local_fn(cfg: HWConfig, tables, exact: bool):
-    from functools import partial
+def curve_prepared(cfg: HWConfig, tables, exact: bool):
+    """Sigma-dependent weight pytree for the curve kernels.
 
+    Building these costs ~0.85 ms of small-op dispatch per call on the
+    axon tunnel — half the Q1 wall time — so drivers jit it ONCE per
+    sigma and time the run function only, exactly like the reference
+    (compute_constants runs before its cudaEvent window,
+    1_bond_pricing.cu:49 vs :60)."""
     nm = cfg.n_mat
     if nm - 1 > PAD:
         raise ValueError("n_mat - 1 must be <= 128 for the fused kernels")
     dtype = jnp.float32
-
     if exact:
         LT = np.zeros((PAD, PAD), np.float32)
         LT[: nm - 1, : nm - 1] = engine_exact.curve_chol(cfg)
         W = tables.sig_st * jnp.asarray(LT)
         cw = engine_exact.curve_weights(cfg, tables)
         c_pad = jnp.zeros((1, PAD), dtype).at[0, : nm - 1].set(cw.c[1:])
+        return (W, c_pad)
+    nb = -(-cfg.n_steps // _MIX_BLOCK)
+    Wsh = np.zeros((nb * _MIX_BLOCK, PAD), np.float32)
+    Wsh[: cfg.n_steps, :nm] = engine_linear._curve_shape(cfg)
+    Wsh *= _mix_d(nb * _MIX_BLOCK)[:, None]  # spectrum scrambler
+    W = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Wsh)
+    cw = engine_linear.curve_weights(cfg, tables)
+    exp_c = jnp.exp(-jnp.zeros((PAD,), dtype).at[:nm].set(cw.c))
+    return (W, _hadamard_mix(), exp_c)
+
+
+def curve_local_fn_from(cfg: HWConfig, exact: bool, prepared):
+    from functools import partial
+
+    nm = cfg.n_mat
+    dtype = jnp.float32
+    if exact:
+        W, c_pad = prepared
         paths_per_tile = 2 * TILE_EXACT
         kernel = partial(_curve_exact_kernel, prec=cfg.matmul_precision,
                          interpret=cfg.pallas_interpret)
-        w_args = (W,)
+        w_args = (W, c_pad)
     else:
-        nb = -(-cfg.n_steps // _MIX_BLOCK)
-        Wsh = np.zeros((nb * _MIX_BLOCK, PAD), np.float32)
-        Wsh[: cfg.n_steps, :nm] = engine_linear._curve_shape(cfg)
-        Wsh *= _mix_d(nb * _MIX_BLOCK)[:, None]  # spectrum scrambler
-        W = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Wsh)
-        cw = engine_linear.curve_weights(cfg, tables)
-        exp_c = jnp.exp(-jnp.zeros((PAD,), dtype).at[:nm].set(cw.c))
+        W, H, exp_c = prepared
         paths_per_tile = TILE_FULL
         kernel = partial(_curve_kernel, prec=cfg.matmul_precision,
                          interpret=cfg.pallas_interpret)
-        w_args = (W, _hadamard_mix())
+        w_args = (W, H)
 
     def local_fn(key, base_block, n_blocks):
         local_paths = n_blocks * cfg.path_block
@@ -361,17 +377,20 @@ def curve_local_fn(cfg: HWConfig, tables, exact: bool):
                 f"path_block must be a multiple of {paths_per_tile}")
         tiles_per_block = cfg.path_block // paths_per_tile
         seeds = _key_seed(key, base_block * tiles_per_block, salt=101)
-        if exact:
-            out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
-                              (seeds,) + w_args + (c_pad,), out_rows=1)[0]
-            return jnp.concatenate(
-                [jnp.full((1,), 2.0 * local_paths, dtype), out[: nm - 1]])
         out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
                           (seeds,) + w_args, out_rows=1)[0]
+        if exact:
+            return jnp.concatenate(
+                [jnp.full((1,), 2.0 * local_paths, dtype), out[: nm - 1]])
         sums = out * exp_c
         return sums[:nm].at[0].set(2.0 * local_paths)
 
     return local_fn
+
+
+def curve_local_fn(cfg: HWConfig, tables, exact: bool):
+    return curve_local_fn_from(cfg, exact, curve_prepared(cfg, tables,
+                                                          exact))
 
 
 # ---------------------------------------------------------------------------
@@ -560,10 +579,10 @@ def _vega_full_kernel(seed_ref, w_ref, h_ref, consts_ref, out_ref, *, prec,
     out_ref[1, :] += jnp.full((TILE_FULL_OPT,), 1.0, jnp.float32)
 
 
-def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
-                     kind: str, extra_consts=()):
-    from functools import partial
-
+def option_prepared(cfg: HWConfig, tables, market, sigma, exact: bool,
+                    kind: str, extra_consts=()):
+    """Sigma/market-dependent consts + weights pytree for the fused option
+    kernels (see curve_prepared for why drivers prepare once)."""
     n1 = cfg.n_steps_s1
     consts = _zbc_consts(cfg, tables, market, sigma)
     if exact:
@@ -572,30 +591,36 @@ def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
         parts = [consts, lvec]
         if extra_consts:
             parts.append(jnp.asarray(extra_consts, jnp.float32))
-        consts = jnp.concatenate(parts)
+        return (jnp.concatenate(parts),)
+    if kind == "delta":
+        raise ValueError("fused delta requires the exact tier")
+    u_shape, w_shape = engine_linear._shock_shapes(cfg, n1)
+    nb = -(-n1 // _MIX_BLOCK)
+    # transposed: (8, nb*128) with rows 0/1 = the r/I shock shapes
+    Up = np.zeros((8, nb * _MIX_BLOCK), np.float32)
+    Up[0, :n1] = u_shape
+    Up[1, :n1] = w_shape
+    Up *= _mix_d(nb * _MIX_BLOCK)[None, :]  # spectrum scrambler
+    U = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Up)
+    return (U, _hadamard_mix(), consts)
+
+
+def option_local_fn_from(cfg: HWConfig, exact: bool, kind: str, prepared):
+    from functools import partial
+
+    if exact:
         paths_per_tile = TILE_OPT * PAD
         kernel = partial({"vega": _vega_exact_kernel,
                           "zbc": _zbc_exact_kernel,
                           "delta": _delta_exact_kernel}[kind],
                          interpret=cfg.pallas_interpret)
-        args_tail = (consts,)
     else:
-        if kind == "delta":
-            raise ValueError("fused delta requires the exact tier")
-        u_shape, w_shape = engine_linear._shock_shapes(cfg, n1)
-        nb = -(-n1 // _MIX_BLOCK)
-        # transposed: (8, nb*128) with rows 0/1 = the r/I shock shapes
-        Up = np.zeros((8, nb * _MIX_BLOCK), np.float32)
-        Up[0, :n1] = u_shape
-        Up[1, :n1] = w_shape
-        Up *= _mix_d(nb * _MIX_BLOCK)[None, :]  # spectrum scrambler
-        U = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Up)
         paths_per_tile = TILE_FULL_OPT
         kernel = partial(_vega_full_kernel if kind == "vega"
                          else _zbc_full_kernel,
                          prec=cfg.matmul_precision,
                          interpret=cfg.pallas_interpret)
-        args_tail = (U, _hadamard_mix(), consts)
+    args_tail = tuple(prepared)
 
     # vega kernels are single-leg (like reference simulate_sensitivity);
     # the count they record already reflects that.
@@ -617,6 +642,14 @@ def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
         return jnp.sum(out[:2, :], axis=1)
 
     return local_fn
+
+
+def _option_local_fn(cfg: HWConfig, tables, market, sigma, exact: bool,
+                     kind: str, extra_consts=()):
+    return option_local_fn_from(
+        cfg, exact, kind,
+        option_prepared(cfg, tables, market, sigma, exact, kind,
+                        extra_consts))
 
 
 def zbc_local_fn(cfg, tables, market, sigma, exact: bool):

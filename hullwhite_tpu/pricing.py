@@ -99,27 +99,75 @@ def _block_loop(block_fn, out_dim):
 # Q1 — zero-coupon curve bootstrap (reference 1_bond_pricing.cu:23-185)
 # ---------------------------------------------------------------------------
 
+# Prepared/run split: building the sigma-dependent tables and weights
+# costs ~0.85 ms of small-op dispatch per call on the axon tunnel — half
+# the Q1 wall time — while the reference's compute_constants runs OUTSIDE
+# its cudaEvent window (1_bond_pricing.cu:49 vs :60).  Drivers that time
+# the hot kernel therefore prepare once per sigma (_curve_prep_fn) and
+# loop the run function (_curve_sums_run_fn); the composed _curve_sums_fn
+# keeps the one-call API for everything else.
+
+def _curve_prep_body(cfg: HWConfig, engine: str, sigma, sigma0):
+    tables = hw.step_tables(cfg, sigma, sigma0, _dtype(cfg))
+    if engine.startswith("pallas"):
+        from .pallas import fused
+
+        return fused.curve_prepared(cfg, tables,
+                                    exact=(engine == "pallas_exact"))
+    if engine == "scan":
+        return tables
+    if engine == "linear":
+        return engine_linear.curve_weights(cfg, tables)
+    if engine == "exact":
+        return engine_exact.curve_weights(cfg, tables)
+    raise ValueError(engine)
+
+
+def _curve_run_body(cfg: HWConfig, engine: str, mesh, key, prepared):
+    dtype = _dtype(cfg)
+    if engine.startswith("pallas"):
+        from .pallas import fused
+
+        local = fused.curve_local_fn_from(
+            cfg, engine == "pallas_exact", prepared)
+    else:
+        if engine == "scan":
+            n_cols = cfg.n_steps
+            block_sums = lambda G: engine_scan.curve_discount_sums(
+                cfg, prepared, G)
+        elif engine == "linear":
+            n_cols = cfg.n_steps
+            block_sums = lambda G: engine_linear.curve_discount_sums(
+                cfg, prepared, G)
+        else:
+            n_cols = cfg.n_mat - 1
+            block_sums = lambda G: engine_exact.curve_discount_sums(
+                cfg, prepared, G)
+
+        def block_fn(key, i):
+            G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
+            return block_sums(G).astype(jnp.float32)
+
+        local = _block_loop(block_fn, cfg.n_mat)
+    runner = pmesh.shard_blocks(local, mesh)
+    return runner(key, cfg.n_blocks)
+
+
+@lru_cache(maxsize=None)
+def _curve_prep_fn(cfg: HWConfig, engine: str):
+    return jax.jit(partial(_curve_prep_body, cfg, engine))
+
+
+@lru_cache(maxsize=None)
+def _curve_sums_run_fn(cfg: HWConfig, engine: str, mesh):
+    return jax.jit(partial(_curve_run_body, cfg, engine, mesh))
+
+
 @lru_cache(maxsize=None)
 def _curve_sums_fn(cfg: HWConfig, engine: str, mesh):
-    dtype = _dtype(cfg)
-
     def compute(key, sigma, sigma0):
-        tables = hw.step_tables(cfg, sigma, sigma0, dtype)
-        if engine.startswith("pallas"):
-            from .pallas import fused
-
-            local = fused.curve_local_fn(cfg, tables,
-                                         exact=(engine == "pallas_exact"))
-        else:
-            n_cols, block_sums = _xla_curve_setup(cfg, engine, tables)
-
-            def block_fn(key, i):
-                G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
-                return block_sums(G).astype(jnp.float32)
-
-            local = _block_loop(block_fn, cfg.n_mat)
-        runner = pmesh.shard_blocks(local, mesh)
-        return runner(key, cfg.n_blocks)
+        return _curve_run_body(cfg, engine, mesh, key,
+                               _curve_prep_body(cfg, engine, sigma, sigma0))
 
     return jax.jit(compute)
 
@@ -168,27 +216,79 @@ def theta_recovery(cfg: HWConfig, market: MarketCurve,
 # (reference simulate_ZBC_control_variate + run_ZBC_control_variate)
 # ---------------------------------------------------------------------------
 
+def _option_prep_body(cfg: HWConfig, engine: str, kind: str, sigma, sigma0,
+                      market):
+    """(prepared, sigma, market-ish) pytree for the option products.
+
+    XLA engines keep (weights, sigma) and consume ``market`` at run time;
+    fused kernels bake market into their consts."""
+    dtype = _dtype(cfg)
+    tables = hw.step_tables(cfg, sigma, sigma0, dtype)
+    if engine.startswith("pallas"):
+        from .pallas import fused
+
+        return fused.option_prepared(cfg, tables, market, sigma,
+                                     exact=(engine == "pallas_exact"),
+                                     kind=kind)
+    dual = kind == "vega"
+    if engine == "scan":
+        w = tables
+    elif engine == "linear":
+        w = engine_linear.zbc_weights(cfg, tables)
+    elif engine == "exact":
+        w = engine_exact.zbc_weights(cfg, tables)
+    else:
+        raise ValueError(engine)
+    return (w, jnp.asarray(sigma, dtype))
+
+
+def _option_run_body(cfg: HWConfig, engine: str, kind: str, mesh, key,
+                     prepared, market):
+    dtype = _dtype(cfg)
+    if engine.startswith("pallas"):
+        from .pallas import fused
+
+        local = fused.option_local_fn_from(
+            cfg, engine == "pallas_exact", kind, prepared)
+        out_dim = N_MOMENTS if kind == "zbc" else 2
+    else:
+        w, sigma = prepared
+        dual = kind == "vega"
+        n1 = cfg.n_steps_s1
+        eng = _XLA_ENGINES[engine]
+        fn = eng.dual_state if dual else eng.antithetic_state
+        n_cols = {"scan": n1, "linear": n1, "exact": 2}[engine]
+
+        def block_fn(key, i):
+            G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
+            st = fn(cfg, w, G)
+            if kind == "zbc":
+                return payoffs.zbc_moments(cfg, sigma, market, st)
+            return payoffs.vega_sum(cfg, sigma, market, st)
+
+        out_dim = N_MOMENTS if kind == "zbc" else 2
+        local = _block_loop(block_fn, out_dim)
+    runner = pmesh.shard_blocks(local, mesh)
+    return runner(key, cfg.n_blocks)
+
+
+@lru_cache(maxsize=None)
+def _option_prep_fn(cfg: HWConfig, engine: str, kind: str):
+    return jax.jit(partial(_option_prep_body, cfg, engine, kind))
+
+
+@lru_cache(maxsize=None)
+def _option_run_fn(cfg: HWConfig, engine: str, kind: str, mesh):
+    return jax.jit(partial(_option_run_body, cfg, engine, kind, mesh))
+
+
 @lru_cache(maxsize=None)
 def _zbc_moments_fn(cfg: HWConfig, engine: str, mesh):
-    dtype = _dtype(cfg)
-
     def compute(key, sigma, sigma0, market):
-        tables = hw.step_tables(cfg, sigma, sigma0, dtype)
-        if engine.startswith("pallas"):
-            from .pallas import fused
-
-            local = fused.zbc_local_fn(cfg, tables, market, sigma,
-                                       exact=(engine == "pallas_exact"))
-        else:
-            n_cols, state_of = _xla_state_setup(cfg, engine, tables, dual=False)
-
-            def block_fn(key, i):
-                G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
-                return payoffs.zbc_moments(cfg, sigma, market, state_of(G))
-
-            local = _block_loop(block_fn, N_MOMENTS)
-        runner = pmesh.shard_blocks(local, mesh)
-        return runner(key, cfg.n_blocks)
+        prepared = _option_prep_body(cfg, engine, "zbc", sigma, sigma0,
+                                     market)
+        return _option_run_body(cfg, engine, "zbc", mesh, key, prepared,
+                                market)
 
     return jax.jit(compute)
 
@@ -272,25 +372,11 @@ def validate_vega_runs(cfg: HWConfig, key, market: MarketCurve, *,
 
 @lru_cache(maxsize=None)
 def _vega_sums_fn(cfg: HWConfig, engine: str, mesh):
-    dtype = _dtype(cfg)
-
     def compute(key, sigma, sigma0, market):
-        tables = hw.step_tables(cfg, sigma, sigma0, dtype)
-        if engine.startswith("pallas"):
-            from .pallas import fused
-
-            local = fused.vega_local_fn(cfg, tables, market, sigma,
-                                        exact=(engine == "pallas_exact"))
-        else:
-            n_cols, state_of = _xla_state_setup(cfg, engine, tables, dual=True)
-
-            def block_fn(key, i):
-                G = block_normals(key, i, (cfg.path_block, n_cols), dtype)
-                return payoffs.vega_sum(cfg, sigma, market, state_of(G))
-
-            local = _block_loop(block_fn, 2)
-        runner = pmesh.shard_blocks(local, mesh)
-        return runner(key, cfg.n_blocks)
+        prepared = _option_prep_body(cfg, engine, "vega", sigma, sigma0,
+                                     market)
+        return _option_run_body(cfg, engine, "vega", mesh, key, prepared,
+                                market)
 
     return jax.jit(compute)
 
