@@ -156,6 +156,14 @@ def _vb_norms(mu, sd, cA, B, v0):
     return c1, c2
 
 
+def _poly_basis(r, mu, sd):
+    """The polynomial columns only (the dual value proxy / gamma fits);
+    avoids evaluating the per-cashflow exponentials of the bond feature
+    just to slice them away."""
+    rt = (r - mu) / sd
+    return jnp.stack([rt ** p for p in range(BASIS_DEGREE + 1)], axis=1)
+
+
 def _basis(r, mu, sd, cA, B, v0):
     """Policy basis: [1, r~, r~^2, r~^3, clip(V-residual)].  The bond
     feature is clipped at +/-8 (its exponential tails otherwise dominate
@@ -258,8 +266,7 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
         out_betas = [None] * max(k - 1, 0)
         gammas = [None] * k
         if fit_value:
-            Xl = _basis(r[:, k - 1], stats[0][k - 1], stats[1][k - 1],
-                        *terms[k - 1], v0s[k - 1])[:, :BASIS_DEGREE + 1]
+            Xl = _poly_basis(r[:, k - 1], stats[0][k - 1], stats[1][k - 1])
             gammas[k - 1] = _wls(Xl, cf / D[:, k - 1], ones, prec)
         for j in range(k - 2, -1, -1):
             pj = payoff_at(r[:, j], *terms[j])
@@ -276,7 +283,7 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             cf = jnp.where(exercise, pj * D[:, j], cf)
             if fit_value:
                 gammas[j] = _wls(X[:, :BASIS_DEGREE + 1], cf / D[:, j],
-                                 ones, prec)
+                                 ones, prec)  # X already built for the policy
         return cf, out_betas, gammas
 
     def dual_path_bound(r, integral, sigma, tables, market, stats, terms,
@@ -309,8 +316,7 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             ctI = sig2 * jnp.float32(p["ctI"])
             cond = _tilted_basis_expectation(
                 gammas[j], stats[0][j], stats[1][j], m_t, v_t, mI, vI, ctI)
-            X = _basis(r[:, j], stats[0][j], stats[1][j], *terms[j],
-                       v0s[j])[:, :BASIS_DEGREE + 1]
+            X = _poly_basis(r[:, j], stats[0][j], stats[1][j])
             vhat = jnp.dot(X, gammas[j], precision=cfg.matmul_precision)
             M = M + D[:, j] * vhat - D_prev * cond
             Z = D[:, j] * payoff_at(r[:, j], *terms[j])
@@ -352,14 +358,24 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
                               jnp.sum(u), jnp.sum(u * u)])
 
-        sums = jnp.sum(lax.map(block, jnp.arange(n_blocks)), axis=0)
+        per_block = lax.map(block, jnp.arange(n_blocks))   # (n_blocks, 4)
+        sums = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         p_out = sums[0] / n_tot
-        se = jnp.sqrt(jnp.maximum(sums[1] / n_tot - p_out ** 2, 0.0)
-                      / n_tot)
         up = sums[2] / n_tot
-        up_se = jnp.sqrt(jnp.maximum(sums[3] / n_tot - up ** 2, 0.0)
-                         / n_tot)
+        if rqmc:
+            # within a block the Sobol points are deterministic given the
+            # digital shift, so the iid pooled SE is invalid; the shifts
+            # are the independent replicates (requires n_blocks >= 2)
+            bm_lo = per_block[:, 0] / n_paths
+            bm_up = per_block[:, 2] / n_paths
+            se = jnp.std(bm_lo, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            up_se = jnp.std(bm_up, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+        else:
+            se = jnp.sqrt(jnp.maximum(sums[1] / n_tot - p_out ** 2, 0.0)
+                          / n_tot)
+            up_se = jnp.sqrt(jnp.maximum(sums[3] / n_tot - up ** 2, 0.0)
+                             / n_tot)
         return p_out, p_in, se, up, up_se
 
     return jax.jit(compute)
@@ -388,6 +404,9 @@ def price_bermudan(cfg: HWConfig, key, market: MarketCurve,
         raise ValueError("need at least one exercise date")
     if ex[-1] >= max(sched.times):
         raise ValueError("exercise dates must precede the last cashflow")
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent SE replicates)")
     # convention: exercising exactly on a payment date forfeits that
     # payment (the `alive` mask in payoff_at is strict), i.e. exercise
     # happens immediately after the coupon.

@@ -250,17 +250,14 @@ def _dot(a, b, prec="highest"):
     )
 
 
-def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD,
-                smem_last=False):
+def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
     """Common pallas_call shape: SMEM seeds + VMEM operands -> accumulated
-    (out_rows, out_cols) float32 output.  ``smem_last`` places the final
-    operand (a scalar-consts vector) in SMEM — scalar element reads from
-    VMEM cost vector relayouts on Mosaic."""
+    (out_rows, out_cols) float32 output.  (Consts vectors deliberately stay
+    in VMEM: an SMEM-consts A/B made the short exact kernels ~30% slower —
+    per-use scalar load + broadcast beats one vector load.)"""
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [
         pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args[1:]
     ]
-    if smem_last:
-        in_specs[-1] = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -636,7 +633,7 @@ def option_local_fn_from(cfg: HWConfig, exact: bool, kind: str, prepared):
         seeds = _key_seed(key, base_block * tiles_per_block, salt=salt)
         out = _pallas_sum(cfg, kernel, local_paths // paths_per_tile,
                           (seeds,) + args_tail, out_rows=8,
-                          out_cols=out_cols, smem_last=False)
+                          out_cols=out_cols)
         if kind == "zbc":
             return jnp.sum(out[:6, :], axis=1)
         return jnp.sum(out[:2, :], axis=1)

@@ -47,19 +47,6 @@ _XLA_ENGINES = {"linear": engine_linear, "scan": engine_scan,
                 "exact": engine_exact}
 
 
-def _xla_curve_setup(cfg: HWConfig, engine: str, tables):
-    """(n_cols, block_sums) for the Q1 curve product."""
-    if engine == "scan":
-        return cfg.n_steps, lambda G: engine_scan.curve_discount_sums(cfg, tables, G)
-    if engine == "linear":
-        cw = engine_linear.curve_weights(cfg, tables)
-        return cfg.n_steps, lambda G: engine_linear.curve_discount_sums(cfg, cw, G)
-    if engine == "exact":
-        cw = engine_exact.curve_weights(cfg, tables)
-        return cfg.n_mat - 1, lambda G: engine_exact.curve_discount_sums(cfg, cw, G)
-    raise ValueError(engine)
-
-
 def _xla_state_setup(cfg: HWConfig, engine: str, tables, dual: bool):
     """(n_cols, state_of) for the option-leg products."""
     n1 = cfg.n_steps_s1
@@ -230,7 +217,8 @@ def _option_prep_body(cfg: HWConfig, engine: str, kind: str, sigma, sigma0,
         return fused.option_prepared(cfg, tables, market, sigma,
                                      exact=(engine == "pallas_exact"),
                                      kind=kind)
-    dual = kind == "vega"
+    # NOTE: the XLA prep output is kind-independent (zbc_weights serve both
+    # the zbc and vega run bodies; dual vs antithetic is a run-time choice)
     if engine == "scan":
         w = tables
     elif engine == "linear":
