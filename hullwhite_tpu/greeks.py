@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import HWConfig
 from .models import hull_white as hw
@@ -167,3 +168,53 @@ def vega_swaption(cfg: HWConfig, key, market: MarketCurve, sched,
     sigma = jnp.asarray(cfg.sigma, jnp.float32)
     return _swaption_vega_fn(cfg, sched, float(strike), bool(payer),
                              engine, mesh)(sigma, key, market)
+
+
+def implied_sigma(cfg: HWConfig, market: MarketCurve, target_price: float,
+                  *, sigma0: float | None = None, tol: float = 1e-12,
+                  max_iter: int = 60) -> float:
+    """Calibrate sigma to a target ZBC price (float64 Newton on the
+    closed form — the inverse problem the reference never solves, closing
+    the calibrate -> price -> hedge loop).
+
+    The closed-form ZBC is monotone increasing in sigma (its vega is
+    positive), so Newton from any sigma0 > 0 with a bisection fallback
+    converges globally.
+    """
+    import math
+
+    from .models.oracles import _pdf, _phi
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    P1 = float(np.interp(cfg.s1, Ts, P))
+    P2 = float(np.interp(cfg.s2, Ts, P))
+    K = cfg.strike
+    a = cfg.a
+    B = (1.0 - math.exp(-a * (cfg.s2 - cfg.s1))) / a
+    c = B * math.sqrt((1.0 - math.exp(-2.0 * a * cfg.s1)) / (2.0 * a))
+
+    def price_and_vega(sig):
+        sp = sig * c
+        h = math.log(P2 / (K * P1)) / sp + 0.5 * sp
+        price = P2 * _phi(h) - K * P1 * _phi(h - sp)
+        vega = P2 * _pdf(h) * c  # Black-style: dP/dsigma = P2 phi(h) c
+        return price, vega
+
+    lo, hi = 1e-8, 5.0
+    sig = float(sigma0 if sigma0 is not None else cfg.sigma)
+    for _ in range(max_iter):
+        price, vega = price_and_vega(sig)
+        err = price - target_price
+        if abs(err) < tol:
+            return sig
+        if err > 0:
+            hi = min(hi, sig)
+        else:
+            lo = max(lo, sig)
+        step = err / max(vega, 1e-16)
+        nxt = sig - step
+        if not (lo < nxt < hi):
+            nxt = 0.5 * (lo + hi)  # bisection fallback
+        sig = nxt
+    return sig

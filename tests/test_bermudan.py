@@ -129,3 +129,19 @@ def test_rqmc_and_streaming_consistent(analytic_market, sched):
     assert orc <= float(res.upper) + 4 * float(res.upper_std_error)
     # streamed evaluation: total paths = n_paths * n_blocks
     assert res.n_paths == (1 << 13) * 4
+
+
+def test_dense_dates_approach_american_limit(analytic_market, sched):
+    """The DP oracle is monotone in exercise rights and converges as the
+    date set densifies toward the American limit (quarterly < monthly
+    increments shrink)."""
+    cfg = CFG.replace(n_steps=1000)  # dt = 0.01 so quarter-dates sit on it
+    annual = bermudan.dp_oracle(cfg, analytic_market, sched,
+                                [5.0, 6.0, 7.0, 8.0])
+    semi = bermudan.dp_oracle(cfg, analytic_market, sched,
+                              [5.0 + 0.5 * j for j in range(8)])
+    quarterly = bermudan.dp_oracle(cfg, analytic_market, sched,
+                                   [5.0 + 0.25 * j for j in range(16)])
+    assert annual <= semi + 1e-9 <= quarterly + 2e-9
+    # increments shrink: the dense-date limit is being approached
+    assert (quarterly - semi) < (semi - annual)

@@ -209,3 +209,14 @@ def test_batched_validation_matches_host_loop(market):
         k = jax.random.fold_in(KEY, 2000 + run)
         s = fv(k, CFG.sigma, CFG.sigma, market)
         assert abs(float(s[0] / s[1]) - float(v[run])) < 1e-7
+
+
+def test_implied_sigma_roundtrip(market):
+    """Calibration closes the loop: implied_sigma(price(sigma)) == sigma."""
+    from hullwhite_tpu.models import oracles
+
+    for sig in (0.05, 0.1, 0.2):
+        target = oracles.zbc_price(CFG, float(market.P[CFG.n_mat // 2]),
+                                   float(market.P[-1]), sigma=sig)
+        got = greeks.implied_sigma(CFG, market, target, sigma0=0.15)
+        assert abs(got - sig) < 1e-8, (sig, got)
