@@ -145,3 +145,19 @@ def test_dense_dates_approach_american_limit(analytic_market, sched):
     assert annual <= semi + 1e-9 <= quarterly + 2e-9
     # increments shrink: the dense-date limit is being approached
     assert (quarterly - semi) < (semi - annual)
+
+
+def test_rqmc_requires_replicates(analytic_market, sched):
+    with pytest.raises(ValueError, match="n_blocks >= 2"):
+        bermudan.price_bermudan(CFG, KEY, analytic_market, sched, [5.0],
+                                n_paths=1024, rqmc=True)
+
+
+def test_payer_bermudan_bracket(analytic_market, sched):
+    """Payer side: bracket still holds around the DP oracle."""
+    ex = [5.0, 6.0, 7.0]
+    res = bermudan.price_bermudan(CFG, KEY, analytic_market, sched, ex,
+                                  payer=True, n_paths=N, n_blocks=2)
+    orc = bermudan.dp_oracle(CFG, analytic_market, sched, ex, payer=True)
+    assert float(res.price) - 4 * float(res.std_error) <= orc
+    assert orc <= float(res.upper) + 4 * float(res.upper_std_error)

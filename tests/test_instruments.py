@@ -154,3 +154,14 @@ def test_caplet_is_scaled_zbp(analytic_market):
     tot, per = instruments.cap_closed_form(CFG, analytic_market, rate=K,
                                            start=5.0, tenor=1.0)
     assert abs(per[0] - (1.0 + tau * K) * zbp) < 1e-12
+
+
+def test_cap_semiannual_freq(analytic_market):
+    """freq=2: reset/payment grid at half-years still prices vs closed
+    form (dates must sit on the step grid: tiny cfg has dt=0.1)."""
+    res = instruments.price_cap(CFG, KEY, analytic_market, rate=0.02,
+                                tenor=2.0, freq=2.0, n_paths=1 << 15)
+    tot, per = instruments.cap_closed_form(CFG, analytic_market, rate=0.02,
+                                           tenor=2.0, freq=2.0)
+    assert len(per) == 4
+    assert abs(float(res.price) - tot) < 5 * float(res.std_error) + 5e-5
