@@ -1,6 +1,7 @@
 # hullwhite_tpu — build & run targets (analogue of the reference makefile)
 
-.PHONY: native test tpu-test q1 q2 q3 benchmark all analyze bench clean
+.PHONY: native test tpu-test q1 q2 q3 benchmark all analyze bench clean \
+        g2pp swaption cap grid
 
 native:
 	$(MAKE) -C native
@@ -25,6 +26,18 @@ benchmark:
 
 all:
 	python -m hullwhite_tpu.cli all
+
+g2pp:
+	python -m hullwhite_tpu.cli g2pp
+
+swaption:
+	python -m hullwhite_tpu.cli swaption --bermudan
+
+cap:
+	python -m hullwhite_tpu.cli cap
+
+grid:
+	python -m hullwhite_tpu.cli grid
 
 analyze:
 	python -m hullwhite_tpu.analyze
