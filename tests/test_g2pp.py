@@ -214,3 +214,23 @@ def test_g2_bermudan_monotone_in_rights(analytic_market):
                                 [5.0, 6.0, 7.0], n_paths=1 << 15)
     assert float(e3.price) >= float(e1.price) - 3 * float(e1.std_error)
     assert float(e3.price) <= float(e3.price_in_sample) + 3 * float(e3.std_error)
+
+
+def test_g2_bermudan_degenerates_to_hw_oracle(analytic_market):
+    """Multi-date pin: with eta = 0 the G2++ Bermudan is the Hull-White
+    Bermudan, so the 1-factor DP oracle must price it (the continuous-vs-
+    trapezoid-I law gap is ~2e-5 at dt = 0.01, far below the LSMC SE)."""
+    from hullwhite_tpu import bermudan as hw_bermudan
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    cfg = CFG.replace(n_steps=1000)  # fine grid for the HW oracle
+    g1 = g2pp.G2Params(a=CFG.a, b=0.5, sigma=CFG.sigma, eta=0.0, rho=0.0)
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    ex = [5.0, 6.0, 7.0, 8.0]
+    res = g2pp.price_bermudan_g2(cfg, g1, KEY, analytic_market, sched, ex,
+                                 n_paths=1 << 16)
+    orc = hw_bermudan.dp_oracle(cfg, analytic_market, sched, ex)
+    # LSMC lower bound: below oracle within noise, and not far below
+    assert float(res.price) - 4 * float(res.std_error) <= orc + 1e-4
+    assert float(res.price) >= orc - 6 * float(res.std_error) - 3e-4, (
+        float(res.price), orc)
