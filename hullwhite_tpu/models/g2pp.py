@@ -715,3 +715,105 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
         float(strike), bool(payer), int(n_paths))(key, market)
     return G2Bermudan(price=p, price_in_sample=p_in, std_error=se,
                       n_paths=int(n_paths), exercise_dates=ex)
+
+
+# ---------------------------------------------------------------------------
+# Caps / floors under G2++ (round 2b)
+# ---------------------------------------------------------------------------
+
+def _zbp_closed_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                   t1: float, t2: float, K: float) -> float:
+    """float64 G2++ zero-bond put on P(t1, t2) struck at K."""
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    P1 = float(np.interp(t1, Ts, P))
+    P2 = float(np.interp(t2, Ts, P))
+    S = _sigma_zbc(g, t1, t2)
+    h = math.log(P2 / (K * P1)) / S + 0.5 * S
+    from .oracles import _phi
+
+    return K * P1 * _phi(-h + S) - P2 * _phi(-h)
+
+
+def cap_closed_form_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, *,
+                       rate: float, start: float | None = None,
+                       tenor: float = 4.0, freq: float = 1.0,
+                       floor: bool = False):
+    """float64 G2++ cap/floor = sum of scaled ZBP/ZBC per period."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    total, per = 0.0, []
+    for j in range(n):
+        t1 = start + j * tau
+        t2 = t1 + tau
+        v = (1.0 + tau * rate) * _zbp_closed_g2(
+            cfg, g, market, t1, t2, 1.0 / (1.0 + tau * rate))
+        if floor:
+            P1 = float(np.interp(t1, Ts, P))
+            P2 = float(np.interp(t2, Ts, P))
+            v = v - (P1 - (1.0 + tau * rate) * P2)
+        per.append(v)
+        total += v
+    return total, per
+
+
+@lru_cache(maxsize=None)
+def _g2_cap_fn(cfg: HWConfig, g: G2Params, rate: float, start: float,
+               n: int, tau: float, floor: bool, n_paths: int):
+    dates = tuple(start + j * tau for j in range(n + 1))
+    LT = jnp.asarray(_g2_joint_chol(g, dates))
+    k = len(dates)
+    # per-period bond reconstruction statics
+    vadj = [0.5 * (_v_integral(g, tau) - _v_integral(g, dates[j + 1])
+                   + _v_integral(g, dates[j])) for j in range(n)]
+    Ba = jnp.float32(_B(g.a, tau))
+    Bb = jnp.float32(_B(g.b, tau))
+    d0 = [-0.5 * _v_integral(g, t) for t in dates]
+
+    def compute(key, market):
+        P_at = lambda t: hw.interp_curve(market.P, jnp.float32(t), cfg)
+        xn = jax.random.normal(key, (n_paths, 3 * k), jnp.float32)
+        z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                    precision=cfg.matmul_precision)
+        x, y, I = z[:, 0::3], z[:, 1::3], z[:, 2::3]
+
+        def leg(sgn):
+            vals = []
+            for j in range(n):
+                A = (P_at(dates[j + 1]) / P_at(dates[j])
+                     * jnp.exp(jnp.float32(vadj[j])))
+                Pb = A * jnp.exp(-Ba * sgn * x[:, j] - Bb * sgn * y[:, j])
+                L = (1.0 / Pb - 1.0) / tau
+                disc = (P_at(dates[j + 1])
+                        * jnp.exp(jnp.float32(d0[j + 1]))
+                        * jnp.exp(-sgn * I[:, j + 1]))
+                intrinsic = (rate - L) if floor else (L - rate)
+                vals.append(disc * tau * jnp.maximum(intrinsic, 0.0))
+            return jnp.stack(vals, axis=1)
+
+        V = 0.5 * (leg(1.0) + leg(-1.0))
+        tot = jnp.sum(V, axis=1)
+        return (jnp.mean(tot),
+                jnp.std(tot, ddof=1) / jnp.sqrt(1.0 * n_paths),
+                jnp.mean(V, axis=0))
+
+    return jax.jit(compute)
+
+
+def price_cap_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve, *,
+                 rate: float, start: float | None = None,
+                 tenor: float = 4.0, freq: float = 1.0, floor: bool = False,
+                 n_paths: int | None = None):
+    """G2++ cap/floor: every caplet from one exactly-sampled multi-date
+    (x, y, I) state set (antithetic).  Returns (price, se, caplets)."""
+    if start is None:
+        start = cfg.s1
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    n = int(round(tenor * freq))
+    return _g2_cap_fn(cfg, g, float(rate), float(start), n, 1.0 / freq,
+                      bool(floor), int(n_paths))(key, market)

@@ -433,3 +433,42 @@ def pathwise_delta(cfg: HWConfig, key, market: MarketCurve, *, sigma=None,
             "pathwise_delta supports the XLA engines and pallas_exact")
     sums = _delta_sums_fn(cfg, engine, mesh)(key, sigma, cfg.sigma, market)
     return sums[0] / sums[1]
+
+
+class Pricer(NamedTuple):
+    """Public prepared/run pair for latency-critical serving loops.
+
+    ``prepare(sigma, sigma0[, market])`` jit-builds the sigma-dependent
+    tables/weights once; ``run(key, prepared[, market])`` executes only
+    the hot kernel.  Repricing the same model under many keys (the serving
+    pattern) skips the ~1 ms-per-call weight build that the one-call API
+    pays on dispatch-bound platforms; CRN/vega semantics are unchanged
+    (prepare is a pure jitted function of sigma).
+    """
+
+    prepare: callable
+    run: callable
+
+
+def curve_pricer(cfg: HWConfig, *, engine: str = "linear",
+                 mesh=None) -> Pricer:
+    """prepare(sigma, sigma0) -> prepared;  run(key, prepared) ->
+    (n_mat,) discount sums (divide by 2 n_paths for P(0,T))."""
+    return Pricer(prepare=_curve_prep_fn(cfg, engine),
+                  run=_curve_sums_run_fn(cfg, engine, mesh))
+
+
+def zbc_pricer(cfg: HWConfig, *, engine: str = "linear",
+               mesh=None) -> Pricer:
+    """prepare(sigma, sigma0, market) -> prepared;  run(key, prepared,
+    market) -> (6,) CV moments (payoffs.cv_estimate finishes the job)."""
+    return Pricer(prepare=_option_prep_fn(cfg, engine, "zbc"),
+                  run=_option_run_fn(cfg, engine, "zbc", mesh))
+
+
+def vega_pricer(cfg: HWConfig, *, engine: str = "linear",
+                mesh=None) -> Pricer:
+    """prepare(sigma, sigma0, market) -> prepared;  run(key, prepared,
+    market) -> (2,) [vega sum, count]."""
+    return Pricer(prepare=_option_prep_fn(cfg, engine, "vega"),
+                  run=_option_run_fn(cfg, engine, "vega", mesh))

@@ -234,3 +234,25 @@ def test_g2_bermudan_degenerates_to_hw_oracle(analytic_market):
     assert float(res.price) - 4 * float(res.std_error) <= orc + 1e-4
     assert float(res.price) >= orc - 6 * float(res.std_error) - 3e-4, (
         float(res.price), orc)
+
+
+def test_g2_cap_mc_matches_closed_form(analytic_market):
+    p, se, caplets = g2pp.price_cap_g2(CFG, G2, KEY, analytic_market,
+                                       rate=0.02, tenor=3.0,
+                                       n_paths=1 << 16)
+    tot, per = g2pp.cap_closed_form_g2(CFG, G2, analytic_market, rate=0.02,
+                                       tenor=3.0)
+    assert len(per) == 3
+    assert abs(float(p) - tot) < 5 * float(se) + 1e-4, (float(p), tot)
+
+
+def test_g2_cap_degenerates_to_hw(analytic_market):
+    """eta -> 0: the G2++ cap closed form equals the Hull-White one."""
+    from hullwhite_tpu import instruments
+
+    g1 = g2pp.G2Params(a=CFG.a, b=0.5, sigma=CFG.sigma, eta=0.0, rho=0.0)
+    tot_g2, _ = g2pp.cap_closed_form_g2(CFG, g1, analytic_market,
+                                        rate=0.02, tenor=3.0)
+    tot_hw, _ = instruments.cap_closed_form(CFG, analytic_market,
+                                            rate=0.02, tenor=3.0)
+    assert abs(tot_g2 - tot_hw) < 1e-10

@@ -220,3 +220,19 @@ def test_implied_sigma_roundtrip(market):
                                    float(market.P[-1]), sigma=sig)
         got = greeks.implied_sigma(CFG, market, target, sigma0=0.15)
         assert abs(got - sig) < 1e-8, (sig, got)
+
+
+def test_public_pricer_facade_matches_composed_api(market):
+    """curve_pricer/zbc_pricer split == the one-call API bit-for-bit."""
+    pr = pricing.curve_pricer(CFG, engine="exact")
+    prepared = pr.prepare(CFG.sigma, CFG.sigma)
+    sums = pr.run(KEY, prepared)
+    ref = pricing._curve_sums_fn(CFG, "exact", None)(KEY, CFG.sigma,
+                                                     CFG.sigma)
+    np.testing.assert_array_equal(np.asarray(sums), np.asarray(ref))
+
+    zp = pricing.zbc_pricer(CFG, engine="exact")
+    m = zp.run(KEY, zp.prepare(CFG.sigma, CFG.sigma, market), market)
+    ref = pricing._zbc_moments_fn(CFG, "exact", None)(
+        KEY, CFG.sigma, CFG.sigma, market)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(ref), rtol=1e-6)
