@@ -59,8 +59,8 @@ def _v_integral(g: G2Params, tau: float) -> float:
 
 
 @lru_cache(maxsize=None)
-def _state_chol(g: G2Params, s1: float):
-    """fp64 Cholesky^T of Cov(x(S1), y(S1), I) with I = int_0^S1 (x+y) ds.
+def _state_cov(g: G2Params, T: float):
+    """fp64 Cov(x(T), y(T), I(T)) from zero start, I = int_0^T (x+y) ds.
 
     All entries in closed form:
       Var x       = s^2 (1-e^{-2aT})/(2a)
@@ -70,7 +70,6 @@ def _state_chol(g: G2Params, s1: float):
       Var I       = _v_integral
     """
     a, b, s, e, r = g.a, g.b, g.sigma, g.eta, g.rho
-    T = s1
     vx = s * s * (1 - math.exp(-2 * a * T)) / (2 * a)
     vy = e * e * (1 - math.exp(-2 * b * T)) / (2 * b)
     cxy = r * s * e * (1 - math.exp(-(a + b) * T)) / (a + b)
@@ -81,12 +80,17 @@ def _state_chol(g: G2Params, s1: float):
 
     c_x_I = cov_x_I(a, s, a, s, 1.0) + cov_x_I(a, s, b, e, r)
     c_y_I = cov_x_I(b, e, b, e, 1.0) + cov_x_I(b, e, a, s, r)
-    vI = _v_integral(g, T)
-    C = np.array([
+    return np.array([
         [vx, cxy, c_x_I],
         [cxy, vy, c_y_I],
-        [c_x_I, c_y_I, vI],
+        [c_x_I, c_y_I, _v_integral(g, T)],
     ])
+
+
+@lru_cache(maxsize=None)
+def _state_chol(g: G2Params, s1: float):
+    """fp32 Cholesky^T of _state_cov (z = x @ L^T sampling)."""
+    C = _state_cov(g, s1)
     L = np.linalg.cholesky(C + 1e-18 * np.eye(3))
     return np.asarray(L.T, np.float32)
 
@@ -817,3 +821,127 @@ def price_cap_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve, *,
     n = int(round(tenor * freq))
     return _g2_cap_fn(cfg, g, float(rate), float(start), n, 1.0 / freq,
                       bool(floor), int(n_paths))(key, market)
+
+
+# ---------------------------------------------------------------------------
+# 2-d dynamic-programming oracle for the G2++ Bermudan (round 2b)
+# ---------------------------------------------------------------------------
+
+def dp_oracle_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, sched,
+                 exercise_dates, *, strike: float = 1.0,
+                 payer: bool = False, n_grid: int = 121,
+                 width: float = 6.5, n_quad: int = 48) -> float:
+    """float64 G2++ Bermudan price by 2-d backward induction on an
+    (x, y) grid.
+
+    Per interval, conditional on (x, y): x' = x e^{-a d} + xi_x,
+    y' = y e^{-b d} + xi_y, dI = x Ba(d) + y Bb(d) + xi_I with
+    (xi_x, xi_y, xi_I) ~ _state_cov(g, d).  Tilting by e^{-dI} multiplies
+    by e^{-mI + vI/2} and shifts the innovation means by -Cov(., xi_I).
+    The inner y'-integral of the bilinearly interpolated V is EXACT per
+    segment (the value function's kink lives there; same Phi/phi forms as
+    the 1-factor oracle); the outer x'-integral of the then-smoothed
+    function uses Gauss-Hermite.  The deterministic phi-discounting uses
+    the same disc_det decomposition as the LSMC.  Cost O(k nx ny nq ny);
+    accuracy ~1e-5 at the defaults.
+    """
+    from scipy.stats import norm
+
+    ex = tuple(sorted(float(t) for t in exercise_dates))
+    k = len(ex)
+    times = tuple(sched.times)
+    coupons = tuple(sched.coupons)
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P_mkt = np.asarray(market.P, np.float64)
+
+    def payoff_at(j, X, Y):
+        """payoff on meshgrid arrays X, Y at date ex[j] (fp64)."""
+        t_ex = ex[j]
+        P1 = float(np.interp(t_ex, Ts_grid, P_mkt))
+        V = np.zeros_like(X)
+        for t_i, c_i in zip(times, coupons):
+            if t_i <= t_ex + 1e-9:
+                continue
+            tau = t_i - t_ex
+            vadj = 0.5 * (_v_integral(g, tau) - _v_integral(g, t_i)
+                          + _v_integral(g, t_ex))
+            lam = c_i * float(np.interp(t_i, Ts_grid, P_mkt)) / P1 \
+                * math.exp(vadj)
+            V += lam * np.exp(-_B(g.a, tau) * X - _B(g.b, tau) * Y)
+        intrinsic = (strike - V) if payer else (V - strike)
+        return np.maximum(intrinsic, 0.0)
+
+    # deterministic discount factors per date (phi integral + variance adj)
+    dd = [float(np.interp(t, Ts_grid, P_mkt))
+          * math.exp(-0.5 * _v_integral(g, t)) for t in ex]
+
+    sxs = [math.sqrt(_state_cov(g, t)[0, 0] + 1e-18) for t in ex]
+    sys_ = [math.sqrt(_state_cov(g, t)[1, 1] + 1e-18) for t in ex]
+    gxs = [sxs[j] * np.linspace(-width, width, n_grid) for j in range(k)]
+    gys = [sys_[j] * np.linspace(-width, width, n_grid) for j in range(k)]
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2.0 * math.pi)
+
+    def lin_expect_cols(Vcols, gy, m_vec, s):
+        """E[V^(Y)] per column: Vcols (nq, ny) piecewise-linear in gy,
+        Y ~ N(m_vec[i], s^2) per source row i -> (n_src, nq)."""
+        t = (gy[None, :] - m_vec[:, None]) / s            # (n_src, ny)
+        Phi = norm.cdf(t)
+        phi = norm.pdf(t)
+        h = np.diff(gy)
+        b = np.diff(Vcols, axis=1) / h[None, :]           # (nq, ny-1)
+        a_ = Vcols[:, :-1] - b * gy[None, :-1]
+        dPhi = Phi[:, None, 1:] - Phi[:, None, :-1]       # (n_src, 1, ny-1)
+        dphi = phi[:, None, 1:] - phi[:, None, :-1]
+        mid = np.sum((a_[None, :, :] + b[None, :, :] * m_vec[:, None, None])
+                     * dPhi - b[None, :, :] * s * dphi, axis=2)
+        return (mid + Vcols[None, :, 0] * Phi[:, :1]
+                + Vcols[None, :, -1] * (1.0 - Phi[:, -1:]))
+
+    def backward_step(j_from, j_to, V, x_src, y_src):
+        """cont(x, y) for sources (x_src grid, y_src grid or scalars)."""
+        d = ex[j_to] - (ex[j_from] if j_from >= 0 else 0.0)
+        C = _state_cov(g, d)
+        Ea, Eb = math.exp(-g.a * d), math.exp(-g.b * d)
+        Ba, Bb = _B(g.a, d), _B(g.b, d)
+        vI = C[2, 2]
+        sx_i = math.sqrt(C[0, 0] + 1e-18)
+        sy_i = math.sqrt(C[1, 1] + 1e-18)
+        rho_i = C[0, 1] / (sx_i * sy_i) if sx_i * sy_i > 0 else 0.0
+        gx_t, gy_t = gxs[j_to], gys[j_to]
+        X, Y = np.meshgrid(x_src, y_src, indexing="ij")
+        mI = X * Ba + Y * Bb
+        w0 = np.exp(-mI + 0.5 * vI) * (dd[j_to] / (dd[j_from]
+                                                   if j_from >= 0 else 1.0))
+        m_x = X[:, 0] * Ea - C[0, 2]       # tilted x' mean (per x row)
+        # outer GH nodes in x' per source x
+        xq = m_x[:, None] + sx_i * nodes[None, :]          # (nx_src, nq)
+        # blend V columns at each x' node: V is (nx_t, ny_t)
+        idx = np.clip(np.searchsorted(gx_t, xq) - 1, 0, len(gx_t) - 2)
+        lam_x = np.clip((xq - gx_t[idx]) / (gx_t[idx + 1] - gx_t[idx]),
+                        0.0, 1.0)
+        cont = np.empty((len(x_src), len(y_src)))
+        s_c = sy_i * math.sqrt(max(1.0 - rho_i * rho_i, 1e-14))
+        for i in range(len(x_src)):
+            Vcols = ((1.0 - lam_x[i])[:, None] * V[idx[i], :]
+                     + lam_x[i][:, None] * V[idx[i] + 1, :])   # (nq, ny_t)
+            # conditional y' mean per source y and node (tilt + regression)
+            m_y = (y_src * Eb - C[1, 2])[:, None] + (rho_i * sy_i / sx_i) \
+                * (xq[i][None, :] - m_x[i])                     # (ny_src, nq)
+            # integrate each node column exactly, then GH-combine
+            e_y = np.empty((len(y_src), n_quad))
+            for q in range(n_quad):
+                e_y[:, q] = lin_expect_cols(
+                    Vcols[q:q + 1], gy_t, m_y[:, q], s_c)[:, 0]
+            cont[i] = e_y @ wq
+        return w0 * cont
+
+    X, Y = np.meshgrid(gxs[k - 1], gys[k - 1], indexing="ij")
+    V = payoff_at(k - 1, X, Y)
+    for j in range(k - 2, -1, -1):
+        cont = backward_step(j, j + 1, V, gxs[j], gys[j])
+        Xj, Yj = np.meshgrid(gxs[j], gys[j], indexing="ij")
+        V = np.maximum(payoff_at(j, Xj, Yj), cont)
+    price = backward_step(-1, 0, V, np.array([0.0]), np.array([0.0]))
+    return float(price[0, 0])

@@ -256,3 +256,35 @@ def test_g2_cap_degenerates_to_hw(analytic_market):
     tot_hw, _ = instruments.cap_closed_form(CFG, analytic_market,
                                             rate=0.02, tenor=3.0)
     assert abs(tot_g2 - tot_hw) < 1e-10
+
+
+def test_g2_dp_oracle_single_date_is_european(analytic_market):
+    """The 2-d DP with one date must match the conditional-decomposition
+    European oracle (totally different numerics; O(h^2) grid bias
+    verified: 7.8e-5 -> 2.3e-5 -> 4.9e-6 over grid doublings)."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    cfg = CFG.replace(n_steps=1000)
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    dp1 = g2pp.dp_oracle_g2(cfg, G2, analytic_market, sched, [5.0],
+                            n_grid=481, n_quad=96)
+    euro = g2pp.swaption_g2_analytic(cfg, G2, analytic_market, sched,
+                                     payer=False)
+    assert abs(dp1 - euro) < 2e-5, (dp1, euro)
+
+
+def test_g2_bermudan_bracketed_by_dp_oracle(analytic_market):
+    """Multi-date: the two-factor LSMC lower bound sits below the 2-d DP
+    oracle (within noise) and close to it (policy near-optimal)."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    cfg = CFG.replace(n_steps=1000)
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    ex = [5.0, 6.0, 7.0]
+    dp = g2pp.dp_oracle_g2(cfg, G2, analytic_market, sched, ex,
+                           n_grid=121, n_quad=48)  # +~1.3e-4 grid bias
+    res = g2pp.price_bermudan_g2(cfg, G2, KEY, analytic_market, sched, ex,
+                                 n_paths=1 << 16)
+    lo = float(res.price)
+    assert lo - 4 * float(res.std_error) <= dp, (lo, dp)
+    assert dp - lo < 1.5e-3, (lo, dp)
