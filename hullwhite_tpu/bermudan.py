@@ -20,13 +20,19 @@ Pricing (cf. the regression-based literature in PAPERS.md):
   scrambled Sobol from ops.sobol).
 
 * UPPER bound: Andersen-Broadie duality, price <= E[max_j (Z_j - M_j)]
-  for ANY martingale M.  M is built from a smooth value proxy
-  V^_j(r) = gamma_j . basis(r) fitted in the estimation pass; the
-  one-step conditional expectations E[e^{-dI} phi(r_t) | r_s] that make M
-  a martingale are CLOSED FORM for every basis feature (Gaussian
-  exponential tilting for the polynomial features; a bivariate-lognormal
-  mean for the bond-value feature), so no nested simulation is needed —
-  the reference's GPU literature pays an inner simulation per date here.
+  for ANY martingale M.  M is built from a PIECEWISE value proxy that
+  mirrors the true value function's structure: below the (policy)
+  exercise boundary r*_j the proxy IS the intrinsic value
+  sum_i cA_i e^{-B_i r} - K, above it a cubic continuation fit; the
+  one-step conditional expectations E[e^{-dI} V^_j(r_t) | r_s] that make
+  M a martingale are CLOSED FORM on both sides (Gaussian exponential
+  tilting + truncated-lognormal means for the exponential terms,
+  truncated Gaussian power moments for the polynomial terms), so no
+  nested simulation is needed — the reference's GPU literature pays an
+  inner simulation per date here.  At the LAST date the proxy equals the
+  exact payoff (boundary = the strike root, zero continuation), so a
+  single-date "Bermudan" upper bound is the closed-form European price
+  with ~zero variance.
 
 * ORACLE: r(t) is 1-d Gauss-Markov, so the true Bermudan price is a 1-d
   dynamic program: V_j(r) = max(payoff_j(r), E[e^{-dI} V_{j+1}(r_t)|r_s]),
@@ -191,23 +197,76 @@ def _wls(X, y, w, prec):
         R, jnp.dot(Q.T, yw, precision=prec), lower=False)
 
 
-def _tilted_basis_expectation(gamma, mu, sd, m_t, v_t, mI, vI, ctI):
-    """E[ e^{-dI} (gamma . poly_basis(r_t)) | r_s ], closed form.
+def _piecewise_value(r, gamma, mu, sd, cA, B, strike, rstar, sg):
+    """The dual value proxy V^(r): intrinsic sg*(V_bond(r) - K) on the
+    exercise side of the boundary r* (sg = +1 receiver exercises at LOW r,
+    sg = -1 payer at HIGH r), cubic gamma . poly(r~) on the other side."""
+    vb = jnp.sum(cA[None, :] * jnp.exp(-B[None, :] * r[:, None]), axis=1)
+    intr = sg * (vb - strike)
+    poly = jnp.dot(_poly_basis(r, mu, sd), gamma)
+    return jnp.where(sg * (rstar - r) > 0, intr, poly)
+
+
+def _piecewise_cond(gamma, mu, sd, cA, B, strike, rstar, sg,
+                    m_t, v_t, mI, vI, ctI):
+    """E[ e^{-dI} V^(r_t) | r_s ] for the piecewise proxy, closed form.
 
     (r_t, dI) | r_s is bivariate normal with means (m_t, mI) (arrays over
-    paths) and constants (v_t, vI, ctI).  Tilting by e^{-dI} multiplies by
-    e^{-mI + vI/2} and shifts r_t's mean by -ctI; the polynomial features
-    then take Gaussian power moments (the dual value proxy is polynomial-
-    only so this expectation — hence the martingale property — is exact).
+    paths) and scalar (v_t, vI, ctI).  Tilting by e^{-dI} multiplies by
+    w0 = e^{-mI + vI/2} and shifts r_t's mean to m = m_t - ctI.  Then with
+    r ~ N(m, v_t):
+
+    * exponential terms on the exercise side ({r < r*} receiver):
+      E[e^{-B r} 1{r<c}] = e^{-B m + B^2 v/2} Phi((c - m + B v)/s)
+      (a truncated-lognormal mean); the payer side mirrors via sg.
+    * polynomial terms on the continuation side: truncated Gaussian power
+      moments of y = (r - mu)/sd by the standard recursion
+      E[y^p 1{y>c}] = my T_{p-1} + (p-1) vy T_{p-2} + sy c^{p-1} phi(a).
+
+    Both families are exact, so M built from these increments is an exact
+    martingale and the AB bound is valid (not just asymptotically).
     """
+    from jax.scipy.stats import norm as jnorm
+
     w0 = jnp.exp(-mI + 0.5 * vI)
-    m_tilt = m_t - ctI
-    s = (m_tilt - mu) / sd
-    wv = v_t / (sd * sd)
-    # E[r~^p] via the binomial/(q-1)!! expansion, p <= 3
-    e_pow = [jnp.ones_like(s), s, s * s + wv, s ** 3 + 3 * s * wv]
-    acc = sum(gamma[p] * e_pow[p] for p in range(BASIS_DEGREE + 1))
-    return w0 * acc
+    m = m_t - ctI                      # per-path tilted mean
+    s = jnp.sqrt(v_t)
+    # --- intrinsic side: sg * (sum_i cA_i e^{-B_i r} - K) ---
+    eterm = jnp.exp(-B[None, :] * m[:, None]
+                    + 0.5 * (B * B)[None, :] * v_t)
+    argB = sg * (rstar - m[:, None] + B[None, :] * v_t) / s
+    e_intr = jnp.sum(cA[None, :] * eterm * jnorm.cdf(argB), axis=1)
+    e_intr = sg * (e_intr - strike * jnorm.cdf(sg * (rstar - m) / s))
+    # --- polynomial side (the complement): truncated power moments ---
+    my = (m - mu) / sd
+    vy = v_t / (sd * sd)
+    sy = s / sd
+    cy = (rstar - mu) / sd
+    alpha = (cy - my) / sy
+    phi_a = jnorm.pdf(alpha)
+    # upper moments T_p = E[y^p 1{y > cy}]
+    T = [jnorm.cdf(-alpha)]
+    T.append(my * T[0] + sy * phi_a)
+    T.append(my * T[1] + vy * T[0] + sy * cy * phi_a)
+    T.append(my * T[2] + 2.0 * vy * T[1] + sy * cy * cy * phi_a)
+    if sg < 0:  # payer: continuation side is r < c -> lower = full - upper
+        full = [jnp.ones_like(my), my, my * my + vy, my ** 3 + 3 * my * vy]
+        T = [f - t for f, t in zip(full, T)]
+    e_poly = sum(gamma[p] * T[p] for p in range(BASIS_DEGREE + 1))
+    return w0 * (e_intr + e_poly)
+
+
+def _bisect(f, a, b, iters=60):
+    """Scalar bisection assuming f(a) > 0 > f(b); a, b may be traced and
+    need not be ordered.  Unrolled (static trip count) for jit."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    for _ in range(iters):
+        mid = 0.5 * (a + b)
+        pos = f(mid) > 0
+        a = jnp.where(pos, mid, a)
+        b = jnp.where(pos, b, mid)
+    return 0.5 * (a + b)
 
 
 class BermudanResult(NamedTuple):
@@ -255,19 +314,18 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
 
     def backward(r, integral, sigma, market, stats, terms, v0s,
                  betas=None, fit_value=False):
-        """LSMC backward induction; optionally also fit the value-proxy
-        coefficients gamma_j (for the dual martingale) on ALL paths."""
+        """LSMC backward induction; optionally also fit the dual value
+        proxy's continuation coefficients gamma_j on the continuation-
+        region paths (the exercise side of the proxy is exact intrinsic).
+        """
         prec = cfg.matmul_precision
-        n = r.shape[0]
         D = jnp.exp(-integral)
-        ones = jnp.ones((n,), jnp.float32)
         cf = payoff_at(r[:, k - 1], *terms[k - 1]) * D[:, k - 1]
         est = betas is None
         out_betas = [None] * max(k - 1, 0)
-        gammas = [None] * k
-        if fit_value:
-            Xl = _poly_basis(r[:, k - 1], stats[0][k - 1], stats[1][k - 1])
-            gammas[k - 1] = _wls(Xl, cf / D[:, k - 1], ones, prec)
+        # last-date value proxy: the exact payoff (zero continuation fit)
+        gammas = [None] * (k - 1) + [jnp.zeros((BASIS_DEGREE + 1,),
+                                               jnp.float32)]
         for j in range(k - 2, -1, -1):
             pj = payoff_at(r[:, j], *terms[j])
             X = _basis(r[:, j], stats[0][j], stats[1][j], *terms[j], v0s[j])
@@ -280,16 +338,54 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
                 beta = betas[j]
             cont = jnp.dot(X, beta, precision=prec)
             exercise = (pj > cont) & (pj > 0.0)
-            cf = jnp.where(exercise, pj * D[:, j], cf)
             if fit_value:
-                gammas[j] = _wls(X[:, :BASIS_DEGREE + 1], cf / D[:, j],
-                                 ones, prec)  # X already built for the policy
+                # continuation proxy for the dual: fit the REALIZED
+                # continuation value on the continuation-region paths (the
+                # exercise side of the piecewise proxy is exact intrinsic,
+                # so the fit only has to be good where it is used)
+                wc = 1.0 - exercise.astype(jnp.float32)
+                gammas[j] = _wls(X[:, :BASIS_DEGREE + 1], y, wc, prec)
+            cf = jnp.where(exercise, pj * D[:, j], cf)
         return cf, out_betas, gammas
 
-    def dual_path_bound(r, integral, sigma, tables, market, stats, terms,
-                        v0s, gammas):
+    sg = 1.0 if not payer else -1.0   # receiver exercises at LOW r
+
+    def exercise_boundaries(stats, terms, v0s, betas):
+        """Per-date boundary r*_j of the fitted policy (last date: the
+        strike root).  g(r) = intrinsic - max(cont, 0) is positive exactly
+        on the policy's exercise set {pj > 0 and pj > cont}; a 60-step
+        bisection between the deep-in-the-money end and the strike root
+        locates its crossing.  If the fitted cubic refuses exercise even
+        deep ITM, bisection collapses to the far end and the exercise side
+        of the piecewise proxy becomes (harmlessly) empty."""
+        rstars = []
+        for j in range(k):
+            cA, B = terms[j]
+            mu, sd = stats[0][j], stats[1][j]
+
+            def intr(rv, cA=cA, B=B):
+                return sg * (jnp.sum(cA * jnp.exp(-B * rv)) - strike)
+
+            far = mu - sg * 14.0 * sd          # deep ITM end
+            r_k = _bisect(intr, far, mu + sg * 14.0 * sd)
+            if j == k - 1:
+                rstars.append(r_k)             # exact payoff proxy
+                continue
+            beta, v0 = betas[j], v0s[j]
+
+            def g(rv, cA=cA, B=B, mu=mu, sd=sd, beta=beta, v0=v0):
+                rv1 = jnp.reshape(rv, (1,))
+                cont = jnp.dot(_basis(rv1, mu, sd, cA, B, v0), beta,
+                               precision=cfg.matmul_precision)[0]
+                return intr(rv) - jnp.maximum(cont, 0.0)
+
+            rstars.append(_bisect(g, far, r_k))
+        return rstars
+
+    def dual_path_bound(r, integral, tables, stats, terms, gammas, rstars):
         """max_j (Z_j - M_j) per path: the AB dual with the closed-form
-        martingale increments (no nested simulation)."""
+        martingale increments of the piecewise value proxy (no nested
+        simulation)."""
         sig2 = tables.sig_st * tables.sig_st
         r_det, i_det = _det_states(cfg, tables, ex_dates)
         D = jnp.exp(-integral)
@@ -314,10 +410,12 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             v_t = sig2 * jnp.float32(p["vt"])
             vI = sig2 * jnp.float32(p["vI"])
             ctI = sig2 * jnp.float32(p["ctI"])
-            cond = _tilted_basis_expectation(
-                gammas[j], stats[0][j], stats[1][j], m_t, v_t, mI, vI, ctI)
-            X = _poly_basis(r[:, j], stats[0][j], stats[1][j])
-            vhat = jnp.dot(X, gammas[j], precision=cfg.matmul_precision)
+            cA, B = terms[j]
+            mu, sd = stats[0][j], stats[1][j]
+            cond = _piecewise_cond(gammas[j], mu, sd, cA, B, strike,
+                                   rstars[j], sg, m_t, v_t, mI, vI, ctI)
+            vhat = _piecewise_value(r[:, j], gammas[j], mu, sd, cA, B,
+                                    strike, rstars[j], sg)
             M = M + D[:, j] * vhat - D_prev * cond
             Z = D[:, j] * payoff_at(r[:, j], *terms[j])
             best = Z - M if best is None else jnp.maximum(best, Z - M)
@@ -338,6 +436,7 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
         cf_in, betas, gammas = backward(r_a, i_a, sigma, market, stats,
                                         terms, v0s, fit_value=True)
         p_in = jnp.mean(cf_in)
+        rstars = exercise_boundaries(stats, terms, v0s, betas)
 
         # --- pass 2: out-of-sample lower + dual upper, block-streamed ---
         def block(b):
@@ -353,8 +452,8 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             r_b, i_b = states_from_normals(x, sigma, tables)
             cf, _, _ = backward(r_b, i_b, sigma, market, stats, terms,
                                 v0s, betas=betas)
-            u = dual_path_bound(r_b, i_b, sigma, tables, market, stats,
-                                terms, v0s, gammas)
+            u = dual_path_bound(r_b, i_b, tables, stats, terms, gammas,
+                                rstars)
             return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
                               jnp.sum(u), jnp.sum(u * u)])
 
