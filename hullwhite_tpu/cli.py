@@ -506,9 +506,11 @@ def cmd_g2pp(args):
     bm = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex)
     orc_e = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=False)
     print(f"[Bermudan] ({len(ex)} annual exercises, 2-factor LSMC): "
-          f"{float(bm.price):.8f} +/- {float(bm.std_error):.2e} "
-          f"(early-exercise premium {float(bm.price) - orc_e:.6f})")
+          f"[{float(bm.price):.8f}, {float(bm.upper):.8f}] "
+          f"(SE {float(bm.std_error):.2e}/{float(bm.upper_std_error):.2e}; "
+          f"early-exercise premium {float(bm.price) - orc_e:.6f})")
     results["bermudan_lower"] = float(bm.price)
+    results["bermudan_upper"] = float(bm.upper)
     results["bermudan_se"] = float(bm.std_error)
     hwio.write_json(hwio.DATA_DIR / "g2pp_results.json", "G2++ model", cfg,
                     results=results)

@@ -561,10 +561,12 @@ def _cov_II(k1, v1, k2, v2, c, T1, T2):
 
 
 @lru_cache(maxsize=None)
-def _g2_joint_chol(g: G2Params, ex_dates: tuple):
-    """fp64 Cholesky^T of Cov(x_1, y_1, I_1, ..., x_k, y_k, I_k) at the
-    exercise dates (exact continuous-time law, assembled from the
-    elementary exponential integral _eint)."""
+def _g2_joint_cov(g: G2Params, ex_dates: tuple) -> np.ndarray:
+    """fp64 Cov(x_1, y_1, I_1, ..., x_k, y_k, I_k) at the exercise dates
+    (exact continuous-time law, assembled from the elementary exponential
+    integral _eint), with the 1e-16 diagonal jitter used by the sampler
+    (so every conditional law derived from it matches the SAMPLED law
+    exactly, which is what makes the dual martingale exact)."""
     a, b, s_, e_, r = g.a, g.b, g.sigma, g.eta, g.rho
     k = len(ex_dates)
     # factor spec per state row: x -> (a, sigma), y -> (b, eta)
@@ -595,8 +597,158 @@ def _g2_joint_chol(g: G2Params, ex_dates: tuple):
         for j in range(i, 3 * k):
             C[i, j] = C[j, i] = cov(i % 3, ex_dates[i // 3],
                                     j % 3, ex_dates[j // 3])
-    L = np.linalg.cholesky(C + 1e-16 * np.eye(3 * k))
+    return C + 1e-16 * np.eye(3 * k)
+
+
+@lru_cache(maxsize=None)
+def _g2_joint_chol(g: G2Params, ex_dates: tuple):
+    """fp32 Cholesky^T of the joint (x, y, I) covariance (sampler)."""
+    L = np.linalg.cholesky(_g2_joint_cov(g, ex_dates))
     return np.asarray(L.T, np.float32)
+
+
+@lru_cache(maxsize=None)
+def _g2_interval_cond(g: G2Params, ex_dates: tuple):
+    """fp64 conditional-Gaussian parameters of each exercise interval.
+
+    For date j, conditional on the Markov state (x_s, y_s) at date j-1
+    (date 0 conditions on the time-0 state x = y = 0), the triple
+    u = (x_t, y_t, dI = I_t - I_s) is Gaussian:
+
+      E[u | x_s, y_s] = B2 (x_s, y_s)^T,   Cov[u | .] = R
+
+    computed by Schur complement DIRECTLY on the jittered joint covariance
+    the sampler draws from (not the homogeneous closed forms), so the
+    conditional law is exact for the sampled states; the Markov property
+    makes conditioning on (x_s, y_s) equal to conditioning on the full
+    history.  Returns per-date dicts of B2 rows (bxx..bIy) and R entries
+    (vx, vy, cxy, cxI, cyI, vII)."""
+    C = _g2_joint_cov(g, ex_dates)
+    out = []
+    for j in range(len(ex_dates)):
+        ix, iy, iI = 3 * j, 3 * j + 1, 3 * j + 2
+        if j == 0:
+            B2 = np.zeros((3, 2))
+            R = C[np.ix_([ix, iy, iI], [ix, iy, iI])]
+        else:
+            px, py, pI = 3 * j - 3, 3 * j - 2, 3 * j - 1
+            cov_us = np.array([
+                [C[ix, px], C[ix, py]],
+                [C[iy, px], C[iy, py]],
+                [C[iI, px] - C[pI, px], C[iI, py] - C[pI, py]]])
+            S = C[np.ix_([px, py], [px, py])]
+            B2 = cov_us @ np.linalg.inv(S)
+            cuu = np.array([
+                [C[ix, ix], C[ix, iy], C[ix, iI] - C[ix, pI]],
+                [C[iy, ix], C[iy, iy], C[iy, iI] - C[iy, pI]],
+                [C[iI, ix] - C[pI, ix], C[iI, iy] - C[pI, iy],
+                 C[iI, iI] - 2.0 * C[iI, pI] + C[pI, pI]]])
+            R = cuu - B2 @ cov_us.T
+        out.append(dict(bxx=B2[0, 0], bxy=B2[0, 1], byx=B2[1, 0],
+                        byy=B2[1, 1], bIx=B2[2, 0], bIy=B2[2, 1],
+                        vx=R[0, 0], vy=R[1, 1], cxy=R[0, 1],
+                        cxI=R[0, 2], cyI=R[1, 2], vII=R[2, 2]))
+    return tuple(out)
+
+
+def _g2_piecewise_value(x, y, gamma, sx, sy, lam_j, Ba, Bb, strike,
+                        wx, wy, cb, sg, prec):
+    """Dual value proxy V^(x, y): intrinsic sg(V_bond - K) on the
+    exercise side of the straight-line boundary z = wx x + wy y = cb
+    (receiver sg = +1 exercises at LOW z, payer sg = -1 at HIGH z), a
+    2-d cubic gamma . basis(x~, y~) on the continuation side.  The
+    boundary being LINEAR in (x, y) is what keeps the conditional
+    expectation below closed form — any proxy gives a VALID bound, the
+    line fit only costs tightness where the true boundary curves.  The
+    free (wx, wy) parameterization survives either factor degenerating
+    (eta -> 0 makes the boundary vertical in x)."""
+    V = jnp.sum(lam_j[None, :] * jnp.exp(-Ba[None, :] * x[:, None]
+                                         - Bb[None, :] * y[:, None]),
+                axis=1)
+    intr = sg * (V - strike)
+    xt, yt = x / sx, y / sy
+    X = jnp.stack([jnp.ones_like(xt), xt, yt, xt * xt, xt * yt,
+                   yt * yt, xt ** 3, yt ** 3], axis=1)
+    poly = jnp.dot(X, gamma, precision=prec)
+    z = wx * x + wy * y
+    return jnp.where(sg * (cb - z) > 0, intr, poly)
+
+
+def _g2_piecewise_cond(gamma, sx, sy, lam_j, Ba, Bb, strike, wx, wy, cb,
+                       sg, mx, my, mI, p):
+    """E[ e^{-dI} V^(x_t, y_t) | x_s, y_s ] for the piecewise proxy,
+    closed form.
+
+    (x_t, y_t, dI) | (x_s, y_s) is trivariate Gaussian with per-path
+    means (mx, my, mI) and constant covariance p (from
+    _g2_interval_cond).  Tilting by e^{-dI} multiplies by
+    w0 = e^{-mI + vII/2} and shifts the (x, y) means by (-cxI, -cyI).
+    With z = wx x + wy y (Gaussian, boundary variable):
+
+    * intrinsic side {sg z < sg cb}: each bond term e^{-Ba x - Bb y} is
+      e^{w.v} with (w.v, z) jointly Gaussian, so
+      E[e^{w.v} 1] = e^{E[w.v] + Var[w.v]/2} Phi(sg(cb - mz + g_i)/sz)
+      with g_i = Ba Cov(x,z) + Bb Cov(y,z) (the lognormal mean shifts
+      the effective cutoff); the strike term is sg-truncated mass.
+    * polynomial side (the complement): regress x, y on z
+      (x = mx' + bx t + eps_x, t = z - mz, eps independent of t), then
+      every basis monomial is a polynomial in t with Gaussian-eps moment
+      coefficients, and t takes sg-sided truncated power moments.
+
+    Both families are exact, so M built from these increments is an
+    exact martingale (valid bound) with no nested simulation."""
+    from jax.scipy.stats import norm as jnorm
+
+    f32 = jnp.float32
+    vx, vy, cxy = f32(p["vx"]), f32(p["vy"]), f32(p["cxy"])
+    cxI, cyI, vII = f32(p["cxI"]), f32(p["cyI"]), f32(p["vII"])
+    w0 = jnp.exp(-mI + 0.5 * vII)
+    mx_ = mx - cxI
+    my_ = my - cyI
+    # boundary variable z = wx x + wy y under the tilted law
+    czx = wx * vx + wy * cxy        # Cov(x, z)
+    czy = wx * cxy + wy * vy        # Cov(y, z)
+    vz = wx * czx + wy * czy
+    sz = jnp.sqrt(vz)
+    mz = wx * mx_ + wy * my_
+    alpha = (cb - mz) / sz
+    # --- intrinsic side: sg * (sum_i lam_i e^{-Ba x - Bb y} - K) ---
+    mu_i = -Ba[None, :] * mx_[:, None] - Bb[None, :] * my_[:, None]
+    q_i = (Ba * Ba * vx + 2.0 * Ba * Bb * cxy + Bb * Bb * vy)[None, :]
+    g_i = (Ba * czx + Bb * czy)[None, :]
+    arg = sg * (cb - mz)[:, None] / sz + sg * g_i / sz
+    e_intr = jnp.sum(lam_j[None, :] * jnp.exp(mu_i + 0.5 * q_i)
+                     * jnorm.cdf(arg), axis=1)
+    e_intr = sg * (e_intr - strike * jnorm.cdf(sg * alpha))
+    # --- polynomial side {sg z > sg cb}: truncated power moments of
+    # t = z - mz, then eps-decomposed bivariate monomials ---
+    phi_a = jnorm.pdf(alpha)
+    T0 = jnorm.cdf(-sg * alpha)
+    T1 = sz * sg * phi_a
+    T2 = vz * (T0 + sg * alpha * phi_a)
+    T3 = vz * sz * sg * (2.0 + alpha * alpha) * phi_a
+    bx, by = czx / vz, czy / vz
+    vex = vx - bx * czx
+    vey = vy - by * czy
+    cexy = cxy - bx * czy
+    ax, ay = mx_, my_
+    F1 = ax * T0 + bx * T1
+    F2 = ay * T0 + by * T1
+    F3 = (ax * ax + vex) * T0 + 2.0 * ax * bx * T1 + bx * bx * T2
+    F4 = ((ax * ay + cexy) * T0 + (ax * by + ay * bx) * T1
+          + bx * by * T2)
+    F5 = (ay * ay + vey) * T0 + 2.0 * ay * by * T1 + by * by * T2
+    F6 = ((ax ** 3 + 3.0 * ax * vex) * T0
+          + 3.0 * bx * (ax * ax + vex) * T1
+          + 3.0 * ax * bx * bx * T2 + bx ** 3 * T3)
+    F7 = ((ay ** 3 + 3.0 * ay * vey) * T0
+          + 3.0 * by * (ay * ay + vey) * T1
+          + 3.0 * ay * by * by * T2 + by ** 3 * T3)
+    e_poly = (gamma[0] * T0 + gamma[1] * F1 / sx + gamma[2] * F2 / sy
+              + gamma[3] * F3 / (sx * sx) + gamma[4] * F4 / (sx * sy)
+              + gamma[5] * F5 / (sy * sy) + gamma[6] * F6 / sx ** 3
+              + gamma[7] * F7 / sy ** 3)
+    return w0 * (e_intr + e_poly)
 
 
 class G2Bermudan(NamedTuple):
@@ -605,6 +757,8 @@ class G2Bermudan(NamedTuple):
     std_error: jax.Array
     n_paths: int
     exercise_dates: tuple
+    upper: jax.Array            # Andersen-Broadie dual upper bound
+    upper_std_error: jax.Array
 
 
 @lru_cache(maxsize=None)
@@ -627,6 +781,8 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
                         1e-18)) for t in ex_dates]
     sy = [math.sqrt(max(_cov_xx(g.b, g.eta, g.b, g.eta, 1.0, t, t),
                         1e-18)) for t in ex_dates]
+    sg = -1.0 if payer else 1.0   # receiver exercises at LOW z = y + kx
+    icond = _g2_interval_cond(g, ex_dates)
 
     def compute(key, market):
         P_at = lambda t: hw.interp_curve(market.P, jnp.float32(t), cfg)
@@ -662,33 +818,150 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             return jnp.stack([jnp.ones_like(xt), xt, yt, xt * xt, xt * yt,
                               yt * yt, xt ** 3, yt ** 3], axis=1)
 
-        def backward(x, y, I, betas=None):
+        def backward(x, y, I, betas=None, fit_value=False):
+            """LSMC backward induction; optionally also fit the dual
+            proxy's continuation coefficients gamma_j on the
+            continuation-region paths (the exercise side of the
+            piecewise proxy is exact intrinsic)."""
+            from ..bermudan import _wls
+
             prec = cfg.matmul_precision
             D = jnp.stack([disc_det[j] * jnp.exp(-I[:, j])
                            for j in range(k)], axis=1)
             cf = payoff_at(k - 1, x[:, k - 1], y[:, k - 1]) * D[:, k - 1]
             est = betas is None
             out = [None] * max(k - 1, 0)
+            # last-date proxy: intrinsic up to the boundary, zero beyond
+            gammas = [None] * (k - 1) + [jnp.zeros((8,), jnp.float32)]
             for j in range(k - 2, -1, -1):
                 pj = payoff_at(j, x[:, j], y[:, j])
                 X = basis(j, x[:, j], y[:, j])
+                yreal = cf / D[:, j]
                 itm = (pj > 0.0).astype(jnp.float32)
                 if est:
-                    from ..bermudan import _wls
-
-                    beta = _wls(X, cf / D[:, j], itm, prec)
+                    beta = _wls(X, yreal, itm, prec)
                     out[j] = beta
                 else:
                     beta = betas[j]
                 cont = jnp.dot(X, beta, precision=prec)
-                cf = jnp.where((pj > cont) & (pj > 0.0), pj * D[:, j], cf)
-            return cf, out
+                exercise = (pj > cont) & (pj > 0.0)
+                if fit_value:
+                    wc = 1.0 - exercise.astype(jnp.float32)
+                    gammas[j] = _wls(X, yreal, wc, prec)
+                cf = jnp.where(exercise, pj * D[:, j], cf)
+            return cf, out, gammas
+
+        def boundaries(betas):
+            """Per-date straight-line fit of the fitted policy's exercise
+            boundary, z = wx x + wy y = cb (last date: the intrinsic
+            strike root).  The root is BISECTED along whichever factor
+            the payoff is more sensitive to (host-side static choice —
+            eta -> 0 makes the boundary vertical in x and the y-bisection
+            degenerate) and PROBED along the other over 15 +-3.5-sigma
+            nodes; the line comes from phi-weighted least squares."""
+            from ..bermudan import _bisect
+
+            prec = cfg.matmul_precision
+            out = []
+            un = np.linspace(-3.5, 3.5, 15)
+            wn = jnp.asarray(np.exp(-0.5 * un * un), jnp.float32)
+            for j in range(k):
+                lam_j, Ba, Bb = lam[j]
+                _, _, Ba_h, Bb_h, _ = date_stat[j]
+                bisect_y = sy[j] * max(Bb_h) >= sx[j] * max(Ba_h)
+                s_pr, s_bi = ((sx[j], sy[j]) if bisect_y
+                              else (sy[j], sx[j]))
+                pp = jnp.asarray(s_pr * un, jnp.float32)
+
+                def xy(bv, bisect_y=bisect_y):
+                    return (pp, bv) if bisect_y else (bv, pp)
+
+                def intr(bv, lam_j=lam_j, Ba=Ba, Bb=Bb, xy=xy):
+                    xv, yv = xy(bv)
+                    V = jnp.sum(lam_j[None, :]
+                                * jnp.exp(-Ba[None, :] * xv[:, None]
+                                          - Bb[None, :] * yv[:, None]),
+                                axis=1)
+                    return sg * (V - strike)
+
+                far = jnp.full((15,), -sg * 14.0 * s_bi, jnp.float32)
+                hi = jnp.full((15,), sg * 14.0 * s_bi, jnp.float32)
+                b_root = _bisect(intr, far, hi)
+                if j == k - 1:
+                    b_star = b_root
+                else:
+                    beta = betas[j]
+
+                    def gfun(bv, j=j, beta=beta, intr=intr, xy=xy):
+                        xv, yv = xy(bv)
+                        X = basis(j, xv, yv)
+                        cont = jnp.dot(X, beta, precision=prec)
+                        return intr(bv) - jnp.maximum(cont, 0.0)
+
+                    b_star = _bisect(gfun, far, b_root)
+                # phi-weighted line fit b* = cb - kappa * p
+                S0 = jnp.sum(wn)
+                Sx = jnp.sum(wn * pp)
+                Sxx = jnp.sum(wn * pp * pp)
+                Sy = jnp.sum(wn * b_star)
+                Sxy = jnp.sum(wn * pp * b_star)
+                det = S0 * Sxx - Sx * Sx
+                kappa = -(S0 * Sxy - Sx * Sy) / det
+                cb = (Sxx * Sy - Sx * Sxy) / det
+                # boundary z = wx x + wy y = cb with the bisected factor's
+                # weight fixed at 1
+                out.append(((kappa, 1.0, cb) if bisect_y
+                            else (1.0, kappa, cb)))
+            return out
+
+        def dual_path_bound(x, y, I, gammas, bnds):
+            """max_j (Z_j - M_j) per path: the AB dual with the
+            closed-form martingale increments of the piecewise proxy."""
+            D = jnp.stack([disc_det[j] * jnp.exp(-I[:, j])
+                           for j in range(k)], axis=1)
+            M = jnp.zeros((x.shape[0],), jnp.float32)
+            best = None   # initialized from the first date (no -inf
+            # literal: an infinity constant in the traced graph can
+            # surface as NaN under XLA fusion)
+            for j in range(k):
+                p = icond[j]
+                wxb, wyb, cb = bnds[j]
+                lam_j, Ba, Bb = lam[j]
+                if j == 0:
+                    zero = jnp.zeros((x.shape[0],), jnp.float32)
+                    mx = my = mI = zero
+                    D_prev = jnp.ones_like(M)
+                    ratio = disc_det[0]
+                else:
+                    xs, ys = x[:, j - 1], y[:, j - 1]
+                    f32 = jnp.float32
+                    mx = f32(p["bxx"]) * xs + f32(p["bxy"]) * ys
+                    my = f32(p["byx"]) * xs + f32(p["byy"]) * ys
+                    mI = f32(p["bIx"]) * xs + f32(p["bIy"]) * ys
+                    D_prev = D[:, j - 1]
+                    ratio = disc_det[j] / disc_det[j - 1]
+                cond = _g2_piecewise_cond(
+                    gammas[j], sx[j], sy[j], lam_j, Ba, Bb, strike,
+                    wxb, wyb, cb, sg, mx, my, mI, p)
+                vhat = _g2_piecewise_value(
+                    x[:, j], y[:, j], gammas[j], sx[j], sy[j], lam_j,
+                    Ba, Bb, strike, wxb, wyb, cb, sg,
+                    cfg.matmul_precision)
+                M = M + D[:, j] * vhat - D_prev * ratio * cond
+                Z = D[:, j] * payoff_at(j, x[:, j], y[:, j])
+                best = Z - M if best is None else jnp.maximum(best, Z - M)
+            return best
 
         k_est, k_val = jax.random.split(key)
-        cf_in, betas = backward(*states(k_est))
-        cf, _ = backward(*states(k_val), betas=betas)
+        cf_in, betas, gammas = backward(*states(k_est), fit_value=True)
+        bnds = boundaries(betas)
+        xv, yv, Iv = states(k_val)
+        cf, _, _ = backward(xv, yv, Iv, betas=betas)
+        u = dual_path_bound(xv, yv, Iv, gammas, bnds)
+        rt_n = jnp.sqrt(1.0 * n_paths)
         return (jnp.mean(cf), jnp.mean(cf_in),
-                jnp.std(cf, ddof=1) / jnp.sqrt(1.0 * n_paths))
+                jnp.std(cf, ddof=1) / rt_n,
+                jnp.mean(u), jnp.std(u, ddof=1) / rt_n)
 
     return jax.jit(compute)
 
@@ -700,12 +973,13 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
     """Two-pass LSMC Bermudan coupon-bond option under G2++: states
     (x, y, int r) at the exercise dates sampled EXACTLY (3k normals per
     path, continuous-time law), policy regressed on a 2-d polynomial
-    basis in (x, y) over in-the-money paths, evaluated out-of-sample.
-
-    Beyond-reference capability of the second model family; the dual
-    upper bound / DP oracle of the 1-factor module do not transfer (the
-    value function is 2-d), so sanity is pinned by k=1 == the European
-    conditional-decomposition oracle and monotonicity in rights.
+    basis in (x, y) over in-the-money paths, evaluated out-of-sample,
+    BRACKETED by an Andersen-Broadie dual upper bound whose martingale
+    increments are closed form (piecewise proxy split along a fitted
+    straight-line boundary z = y + kappa x; see _g2_piecewise_cond) —
+    no nested simulation.  Sanity pins: k=1 == the European conditional-
+    decomposition oracle, the 2-d DP oracle bracket, and the eta -> 0
+    degeneration to the 1-factor module.
     """
     if n_paths is None:
         n_paths = cfg.n_paths
@@ -714,11 +988,12 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
         raise ValueError("need at least one exercise date")
     if ex[-1] >= max(sched.times):
         raise ValueError("exercise dates must precede the last cashflow")
-    p, p_in, se = _g2_bermudan_fn(
+    p, p_in, se, up, up_se = _g2_bermudan_fn(
         cfg, g, ex, tuple(sched.times), tuple(sched.coupons),
         float(strike), bool(payer), int(n_paths))(key, market)
     return G2Bermudan(price=p, price_in_sample=p_in, std_error=se,
-                      n_paths=int(n_paths), exercise_dates=ex)
+                      n_paths=int(n_paths), exercise_dates=ex,
+                      upper=up, upper_std_error=up_se)
 
 
 # ---------------------------------------------------------------------------

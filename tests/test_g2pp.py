@@ -275,7 +275,9 @@ def test_g2_dp_oracle_single_date_is_european(analytic_market):
 
 def test_g2_bermudan_bracketed_by_dp_oracle(analytic_market):
     """Multi-date: the two-factor LSMC lower bound sits below the 2-d DP
-    oracle (within noise) and close to it (policy near-optimal)."""
+    oracle (within noise) and close to it (policy near-optimal), and the
+    AB dual upper bound sits above it (within noise + grid bias) and
+    TIGHT (the piecewise proxy's measured excess is ~1.2e-5)."""
     from hullwhite_tpu.instruments import swap_fixed_leg
 
     cfg = CFG.replace(n_steps=1000)
@@ -285,6 +287,48 @@ def test_g2_bermudan_bracketed_by_dp_oracle(analytic_market):
                            n_grid=121, n_quad=48)  # +~1.3e-4 grid bias
     res = g2pp.price_bermudan_g2(cfg, G2, KEY, analytic_market, sched, ex,
                                  n_paths=1 << 16)
-    lo = float(res.price)
+    lo, up = float(res.price), float(res.upper)
     assert lo - 4 * float(res.std_error) <= dp, (lo, dp)
     assert dp - lo < 1.5e-3, (lo, dp)
+    # upper above the converged oracle (coarse dp is biased +1.3e-4 high,
+    # hence the allowance), and within 2e-4 of it
+    assert up + 4 * float(res.upper_std_error) + 2e-4 >= dp, (up, dp)
+    assert up - dp < 2e-4, (up, dp)
+    # bracket self-consistency
+    assert up >= lo - 4 * (float(res.std_error)
+                           + float(res.upper_std_error)), (lo, up)
+
+
+def test_g2_dual_single_date_is_european(analytic_market):
+    """k = 1: the dual proxy is the exact payoff up to the line-boundary
+    fit, so the upper bound reproduces the European conditional-
+    decomposition oracle with ~zero variance (measured |err| ~1e-8)."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    euro = g2pp.swaption_g2_analytic(CFG, G2, analytic_market, sched,
+                                     payer=False)
+    res = g2pp.price_bermudan_g2(CFG, G2, KEY, analytic_market, sched,
+                                 [5.0], n_paths=1 << 15)
+    up = float(res.upper)
+    assert abs(up - euro) < 5 * float(res.upper_std_error) + 5e-6, (
+        up, euro)
+
+
+def test_g2_dual_degenerates_to_hw_oracle(analytic_market):
+    """eta -> 0 multi-date pin: the G2++ dual upper bound must sit just
+    above the 1-factor DP oracle (the continuous-vs-trapezoid I-law gap
+    is ~2e-5 at dt = 0.01, and the dual excess is ~1e-5)."""
+    from hullwhite_tpu import bermudan as hw_bermudan
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    cfg = CFG.replace(n_steps=1000)
+    g1 = g2pp.G2Params(a=CFG.a, b=0.5, sigma=CFG.sigma, eta=0.0, rho=0.0)
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    ex = [5.0, 6.0, 7.0, 8.0]
+    res = g2pp.price_bermudan_g2(cfg, g1, KEY, analytic_market, sched, ex,
+                                 n_paths=1 << 16)
+    orc = hw_bermudan.dp_oracle(cfg, analytic_market, sched, ex)
+    up = float(res.upper)
+    assert up + 4 * float(res.upper_std_error) >= orc - 1e-4, (up, orc)
+    assert up - orc < 3e-4, (up, orc)
