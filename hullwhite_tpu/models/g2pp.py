@@ -763,7 +763,8 @@ class G2Bermudan(NamedTuple):
 
 @lru_cache(maxsize=None)
 def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
-                    coupons, strike: float, payer: bool, n_paths: int):
+                    coupons, strike: float, payer: bool, n_paths: int,
+                    n_blocks: int = 1, rqmc: bool = False):
     k = len(ex_dates)
     LT = jnp.asarray(_g2_joint_chol(g, ex_dates))
     # per-date bond-term statics and discounting constants
@@ -953,15 +954,50 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             return best
 
         k_est, k_val = jax.random.split(key)
+
+        # --- pass 1: estimate policy + value proxy (single batch) ---
         cf_in, betas, gammas = backward(*states(k_est), fit_value=True)
         bnds = boundaries(betas)
-        xv, yv, Iv = states(k_val)
-        cf, _, _ = backward(xv, yv, Iv, betas=betas)
-        u = dual_path_bound(xv, yv, Iv, gammas, bnds)
-        rt_n = jnp.sqrt(1.0 * n_paths)
-        return (jnp.mean(cf), jnp.mean(cf_in),
-                jnp.std(cf, ddof=1) / rt_n,
-                jnp.mean(u), jnp.std(u, ddof=1) / rt_n)
+
+        # --- pass 2: out-of-sample lower + dual upper, block-streamed ---
+        def block(b):
+            kb = jax.random.fold_in(k_val, b)
+            if rqmc:
+                from ..ops.sobol import sobol
+
+                shift = jax.random.bits(kb, (3 * k,), jnp.uint32)
+                xn = jax.scipy.special.ndtri(sobol(n_paths, 3 * k, shift))
+                z = jnp.dot(xn.astype(jnp.float32), LT,
+                            preferred_element_type=jnp.float32,
+                            precision=cfg.matmul_precision)
+                xv, yv, Iv = z[:, 0::3], z[:, 1::3], z[:, 2::3]
+            else:
+                xv, yv, Iv = states(kb)
+            cf, _, _ = backward(xv, yv, Iv, betas=betas)
+            u = dual_path_bound(xv, yv, Iv, gammas, bnds)
+            return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
+                              jnp.sum(u), jnp.sum(u * u)])
+
+        from jax import lax
+
+        per_block = lax.map(block, jnp.arange(n_blocks))   # (n_blocks, 4)
+        sums = jnp.sum(per_block, axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        p_out = sums[0] / n_tot
+        up = sums[2] / n_tot
+        if rqmc:
+            # the digital shifts are the independent replicates (a block's
+            # Sobol points are deterministic given its shift)
+            bm_lo = per_block[:, 0] / n_paths
+            bm_up = per_block[:, 2] / n_paths
+            se = jnp.std(bm_lo, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            up_se = jnp.std(bm_up, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+        else:
+            se = jnp.sqrt(jnp.maximum(sums[1] / n_tot - p_out ** 2, 0.0)
+                          / n_tot)
+            up_se = jnp.sqrt(jnp.maximum(sums[3] / n_tot - up ** 2, 0.0)
+                             / n_tot)
+        return p_out, jnp.mean(cf_in), se, up, up_se
 
     return jax.jit(compute)
 
@@ -969,17 +1005,23 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
 def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
                       market: MarketCurve, sched, exercise_dates, *,
                       strike: float = 1.0, payer: bool = False,
-                      n_paths: int | None = None) -> G2Bermudan:
+                      n_paths: int | None = None, n_blocks: int = 1,
+                      rqmc: bool = False) -> G2Bermudan:
     """Two-pass LSMC Bermudan coupon-bond option under G2++: states
     (x, y, int r) at the exercise dates sampled EXACTLY (3k normals per
     path, continuous-time law), policy regressed on a 2-d polynomial
     basis in (x, y) over in-the-money paths, evaluated out-of-sample,
     BRACKETED by an Andersen-Broadie dual upper bound whose martingale
     increments are closed form (piecewise proxy split along a fitted
-    straight-line boundary z = y + kappa x; see _g2_piecewise_cond) —
+    straight-line boundary z = wx x + wy y; see _g2_piecewise_cond) —
     no nested simulation.  Sanity pins: k=1 == the European conditional-
     decomposition oracle, the 2-d DP oracle bracket, and the eta -> 0
     degeneration to the 1-factor module.
+
+    ``n_paths`` is the per-block path count; the evaluation pass streams
+    ``n_blocks`` independent blocks (constant memory), or with
+    ``rqmc=True`` draws each block from a 3k-dimensional digitally-
+    shifted Sobol sequence (the shifts are the SE replicates).
     """
     if n_paths is None:
         n_paths = cfg.n_paths
@@ -988,12 +1030,16 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
         raise ValueError("need at least one exercise date")
     if ex[-1] >= max(sched.times):
         raise ValueError("exercise dates must precede the last cashflow")
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent SE replicates)")
     p, p_in, se, up, up_se = _g2_bermudan_fn(
         cfg, g, ex, tuple(sched.times), tuple(sched.coupons),
-        float(strike), bool(payer), int(n_paths))(key, market)
+        float(strike), bool(payer), int(n_paths), int(n_blocks),
+        bool(rqmc))(key, market)
     return G2Bermudan(price=p, price_in_sample=p_in, std_error=se,
-                      n_paths=int(n_paths), exercise_dates=ex,
-                      upper=up, upper_std_error=up_se)
+                      n_paths=int(n_paths) * int(n_blocks),
+                      exercise_dates=ex, upper=up, upper_std_error=up_se)
 
 
 # ---------------------------------------------------------------------------

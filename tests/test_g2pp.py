@@ -315,6 +315,30 @@ def test_g2_dual_single_date_is_european(analytic_market):
         up, euro)
 
 
+def test_g2_bermudan_rqmc_blocks(analytic_market):
+    """Block-streamed RQMC evaluation: replicate guard, total-path
+    accounting, and bracket agreement with the MC evaluation."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    ex = [5.0, 6.0]
+    with pytest.raises(ValueError):
+        g2pp.price_bermudan_g2(CFG, G2, KEY, analytic_market, sched, ex,
+                               rqmc=True, n_blocks=1)
+    mc = g2pp.price_bermudan_g2(CFG, G2, KEY, analytic_market, sched, ex,
+                                n_paths=1 << 14, n_blocks=2)
+    rq = g2pp.price_bermudan_g2(CFG, G2, KEY, analytic_market, sched, ex,
+                                n_paths=1 << 13, n_blocks=4, rqmc=True)
+    assert mc.n_paths == rq.n_paths == 1 << 15
+    tol = 5 * (float(mc.std_error) + float(rq.std_error)) + 1e-4
+    assert abs(float(mc.price) - float(rq.price)) < tol
+    tol_u = 5 * (float(mc.upper_std_error)
+                 + float(rq.upper_std_error)) + 5e-5
+    assert abs(float(mc.upper) - float(rq.upper)) < tol_u
+    # RQMC genuinely reduces the lower bound's variance
+    assert float(rq.std_error) < float(mc.std_error)
+
+
 def test_g2_dual_degenerates_to_hw_oracle(analytic_market):
     """eta -> 0 multi-date pin: the G2++ dual upper bound must sit just
     above the 1-factor DP oracle (the continuous-vs-trapezoid I-law gap
