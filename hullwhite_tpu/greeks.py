@@ -170,6 +170,55 @@ def vega_swaption(cfg: HWConfig, key, market: MarketCurve, sched,
                              engine, mesh)(sigma, key, market)
 
 
+def bermudan_vega(cfg: HWConfig, key, market: MarketCurve, sched,
+                  exercise_dates, *, strike: float = 1.0,
+                  payer: bool = False, n_paths: int | None = None,
+                  n_blocks: int = 1, rqmc: bool = False,
+                  eps: float = 1e-3, mode: str = "jvp"):
+    """(price, vega, upper, upper_vega): d/dsigma of the Bermudan bracket.
+
+    mode="jvp": forward-mode AD through the full two-pass estimator in
+    one evaluation.  The exact multi-date states are smooth in sigma (it
+    enters only through the Cholesky scale and the drift shift, the
+    library-wide invariant), the refit-policy derivative through the WLS
+    solve is exact, and the exercise indicator's discontinuity
+    contributes zero a.s. — so the LOWER bound's tangent is the exact
+    pathwise vega (same justification as the reference's pathwise dP/dsig,
+    3_sensitivity_analysis.cu:22-96, lifted to the optimal-stopping
+    payoff).  The UPPER bound's tangent additionally differentiates
+    through the bisection-located proxy boundary, whose tangent is only
+    approximate; because the AB bound is MINIMIZED over proxies at the
+    true value function, dU/d(boundary) ~ 0 near the optimum and the
+    error is second order.
+
+    mode="fd": central differences under common random numbers (two
+    evaluations, both bounds exact up to O(eps^2) truncation).
+    """
+    from . import bermudan as bermudan_mod
+
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    ex = tuple(sorted(float(t) for t in exercise_dates))
+    fn = bermudan_mod._bermudan_fn(cfg, ex, sched, float(strike),
+                                   bool(payer), int(n_paths),
+                                   int(n_blocks), bool(rqmc))
+    sigma = jnp.asarray(cfg.sigma, jnp.float32)
+    if mode == "jvp":
+        def lo_up(s):
+            p, _, _, u, _ = fn(key, s, market)
+            return p, u
+
+        (p, u), (dp, du) = jax.jvp(lo_up, (sigma,),
+                                   (jnp.ones_like(sigma),))
+        return p, dp, u, du
+    if mode != "fd":
+        raise ValueError("mode must be 'jvp' or 'fd'")
+    pp = fn(key, sigma + eps, market)
+    pm = fn(key, sigma - eps, market)
+    return (0.5 * (pp[0] + pm[0]), (pp[0] - pm[0]) / (2.0 * eps),
+            0.5 * (pp[3] + pm[3]), (pp[3] - pm[3]) / (2.0 * eps))
+
+
 def implied_sigma(cfg: HWConfig, market: MarketCurve, target_price: float,
                   *, sigma0: float | None = None, tol: float = 1e-12,
                   max_iter: int = 60) -> float:

@@ -456,6 +456,27 @@ def vega_zbc_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve, *,
     return (pp - pm) / (2.0 * eps)
 
 
+def vega_bermudan_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
+                     sched, exercise_dates, *, strike: float = 1.0,
+                     payer: bool = False, eps: float = 1e-3,
+                     n_paths: int | None = None, n_blocks: int = 1,
+                     rqmc: bool = False):
+    """(vega_lower, vega_upper): d/dsigma of the G2++ Bermudan bracket by
+    central differences under common random numbers (same key on both
+    legs; the joint Cholesky and the dual's closed forms carry all the
+    sigma dependence, mirroring vega_zbc_g2)."""
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    rp = price_bermudan_g2(cfg, gp, key, market, sched, exercise_dates,
+                           strike=strike, payer=payer, n_paths=n_paths,
+                           n_blocks=n_blocks, rqmc=rqmc)
+    rm = price_bermudan_g2(cfg, gm, key, market, sched, exercise_dates,
+                           strike=strike, payer=payer, n_paths=n_paths,
+                           n_blocks=n_blocks, rqmc=rqmc)
+    return ((float(rp.price) - float(rm.price)) / (2.0 * eps),
+            (float(rp.upper) - float(rm.upper)) / (2.0 * eps))
+
+
 def vega_zbc_g2_analytic(cfg: HWConfig, g: G2Params, market: MarketCurve,
                          eps: float = 1e-6) -> float:
     """fp64 oracle: central difference of the closed form."""

@@ -356,3 +356,27 @@ def test_g2_dual_degenerates_to_hw_oracle(analytic_market):
     up = float(res.upper)
     assert up + 4 * float(res.upper_std_error) >= orc - 1e-4, (up, orc)
     assert up - orc < 3e-4, (up, orc)
+
+
+def test_g2_bermudan_vega_single_date(analytic_market):
+    """k = 1 G2++ Bermudan vega vs the fp64 FD of the conditional-
+    decomposition oracle: the dual tangent is stable to 2e-6 across
+    seeds with a measured ~1e-4 proxy-misfit bias (the line-boundary fit
+    is not exactly the optimal proxy, so dU/d(proxy) is not exactly 0);
+    the LSMC lower tangent is MC-noise dominated at this scale."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    e = 1e-4
+    gp = g2pp.G2Params(a=G2.a, b=G2.b, sigma=G2.sigma + e, eta=G2.eta,
+                       rho=G2.rho)
+    gm = g2pp.G2Params(a=G2.a, b=G2.b, sigma=G2.sigma - e, eta=G2.eta,
+                       rho=G2.rho)
+    vref = (g2pp.swaption_g2_analytic(CFG, gp, analytic_market, sched,
+                                      payer=False)
+            - g2pp.swaption_g2_analytic(CFG, gm, analytic_market, sched,
+                                        payer=False)) / (2.0 * e)
+    vlo, vup = g2pp.vega_bermudan_g2(CFG, G2, KEY, analytic_market,
+                                     sched, [5.0], n_paths=1 << 16)
+    assert abs(vup - vref) < 5e-4, (vup, vref)
+    assert abs(vlo - vref) < 2e-2, (vlo, vref)
