@@ -495,11 +495,16 @@ def cmd_g2pp(args):
 
     v = float(g2pp.vega_zbc_g2(cfg, g, key, market, eps=args.eps))
     v_an = g2pp.vega_zbc_g2_analytic(cfg, g, market)
+    vq, vq_se = g2pp.vega_zbc_g2_rqmc(cfg, g, key, market, eps=args.eps)
     vs = float(g2pp.vega_swaption_g2(cfg, g, key, market, sched,
                                      eps=args.eps))
-    print(f"[vega] ZBC d/dsigma: CRN-FD {v:.6f}  closed-form FD {v_an:.6f}")
+    print(f"[vega] ZBC d/dsigma: CRN-FD {v:.6f}  "
+          f"RQMC {float(vq):.6f} +/- {float(vq_se):.1e}  "
+          f"closed-form FD {v_an:.6f}")
     print(f"[vega] swaption d/dsigma (CRN-FD): {vs:.6f}")
     results.update({"zbc_vega_fd": v, "zbc_vega_analytic": v_an,
+                    "zbc_vega_rqmc": float(vq),
+                    "zbc_vega_rqmc_se": float(vq_se),
                     "swaption_vega_fd": vs})
 
     ex = [cfg.s1 + j for j in range(int(args.tenor))]
@@ -515,7 +520,8 @@ def cmd_g2pp(args):
     hwio.write_json(hwio.DATA_DIR / "g2pp_results.json", "G2++ model", cfg,
                     results=results)
     ok = (err < 5e-4 and abs(float(est.price) - true) < 5e-4
-          and abs(v - v_an) < 0.15 * abs(v_an) + 1e-3)
+          and abs(v - v_an) < 0.15 * abs(v_an) + 1e-3
+          and abs(float(vq) - v_an) < 0.02 * abs(v_an) + 1e-4)
     print("validation:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

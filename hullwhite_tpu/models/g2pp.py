@@ -534,7 +534,8 @@ def _g2_zbc_qmc_fn(cfg: HWConfig, g: G2Params, n_points: int,
         shifts = jax.random.bits(key, (n_shifts, 3), jnp.uint32)
         vals = jax.lax.map(lambda s: one_shift(s, market), shifts)
         return (jnp.mean(vals),
-                jnp.std(vals, ddof=1) / jnp.sqrt(1.0 * n_shifts))
+                jnp.std(vals, ddof=1) / jnp.sqrt(1.0 * n_shifts),
+                vals)
 
     return jax.jit(compute)
 
@@ -543,8 +544,27 @@ def price_zbc_g2_qmc(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
                      n_points: int = 1 << 16, n_shifts: int = 8):
     """Randomized-QMC G2++ ZBC: 3-d scrambled Sobol through the exact
     functional law (the G2++ analogue of ops.qmc.price_zbc_qmc)."""
-    mean, se = _g2_zbc_qmc_fn(cfg, g, n_points, n_shifts)(key, market)
+    mean, se, _ = _g2_zbc_qmc_fn(cfg, g, n_points, n_shifts)(key, market)
     return mean, se
+
+
+def vega_zbc_g2_rqmc(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
+                     *, eps: float = 1e-3, n_points: int = 1 << 16,
+                     n_shifts: int = 8):
+    """(vega, se): d price / d sigma by central differences over the RQMC
+    estimator with common random numbers ACROSS LEGS AND SHIFTS — the same
+    key drives identical Sobol points + scrambling shifts at sigma±eps, so
+    the per-shift FD replicates pair exactly and the SE is the paired one
+    (the CUDA reference's CRN trick, 3_sensitivity_analysis.cu:407-435,
+    lifted to the RQMC tier; per-run sd collapses ~100x vs the 2^20-path
+    MC CRN-FD)."""
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    _, _, vp = _g2_zbc_qmc_fn(cfg, gp, n_points, n_shifts)(key, market)
+    _, _, vm = _g2_zbc_qmc_fn(cfg, gm, n_points, n_shifts)(key, market)
+    d = (vp - vm) / (2.0 * eps)
+    return (jnp.mean(d),
+            jnp.std(d, ddof=1) / jnp.sqrt(1.0 * n_shifts))
 
 
 # ---------------------------------------------------------------------------

@@ -161,6 +161,17 @@ def test_g2_vega_crn_fd_matches_analytic(analytic_market):
     assert abs(v - v_an) < 0.10 * abs(v_an) + 5e-4, (v, v_an)
 
 
+def test_g2_vega_rqmc_matches_analytic(analytic_market):
+    """Paired CRN-FD over identical Sobol shifts: per-shift replicates
+    difference exactly, so the vega lands within a few SE of the fp64
+    closed-form FD (SE ~1e-5 at 2^14 points vs ~3e-4 for 2^18-path MC)."""
+    v, se = g2pp.vega_zbc_g2_rqmc(CFG, G2, KEY, analytic_market,
+                                  n_points=1 << 14)
+    v_an = g2pp.vega_zbc_g2_analytic(CFG, G2, analytic_market)
+    assert float(se) < 1e-4
+    assert abs(float(v) - v_an) < 4 * float(se) + 5e-5, (float(v), v_an)
+
+
 def test_g2_zbc_qmc_matches_analytic(analytic_market):
     q, qse = g2pp.price_zbc_g2_qmc(CFG, G2, KEY, analytic_market,
                                    n_points=1 << 12, n_shifts=8)
