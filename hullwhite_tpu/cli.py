@@ -487,10 +487,15 @@ def cmd_g2pp(args):
         kind = "payer" if payer else "receiver"
         orc = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=payer)
         sw = g2pp.price_swaption_g2(cfg, g, key, market, sched, payer=payer)
+        swq, swq_se = g2pp.price_swaption_g2_qmc(cfg, g, key, market, sched,
+                                                 payer=payer)
         print(f"[swaption {kind}] MC {float(sw.price):.8f} "
               f"(raw SE {float(sw.std_error_raw):.2e})  "
+              f"RQMC {float(swq):.8f} +/- {float(swq_se):.1e}  "
               f"oracle {orc:.8f}")
         results[f"swaption_{kind}_mc"] = float(sw.price)
+        results[f"swaption_{kind}_rqmc"] = float(swq)
+        results[f"swaption_{kind}_rqmc_se"] = float(swq_se)
         results[f"swaption_{kind}_oracle"] = orc
 
     v = float(g2pp.vega_zbc_g2(cfg, g, key, market, eps=args.eps))

@@ -548,6 +548,66 @@ def price_zbc_g2_qmc(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
     return mean, se
 
 
+@lru_cache(maxsize=None)
+def _g2_cbo_qmc_fn(cfg: HWConfig, g: G2Params, times, coupons,
+                   strike: float, payer: bool, n_points: int,
+                   n_shifts: int):
+    from ..ops.sobol import sobol
+
+    LT = jnp.asarray(_state_chol(g, cfg.s1))
+    d0 = -0.5 * _v_integral(g, cfg.s1)
+    vadj = [0.5 * (_v_integral(g, t - cfg.s1) - _v_integral(g, t)
+                   + _v_integral(g, cfg.s1)) for t in times]
+    Ba = jnp.asarray([_B(g.a, t - cfg.s1) for t in times], jnp.float32)
+    Bb = jnp.asarray([_B(g.b, t - cfg.s1) for t in times], jnp.float32)
+    sgn_pay = -1.0 if payer else 1.0
+
+    def one_shift(shift, market):
+        P1 = hw.interp_curve(market.P, jnp.float32(cfg.s1), cfg)
+        P0i = hw.interp_curve(market.P, jnp.asarray(times, jnp.float32),
+                              cfg)
+        lam0 = (jnp.asarray(coupons, jnp.float32) * P0i / P1
+                * jnp.exp(jnp.asarray(vadj, jnp.float32)))
+        disc0 = P1 * jnp.exp(jnp.float32(d0))
+        u = sobol(n_points, 3, shift)
+        xn = jax.scipy.special.ndtri(u)
+        z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                    precision=cfg.matmul_precision)
+
+        def leg(sgn):
+            V = jnp.sum(lam0[None, :]
+                        * jnp.exp(-Ba[None, :] * (sgn * z[:, 0])[:, None]
+                                  - Bb[None, :] * (sgn * z[:, 1])[:, None]),
+                        axis=1)
+            disc = disc0 * jnp.exp(-sgn * z[:, 2])
+            return jnp.mean(disc * jnp.maximum(sgn_pay * (V - strike), 0.0))
+
+        return 0.5 * (leg(1.0) + leg(-1.0))
+
+    def compute(key, market):
+        shifts = jax.random.bits(key, (n_shifts, 3), jnp.uint32)
+        vals = jax.lax.map(lambda s: one_shift(s, market), shifts)
+        return (jnp.mean(vals),
+                jnp.std(vals, ddof=1) / jnp.sqrt(1.0 * n_shifts))
+
+    return jax.jit(compute)
+
+
+def price_swaption_g2_qmc(cfg: HWConfig, g: G2Params, key,
+                          market: MarketCurve, sched, *,
+                          strike: float = 1.0, payer: bool = False,
+                          n_points: int = 1 << 16, n_shifts: int = 8):
+    """(price, se): randomized-QMC G2++ coupon-bond option / European
+    swaption on the fixed leg — the same exact 3-normal functional law as
+    price_swaption_g2 driven by scrambled Sobol points (the G2++ analogue
+    of ops.qmc's shared-state swaption RQMC).  SE ~1e-7 at 2^16 points,
+    sharp enough to separate MC noise from oracle bias."""
+    mean, se = _g2_cbo_qmc_fn(
+        cfg, g, tuple(sched.times), tuple(sched.coupons), float(strike),
+        bool(payer), int(n_points), int(n_shifts))(key, market)
+    return mean, se
+
+
 def vega_zbc_g2_rqmc(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
                      *, eps: float = 1e-3, n_points: int = 1 << 16,
                      n_shifts: int = 8):
