@@ -29,7 +29,6 @@ from .config import HWConfig
 from . import pricing
 from .ops.payoffs import cv_estimate
 from .utils import io as hwio
-from .utils import stats as hwstats
 from .utils.timing import bench, fetch_rtt
 
 # the scan tier is minutes-slow at full scale on TPU (it is the design
@@ -93,8 +92,8 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
         rows["scan"] = {"ms": dt * 1e3,
                         "paths_per_sec": 2 * scfg.n_paths / dt,
                         "price": float(est.price), "beta": float(est.beta),
-                        "n_paths": SCAN_PATHS}
-        print(f"{'scan (2^16)':14s} {dt*1e3:10.3f} "
+                        "n_paths": scan_pairs}
+        print(f"{f'scan ({scan_pairs})':14s} {dt*1e3:10.3f} "
               f"{2*scfg.n_paths/dt/1e6:10.0f} "
               f"{float(est.price):12.8f} {float(est.beta):8.4f}", flush=True)
 

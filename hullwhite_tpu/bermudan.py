@@ -197,13 +197,16 @@ def _wls(X, y, w, prec):
         R, jnp.dot(Q.T, yw, precision=prec), lower=False)
 
 
-def _piecewise_value(r, gamma, mu, sd, cA, B, strike, rstar, sg):
+def _piecewise_value(r, gamma, mu, sd, cA, B, strike, rstar, sg, prec):
     """The dual value proxy V^(r): intrinsic sg*(V_bond(r) - K) on the
     exercise side of the boundary r* (sg = +1 receiver exercises at LOW r,
-    sg = -1 payer at HIGH r), cubic gamma . poly(r~) on the other side."""
+    sg = -1 payer at HIGH r), cubic gamma . poly(r~) on the other side.
+    The poly dot must run at cfg.matmul_precision: _piecewise_cond is the
+    EXACT conditional expectation of this proxy, so any rounding here is a
+    systematic martingale defect in the dual increments."""
     vb = jnp.sum(cA[None, :] * jnp.exp(-B[None, :] * r[:, None]), axis=1)
     intr = sg * (vb - strike)
-    poly = jnp.dot(_poly_basis(r, mu, sd), gamma)
+    poly = jnp.dot(_poly_basis(r, mu, sd), gamma, precision=prec)
     return jnp.where(sg * (rstar - r) > 0, intr, poly)
 
 
@@ -415,7 +418,8 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             cond = _piecewise_cond(gammas[j], mu, sd, cA, B, strike,
                                    rstars[j], sg, m_t, v_t, mI, vI, ctI)
             vhat = _piecewise_value(r[:, j], gammas[j], mu, sd, cA, B,
-                                    strike, rstars[j], sg)
+                                    strike, rstars[j], sg,
+                                    cfg.matmul_precision)
             M = M + D[:, j] * vhat - D_prev * cond
             Z = D[:, j] * payoff_at(r[:, j], *terms[j])
             best = Z - M if best is None else jnp.maximum(best, Z - M)

@@ -503,14 +503,22 @@ def cmd_g2pp(args):
     vq, vq_se = g2pp.vega_zbc_g2_rqmc(cfg, g, key, market, eps=args.eps)
     vs = float(g2pp.vega_swaption_g2(cfg, g, key, market, sched,
                                      eps=args.eps))
+    vsq, vsq_se = g2pp.vega_swaption_g2_rqmc(cfg, g, key, market, sched,
+                                             eps=args.eps)
+    vs_an = g2pp.vega_swaption_g2_analytic(cfg, g, market, sched)
     print(f"[vega] ZBC d/dsigma: CRN-FD {v:.6f}  "
           f"RQMC {float(vq):.6f} +/- {float(vq_se):.1e}  "
           f"closed-form FD {v_an:.6f}")
-    print(f"[vega] swaption d/dsigma (CRN-FD): {vs:.6f}")
+    print(f"[vega] swaption d/dsigma: CRN-FD {vs:.6f}  "
+          f"RQMC {float(vsq):.6f} +/- {float(vsq_se):.1e}  "
+          f"oracle FD {vs_an:.6f}")
     results.update({"zbc_vega_fd": v, "zbc_vega_analytic": v_an,
                     "zbc_vega_rqmc": float(vq),
                     "zbc_vega_rqmc_se": float(vq_se),
-                    "swaption_vega_fd": vs})
+                    "swaption_vega_fd": vs,
+                    "swaption_vega_rqmc": float(vsq),
+                    "swaption_vega_rqmc_se": float(vsq_se),
+                    "swaption_vega_analytic": vs_an})
 
     ex = [cfg.s1 + j for j in range(int(args.tenor))]
     bm = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex)

@@ -288,6 +288,24 @@ class CapResult(NamedTuple):
     n_paths: int
 
 
+def curve_level(cfg: HWConfig, market: MarketCurve, t: float) -> float:
+    """float64 P(0, t) interpolated off the market curve."""
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    return float(np.interp(t, Ts, np.asarray(market.P, np.float64)))
+
+
+def zbp_black(P1: float, P2: float, K: float, S: float) -> float:
+    """float64 zero-bond put on P(t1, t2) struck at K, given the curve
+    levels and the model's total bond-price volatility S — the shared
+    Black-style formula; Hull-White and G2++ differ only in S."""
+    import math as m
+
+    from .models.oracles import _phi
+
+    h = m.log(P2 / (K * P1)) / S + 0.5 * S
+    return K * P1 * _phi(-h + S) - P2 * _phi(-h)
+
+
 def _zbp_closed(cfg: HWConfig, market: MarketCurve, t1: float, t2: float,
                 K: float, sigma: float | None = None) -> float:
     """float64 Hull-White zero-bond put P(t1)-strike-K on P(t1, t2)."""
@@ -295,17 +313,34 @@ def _zbp_closed(cfg: HWConfig, market: MarketCurve, t1: float, t2: float,
 
     if sigma is None:
         sigma = cfg.sigma
-    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
-    P = np.asarray(market.P, np.float64)
-    P1 = float(np.interp(t1, Ts, P))
-    P2 = float(np.interp(t2, Ts, P))
     a = cfg.a
     B = (1.0 - m.exp(-a * (t2 - t1))) / a
     sp = sigma * B * m.sqrt((1.0 - m.exp(-2.0 * a * t1)) / (2.0 * a))
-    h = m.log(P2 / (K * P1)) / sp + 0.5 * sp
-    from .models.oracles import _phi
+    return zbp_black(curve_level(cfg, market, t1),
+                     curve_level(cfg, market, t2), K, sp)
 
-    return K * P1 * _phi(-h + sp) - P2 * _phi(-h)
+
+def cap_replication(cfg: HWConfig, market: MarketCurve, zbp, *,
+                    rate: float, start: float, tenor: float, freq: float,
+                    floor: bool):
+    """Shared caplet replication: cap = sum over periods of (1 + tau K)
+    zero-bond puts struck at 1/(1 + tau K); floorlets via per-period
+    put-call parity.  ``zbp(t1, t2, K)`` supplies the model-specific
+    zero-bond put (the only model-dependent piece)."""
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    total, per = 0.0, []
+    for j in range(n):
+        t1 = start + j * tau
+        t2 = t1 + tau
+        v = (1.0 + tau * rate) * zbp(t1, t2, 1.0 / (1.0 + tau * rate))
+        if floor:
+            # floorlet = caplet - forward value (put-call parity per period)
+            v = v - (curve_level(cfg, market, t1)
+                     - (1.0 + tau * rate) * curve_level(cfg, market, t2))
+        per.append(v)
+        total += v
+    return total, per
 
 
 def cap_closed_form(cfg: HWConfig, market: MarketCurve, *, rate: float,
@@ -315,26 +350,10 @@ def cap_closed_form(cfg: HWConfig, market: MarketCurve, *, rate: float,
     """float64 cap/floor value: sum of caplets = scaled ZBP/ZBC options."""
     if start is None:
         start = cfg.s1
-    n = int(round(tenor * freq))
-    tau = 1.0 / freq
-    total = 0.0
-    per = []
-    for j in range(n):
-        t1 = start + j * tau
-        t2 = t1 + tau
-        Kb = 1.0 / (1.0 + tau * rate)
-        zbp = _zbp_closed(cfg, market, t1, t2, Kb, sigma)
-        v = (1.0 + tau * rate) * zbp
-        if floor:
-            # floorlet = caplet - forward value (put-call parity per period)
-            Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
-            P = np.asarray(market.P, np.float64)
-            P1 = float(np.interp(t1, Ts, P))
-            P2 = float(np.interp(t2, Ts, P))
-            v = v - (P1 - (1.0 + tau * rate) * P2)
-        per.append(v)
-        total += v
-    return total, per
+    return cap_replication(
+        cfg, market,
+        lambda t1, t2, K: _zbp_closed(cfg, market, t1, t2, K, sigma),
+        rate=rate, start=start, tenor=tenor, freq=freq, floor=floor)
 
 
 @lru_cache(maxsize=None)

@@ -499,6 +499,37 @@ def vega_swaption_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
     return (pp - pm) / (2.0 * eps)
 
 
+def vega_swaption_g2_rqmc(cfg: HWConfig, g: G2Params, key,
+                          market: MarketCurve, sched, *,
+                          strike: float = 1.0, payer: bool = False,
+                          eps: float = 1e-3, n_points: int = 1 << 16,
+                          n_shifts: int = 8):
+    """(vega, se): swaption d/dsigma by central differences with paired
+    Sobol shifts across the sigma+/-eps legs (see vega_zbc_g2_rqmc)."""
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    args = (tuple(sched.times), tuple(sched.coupons), float(strike),
+            bool(payer), int(n_points), int(n_shifts))
+    _, _, vp = _g2_cbo_qmc_fn(cfg, gp, *args)(key, market)
+    _, _, vm = _g2_cbo_qmc_fn(cfg, gm, *args)(key, market)
+    d = (vp - vm) / (2.0 * eps)
+    return (jnp.mean(d),
+            jnp.std(d, ddof=1) / jnp.sqrt(1.0 * n_shifts))
+
+
+def vega_swaption_g2_analytic(cfg: HWConfig, g: G2Params,
+                              market: MarketCurve, sched, *,
+                              strike: float = 1.0, payer: bool = False,
+                              eps: float = 1e-5) -> float:
+    """fp64 oracle: central difference of the 1-d-integral closed form."""
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    return (swaption_g2_analytic(cfg, gp, market, sched, strike=strike,
+                                 payer=payer)
+            - swaption_g2_analytic(cfg, gm, market, sched, strike=strike,
+                                   payer=payer)) / (2.0 * eps)
+
+
 @lru_cache(maxsize=None)
 def _g2_zbc_qmc_fn(cfg: HWConfig, g: G2Params, n_points: int,
                    n_shifts: int):
@@ -588,7 +619,8 @@ def _g2_cbo_qmc_fn(cfg: HWConfig, g: G2Params, times, coupons,
         shifts = jax.random.bits(key, (n_shifts, 3), jnp.uint32)
         vals = jax.lax.map(lambda s: one_shift(s, market), shifts)
         return (jnp.mean(vals),
-                jnp.std(vals, ddof=1) / jnp.sqrt(1.0 * n_shifts))
+                jnp.std(vals, ddof=1) / jnp.sqrt(1.0 * n_shifts),
+                vals)
 
     return jax.jit(compute)
 
@@ -602,7 +634,7 @@ def price_swaption_g2_qmc(cfg: HWConfig, g: G2Params, key,
     price_swaption_g2 driven by scrambled Sobol points (the G2++ analogue
     of ops.qmc's shared-state swaption RQMC).  SE ~1e-7 at 2^16 points,
     sharp enough to separate MC noise from oracle bias."""
-    mean, se = _g2_cbo_qmc_fn(
+    mean, se, _ = _g2_cbo_qmc_fn(
         cfg, g, tuple(sched.times), tuple(sched.coupons), float(strike),
         bool(payer), int(n_points), int(n_shifts))(key, market)
     return mean, se
@@ -1149,42 +1181,29 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
 
 def _zbp_closed_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
                    t1: float, t2: float, K: float) -> float:
-    """float64 G2++ zero-bond put on P(t1, t2) struck at K."""
-    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
-    P = np.asarray(market.P, np.float64)
-    P1 = float(np.interp(t1, Ts, P))
-    P2 = float(np.interp(t2, Ts, P))
-    S = _sigma_zbc(g, t1, t2)
-    h = math.log(P2 / (K * P1)) / S + 0.5 * S
-    from .oracles import _phi
+    """float64 G2++ zero-bond put on P(t1, t2) struck at K: the shared
+    Black formula with the two-factor bond volatility."""
+    from ..instruments import curve_level, zbp_black
 
-    return K * P1 * _phi(-h + S) - P2 * _phi(-h)
+    return zbp_black(curve_level(cfg, market, t1),
+                     curve_level(cfg, market, t2), K,
+                     _sigma_zbc(g, t1, t2))
 
 
 def cap_closed_form_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, *,
                        rate: float, start: float | None = None,
                        tenor: float = 4.0, freq: float = 1.0,
                        floor: bool = False):
-    """float64 G2++ cap/floor = sum of scaled ZBP/ZBC per period."""
+    """float64 G2++ cap/floor = sum of scaled ZBP/ZBC per period (the
+    shared caplet replication with the G2++ zero-bond put)."""
+    from ..instruments import cap_replication
+
     if start is None:
         start = cfg.s1
-    n = int(round(tenor * freq))
-    tau = 1.0 / freq
-    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
-    P = np.asarray(market.P, np.float64)
-    total, per = 0.0, []
-    for j in range(n):
-        t1 = start + j * tau
-        t2 = t1 + tau
-        v = (1.0 + tau * rate) * _zbp_closed_g2(
-            cfg, g, market, t1, t2, 1.0 / (1.0 + tau * rate))
-        if floor:
-            P1 = float(np.interp(t1, Ts, P))
-            P2 = float(np.interp(t2, Ts, P))
-            v = v - (P1 - (1.0 + tau * rate) * P2)
-        per.append(v)
-        total += v
-    return total, per
+    return cap_replication(
+        cfg, market,
+        lambda t1, t2, K: _zbp_closed_g2(cfg, g, market, t1, t2, K),
+        rate=rate, start=start, tenor=tenor, freq=freq, floor=floor)
 
 
 @lru_cache(maxsize=None)

@@ -30,22 +30,31 @@ def _lib():
     for p in _LIB_PATHS:
         if p and p.is_file():
             lib = ctypes.CDLL(str(p))
-            lib.hw_drift_tables.argtypes = [ctypes.c_double] * 2 + [ctypes.c_int] + [ctypes.c_double] * 5 + [_d, _d]
-            lib.hw_shock_shapes.argtypes = [ctypes.c_double, ctypes.c_double, ctypes.c_int, _d, _d]
-            lib.hw_curve_shape.argtypes = [ctypes.c_double, ctypes.c_double] + [ctypes.c_int] * 3 + [_d]
-            lib.hw_curve_chol.argtypes = [ctypes.c_double, ctypes.c_double] + [ctypes.c_int] * 3 + [_d]
-            lib.hw_curve_chol.restype = ctypes.c_int
-            lib.hw_zbc_chol.argtypes = [ctypes.c_double, ctypes.c_double, ctypes.c_int, _d]
-            lib.hw_save_bin.argtypes = [ctypes.c_char_p, _f, ctypes.c_long]
-            lib.hw_save_bin.restype = ctypes.c_int
-            lib.hw_csv_timeseries.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _f, ctypes.c_long, ctypes.c_float]
-            lib.hw_csv_timeseries.restype = ctypes.c_int
-            lib.hw_summarize.argtypes = [_d, ctypes.c_int, _d]
-            lib.hw_dp_continuation.argtypes = (
-                [_d, ctypes.c_int, _d, _d, ctypes.c_int]
-                + [ctypes.c_double] * 8 + [_d])
+            try:
+                _register(lib)
+            except AttributeError:
+                # stale .so predating a newly added symbol: degrade to
+                # the NumPy fallbacks instead of crashing available()
+                return None
             return lib
     return None
+
+
+def _register(lib):
+    lib.hw_drift_tables.argtypes = [ctypes.c_double] * 2 + [ctypes.c_int] + [ctypes.c_double] * 5 + [_d, _d]
+    lib.hw_shock_shapes.argtypes = [ctypes.c_double, ctypes.c_double, ctypes.c_int, _d, _d]
+    lib.hw_curve_shape.argtypes = [ctypes.c_double, ctypes.c_double] + [ctypes.c_int] * 3 + [_d]
+    lib.hw_curve_chol.argtypes = [ctypes.c_double, ctypes.c_double] + [ctypes.c_int] * 3 + [_d]
+    lib.hw_curve_chol.restype = ctypes.c_int
+    lib.hw_zbc_chol.argtypes = [ctypes.c_double, ctypes.c_double, ctypes.c_int, _d]
+    lib.hw_save_bin.argtypes = [ctypes.c_char_p, _f, ctypes.c_long]
+    lib.hw_save_bin.restype = ctypes.c_int
+    lib.hw_csv_timeseries.argtypes = [ctypes.c_char_p, ctypes.c_char_p, _f, ctypes.c_long, ctypes.c_float]
+    lib.hw_csv_timeseries.restype = ctypes.c_int
+    lib.hw_summarize.argtypes = [_d, ctypes.c_int, _d]
+    lib.hw_dp_continuation.argtypes = (
+        [_d, ctypes.c_int, _d, _d, ctypes.c_int]
+        + [ctypes.c_double] * 8 + [_d])
 
 
 def available() -> bool:

@@ -19,8 +19,9 @@ from hullwhite_tpu import tiny_config, pricing, greeks
 from hullwhite_tpu.models import oracles
 from hullwhite_tpu.parallel import mesh as pmesh
 
-# exact option kernels need path_block % (TILE_OPT * PAD) == 0 -> 2^15;
-# curve exact needs % 2048; fullstep needs % 512.
+# exact option kernels need path_block % (TILE_OPT * PAD) == 0 -> 2^15
+# (which also covers curve exact % (2*TILE_EXACT) = 8192 and fullstep
+# % TILE_FULL_OPT = 4096; see pallas/fused.py tile constants).
 CFG = tiny_config(n_paths=1 << 16, path_block=1 << 15, n_steps=100,
                   n_mat=11, pallas_interpret=True)
 KEY = jax.random.key(7)

@@ -154,6 +154,26 @@ def test_swaption_rqmc_matches_oracle(analytic_market):
         assert abs(float(q) - orc) < 5 * float(se) + 3e-6, (payer, orc)
 
 
+def test_swaption_vega_rqmc_matches_oracle_fd(analytic_market):
+    """Paired-shift RQMC swaption vega vs the fp64 FD of the 1-d-integral
+    oracle; also pins put-call parity in sigma (payer and receiver vegas
+    are equal: their price difference is the sigma-independent forward
+    swap value)."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    vs = []
+    for payer in (False, True):
+        v, se = g2pp.vega_swaption_g2_rqmc(CFG, G2, KEY, analytic_market,
+                                           sched, payer=payer,
+                                           n_points=1 << 14)
+        va = g2pp.vega_swaption_g2_analytic(CFG, G2, analytic_market,
+                                            sched, payer=payer)
+        assert abs(float(v) - va) < 4 * float(se) + 5e-5, (payer, va)
+        vs.append(va)
+    assert abs(vs[0] - vs[1]) < 1e-6
+
+
 def test_swaption_payer_receiver_parity(analytic_market):
     """payer - receiver = K P(0,S1) - sum c_i P(0,T_i) (model-free)."""
     from hullwhite_tpu.instruments import swap_fixed_leg

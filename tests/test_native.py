@@ -112,3 +112,23 @@ def test_dp_continuation_matches_numpy():
     want = (np.exp(-mI + 0.5 * args["vI"])
             * (mid + V[0] * Phi[:, 0] + V[-1] * (1 - Phi[:, -1])))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_stale_library_degrades_to_fallback(tmp_path, monkeypatch):
+    """A .so predating a newly added symbol must make available() False
+    (NumPy fallbacks) rather than raise AttributeError out of _lib()."""
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    src = tmp_path / "stub.c"
+    src.write_text("void hw_drift_tables(void) {}\n")
+    so = tmp_path / "libstub.so"
+    subprocess.run(["gcc", "-shared", "-fPIC", "-o", str(so), str(src)],
+                   check=True)
+    monkeypatch.setattr(native, "_LIB_PATHS", [Path(so)])
+    native._lib.cache_clear()
+    try:
+        assert native.available() is False
+    finally:
+        native._lib.cache_clear()
