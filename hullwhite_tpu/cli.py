@@ -402,6 +402,21 @@ def cmd_swaption(args):
         results["bermudan_upper"] = float(res.upper)
         results["bermudan_dp_oracle"] = orc
         results["bermudan_se"] = float(res.std_error)
+        if args.delta:
+            h = 1e-3
+            dl, du = greeks.bermudan_delta(cfg, key, market, sched, ex,
+                                           payer=args.payer, h=h)
+            d_dp = (bermudan_mod.dp_oracle(
+                        cfg, greeks.shift_curve(cfg, market, +h), sched,
+                        ex, payer=args.payer)
+                    - bermudan_mod.dp_oracle(
+                        cfg, greeks.shift_curve(cfg, market, -h), sched,
+                        ex, payer=args.payer)) / (2.0 * h)
+            print(f"Bermudan curve-delta (parallel shift): "
+                  f"[{dl:.6f}, {du:.6f}]  DP oracle {d_dp:.6f}")
+            results["bermudan_delta_lower"] = dl
+            results["bermudan_delta_upper"] = du
+            results["bermudan_delta_dp_oracle"] = d_dp
     hwio.write_json(hwio.DATA_DIR / "swaption_results.json",
                     "Swaption pricing", cfg, results=results)
     return 0
@@ -609,6 +624,9 @@ def main(argv=None):
     ps.add_argument("--payer", action="store_true")
     ps.add_argument("--bermudan", action="store_true",
                     help="also price the Bermudan with annual exercises")
+    ps.add_argument("--delta", action="store_true",
+                    help="with --bermudan: CRN curve-delta of the "
+                         "bracket vs the DP oracle")
     sub.add_parser("grid", parents=[common])
     pg2 = sub.add_parser("g2pp", parents=[common])
     pg2.add_argument("--g2a", type=float, default=1.0)

@@ -219,6 +219,43 @@ def bermudan_vega(cfg: HWConfig, key, market: MarketCurve, sched,
             0.5 * (pp[3] + pm[3]), (pp[3] - pm[3]) / (2.0 * eps))
 
 
+def shift_curve(cfg: HWConfig, market: MarketCurve, h) -> MarketCurve:
+    """Parallel forward-curve bump: f(0,T) -> f(0,T) + h, and consistently
+    P(0,T) -> P(0,T) e^{-h T}.  The standard hedging scenario the CUDA
+    reference never prices (its only greek is vega); both arrays move so
+    every consumer (A(t,T) uses f, discounting uses P) stays coherent."""
+    Ts = jnp.linspace(0.0, cfg.t_final, cfg.n_mat).astype(market.P.dtype)
+    return MarketCurve(P=market.P * jnp.exp(-jnp.asarray(h, market.P.dtype)
+                                            * Ts),
+                       f=market.f + jnp.asarray(h, market.f.dtype))
+
+
+def bermudan_delta(cfg: HWConfig, key, market: MarketCurve, sched,
+                   exercise_dates, *, strike: float = 1.0,
+                   payer: bool = False, n_paths: int | None = None,
+                   n_blocks: int = 1, rqmc: bool = False,
+                   h: float = 1e-3):
+    """(delta_lower, delta_upper): d/dh of the Bermudan bracket under a
+    parallel forward-curve shift, by central differences with common
+    random numbers (same key => the exact multi-date states are IDENTICAL
+    on both legs — the curve enters only the payoff coefficients and
+    discount levels — so the FD noise is far below each bound's own SE).
+    Oracle-testable: the fp64 DP oracle evaluated on the shifted curves
+    gives the exact value (tests/test_greeks.py)."""
+    from . import bermudan as bermudan_mod
+
+    rp = bermudan_mod.price_bermudan(
+        cfg, key, shift_curve(cfg, market, +h), sched, exercise_dates,
+        strike=strike, payer=payer, n_paths=n_paths, n_blocks=n_blocks,
+        rqmc=rqmc)
+    rm = bermudan_mod.price_bermudan(
+        cfg, key, shift_curve(cfg, market, -h), sched, exercise_dates,
+        strike=strike, payer=payer, n_paths=n_paths, n_blocks=n_blocks,
+        rqmc=rqmc)
+    return ((float(rp.price) - float(rm.price)) / (2.0 * h),
+            (float(rp.upper) - float(rm.upper)) / (2.0 * h))
+
+
 def implied_sigma(cfg: HWConfig, market: MarketCurve, target_price: float,
                   *, sigma0: float | None = None, tol: float = 1e-12,
                   max_iter: int = 60) -> float:

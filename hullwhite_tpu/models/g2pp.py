@@ -477,6 +477,30 @@ def vega_bermudan_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
             (float(rp.upper) - float(rm.upper)) / (2.0 * eps))
 
 
+def delta_bermudan_g2(cfg: HWConfig, g: G2Params, key,
+                      market: MarketCurve, sched, exercise_dates, *,
+                      strike: float = 1.0, payer: bool = False,
+                      h: float = 1e-3, n_paths: int | None = None,
+                      n_blocks: int = 1, rqmc: bool = False):
+    """(delta_lower, delta_upper): d/dh of the G2++ Bermudan bracket under
+    a parallel forward-curve shift, CRN central differences (same key =>
+    identical exact multi-date states; only the payoff coefficients move
+    — see greeks.bermudan_delta for the one-factor analogue and the DP
+    oracle test)."""
+    from .. import greeks
+
+    mp = greeks.shift_curve(cfg, market, +h)
+    mm = greeks.shift_curve(cfg, market, -h)
+    rp = price_bermudan_g2(cfg, g, key, mp, sched, exercise_dates,
+                           strike=strike, payer=payer, n_paths=n_paths,
+                           n_blocks=n_blocks, rqmc=rqmc)
+    rm = price_bermudan_g2(cfg, g, key, mm, sched, exercise_dates,
+                           strike=strike, payer=payer, n_paths=n_paths,
+                           n_blocks=n_blocks, rqmc=rqmc)
+    return ((float(rp.price) - float(rm.price)) / (2.0 * h),
+            (float(rp.upper) - float(rm.upper)) / (2.0 * h))
+
+
 def vega_zbc_g2_analytic(cfg: HWConfig, g: G2Params, market: MarketCurve,
                          eps: float = 1e-6) -> float:
     """fp64 oracle: central difference of the closed form."""

@@ -200,3 +200,25 @@ def test_bermudan_vega_jvp_matches_fd(analytic_market, sched):
     with pytest.raises(ValueError, match="jvp"):
         greeks.bermudan_vega(CFG, KEY, analytic_market, sched, ex,
                              n_paths=1024, mode="nope")
+
+
+def test_bermudan_curve_delta_matches_dp_oracle(analytic_market, sched):
+    """d/dh of the bracket under a parallel forward-curve shift vs the
+    fp64 DP oracle on the shifted curves.  CRN makes the states identical
+    on both legs (the curve enters only payoff coefficients), so the
+    smooth dual delta lands within ~2e-3 of the oracle; the LSMC lower
+    carries policy/MC effects (measured ~1%)."""
+    from hullwhite_tpu import greeks
+
+    ex = [5.0, 6.0, 7.0]
+    h = 1e-3
+    dl, du = greeks.bermudan_delta(CFG, KEY, analytic_market, sched, ex,
+                                   n_paths=N, h=h)
+    dp = (bermudan.dp_oracle(CFG, greeks.shift_curve(CFG, analytic_market,
+                                                     +h), sched, ex)
+          - bermudan.dp_oracle(CFG, greeks.shift_curve(CFG,
+                                                       analytic_market,
+                                                       -h), sched, ex)
+          ) / (2.0 * h)
+    assert abs(du - dp) < 2e-3 * abs(dp), (du, dp)
+    assert abs(dl - dp) < 3e-2 * abs(dp), (dl, dp)
