@@ -152,6 +152,47 @@ def plot_engine_benchmark(data_dir: Path, plots_dir: Path):
     return out
 
 
+def plot_bermudan_bracket(data_dir: Path, plots_dir: Path):
+    """Bermudan [lower, upper] bracket vs number of exercise rights,
+    against the fp64 DP oracle (beyond-reference artifact: the bracket
+    is tight enough that the three curves coincide at plot scale, so the
+    second panel shows the signed gaps to the oracle)."""
+    p = data_dir / "bermudan_sweep.json"
+    if not p.exists():
+        return None
+    r = json.loads(p.read_text())["results"]
+    k = r["k"]
+    lo, up, dp = (np.array(r[x]) for x in ("lower", "upper", "dp_oracle"))
+    lo_se, up_se = np.array(r["lower_se"]), np.array(r["upper_se"])
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 5))
+    a1.errorbar(k, lo, yerr=2 * lo_se, marker="o", color="#2b6cb0",
+                label="LSMC lower (±2 SE)")
+    a1.errorbar(k, up, yerr=2 * up_se, marker="s", color="#c05621",
+                label="AB dual upper (±2 SE)")
+    a1.plot(k, dp, "k--", marker="x", label="DP oracle (fp64)")
+    a1.axhline(r["european"], color="#2f855a", ls=":",
+               label="European (Jamshidian)")
+    a1.set_xticks(k)
+    a1.set_xlabel("exercise rights k")
+    a1.set_ylabel("price")
+    a1.set_title("Bermudan bracket vs exercise rights")
+    a1.legend()
+    a2.errorbar(k, lo - dp, yerr=2 * lo_se, marker="o", color="#2b6cb0",
+                label="lower − oracle")
+    a2.errorbar(k, up - dp, yerr=2 * up_se, marker="s", color="#c05621",
+                label="upper − oracle")
+    a2.axhline(0.0, color="k", lw=0.8)
+    a2.set_xticks(k)
+    a2.set_xlabel("exercise rights k")
+    a2.set_ylabel("gap to DP oracle")
+    a2.set_title("Bracket gaps (dual gap ~1e-6)")
+    a2.legend()
+    out = plots_dir / "bermudan_bracket.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
 def print_summary(data_dir: Path):
     """Consolidated run report (reference analyze.py:249-344)."""
     print("=" * 72)
@@ -188,7 +229,8 @@ def main(argv=None):
 
     made = []
     for fn in [plot_paths_static, plot_p_and_f, plot_theta_recovery,
-               plot_sensitivity_comparison, plot_engine_benchmark]:
+               plot_sensitivity_comparison, plot_engine_benchmark,
+               plot_bermudan_bracket]:
         out = fn(data_dir, plots_dir)
         if out:
             made.append(out)

@@ -419,6 +419,27 @@ def cmd_swaption(args):
             results["bermudan_delta_dp_oracle"] = d_dp
     hwio.write_json(hwio.DATA_DIR / "swaption_results.json",
                     "Swaption pricing", cfg, results=results)
+    if args.bermudan_sweep:
+        sweep = {"k": [], "lower": [], "lower_se": [], "upper": [],
+                 "upper_se": [], "dp_oracle": [], "european": jam}
+        print(f"\n--- Bermudan sweep: bracket vs exercise rights ---")
+        for k in range(1, 6):
+            ex = [cfg.s1 + j for j in range(k)]
+            res = bermudan_mod.price_bermudan(cfg, key, market, sched,
+                                              ex, payer=args.payer)
+            orc = bermudan_mod.dp_oracle(cfg, market, sched, ex,
+                                         payer=args.payer)
+            print(f"k={k}: [{float(res.price):.8f}, "
+                  f"{float(res.upper):.8f}]  DP {orc:.8f}")
+            sweep["k"].append(k)
+            sweep["lower"].append(float(res.price))
+            sweep["lower_se"].append(float(res.std_error))
+            sweep["upper"].append(float(res.upper))
+            sweep["upper_se"].append(float(res.upper_std_error))
+            sweep["dp_oracle"].append(orc)
+        hwio.write_json(hwio.DATA_DIR / "bermudan_sweep.json",
+                        "Bermudan exercise-rights sweep", cfg,
+                        results=sweep)
     return 0
 
 
@@ -627,6 +648,9 @@ def main(argv=None):
     ps.add_argument("--delta", action="store_true",
                     help="with --bermudan: CRN curve-delta of the "
                          "bracket vs the DP oracle")
+    ps.add_argument("--bermudan-sweep", action="store_true",
+                    help="bracket + DP oracle for k = 1..5 exercise "
+                         "rights -> data/bermudan_sweep.json")
     sub.add_parser("grid", parents=[common])
     pg2 = sub.add_parser("g2pp", parents=[common])
     pg2.add_argument("--g2a", type=float, default=1.0)

@@ -84,3 +84,26 @@ def test_q3_profile_flag(tmp_path, monkeypatch):
     assert rc == 0
     out = buf.getvalue()
     assert "XLA kernel analysis" in out or "kernel analysis unavailable" in out
+
+
+def test_bermudan_sweep_and_plot(workdir):
+    """swaption --bermudan-sweep writes the k=1..5 bracket artifact; the
+    analyze plotter consumes it.  Pins lower <= oracle <= upper within
+    noise and monotonicity of the oracle in k."""
+    assert main(["swaption", "--paths", "8192", "--bermudan-sweep"]) == 0
+    doc = json.loads(
+        (workdir / "data" / "bermudan_sweep.json").read_text())
+    r = doc["results"]
+    assert r["k"] == [1, 2, 3, 4, 5]
+    dp = np.asarray(r["dp_oracle"])
+    assert np.all(np.diff(dp) > 0)
+    up = np.asarray(r["upper"])
+    up_se = np.asarray(r["upper_se"])
+    assert np.all(up + 4 * up_se + 5e-5 >= dp)
+
+    from pathlib import Path
+
+    from hullwhite_tpu.analyze import plot_bermudan_bracket
+
+    out = plot_bermudan_bracket(workdir / "data", Path(workdir))
+    assert out is not None and out.exists()
