@@ -287,6 +287,9 @@ def cmd_q3(args):
             print("\n" + format_report(rep))
         except Exception as e:  # noqa: BLE001 - introspection is best-effort
             print(f"\n(kernel analysis unavailable: {e})")
+        from .utils.profile import format_vmem_datasheet
+
+        print("\n" + format_vmem_datasheet(cfg))
     dt, v = bench(fv, key, prep_v, market, n=args.reps, rtt=rtt)
     vega_pw = float(v[0] / v[1])
     ms = dt * 1e3

@@ -250,6 +250,14 @@ def _dot(a, b, prec="highest"):
     )
 
 
+# Probe hook for Mosaic-level VMEM introspection (utils/profile +
+# tpu_tests/test_vmem_datasheet): when set, every fused kernel compiles
+# under this cap and Mosaic rejects the kernel if its true allocation
+# exceeds it.  Read at TRACE time — set it only around fresh
+# jit(...).lower(...).compile() probes, never around cached callables.
+VMEM_LIMIT_BYTES: int | None = None
+
+
 def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
     """Common pallas_call shape: SMEM seeds + VMEM operands -> accumulated
     (out_rows, out_cols) float32 output.  (Consts vectors deliberately stay
@@ -266,6 +274,9 @@ def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
         out_shape=jax.ShapeDtypeStruct((out_rows, out_cols), jnp.float32),
         interpret=(pltpu.InterpretParams()
                    if cfg.pallas_interpret else False),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES)
+            if VMEM_LIMIT_BYTES else None),
     )(*args)
 
 
@@ -802,3 +813,72 @@ def grid_local_fn(cfg: HWConfig, tables, market, sigma, Ks: tuple,
         }
 
     return local_fn
+
+
+# ---------------------------------------------------------------------------
+# Static VMEM datasheet (Mosaic-level introspection, C34 extension)
+# ---------------------------------------------------------------------------
+
+def vmem_datasheet(cfg: HWConfig) -> dict:
+    """Declared per-tile VMEM working set of every fused kernel, computed
+    from the live tile constants — the TPU analogue of the reference's
+    static occupancy report (registers/shared/const per thread block,
+    3_sensitivity_analysis.cu:183-239), which is likewise a declared-
+    resource accounting, not a liveness analysis.
+
+    Sums the operand blocks, the RNG/shock temporaries, and the output
+    accumulator that each kernel materializes by construction.  Mosaic
+    adds scheduling copies on top, so the true allocation sits between
+    ``declared_bytes`` and a small multiple of it;
+    ``tpu_tests/test_vmem_datasheet.py`` brackets it on hardware with
+    ``VMEM_LIMIT_BYTES`` (compiles under 4x, rejected under 1/8x).
+    """
+    f32, bf16, u32 = 4, 2, 4
+    nb_curve = -(-cfg.n_steps // _MIX_BLOCK)
+    nb_opt = -(-cfg.n_steps_s1 // _MIX_BLOCK)
+    sheet = {}
+
+    def entry(name, paths_per_tile, **buffers):
+        total = sum(buffers.values())
+        sheet[name] = {
+            "paths_per_tile": paths_per_tile,
+            "grid_tiles": cfg.n_paths // paths_per_tile,
+            "buffers": buffers,
+            "declared_bytes": total,
+        }
+
+    entry("curve_full", TILE_FULL,
+          weights=nb_curve * _MIX_BLOCK * PAD * f32,
+          hadamard=_MIX_BLOCK * _MIX_BLOCK * bf16,
+          z_accum=TILE_FULL * PAD * f32,
+          shock_block=TILE_FULL * _MIX_BLOCK * f32,
+          raw_bf16=TILE_FULL * _MIX_BLOCK * bf16,
+          draw_u32=(TILE_FULL // 2) * _MIX_BLOCK * u32,
+          out=1 * PAD * f32)
+    entry("curve_exact", 2 * TILE_EXACT,
+          weights=PAD * PAD * f32,
+          consts=PAD * f32,
+          normals=2 * TILE_EXACT * PAD * f32,
+          bm_temps=3 * TILE_EXACT * PAD * f32,
+          payoff=TILE_EXACT * PAD * f32,
+          out=1 * PAD * f32)
+    opt_exact = dict(
+        normals=2 * TILE_OPT * PAD * f32,
+        bm_temps=3 * TILE_OPT * PAD * f32,
+        legs=4 * TILE_OPT * PAD * f32,
+        consts=PAD * f32,
+        out=8 * PAD * f32)
+    for k in ("zbc_exact", "vega_exact", "delta_exact"):
+        entry(k, TILE_OPT * PAD, **opt_exact)
+    opt_full = dict(
+        weights=8 * nb_opt * _MIX_BLOCK * f32,
+        hadamard=_MIX_BLOCK * _MIX_BLOCK * bf16,
+        z_accum=8 * TILE_FULL_OPT * f32,
+        shock_block=_MIX_BLOCK * TILE_FULL_OPT * f32,
+        raw_bf16=_MIX_BLOCK * TILE_FULL_OPT * bf16,
+        draw_u32=(_MIX_BLOCK // 2) * TILE_FULL_OPT * u32,
+        legs=4 * TILE_FULL_OPT * f32,
+        out=8 * TILE_FULL_OPT * f32)
+    for k in ("zbc_full", "vega_full"):
+        entry(k, TILE_FULL_OPT, **opt_full)
+    return sheet

@@ -124,3 +124,24 @@ def format_report(report: dict[str, Any], time_s: float | None = None) -> str:
     lf = limiting_factor(report, time_s)
     lines.append(f"  limiting factor:      {lf['factor']} ({lf['detail']})")
     return "\n".join(lines)
+
+
+def format_vmem_datasheet(cfg) -> str:
+    """Mosaic-level static table: per fused kernel, the declared VMEM
+    working set from the live tile constants (pallas/fused.vmem_datasheet)
+    — the second half of the reference's occupancy report (its
+    shared/const-memory-per-block lines)."""
+    from ..pallas import fused
+
+    lines = ["Fused-kernel VMEM datasheet (declared working set / tile)",
+             f"  {'kernel':14s}{'paths/tile':>11s}{'grid':>7s}"
+             f"{'VMEM':>11s}  dominant buffer"]
+    for name, e in fused.vmem_datasheet(cfg).items():
+        dom = max(e["buffers"], key=e["buffers"].get)
+        lines.append(
+            f"  {name:14s}{e['paths_per_tile']:>11d}{e['grid_tiles']:>7d}"
+            f"{e['declared_bytes'] / 2**20:>9.2f} Mi  "
+            f"{dom} ({e['buffers'][dom] / 2**20:.2f} Mi)")
+    lines.append("  (Mosaic adds scheduling copies; hardware bracket: "
+                 "tpu_tests/test_vmem_datasheet.py)")
+    return "\n".join(lines)

@@ -47,3 +47,26 @@ def test_limiting_factor_with_timing():
 def test_limiting_factor_unknown_device():
     r = prof.limiting_factor({"flops": 1.0, "bytes_accessed": 1.0})
     assert r["factor"] == "unknown"
+
+
+def test_vmem_datasheet_static_accounting():
+    """The declared working sets follow from the live tile constants."""
+    from hullwhite_tpu import HWConfig
+    from hullwhite_tpu.pallas import fused
+    from hullwhite_tpu.utils.profile import format_vmem_datasheet
+
+    cfg = HWConfig()
+    sheet = fused.vmem_datasheet(cfg)
+    assert set(sheet) == {"curve_full", "curve_exact", "zbc_exact",
+                          "vega_exact", "delta_exact", "zbc_full",
+                          "vega_full"}
+    for e in sheet.values():
+        assert e["declared_bytes"] == sum(e["buffers"].values()) > 0
+        assert cfg.n_paths % e["paths_per_tile"] == 0
+    # the curve exact kernel's two BM half-tiles dominate everything else
+    assert (sheet["curve_exact"]["declared_bytes"]
+            > sheet["zbc_exact"]["declared_bytes"])
+    # all tiles fit the ~16 MiB scoped VMEM budget by design
+    assert all(e["declared_bytes"] < 16 * 2**20 for e in sheet.values())
+    out = format_vmem_datasheet(cfg)
+    assert "curve_exact" in out and "Mi" in out
