@@ -61,6 +61,7 @@ from .models import hull_white as hw
 from .models.hull_white import MarketCurve
 from .instruments import CouponSchedule, _bond_value_terms
 from .ops.engine_linear import _shock_shapes, det_trajectory
+from .parallel import mesh as pmesh
 
 BASIS_DEGREE = 3   # polynomial part of the basis: [1, r, r^2, r^3]
 RIDGE = 1e-9
@@ -285,7 +286,7 @@ class BermudanResult(NamedTuple):
 @lru_cache(maxsize=None)
 def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
                  strike: float, payer: bool, n_paths: int, n_blocks: int,
-                 rqmc: bool):
+                 rqmc: bool, mesh=None):
     k = len(ex_dates)
     LT = jnp.asarray(_joint_chol(cfg, ex_dates))
     ivp = _interval_params(cfg, ex_dates)
@@ -461,7 +462,7 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
             return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
                               jnp.sum(u), jnp.sum(u * u)])
 
-        per_block = lax.map(block, jnp.arange(n_blocks))   # (n_blocks, 4)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)  # (n_blocks, 4)
         sums = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         p_out = sums[0] / n_tot
@@ -488,7 +489,7 @@ def price_bermudan(cfg: HWConfig, key, market: MarketCurve,
                    sched: CouponSchedule, exercise_dates: Sequence[float],
                    *, strike: float = 1.0, payer: bool = False, sigma=None,
                    n_paths: int | None = None, n_blocks: int = 1,
-                   rqmc: bool = False) -> BermudanResult:
+                   rqmc: bool = False, mesh=None) -> BermudanResult:
     """Two-pass LSMC Bermudan price bracketed by the AB dual upper bound.
 
     ``n_paths`` is the per-block path count (the policy-estimation pass
@@ -515,7 +516,7 @@ def price_bermudan(cfg: HWConfig, key, market: MarketCurve,
     # happens immediately after the coupon.
     p_out, p_in, se, up, up_se = _bermudan_fn(
         cfg, ex, sched, float(strike), bool(payer), int(n_paths),
-        int(n_blocks), bool(rqmc))(
+        int(n_blocks), bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market)
     return BermudanResult(price=p_out, price_in_sample=p_in, std_error=se,
                           upper=up, upper_std_error=up_se,

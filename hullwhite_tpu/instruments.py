@@ -358,7 +358,7 @@ def cap_closed_form(cfg: HWConfig, market: MarketCurve, *, rate: float,
 
 @lru_cache(maxsize=None)
 def _cap_fn(cfg: HWConfig, rate: float, start: float, n: int, tau: float,
-            floor: bool, n_paths: int):
+            floor: bool, n_paths: int, n_blocks: int = 1, mesh=None):
     from .bermudan import _joint_chol, _det_states
 
     dates = tuple(start + j * tau for j in range(n + 1))
@@ -367,32 +367,43 @@ def _cap_fn(cfg: HWConfig, rate: float, start: float, n: int, tau: float,
 
     def compute(key, sigma, market):
         tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
-        x = jax.random.normal(key, (n_paths, 2 * k), jnp.float32)
-        z = tables.sig_st * jnp.dot(x, LT,
-                                    preferred_element_type=jnp.float32,
-                                    precision=cfg.matmul_precision)
         r_det, i_det = _det_states(cfg, tables, dates)
 
-        def leg(sgn):
-            r = r_det[None, :] + sgn * z[:, 0::2]
-            integral = i_det[None, :] + sgn * z[:, 1::2]
-            vals = []
-            for j in range(n):
-                t1, t2 = dates[j], dates[j + 1]
-                A = hw.a_hw(cfg, sigma, market, t1, jnp.float32(t2))
-                B = hw.b_func(t1, t2, cfg.a)
-                Pb = A * jnp.exp(-B * r[:, j])        # P(t1, t2) on path
-                L = (1.0 / Pb - 1.0) / tau
-                disc = jnp.exp(-integral[:, j + 1])
-                intrinsic = (rate - L) if floor else (L - rate)
-                vals.append(disc * tau * jnp.maximum(intrinsic, 0.0))
-            return jnp.stack(vals, axis=1)            # (n_paths, n)
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * k), jnp.float32)
+            z = tables.sig_st * jnp.dot(x, LT,
+                                        preferred_element_type=jnp.float32,
+                                        precision=cfg.matmul_precision)
 
-        V = 0.5 * (leg(1.0) + leg(-1.0))
-        tot = jnp.sum(V, axis=1)
-        caplets = jnp.mean(V, axis=0)
-        return (jnp.mean(tot),
-                jnp.std(tot, ddof=1) / jnp.sqrt(1.0 * n_paths), caplets)
+            def leg(sgn):
+                r = r_det[None, :] + sgn * z[:, 0::2]
+                integral = i_det[None, :] + sgn * z[:, 1::2]
+                vals = []
+                for j in range(n):
+                    t1, t2 = dates[j], dates[j + 1]
+                    A = hw.a_hw(cfg, sigma, market, t1, jnp.float32(t2))
+                    B = hw.b_func(t1, t2, cfg.a)
+                    Pb = A * jnp.exp(-B * r[:, j])    # P(t1, t2) on path
+                    L = (1.0 / Pb - 1.0) / tau
+                    disc = jnp.exp(-integral[:, j + 1])
+                    intrinsic = (rate - L) if floor else (L - rate)
+                    vals.append(disc * tau * jnp.maximum(intrinsic, 0.0))
+                return jnp.stack(vals, axis=1)        # (n_paths, n)
+
+            V = 0.5 * (leg(1.0) + leg(-1.0))
+            tot = jnp.sum(V, axis=1)
+            return jnp.concatenate([
+                jnp.stack([jnp.sum(tot), jnp.sum(tot * tot)]),
+                jnp.sum(V, axis=0)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mean = s[0] / n_tot
+        var = jnp.maximum(s[1] / n_tot - mean ** 2, 0.0)
+        # ddof=1 correction to match the former per-batch jnp.std
+        var = var * n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return mean, jnp.sqrt(var / n_tot), s[2:] / n_tot
 
     return jax.jit(compute)
 
@@ -400,9 +411,11 @@ def _cap_fn(cfg: HWConfig, rate: float, start: float, n: int, tau: float,
 def price_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
               start: float | None = None, tenor: float = 5.0,
               freq: float = 1.0, floor: bool = False, sigma=None,
-              n_paths: int | None = None) -> CapResult:
+              n_paths: int | None = None, n_blocks: int = 1,
+              mesh=None) -> CapResult:
     """Monte Carlo cap/floor on the simple forward rate, all periods from
-    one exactly-sampled multi-date state set (antithetic)."""
+    one exactly-sampled multi-date state set (antithetic).  Blocks key on
+    their global index and optionally shard over ``mesh``."""
     if sigma is None:
         sigma = cfg.sigma
     if n_paths is None:
@@ -412,8 +425,9 @@ def price_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
     n = int(round(tenor * freq))
     tau = 1.0 / freq
     price, se, caplets = _cap_fn(cfg, float(rate), float(start), n,
-                                 float(tau), bool(floor), int(n_paths))(
+                                 float(tau), bool(floor), int(n_paths),
+                                 int(n_blocks), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market)
     return CapResult(price=price, std_error=se, caplets=caplets,
                      reset_times=tuple(start + j * tau for j in range(n)),
-                     n_paths=int(n_paths))
+                     n_paths=int(n_paths) * int(n_blocks))

@@ -130,8 +130,24 @@ class G2ZBC(NamedTuple):
     n: int
 
 
+def _cv_stats(sums, n):
+    """(price, raw, beta, se_raw) from the 5 accumulated CV moment sums
+    [Sx, Sy, Sxx, Syy, Sxy] over n samples (the control is pre-centered)."""
+    mean_x = sums[0] / n
+    mean_yc = sums[1] / n
+    var_x = sums[2] / n - mean_x ** 2
+    var_y = sums[3] / n - mean_yc ** 2
+    cov = sums[4] / n - mean_x * mean_yc
+    beta = cov / var_y
+    return (mean_x - beta * mean_yc, mean_x, beta,
+            jnp.sqrt(jnp.maximum(var_x, 0.0) / n))
+
+
 @lru_cache(maxsize=None)
-def _g2_zbc_fn(cfg: HWConfig, g: G2Params, n_paths: int):
+def _g2_zbc_fn(cfg: HWConfig, g: G2Params, n_paths: int, n_blocks: int,
+               mesh):
+    from ..parallel import mesh as pmesh
+
     LT = jnp.asarray(_state_chol(g, cfg.s1))
     a, b = g.a, g.b
     tau = cfg.s2 - cfg.s1
@@ -150,43 +166,47 @@ def _g2_zbc_fn(cfg: HWConfig, g: G2Params, n_paths: int):
         A = (P2 / P1) * jnp.exp(jnp.float32(vadj))
         disc0 = P1 * jnp.exp(jnp.float32(d0))
 
-        xn = jax.random.normal(key, (n_paths, 3), jnp.float32)
-        z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
-                    precision=cfg.matmul_precision)
+        def block(bi):
+            xn = jax.random.normal(jax.random.fold_in(key, bi),
+                                   (n_paths, 3), jnp.float32)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
 
-        def leg(sgn):
-            x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
-            Pb = A * jnp.exp(-Ba * x - Bb * y)
-            disc = disc0 * jnp.exp(-I)
-            X = disc * jnp.maximum(Pb - cfg.strike, 0.0)
-            Yc = disc * Pb - P2
-            return X, Yc
+            def leg(sgn):
+                x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
+                Pb = A * jnp.exp(-Ba * x - Bb * y)
+                disc = disc0 * jnp.exp(-I)
+                X = disc * jnp.maximum(Pb - cfg.strike, 0.0)
+                Yc = disc * Pb - P2
+                return X, Yc
 
-        x1, y1 = leg(1.0)
-        x2, y2 = leg(-1.0)
-        n = 2.0 * n_paths
-        mean_x = (jnp.sum(x1) + jnp.sum(x2)) / n
-        mean_yc = (jnp.sum(y1) + jnp.sum(y2)) / n
-        var_y = (jnp.sum(y1 * y1) + jnp.sum(y2 * y2)) / n - mean_yc ** 2
-        var_x = (jnp.sum(x1 * x1) + jnp.sum(x2 * x2)) / n - mean_x ** 2
-        cov = (jnp.sum(x1 * y1) + jnp.sum(x2 * y2)) / n - mean_x * mean_yc
-        beta = cov / var_y
-        price = mean_x - beta * mean_yc
-        se = jnp.sqrt(jnp.maximum(var_x, 0.0) / n)
-        return price, mean_x, beta, se
+            x1, y1 = leg(1.0)
+            x2, y2 = leg(-1.0)
+            return jnp.stack([
+                jnp.sum(x1) + jnp.sum(x2), jnp.sum(y1) + jnp.sum(y2),
+                jnp.sum(x1 * x1) + jnp.sum(x2 * x2),
+                jnp.sum(y1 * y1) + jnp.sum(y2 * y2),
+                jnp.sum(x1 * y1) + jnp.sum(x2 * y2)])
+
+        sums = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        return _cv_stats(sums, 2.0 * n_paths * n_blocks)
 
     return jax.jit(compute)
 
 
 def price_zbc_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
-                 n_paths: int | None = None) -> G2ZBC:
+                 n_paths: int | None = None, n_blocks: int = 1,
+                 mesh=None) -> G2ZBC:
     """CV-adjusted G2++ ZBC price by exact functional sampling: 3 normals
-    per path, exact continuous-time law (no time grid)."""
+    per path, exact continuous-time law (no time grid).  ``n_paths`` is
+    per block; blocks are keyed by their global index and optionally
+    shard over ``mesh`` (deterministic scale-out, parallel/mesh.py)."""
     if n_paths is None:
         n_paths = cfg.n_paths
-    price, raw, beta, se = _g2_zbc_fn(cfg, g, int(n_paths))(key, market)
+    price, raw, beta, se = _g2_zbc_fn(cfg, g, int(n_paths), int(n_blocks),
+                                      mesh)(key, market)
     return G2ZBC(price=price, price_raw=raw, beta=beta, std_error_raw=se,
-                 n=int(n_paths))
+                 n=int(n_paths) * int(n_blocks))
 
 
 # ---------------------------------------------------------------------------
@@ -228,14 +248,18 @@ def _curve_chol_g2(cfg: HWConfig, g: G2Params):
 
 
 def bootstrap_curve_g2(cfg: HWConfig, g: G2Params, key,
-                       target: MarketCurve, n_paths: int | None = None):
+                       target: MarketCurve, n_paths: int | None = None,
+                       n_blocks: int = 1, mesh=None):
     """Monte-Carlo P(0,T) curve under G2++ calibrated to ``target``.
 
     The MC estimate must reproduce ``target.P`` within noise — the G2++
     analogue of the reference's Q1, validating the cross-checkpoint
     covariance law: P(0,T_m) = disc0_m * E[e^{-I_m}] with
-    disc0_m = P_target(0,T_m) e^{-V(0,T_m)/2}.
+    disc0_m = P_target(0,T_m) e^{-V(0,T_m)/2}.  Blocks key on their
+    global index and optionally shard over ``mesh``.
     """
+    from ..parallel import mesh as pmesh
+
     if n_paths is None:
         n_paths = cfg.n_paths
     LT = jnp.asarray(_curve_chol_g2(cfg, g))
@@ -244,12 +268,18 @@ def bootstrap_curve_g2(cfg: HWConfig, g: G2Params, key,
 
     @jax.jit
     def compute(key, P_target):
-        x = jax.random.normal(key, (int(n_paths), cfg.n_mat - 1), jnp.float32)
-        z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
-                    precision=cfg.matmul_precision)
-        # antithetic: E[e^{-I}] over +/- z; disc0 folds in phi
-        ez = 0.5 * (jnp.mean(jnp.exp(-z), axis=0)
-                    + jnp.mean(jnp.exp(z), axis=0))
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (int(n_paths), cfg.n_mat - 1),
+                                  jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+            # antithetic: E[e^{-I}] over +/- z; disc0 folds in phi
+            return jnp.sum(jnp.exp(-z), axis=0) + jnp.sum(jnp.exp(z),
+                                                          axis=0)
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        ez = s / (2.0 * n_paths * n_blocks)
         P = P_target[1:] * jnp.exp(-v_half) * ez
         return jnp.concatenate([jnp.ones((1,), jnp.float32), P])
 
@@ -376,7 +406,9 @@ class G2CBO(NamedTuple):
 
 @lru_cache(maxsize=None)
 def _g2_cbo_fn(cfg: HWConfig, g: G2Params, times, coupons, strike: float,
-               payer: bool, n_paths: int):
+               payer: bool, n_paths: int, n_blocks: int = 1, mesh=None):
+    from ..parallel import mesh as pmesh
+
     LT = jnp.asarray(_state_chol(g, cfg.s1))
     d0 = -0.5 * _v_integral(g, cfg.s1)
     # static per-cashflow quantities (the market curve stays traced)
@@ -394,50 +426,52 @@ def _g2_cbo_fn(cfg: HWConfig, g: G2Params, times, coupons, strike: float,
         disc0 = P1 * jnp.exp(jnp.float32(d0))
         # E[disc * V_bond] = sum c_i P(0, T_i) (martingale control)
         EY = jnp.sum(jnp.asarray(coupons, jnp.float32) * P0i)
-
-        xn = jax.random.normal(key, (n_paths, 3), jnp.float32)
-        z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
-                    precision=cfg.matmul_precision)
-
         sgn_pay = -1.0 if payer else 1.0
 
-        def leg(sgn):
-            x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
-            V = jnp.sum(lam0[None, :] * jnp.exp(-Ba[None, :] * x[:, None]
-                                                - Bb[None, :] * y[:, None]),
-                        axis=1)
-            disc = disc0 * jnp.exp(-I)
-            X = disc * jnp.maximum(sgn_pay * (V - strike), 0.0)
-            Yc = disc * V - EY
-            return X, Yc
+        def block(bi):
+            xn = jax.random.normal(jax.random.fold_in(key, bi),
+                                   (n_paths, 3), jnp.float32)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
 
-        x1, y1 = leg(1.0)
-        x2, y2 = leg(-1.0)
-        n = 2.0 * n_paths
-        mean_x = (jnp.sum(x1) + jnp.sum(x2)) / n
-        mean_yc = (jnp.sum(y1) + jnp.sum(y2)) / n
-        var_y = (jnp.sum(y1 * y1) + jnp.sum(y2 * y2)) / n - mean_yc ** 2
-        var_x = (jnp.sum(x1 * x1) + jnp.sum(x2 * x2)) / n - mean_x ** 2
-        cov = (jnp.sum(x1 * y1) + jnp.sum(x2 * y2)) / n - mean_x * mean_yc
-        beta = cov / var_y
-        return (mean_x - beta * mean_yc, mean_x, beta,
-                jnp.sqrt(jnp.maximum(var_x, 0.0) / n))
+            def leg(sgn):
+                x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
+                V = jnp.sum(lam0[None, :]
+                            * jnp.exp(-Ba[None, :] * x[:, None]
+                                      - Bb[None, :] * y[:, None]), axis=1)
+                disc = disc0 * jnp.exp(-I)
+                X = disc * jnp.maximum(sgn_pay * (V - strike), 0.0)
+                Yc = disc * V - EY
+                return X, Yc
+
+            x1, y1 = leg(1.0)
+            x2, y2 = leg(-1.0)
+            return jnp.stack([
+                jnp.sum(x1) + jnp.sum(x2), jnp.sum(y1) + jnp.sum(y2),
+                jnp.sum(x1 * x1) + jnp.sum(x2 * x2),
+                jnp.sum(y1 * y1) + jnp.sum(y2 * y2),
+                jnp.sum(x1 * y1) + jnp.sum(x2 * y2)])
+
+        sums = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        return _cv_stats(sums, 2.0 * n_paths * n_blocks)
 
     return jax.jit(compute)
 
 
 def price_swaption_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
                       sched, strike: float = 1.0, payer: bool = False,
-                      n_paths: int | None = None) -> G2CBO:
+                      n_paths: int | None = None, n_blocks: int = 1,
+                      mesh=None) -> G2CBO:
     """CV-adjusted G2++ coupon-bond option (== European swaption on the
-    fixed leg) by exact functional sampling: 3 normals per path."""
+    fixed leg) by exact functional sampling: 3 normals per path.
+    Blocks key on their global index and optionally shard over ``mesh``."""
     if n_paths is None:
         n_paths = cfg.n_paths
     price, raw, beta, se = _g2_cbo_fn(
         cfg, g, tuple(sched.times), tuple(sched.coupons), float(strike),
-        bool(payer), int(n_paths))(key, market)
+        bool(payer), int(n_paths), int(n_blocks), mesh)(key, market)
     return G2CBO(price=price, price_raw=raw, beta=beta, std_error_raw=se,
-                 n=int(n_paths))
+                 n=int(n_paths) * int(n_blocks))
 
 
 # ---------------------------------------------------------------------------
@@ -921,7 +955,7 @@ class G2Bermudan(NamedTuple):
 @lru_cache(maxsize=None)
 def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
                     coupons, strike: float, payer: bool, n_paths: int,
-                    n_blocks: int = 1, rqmc: bool = False):
+                    n_blocks: int = 1, rqmc: bool = False, mesh=None):
     k = len(ex_dates)
     LT = jnp.asarray(_g2_joint_chol(g, ex_dates))
     # per-date bond-term statics and discounting constants
@@ -1135,9 +1169,9 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
                               jnp.sum(u), jnp.sum(u * u)])
 
-        from jax import lax
+        from ..parallel import mesh as pmesh
 
-        per_block = lax.map(block, jnp.arange(n_blocks))   # (n_blocks, 4)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)  # (n_blocks, 4)
         sums = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         p_out = sums[0] / n_tot
@@ -1163,7 +1197,7 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
                       market: MarketCurve, sched, exercise_dates, *,
                       strike: float = 1.0, payer: bool = False,
                       n_paths: int | None = None, n_blocks: int = 1,
-                      rqmc: bool = False) -> G2Bermudan:
+                      rqmc: bool = False, mesh=None) -> G2Bermudan:
     """Two-pass LSMC Bermudan coupon-bond option under G2++: states
     (x, y, int r) at the exercise dates sampled EXACTLY (3k normals per
     path, continuous-time law), policy regressed on a 2-d polynomial
@@ -1193,7 +1227,7 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
     p, p_in, se, up, up_se = _g2_bermudan_fn(
         cfg, g, ex, tuple(sched.times), tuple(sched.coupons),
         float(strike), bool(payer), int(n_paths), int(n_blocks),
-        bool(rqmc))(key, market)
+        bool(rqmc), mesh)(key, market)
     return G2Bermudan(price=p, price_in_sample=p_in, std_error=se,
                       n_paths=int(n_paths) * int(n_blocks),
                       exercise_dates=ex, upper=up, upper_std_error=up_se)

@@ -40,6 +40,35 @@ def device_count(mesh: Mesh | None) -> int:
     return 1 if mesh is None else mesh.devices.size
 
 
+def map_blocks(block, n_blocks: int, mesh: Mesh | None):
+    """``lax.map(block, arange(n_blocks))`` with the block axis optionally
+    shard_mapped over the mesh.
+
+    ``block(b) -> (k,)`` must derive all randomness from the GLOBAL block
+    index ``b`` (fold_in), so the sharded result is the same (n_blocks, k)
+    stack a single device produces — the library-wide deterministic
+    scale-out invariant.  Used by the Bermudan evaluation passes, whose
+    RQMC SE needs the per-block rows (not just their psum)."""
+    if mesh is None:
+        return lax.map(block, jnp.arange(n_blocks))
+    ndev = mesh.devices.size
+    if n_blocks % ndev != 0:
+        raise ValueError(
+            f"n_blocks={n_blocks} must divide over {ndev} devices")
+    per_dev = n_blocks // ndev
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=P(), out_specs=P(AXIS),
+        check_vma=False,
+    )
+    def body(dummy):
+        d = lax.axis_index(AXIS)
+        return lax.map(block, d * per_dev + jnp.arange(per_dev))
+
+    return body(jnp.zeros((), jnp.int32))
+
+
 def shard_blocks(local_fn, mesh: Mesh | None):
     """Wrap ``local_fn(key, base_block, n_blocks) -> (k,) partial sums`` into
     a mesh-wide psum-reduced runner.

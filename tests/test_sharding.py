@@ -61,3 +61,103 @@ def test_jvp_vega_under_mesh(mesh):
     _, v1 = greeks.jvp_vega(CFG, KEY, market)
     _, v8 = greeks.jvp_vega(CFG, KEY, market, mesh=mesh)
     assert abs(float(v1) - float(v8)) < 1e-6
+
+
+def test_sharded_bermudan_matches_single(mesh):
+    """The Bermudan evaluation pass shards its block axis over the mesh:
+    identical global block ids => identical per-block values, so the
+    bracket must reproduce the single-device run (both iid and RQMC/
+    shift-replicate SEs)."""
+    from hullwhite_tpu import bermudan, instruments
+    from hullwhite_tpu.models import oracles
+    import jax.numpy as jnp
+
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    market = __import__("hullwhite_tpu.models.hull_white",
+                        fromlist=["MarketCurve"]).MarketCurve(
+        P=jnp.asarray(P, jnp.float32),
+        f=jnp.asarray(oracles.forward_rate(CFG, Ts), jnp.float32))
+    sched = instruments.CouponSchedule(times=(6.0, 7.0, 8.0, 9.0),
+                                       coupons=(0.025, 0.025, 0.025, 1.025))
+    for rqmc in (False, True):
+        r1 = bermudan.price_bermudan(CFG, KEY, market, sched, [5.0, 6.0],
+                                     n_paths=1 << 12, n_blocks=8,
+                                     rqmc=rqmc)
+        r8 = bermudan.price_bermudan(CFG, KEY, market, sched, [5.0, 6.0],
+                                     n_paths=1 << 12, n_blocks=8,
+                                     rqmc=rqmc, mesh=mesh)
+        np.testing.assert_allclose(float(r8.price), float(r1.price),
+                                   rtol=2e-6)
+        np.testing.assert_allclose(float(r8.upper), float(r1.upper),
+                                   rtol=2e-6)
+        np.testing.assert_allclose(float(r8.std_error),
+                                   float(r1.std_error), rtol=1e-3)
+
+
+def test_sharded_g2_bermudan_matches_single(mesh):
+    from hullwhite_tpu import instruments
+    from hullwhite_tpu.models import g2pp, oracles
+    import jax.numpy as jnp
+
+    g = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    market = __import__("hullwhite_tpu.models.hull_white",
+                        fromlist=["MarketCurve"]).MarketCurve(
+        P=jnp.asarray(P, jnp.float32),
+        f=jnp.asarray(oracles.forward_rate(CFG, Ts), jnp.float32))
+    sched = instruments.CouponSchedule(times=(6.0, 7.0, 8.0, 9.0),
+                                       coupons=(0.025, 0.025, 0.025, 1.025))
+    r1 = g2pp.price_bermudan_g2(CFG, g, KEY, market, sched, [5.0, 6.0],
+                                n_paths=1 << 12, n_blocks=8)
+    r8 = g2pp.price_bermudan_g2(CFG, g, KEY, market, sched, [5.0, 6.0],
+                                n_paths=1 << 12, n_blocks=8, mesh=mesh)
+    np.testing.assert_allclose(float(r8.price), float(r1.price), rtol=2e-6)
+    np.testing.assert_allclose(float(r8.upper), float(r1.upper), rtol=2e-6)
+
+
+def test_sharded_g2_and_cap_match_single(mesh):
+    """Block-keyed G2++ ZBC/swaption/curve and HW cap pricers reproduce
+    their single-device results under the 8-way mesh (same global block
+    ids => same normals; only reduction order differs)."""
+    from hullwhite_tpu import instruments
+    from hullwhite_tpu.instruments import swap_fixed_leg
+    from hullwhite_tpu.models import g2pp, hull_white as hw2, oracles
+    import jax.numpy as jnp
+
+    g = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.array([oracles.bond_price(CFG, T) for T in Ts])
+    market = hw2.MarketCurve(
+        P=jnp.asarray(P, jnp.float32),
+        f=jnp.asarray(oracles.forward_rate(CFG, Ts), jnp.float32))
+
+    z1 = g2pp.price_zbc_g2(CFG, g, KEY, market, n_paths=1 << 12,
+                           n_blocks=8)
+    z8 = g2pp.price_zbc_g2(CFG, g, KEY, market, n_paths=1 << 12,
+                           n_blocks=8, mesh=mesh)
+    np.testing.assert_allclose(float(z8.price), float(z1.price), rtol=1e-6)
+    np.testing.assert_allclose(float(z8.beta), float(z1.beta), rtol=1e-5)
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    s1 = g2pp.price_swaption_g2(CFG, g, KEY, market, sched,
+                                n_paths=1 << 12, n_blocks=8)
+    s8 = g2pp.price_swaption_g2(CFG, g, KEY, market, sched,
+                                n_paths=1 << 12, n_blocks=8, mesh=mesh)
+    np.testing.assert_allclose(float(s8.price), float(s1.price), rtol=1e-6)
+
+    c1 = g2pp.bootstrap_curve_g2(CFG, g, KEY, market, n_paths=1 << 12,
+                                 n_blocks=8)
+    c8 = g2pp.bootstrap_curve_g2(CFG, g, KEY, market, n_paths=1 << 12,
+                                 n_blocks=8, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(c8.P), np.asarray(c1.P),
+                               rtol=1e-6)
+
+    k1 = instruments.price_cap(CFG, KEY, market, rate=0.02, tenor=4.0,
+                               n_paths=1 << 12, n_blocks=8)
+    k8 = instruments.price_cap(CFG, KEY, market, rate=0.02, tenor=4.0,
+                               n_paths=1 << 12, n_blocks=8, mesh=mesh)
+    np.testing.assert_allclose(float(k8.price), float(k1.price), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(k8.caplets),
+                               np.asarray(k1.caplets), rtol=1e-5)
