@@ -200,7 +200,9 @@ def print_summary(data_dir: Path):
     print("=" * 72)
     for name in ["q1_results.json", "q2a_results.json", "q2b_results.json",
                  "q3_results.json", "zbc_statistics_optimal.json",
-                 "benchmark_engines.json"]:
+                 "benchmark_engines.json", "swaption_results.json",
+                 "bermudan_sweep.json", "cap_results.json", "floor_results.json",
+                 "g2pp_results.json", "grid_results.json"]:
         p = data_dir / name
         if not p.exists():
             continue
