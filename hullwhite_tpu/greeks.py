@@ -256,6 +256,109 @@ def bermudan_delta(cfg: HWConfig, key, market: MarketCurve, sched,
             (float(rp.upper) - float(rm.upper)) / (2.0 * h))
 
 
+class CalibrationResult(NamedTuple):
+    a: float
+    sigma: float
+    rmse: float
+    n_iter: int
+    residuals: tuple
+
+
+def zbc_quote(market: MarketCurve):
+    """Closed-form ZBC pricer cfg -> price (uses cfg.s1/s2/strike)."""
+    from .models import oracles
+
+    def pricer(c: HWConfig) -> float:
+        Ts = np.linspace(0.0, c.t_final, c.n_mat)
+        P = np.asarray(market.P, np.float64)
+        return oracles.zbc_price(c, P0_s1=float(np.interp(c.s1, Ts, P)),
+                                 P0_s2=float(np.interp(c.s2, Ts, P)))
+
+    return pricer
+
+
+def cap_quote(market: MarketCurve, *, rate: float, tenor: float,
+              start: float | None = None, freq: float = 1.0,
+              floor: bool = False):
+    """Closed-form cap/floor pricer cfg -> price."""
+    from .instruments import cap_closed_form
+
+    def pricer(c: HWConfig) -> float:
+        return cap_closed_form(c, market, rate=rate, start=start,
+                               tenor=tenor, freq=freq, floor=floor)[0]
+
+    return pricer
+
+
+def swaption_quote(market: MarketCurve, sched, *, strike: float = 1.0,
+                   payer: bool = False):
+    """Jamshidian swaption pricer cfg -> price."""
+    from .instruments import jamshidian_price
+
+    def pricer(c: HWConfig) -> float:
+        return jamshidian_price(c, market, sched, strike, payer=payer)
+
+    return pricer
+
+
+def calibrate_hw(cfg: HWConfig, quotes, *, a0: float | None = None,
+                 sigma0: float | None = None, tol: float = 1e-12,
+                 max_iter: int = 60) -> CalibrationResult:
+    """Jointly fit (a, sigma) to a set of closed-form instrument quotes —
+    the multi-instrument generalization of ``implied_sigma``, completing
+    the calibrate -> price -> hedge loop the reference never closes (its
+    sigma is a hard-coded constant, common.cuh:33).
+
+    ``quotes``: sequence of ``(pricer, target_price)`` with
+    ``pricer(cfg) -> float64 model price`` under ``cfg.a``/``cfg.sigma``
+    (build with ``zbc_quote``/``cap_quote``/``swaption_quote``).  The
+    market curve is observed data, independent of (a, sigma): theta(t)
+    absorbs the fit to the curve for ANY parameters, so the closed forms
+    price off the curve directly and the 2-parameter problem is
+    well-posed with >= 2 structurally distinct quotes.
+
+    Damped Gauss-Newton in log-parameters (positivity built in), fp64
+    host: J^T J step with Levenberg lambda, halved on rejection.
+    """
+    import math
+
+    th = np.log([cfg.a if a0 is None else a0,
+                 cfg.sigma if sigma0 is None else sigma0])
+
+    def resid(t):
+        c = cfg.replace(a=float(math.exp(t[0])),
+                        sigma=float(math.exp(t[1])))
+        return np.array([p(c) - tgt for p, tgt in quotes], np.float64)
+
+    r = resid(th)
+    lam = 1e-10
+    it = 0
+    for it in range(1, max_iter + 1):
+        eps = 1e-6
+        J = np.empty((len(r), 2))
+        for j in range(2):
+            tp = th.copy()
+            tp[j] += eps
+            J[:, j] = (resid(tp) - r) / eps
+        A = J.T @ J
+        g = J.T @ r
+        step = np.linalg.solve(A + lam * np.diag(np.diag(A) + 1e-30),
+                               g)
+        th_new = th - step
+        r_new = resid(th_new)
+        if np.sum(r_new ** 2) <= np.sum(r ** 2):
+            th, r = th_new, r_new
+            lam = max(lam * 0.25, 1e-12)
+        else:
+            lam *= 10.0
+        if np.max(np.abs(step)) < tol or np.sum(r ** 2) < tol:
+            break
+    return CalibrationResult(a=float(math.exp(th[0])),
+                             sigma=float(math.exp(th[1])),
+                             rmse=float(np.sqrt(np.mean(r ** 2))),
+                             n_iter=it, residuals=tuple(map(float, r)))
+
+
 def implied_sigma(cfg: HWConfig, market: MarketCurve, target_price: float,
                   *, sigma0: float | None = None, tol: float = 1e-12,
                   max_iter: int = 60) -> float:

@@ -236,3 +236,22 @@ def test_public_pricer_facade_matches_composed_api(market):
     ref = pricing._zbc_moments_fn(CFG, "exact", None)(
         KEY, CFG.sigma, CFG.sigma, market)
     np.testing.assert_allclose(np.asarray(m), np.asarray(ref), rtol=1e-6)
+
+
+def test_joint_calibration_roundtrip(market):
+    """calibrate_hw recovers (a, sigma) from closed-form quotes of three
+    structurally distinct instruments, from starts on either side — the
+    multi-instrument generalization of implied_sigma."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched = swap_fixed_leg(CFG, 0.025, 5.0)
+    pricers = [greeks.zbc_quote(market),
+               greeks.cap_quote(market, rate=0.02, tenor=4.0),
+               greeks.swaption_quote(market, sched)]
+    true_cfg = CFG.replace(a=0.8, sigma=0.12)
+    quotes = [(p, p(true_cfg)) for p in pricers]
+    for a0, s0 in ((0.4, 0.05), (2.0, 0.3)):
+        res = greeks.calibrate_hw(CFG, quotes, a0=a0, sigma0=s0)
+        assert abs(res.a - 0.8) < 1e-5, res
+        assert abs(res.sigma - 0.12) < 1e-6, res
+        assert res.rmse < 1e-7, res
