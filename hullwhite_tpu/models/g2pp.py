@@ -511,6 +511,65 @@ def vega_bermudan_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
             (float(rp.upper) - float(rm.upper)) / (2.0 * eps))
 
 
+class G2Calibration(NamedTuple):
+    params: "G2Params"
+    rmse: float
+    n_iter: int
+    residuals: tuple
+
+
+def calibrate_g2(cfg: HWConfig, g0: G2Params, quotes, *, tol: float = 1e-12,
+                 max_iter: int = 80) -> G2Calibration:
+    """Fit (sigma, eta, rho) of G2++ to closed-form instrument quotes
+    with (a, b) held fixed — the market-standard reduced calibration
+    (mean reversions from historical/term-structure fit, volatilities
+    and correlation from the option surface).
+
+    ``quotes``: sequence of ``(pricer, target)`` with
+    ``pricer(g: G2Params) -> float64 price`` — build from
+    ``zbc_price_analytic``/``swaption_g2_analytic``/``cap_closed_form_g2``
+    partials.  Damped Gauss-Newton in (log sigma, log eta, atanh rho)
+    so positivity and |rho| < 1 are built in (same scheme as
+    greeks.calibrate_hw)."""
+    th = np.array([math.log(g0.sigma), math.log(g0.eta),
+                   math.atanh(min(max(g0.rho, -0.999), 0.999))])
+
+    def mk(t):
+        return G2Params(a=g0.a, b=g0.b, sigma=float(math.exp(t[0])),
+                        eta=float(math.exp(t[1])),
+                        rho=float(math.tanh(t[2])))
+
+    def resid(t):
+        gp = mk(t)
+        return np.array([p(gp) - tgt for p, tgt in quotes], np.float64)
+
+    r = resid(th)
+    lam = 1e-10
+    it = 0
+    for it in range(1, max_iter + 1):
+        eps = 1e-6
+        J = np.empty((len(r), 3))
+        for j in range(3):
+            tp = th.copy()
+            tp[j] += eps
+            J[:, j] = (resid(tp) - r) / eps
+        A = J.T @ J
+        step = np.linalg.solve(A + lam * np.diag(np.diag(A) + 1e-30),
+                               J.T @ r)
+        th_new = th - step
+        r_new = resid(th_new)
+        if np.sum(r_new ** 2) <= np.sum(r ** 2):
+            th, r = th_new, r_new
+            lam = max(lam * 0.25, 1e-12)
+        else:
+            lam *= 10.0
+        if np.max(np.abs(step)) < tol or np.sum(r ** 2) < tol:
+            break
+    return G2Calibration(params=mk(th),
+                         rmse=float(np.sqrt(np.mean(r ** 2))),
+                         n_iter=it, residuals=tuple(map(float, r)))
+
+
 def delta_bermudan_g2(cfg: HWConfig, g: G2Params, key,
                       market: MarketCurve, sched, exercise_dates, *,
                       strike: float = 1.0, payer: bool = False,

@@ -453,3 +453,28 @@ def test_g2_bermudan_curve_delta_matches_dp_oracle(analytic_market):
                               sched, ex, n_grid=121, n_quad=48)) / (2 * h)
     assert abs(du - dp) < 1e-2 * abs(dp), (du, dp)
     assert abs(dl - dp) < 3e-2 * abs(dp), (dl, dp)
+
+
+def test_g2_calibration_roundtrip(analytic_market):
+    """calibrate_g2 recovers (sigma, eta, rho) from four closed-form
+    quotes of distinct structure, starting far away (rho even flips
+    sign); (a, b) held fixed per market practice."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    sched5 = swap_fixed_leg(CFG, 0.025, 5.0)
+    sched3 = swap_fixed_leg(CFG, 0.03, 3.0)
+    mkt = analytic_market
+    pricers = [
+        lambda g: g2pp.zbc_price_analytic(CFG, g, mkt),
+        lambda g: g2pp.swaption_g2_analytic(CFG, g, mkt, sched5),
+        lambda g: g2pp.swaption_g2_analytic(CFG, g, mkt, sched3,
+                                            payer=True),
+        lambda g: g2pp.cap_closed_form_g2(CFG, g, mkt, rate=0.02)[0],
+    ]
+    quotes = [(p, p(G2)) for p in pricers]
+    g0 = g2pp.G2Params(a=G2.a, b=G2.b, sigma=0.15, eta=0.05, rho=0.2)
+    res = g2pp.calibrate_g2(CFG, g0, quotes)
+    assert abs(res.params.sigma - G2.sigma) < 1e-6, res
+    assert abs(res.params.eta - G2.eta) < 1e-6, res
+    assert abs(res.params.rho - G2.rho) < 1e-4, res
+    assert res.rmse < 1e-8, res
