@@ -446,6 +446,63 @@ def cmd_swaption(args):
     return 0
 
 
+def cmd_calibrate(args):
+    """Joint parameter calibration roundtrip on the loaded market: build
+    closed-form quotes at ground-truth parameters, start far away,
+    recover (beyond-reference; the CUDA project hard-codes a and sigma,
+    common.cuh:31-39)."""
+    from .instruments import swap_fixed_leg
+    from .models import g2pp
+
+    cfg = _cfg(args)
+    market = hwio.load_market(cfg)
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    results = {}
+
+    print(f"--- Hull-White joint (a, sigma) calibration ---")
+    pricers = [greeks.zbc_quote(market),
+               greeks.cap_quote(market, rate=0.02, tenor=4.0),
+               greeks.swaption_quote(market, sched)]
+    quotes = [(p, p(cfg)) for p in pricers]
+    res = greeks.calibrate_hw(cfg, quotes, a0=cfg.a / 2,
+                              sigma0=cfg.sigma / 2)
+    print(f"true (a, sigma) = ({cfg.a}, {cfg.sigma});  start = "
+          f"({cfg.a / 2}, {cfg.sigma / 2})")
+    print(f"recovered: a = {res.a:.8f}  sigma = {res.sigma:.8f}  "
+          f"(rmse {res.rmse:.2e}, {res.n_iter} iterations)")
+    ok = abs(res.a - cfg.a) < 1e-4 and abs(res.sigma - cfg.sigma) < 1e-5
+    results.update({"hw_a": res.a, "hw_sigma": res.sigma,
+                    "hw_rmse": res.rmse, "hw_iters": res.n_iter})
+
+    g_true = g2pp.G2Params(a=args.g2a, b=args.g2b, sigma=args.g2sigma,
+                           eta=args.g2eta, rho=args.g2rho)
+    sched3 = swap_fixed_leg(cfg, 0.03, 3.0)
+    gp = [lambda g: g2pp.zbc_price_analytic(cfg, g, market),
+          lambda g: g2pp.swaption_g2_analytic(cfg, g, market, sched),
+          lambda g: g2pp.swaption_g2_analytic(cfg, g, market, sched3,
+                                              payer=True),
+          lambda g: g2pp.cap_closed_form_g2(cfg, g, market, rate=0.02)[0]]
+    gq = [(p, p(g_true)) for p in gp]
+    g0 = g2pp.G2Params(a=g_true.a, b=g_true.b, sigma=2 * g_true.sigma,
+                       eta=2 * g_true.eta, rho=-g_true.rho / 2)
+    gres = g2pp.calibrate_g2(cfg, g0, gq)
+    print(f"\n--- G2++ (sigma, eta, rho) calibration, (a, b) fixed ---")
+    print(f"true = ({g_true.sigma}, {g_true.eta}, {g_true.rho})")
+    print(f"recovered: sigma = {gres.params.sigma:.8f}  "
+          f"eta = {gres.params.eta:.8f}  rho = {gres.params.rho:.6f}  "
+          f"(rmse {gres.rmse:.2e}, {gres.n_iter} iterations)")
+    ok = ok and (abs(gres.params.sigma - g_true.sigma) < 1e-5
+                 and abs(gres.params.eta - g_true.eta) < 1e-5
+                 and abs(gres.params.rho - g_true.rho) < 1e-3)
+    results.update({"g2_sigma": gres.params.sigma,
+                    "g2_eta": gres.params.eta, "g2_rho": gres.params.rho,
+                    "g2_rmse": gres.rmse, "g2_iters": gres.n_iter})
+    hwio.write_json(hwio.DATA_DIR / "calibration_results.json",
+                    "Parameter calibration", cfg, results=results)
+    print("\nvalidation:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def cmd_cap(args):
     """Cap/floor pricing: MC on exact multi-date states vs the per-caplet
     ZBP closed forms (instrument family beyond the reference)."""
@@ -670,6 +727,10 @@ def main(argv=None):
     pc.add_argument("--tenor", type=float, default=4.0)
     pc.add_argument("--freq", type=float, default=1.0)
     pc.add_argument("--floor", action="store_true")
+    pcal = sub.add_parser("calibrate", parents=[common])
+    for flag, dv in [("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
+                     ("--g2eta", 0.02), ("--g2rho", -0.6)]:
+        pcal.add_argument(flag, type=float, default=dv)
     pall = sub.add_parser("all", parents=[common])
     pall.add_argument("--validate", type=int, default=0)
     pall.add_argument("--eps", type=float, default=1e-3)
@@ -693,6 +754,8 @@ def main(argv=None):
         return cmd_g2pp(args)
     if args.cmd == "cap":
         return cmd_cap(args)
+    if args.cmd == "calibrate":
+        return cmd_calibrate(args)
     if args.cmd == "all":
         rc = cmd_q1(args)
         rc |= cmd_q2(args)

@@ -107,3 +107,15 @@ def test_bermudan_sweep_and_plot(workdir):
 
     out = plot_bermudan_bracket(workdir / "data", Path(workdir))
     assert out is not None and out.exists()
+
+
+def test_calibrate_subcommand(workdir):
+    """calibrate recovers HW (a, sigma) and G2 (sigma, eta, rho) from
+    closed-form quotes on the bootstrapped market curve."""
+    assert main(["calibrate", "--paths", "8192"]) == 0
+    doc = json.loads(
+        (workdir / "data" / "calibration_results.json").read_text())
+    r = doc["results"]
+    assert abs(r["hw_a"] - 1.0) < 1e-4
+    assert abs(r["hw_sigma"] - 0.1) < 1e-5
+    assert abs(r["g2_rho"] + 0.6) < 1e-3
