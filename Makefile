@@ -1,7 +1,7 @@
 # hullwhite_tpu — build & run targets (analogue of the reference makefile)
 
 .PHONY: native test tpu-test q1 q2 q3 benchmark all analyze bench clean \
-        g2pp swaption cap grid
+        g2pp swaption cap grid calibrate products
 
 native:
 	$(MAKE) -C native
@@ -31,7 +31,13 @@ g2pp:
 	python -m hullwhite_tpu.cli g2pp
 
 swaption:
-	python -m hullwhite_tpu.cli swaption --bermudan
+	python -m hullwhite_tpu.cli swaption --bermudan --delta --bermudan-sweep
+
+calibrate:
+	python -m hullwhite_tpu.cli calibrate
+
+# every beyond-reference product surface in one go (after q1)
+products: swaption cap grid g2pp calibrate
 
 cap:
 	python -m hullwhite_tpu.cli cap
