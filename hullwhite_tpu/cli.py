@@ -533,11 +533,24 @@ def cmd_cap(args):
     ok = abs(z) < 4 or abs(float(res.price) - tot) < 2e-4
     print(f"agreement: z = {z:.2f} "
           f"({'PASS' if ok else 'CHECK'}; curve-noise allowance 2e-4)")
+    v = greeks.fd_vega_cap(cfg, key, market, rate=args.rate,
+                           tenor=args.tenor, freq=args.freq,
+                           floor=args.floor)
+    e = 1e-5
+    va = (instruments.cap_closed_form(
+              cfg, market, rate=args.rate, tenor=args.tenor,
+              freq=args.freq, floor=args.floor, sigma=cfg.sigma + e)[0]
+          - instruments.cap_closed_form(
+              cfg, market, rate=args.rate, tenor=args.tenor,
+              freq=args.freq, floor=args.floor, sigma=cfg.sigma - e)[0]
+          ) / (2 * e)
+    print(f"vega (CRN-FD): {v:.6f}   closed-form FD {va:.6f}")
     hwio.write_json(hwio.DATA_DIR / f"{kind}_results.json",
                     f"{kind} pricing", cfg,
                     results={"mc_price": float(res.price),
                              "mc_se": float(res.std_error),
                              "closed_form": tot, "z": z,
+                             "vega_fd": v, "vega_closed_fd": va,
                              "caplets_mc": [float(x) for x in res.caplets],
                              "caplets_closed": per})
     return 0 if ok else 1

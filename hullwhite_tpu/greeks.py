@@ -256,6 +256,26 @@ def bermudan_delta(cfg: HWConfig, key, market: MarketCurve, sched,
             (float(rp.upper) - float(rm.upper)) / (2.0 * h))
 
 
+def fd_vega_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
+                tenor: float, start: float | None = None,
+                freq: float = 1.0, floor: bool = False, eps: float = 1e-3,
+                n_paths: int | None = None, n_blocks: int = 1, mesh=None):
+    """Cap/floor vega by central differences under common random numbers
+    (sigma enters the multi-date exact sampler only through the
+    tables.sig_st scale, so the same key gives identical normals on both
+    legs — the library-wide CRN invariant).  Oracle: the fp64 FD of
+    instruments.cap_closed_form(sigma=...)."""
+    from .instruments import price_cap
+
+    pp = price_cap(cfg, key, market, rate=rate, start=start, tenor=tenor,
+                   freq=freq, floor=floor, sigma=cfg.sigma + eps,
+                   n_paths=n_paths, n_blocks=n_blocks, mesh=mesh)
+    pm = price_cap(cfg, key, market, rate=rate, start=start, tenor=tenor,
+                   freq=freq, floor=floor, sigma=cfg.sigma - eps,
+                   n_paths=n_paths, n_blocks=n_blocks, mesh=mesh)
+    return (float(pp.price) - float(pm.price)) / (2.0 * eps)
+
+
 class CalibrationResult(NamedTuple):
     a: float
     sigma: float

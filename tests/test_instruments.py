@@ -165,3 +165,21 @@ def test_cap_semiannual_freq(analytic_market):
                                            tenor=2.0, freq=2.0)
     assert len(per) == 4
     assert abs(float(res.price) - tot) < 5 * float(res.std_error) + 5e-5
+
+
+def test_cap_vega_crn_matches_closed_form_fd(analytic_market):
+    """CRN-FD cap/floor vega vs the fp64 FD of the per-caplet closed
+    form; cap and floor vegas coincide (their difference is the
+    sigma-independent forward value — put-call parity per period)."""
+    from hullwhite_tpu import greeks
+    from hullwhite_tpu.instruments import cap_closed_form
+
+    e = 1e-5
+    va = (cap_closed_form(CFG, analytic_market, rate=0.02, tenor=4.0,
+                          sigma=CFG.sigma + e)[0]
+          - cap_closed_form(CFG, analytic_market, rate=0.02, tenor=4.0,
+                            sigma=CFG.sigma - e)[0]) / (2 * e)
+    for floor in (False, True):
+        v = greeks.fd_vega_cap(CFG, KEY, analytic_market, rate=0.02,
+                               tenor=4.0, floor=floor, n_paths=1 << 16)
+        assert abs(v - va) < 0.01 * abs(va) + 1e-3, (floor, v, va)
