@@ -147,6 +147,30 @@ def main():
             big.n_paths / dtvf / BASELINE_Q3, 2)
         extras["q3_fullstep_vega"] = round(float(vf[0] / vf[1]), 6)
 
+    # beyond-reference products (no V100 analogue exists): G2++ ZBC by
+    # exact 3-normal sampling and the full Bermudan bracket (two-pass
+    # LSMC + closed-form AB dual), both at 2^20 paths
+    if on_tpu:
+        from hullwhite_tpu import bermudan
+        from hullwhite_tpu.instruments import swap_fixed_leg
+        from hullwhite_tpu.models import g2pp
+
+        g = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
+        fg = g2pp._g2_zbc_fn(cfg, g, cfg.n_paths, 1, None)
+        dtg, gout = bench(fg, key, market, n=10, rtt=rtt)
+        extras["g2_zbc_ms"] = round(dtg * 1e3, 3)
+        extras["g2_zbc_paths_per_sec"] = round(2 * cfg.n_paths / dtg)
+        extras["g2_zbc_price"] = round(float(gout[0]), 8)
+        sched = swap_fixed_leg(cfg, 0.025, 5.0)
+        ex = tuple(5.0 + j for j in range(5))
+        fb = bermudan._bermudan_fn(cfg, ex, sched, 1.0, False, 1 << 17,
+                                   8, False)
+        dtb, bout = bench(fb, key, jnp.float32(cfg.sigma), market, n=3,
+                          rtt=rtt)
+        extras["bermudan_ms"] = round(dtb * 1e3, 3)
+        extras["bermudan_bracket"] = [round(float(bout[0]), 8),
+                                      round(float(bout[3]), 8)]
+
     result = {
         "metric": "Q1 curve bootstrap throughput "
                   "(2^20 antithetic path pairs x 1000 steps x 101 maturities)",
