@@ -426,7 +426,9 @@ def cmd_swaption(args):
         sweep = {"k": [], "lower": [], "lower_se": [], "upper": [],
                  "upper_se": [], "dp_oracle": [], "european": jam}
         print(f"\n--- Bermudan sweep: bracket vs exercise rights ---")
-        for k in range(1, 6):
+        # annual exercises must precede the last cashflow at s1 + tenor
+        max_k = min(5, int(np.ceil(args.tenor)))
+        for k in range(1, max_k + 1):
             ex = [cfg.s1 + j for j in range(k)]
             res = bermudan_mod.price_bermudan(cfg, key, market, sched,
                                               ex, payer=args.payer)

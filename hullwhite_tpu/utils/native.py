@@ -33,9 +33,10 @@ def _lib():
             try:
                 _register(lib)
             except AttributeError:
-                # stale .so predating a newly added symbol: degrade to
+                # stale .so predating a newly added symbol: try the next
+                # candidate (e.g. HW_NATIVE_LIB) and otherwise degrade to
                 # the NumPy fallbacks instead of crashing available()
-                return None
+                continue
             return lib
     return None
 

@@ -118,9 +118,12 @@ def test_stale_library_degrades_to_fallback(tmp_path, monkeypatch):
     """A .so predating a newly added symbol must make available() False
     (NumPy fallbacks) rather than raise AttributeError out of _lib()."""
     import ctypes
+    import shutil
     import subprocess
     from pathlib import Path
 
+    if shutil.which("gcc") is None:
+        pytest.skip("no C compiler to build the stub library")
     src = tmp_path / "stub.c"
     src.write_text("void hw_drift_tables(void) {}\n")
     so = tmp_path / "libstub.so"
