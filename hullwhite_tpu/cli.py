@@ -666,13 +666,22 @@ def cmd_grid(args):
     print(np.array2string(np.asarray(g.price), precision=6))
     print("vegas:")
     print(np.array2string(np.asarray(vegas), precision=5))
+    from .models import g2pp
+
+    g2 = g2pp.G2Params()
+    gres = g2pp.price_zbc_grid_g2(cfg, g2, key, market, Ks, S2s)
+    orc = g2pp.zbc_grid_analytic_g2(cfg, g2, market, Ks, S2s)
+    gerr = float(np.abs(np.asarray(gres.price) - orc).max())
+    print(f"G2++ surface (same grid, shared 3-normal states): "
+          f"max |MC - closed| = {gerr:.2e}")
     hwio.write_json(
         hwio.DATA_DIR / "grid_results.json", "Option surface", cfg,
         results={"strikes": [float(x) for x in Ks],
-                 "maturities": S2s},
+                 "maturities": S2s, "g2_max_err": gerr},
         arrays={"price": np.asarray(g.price),
                 "beta": np.asarray(g.beta),
-                "vega": np.asarray(vegas)})
+                "vega": np.asarray(vegas),
+                "g2_price": np.asarray(gres.price)})
     return 0
 
 

@@ -511,6 +511,112 @@ def vega_bermudan_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
             (float(rp.upper) - float(rm.upper)) / (2.0 * eps))
 
 
+@lru_cache(maxsize=None)
+def _g2_grid_fn(cfg: HWConfig, g: G2Params, Ks_t: tuple, S2_t: tuple,
+                n_paths: int, n_blocks: int, mesh):
+    from ..parallel import mesh as pmesh
+
+    LT = jnp.asarray(_state_chol(g, cfg.s1))
+    d0 = -0.5 * _v_integral(g, cfg.s1)
+    vadj = [0.5 * (_v_integral(g, t - cfg.s1) - _v_integral(g, t)
+                   + _v_integral(g, cfg.s1)) for t in S2_t]
+    Ba = jnp.asarray([_B(g.a, t - cfg.s1) for t in S2_t], jnp.float32)
+    Bb = jnp.asarray([_B(g.b, t - cfg.s1) for t in S2_t], jnp.float32)
+    Ks = jnp.asarray(Ks_t, jnp.float32)
+    n_k, n_s2 = len(Ks_t), len(S2_t)
+
+    def compute(key, market):
+        P1 = hw.interp_curve(market.P, jnp.float32(cfg.s1), cfg)
+        P0j = hw.interp_curve(market.P, jnp.asarray(S2_t, jnp.float32),
+                              cfg)
+        A = P0j / P1 * jnp.exp(jnp.asarray(vadj, jnp.float32))
+        disc0 = P1 * jnp.exp(jnp.float32(d0))
+
+        def block(bi):
+            xn = jax.random.normal(jax.random.fold_in(key, bi),
+                                   (n_paths, 3), jnp.float32)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
+                P = A[None, :] * jnp.exp(-Ba[None, :] * x[:, None]
+                                         - Bb[None, :] * y[:, None])
+                disc = disc0 * jnp.exp(-I)
+                X = disc[:, None, None] * jnp.maximum(
+                    P[:, None, :] - Ks[None, :, None], 0.0)
+                Yc = disc[:, None] * P - P0j[None, :]
+                return X, Yc
+
+            x1, y1 = leg(1.0)
+            x2, y2 = leg(-1.0)
+            s = lambda v: jnp.sum(v, axis=0, dtype=jnp.float32)  # noqa: E731
+            return jnp.concatenate([
+                (s(x1) + s(x2)).reshape(-1),
+                (s(x1 * x1) + s(x2 * x2)).reshape(-1),
+                (s(x1 * y1[:, None, :])
+                 + s(x2 * y2[:, None, :])).reshape(-1),
+                s(y1) + s(y2), s(y1 * y1) + s(y2 * y2)])
+
+        srow = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        c = n_k * n_s2
+        n = 2.0 * n_paths * n_blocks
+        mean_x = srow[:c].reshape(n_k, n_s2) / n
+        sxx = srow[c:2 * c].reshape(n_k, n_s2)
+        sxy = srow[2 * c:3 * c].reshape(n_k, n_s2)
+        mean_yc = srow[3 * c:3 * c + n_s2] / n
+        syy = srow[3 * c + n_s2:]
+        var_y = syy / n - mean_yc * mean_yc
+        var_x = sxx / n - mean_x * mean_x
+        cov = sxy / n - mean_x * mean_yc[None, :]
+        beta = cov / var_y[None, :]
+        price = mean_x - beta * mean_yc[None, :]
+        se_raw = jnp.sqrt(jnp.maximum(var_x, 0.0) / n)
+        return price, mean_x, beta, se_raw
+
+    return jax.jit(compute)
+
+
+def price_zbc_grid_g2(cfg: HWConfig, g: G2Params, key,
+                      market: MarketCurve, strikes, maturities, *,
+                      n_paths: int | None = None, n_blocks: int = 1,
+                      mesh=None):
+    """CV-adjusted G2++ ZBC price surface over (strikes x maturities)
+    from ONE shared set of exact 3-normal states — the two-factor twin of
+    grid.price_zbc_grid (exercise at cfg.s1; per-maturity martingale
+    controls with per-cell optimal beta).  Returns a grid.ZBCGrid."""
+    from ..grid import ZBCGrid
+
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    Ks_t = tuple(float(x) for x in strikes)
+    S2_t = tuple(float(x) for x in maturities)
+    price, raw, beta, se = _g2_grid_fn(
+        cfg, g, Ks_t, S2_t, int(n_paths), int(n_blocks), mesh)(key, market)
+    return ZBCGrid(strikes=jnp.asarray(Ks_t, jnp.float32),
+                   maturities=jnp.asarray(S2_t, jnp.float32),
+                   price=price, price_raw=raw, beta=beta,
+                   std_error_raw=se)
+
+
+def zbc_grid_analytic_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                         strikes, maturities) -> np.ndarray:
+    """fp64 closed-form surface: ZBC(K_i, T_j) via the G2++ bond-price
+    volatility (per-cell oracle for price_zbc_grid_g2)."""
+    from ..instruments import curve_level
+    from .oracles import _phi
+
+    out = np.empty((len(strikes), len(maturities)))
+    P1 = curve_level(cfg, market, cfg.s1)
+    for j, T in enumerate(maturities):
+        P2 = curve_level(cfg, market, float(T))
+        S = _sigma_zbc(g, cfg.s1, float(T))
+        for i, K in enumerate(strikes):
+            h = math.log(P2 / (K * P1)) / S + 0.5 * S
+            out[i, j] = P2 * _phi(h) - K * P1 * _phi(h - S)
+    return out
+
+
 class G2Calibration(NamedTuple):
     params: "G2Params"
     rmse: float

@@ -478,3 +478,22 @@ def test_g2_calibration_roundtrip(analytic_market):
     assert abs(res.params.eta - G2.eta) < 1e-6, res
     assert abs(res.params.rho - G2.rho) < 1e-4, res
     assert res.rmse < 1e-8, res
+
+
+def test_g2_zbc_surface_matches_per_cell_oracle(analytic_market):
+    """Shared-state G2++ option surface vs the fp64 closed form cell by
+    cell; the middle cell must also reproduce the single-option pricer's
+    closed form (same strike/maturity)."""
+    Ks = [CFG.strike * (1 + s) for s in (-0.03, 0.0, 0.03)]
+    S2s = [7.0, 8.5, 10.0]
+    res = g2pp.price_zbc_grid_g2(CFG, G2, KEY, analytic_market, Ks, S2s,
+                                 n_paths=1 << 15)
+    orc = g2pp.zbc_grid_analytic_g2(CFG, G2, analytic_market, Ks, S2s)
+    err = np.abs(np.asarray(res.price) - orc)
+    se = np.asarray(res.std_error_raw)
+    assert np.all(err < 5 * se + 2e-4), err / np.maximum(se, 1e-9)
+    # consistency with the dedicated ZBC closed form at (strike, s2)
+    single = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
+    j = S2s.index(10.0)
+    i = Ks.index(CFG.strike)
+    assert abs(orc[i, j] - single) < 1e-9
