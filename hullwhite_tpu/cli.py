@@ -631,6 +631,18 @@ def cmd_g2pp(args):
                     "swaption_vega_rqmc_se": float(vsq_se),
                     "swaption_vega_analytic": vs_an})
 
+    # bond-exchange (Margrabe) option — a genuinely two-factor payoff
+    from .instruments import curve_level
+
+    Kx = curve_level(cfg, market, 8.0) / curve_level(cfg, market, 10.0)
+    xo = g2pp.exchange_analytic_g2(cfg, g, market, 8.0, 10.0, K=Kx)
+    xr = g2pp.price_exchange_g2(cfg, g, key, market, 8.0, 10.0, K=Kx)
+    print(f"[exchange P(5,8) vs P(5,10), at-forward K={Kx:.5f}] "
+          f"MC {float(xr.price):.8f} (raw SE {float(xr.std_error_raw):.1e})"
+          f"  closed form {xo:.8f}")
+    results.update({"exchange_mc": float(xr.price), "exchange_closed": xo,
+                    "exchange_K": Kx})
+
     ex = [cfg.s1 + j for j in range(int(args.tenor))]
     bm = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex)
     orc_e = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=False)

@@ -511,6 +511,126 @@ def vega_bermudan_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
             (float(rp.upper) - float(rm.upper)) / (2.0 * eps))
 
 
+def _exchange_terms(cfg: HWConfig, g: G2Params, T: float):
+    """(Ba, Bb, vadj) of ln P(S1, T) = ln A_T - Ba x - Bb y."""
+    tau = T - cfg.s1
+    vadj = 0.5 * (_v_integral(g, tau) - _v_integral(g, T)
+                  + _v_integral(g, cfg.s1))
+    return _B(g.a, tau), _B(g.b, tau), vadj
+
+
+def exchange_analytic_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                         Ta: float, Tb: float, K: float = 1.0) -> float:
+    """float64 closed form for the bond-exchange (Margrabe) option
+    E[ D(S1) max(P(S1,Ta) - K P(S1,Tb), 0) ] under G2++.
+
+    Genuinely two-factor: the spread ln(Pa/Pb) loads the factors with
+    weight DIFFERENCES (Ba(Ta)-Ba(Tb), Bb(Ta)-Bb(Tb)), so no one-factor
+    model reproduces it.  Pure Gaussian linear algebra on the state
+    covariance _state_cov(g, S1): with W_i = ln P_i - I (so e^{W_i} is
+    the discounted bond) and S = ln(Pa/Pb),
+
+        price = disc0 [ e^{mu_a + v_a/2} Phi(d_a)
+                        - K e^{mu_b + v_b/2} Phi(d_b) ],
+        d_i = (mu_S + Cov(S, W_i) - ln K) / sigma_S,
+
+    and the martingale identity disc0 e^{mu_i + v_i/2} = P(0, T_i) pins
+    the K -> 0 limit to P(0, Ta) exactly (tested)."""
+    from ..instruments import curve_level
+    from .oracles import _phi
+
+    C = _state_cov(g, cfg.s1)
+    P1 = curve_level(cfg, market, cfg.s1)
+    d0 = -0.5 * _v_integral(g, cfg.s1)
+    disc0 = P1 * math.exp(d0)
+
+    def w_of(T):
+        Ba, Bb, vadj = _exchange_terms(cfg, g, T)
+        lnA = math.log(curve_level(cfg, market, T) / P1) + vadj
+        return np.array([-Ba, -Bb, -1.0]), lnA
+
+    wa, lnAa = w_of(Ta)
+    wb, lnAb = w_of(Tb)
+    ws = np.array([wa[0] - wb[0], wa[1] - wb[1], 0.0])
+    mu_s = lnAa - lnAb
+    sig_s = math.sqrt(max(ws @ C @ ws, 0.0))
+    c = math.log(K)
+
+    def leg(w, lnA):
+        v = w @ C @ w
+        if sig_s < 1e-14:   # Ta == Tb: deterministic spread indicator
+            d = math.inf if mu_s > c else -math.inf
+        else:
+            d = (mu_s + ws @ C @ w - c) / sig_s
+        return math.exp(lnA + 0.5 * v) * _phi(d)
+
+    return disc0 * (leg(wa, lnAa) - K * leg(wb, lnAb))
+
+
+@lru_cache(maxsize=None)
+def _g2_exchange_fn(cfg: HWConfig, g: G2Params, Ta: float, Tb: float,
+                    K: float, n_paths: int, n_blocks: int, mesh):
+    from ..parallel import mesh as pmesh
+
+    LT = jnp.asarray(_state_chol(g, cfg.s1))
+    d0 = -0.5 * _v_integral(g, cfg.s1)
+    Baa, Bba, vadj_a = _exchange_terms(cfg, g, Ta)
+    Bab, Bbb, vadj_b = _exchange_terms(cfg, g, Tb)
+
+    def compute(key, market):
+        P1 = hw.interp_curve(market.P, jnp.float32(cfg.s1), cfg)
+        Pa0 = hw.interp_curve(market.P, jnp.float32(Ta), cfg)
+        Pb0 = hw.interp_curve(market.P, jnp.float32(Tb), cfg)
+        Aa = Pa0 / P1 * jnp.exp(jnp.float32(vadj_a))
+        Ab = Pb0 / P1 * jnp.exp(jnp.float32(vadj_b))
+        disc0 = P1 * jnp.exp(jnp.float32(d0))
+
+        def block(bi):
+            xn = jax.random.normal(jax.random.fold_in(key, bi),
+                                   (n_paths, 3), jnp.float32)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x, y, I = sgn * z[:, 0], sgn * z[:, 1], sgn * z[:, 2]
+                Pa = Aa * jnp.exp(-jnp.float32(Baa) * x
+                                  - jnp.float32(Bba) * y)
+                Pb = Ab * jnp.exp(-jnp.float32(Bab) * x
+                                  - jnp.float32(Bbb) * y)
+                disc = disc0 * jnp.exp(-I)
+                X = disc * jnp.maximum(Pa - K * Pb, 0.0)
+                Yc = disc * Pa - Pa0   # martingale control, E[Yc] = 0
+                return X, Yc
+
+            x1, y1 = leg(1.0)
+            x2, y2 = leg(-1.0)
+            return jnp.stack([
+                jnp.sum(x1) + jnp.sum(x2), jnp.sum(y1) + jnp.sum(y2),
+                jnp.sum(x1 * x1) + jnp.sum(x2 * x2),
+                jnp.sum(y1 * y1) + jnp.sum(y2 * y2),
+                jnp.sum(x1 * y1) + jnp.sum(x2 * y2)])
+
+        sums = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        return _cv_stats(sums, 2.0 * n_paths * n_blocks)
+
+    return jax.jit(compute)
+
+
+def price_exchange_g2(cfg: HWConfig, g: G2Params, key,
+                      market: MarketCurve, Ta: float, Tb: float,
+                      K: float = 1.0, *, n_paths: int | None = None,
+                      n_blocks: int = 1, mesh=None) -> G2ZBC:
+    """CV-adjusted MC bond-exchange option (see exchange_analytic_g2):
+    exact 3-normal states, antithetic, martingale control disc*Pa."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    price, raw, beta, se = _g2_exchange_fn(
+        cfg, g, float(Ta), float(Tb), float(K), int(n_paths),
+        int(n_blocks), mesh)(key, market)
+    return G2ZBC(price=price, price_raw=raw, beta=beta, std_error_raw=se,
+                 n=int(n_paths) * int(n_blocks))
+
+
 @lru_cache(maxsize=None)
 def _g2_grid_fn(cfg: HWConfig, g: G2Params, Ks_t: tuple, S2_t: tuple,
                 n_paths: int, n_blocks: int, mesh):

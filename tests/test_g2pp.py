@@ -497,3 +497,41 @@ def test_g2_zbc_surface_matches_per_cell_oracle(analytic_market):
     j = S2s.index(10.0)
     i = Ks.index(CFG.strike)
     assert abs(orc[i, j] - single) < 1e-9
+
+
+def test_exchange_option_oracle_limits(analytic_market):
+    """Margrabe bond-exchange closed form: K -> 0 collapses to P(0,Ta)
+    (martingale identity), Ta == Tb collapses to (1-K)^+ P(0,Tb), and
+    the MC sampler matches the closed form within noise."""
+    from hullwhite_tpu.instruments import curve_level
+
+    v0 = g2pp.exchange_analytic_g2(CFG, G2, analytic_market, 8.0, 10.0,
+                                   K=1e-12)
+    assert abs(v0 - curve_level(CFG, analytic_market, 8.0)) < 1e-10
+    same = g2pp.exchange_analytic_g2(CFG, G2, analytic_market, 9.0, 9.0,
+                                     K=0.9)
+    assert abs(same - 0.1 * curve_level(CFG, analytic_market, 9.0)) < 1e-12
+    K = (curve_level(CFG, analytic_market, 8.0)
+         / curve_level(CFG, analytic_market, 10.0)) * 0.98
+    orc = g2pp.exchange_analytic_g2(CFG, G2, analytic_market, 8.0, 10.0,
+                                    K=K)
+    res = g2pp.price_exchange_g2(CFG, G2, KEY, analytic_market, 8.0, 10.0,
+                                 K=K, n_paths=1 << 16)
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error_raw) + 1e-4
+
+
+def test_exchange_option_is_two_factor(analytic_market):
+    """eta -> 0 changes the exchange price materially at fixed sigma: the
+    spread loads the second factor through Bb(Ta) - Bb(Tb), which no
+    one-factor calibration can mimic while keeping the single-bond
+    options fixed."""
+    from hullwhite_tpu.instruments import curve_level
+
+    K = (curve_level(CFG, analytic_market, 8.0)
+         / curve_level(CFG, analytic_market, 10.0))
+    v2 = g2pp.exchange_analytic_g2(CFG, G2, analytic_market, 8.0, 10.0,
+                                   K=K)
+    g1 = g2pp.G2Params(a=G2.a, b=G2.b, sigma=G2.sigma, eta=0.0, rho=0.0)
+    v1 = g2pp.exchange_analytic_g2(CFG, g1, analytic_market, 8.0, 10.0,
+                                   K=K)
+    assert abs(v2 - v1) > 0.1 * abs(v2), (v1, v2)
