@@ -222,3 +222,30 @@ def test_bermudan_curve_delta_matches_dp_oracle(analytic_market, sched):
           ) / (2.0 * h)
     assert abs(du - dp) < 2e-3 * abs(dp), (du, dp)
     assert abs(dl - dp) < 3e-2 * abs(dp), (dl, dp)
+
+
+def test_bermudan_greeks_predict_bumped_price(analytic_market, sched):
+    """Hedging integration: the dual-side curve-delta and vega predict
+    the price under a joint (curve, sigma) bump to second order — the
+    greeks compose into an actual hedge.  The truth leg is the CRN dual
+    (same key) under the same calibration-consistent sigma convention
+    the vega differentiates (theta rebuilt via step_tables(sigma,
+    sigma0); dp_oracle's replace(sigma) bump lacks that adjustment and
+    differs at first order — measured 2e-4 at e=2e-3)."""
+    from hullwhite_tpu import greeks
+
+    ex = [5.0, 6.0, 7.0]
+    h, e = 5e-4, 2e-3
+    base = float(bermudan.price_bermudan(CFG, KEY, analytic_market,
+                                         sched, ex, n_paths=N).upper)
+    _, du = greeks.bermudan_delta(CFG, KEY, analytic_market, sched, ex,
+                                  n_paths=N, h=1e-3)
+    _, _, _, dv = greeks.bermudan_vega(CFG, KEY, analytic_market, sched,
+                                       ex, n_paths=N, mode="fd")
+    bumped = float(bermudan.price_bermudan(
+        CFG, KEY, greeks.shift_curve(CFG, analytic_market, h), sched, ex,
+        sigma=CFG.sigma + e, n_paths=N).upper)
+    predicted = base + du * h + float(dv) * e
+    # CRN cancels the MC noise; what remains is the second-order
+    # remainder (gamma h^2, volga e^2, vanna h e) + FD truncation
+    assert abs(bumped - predicted) < 2e-5, (bumped, predicted, base)
