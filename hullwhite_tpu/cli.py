@@ -643,6 +643,23 @@ def cmd_g2pp(args):
     results.update({"exchange_mc": float(xr.price), "exchange_closed": xo,
                     "exchange_K": Kx})
 
+    if args.validate:
+        n = args.validate
+        print(f"\n[G2 ZBC] statistical validation: {n} independent runs "
+              "(single device call)...")
+        runs = g2pp.validate_zbc_g2_runs(cfg, g, key, market, n_runs=n)
+        s = hwstats.summarize([float(x) for x in runs[:, 0]])
+        s_beta = hwstats.summarize([float(x) for x in runs[:, 2]])
+        z = (s.mean - true) / max(s.std_error, 1e-12)
+        print(f"mean price (CV):   {s.mean:.8f}  +/- "
+              f"{s.margin_of_error:.8f} (95% CI)")
+        print(f"closed form:       {true:.8f}   z = {z:.2f}")
+        print(f"CV%:               {s.cv_percent:.4f}%   "
+              f"mean beta: {s_beta.mean:.6f} (sd {s_beta.std:.6f})")
+        results.update({"validation_mean": s.mean,
+                        "validation_se": s.std_error,
+                        "validation_z_vs_closed": z})
+
     ex = [cfg.s1 + j for j in range(int(args.tenor))]
     bm = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex)
     orc_e = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=False)
@@ -758,6 +775,7 @@ def main(argv=None):
     pg2.add_argument("--tenor", type=float, default=5.0)
     pg2.add_argument("--freq", type=float, default=1.0)
     pg2.add_argument("--eps", type=float, default=1e-2)
+    pg2.add_argument("--validate", type=int, default=0, metavar="N")
     pc = sub.add_parser("cap", parents=[common])
     pc.add_argument("--rate", type=float, default=0.02)
     pc.add_argument("--tenor", type=float, default=4.0)

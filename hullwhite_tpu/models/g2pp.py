@@ -194,6 +194,35 @@ def _g2_zbc_fn(cfg: HWConfig, g: G2Params, n_paths: int, n_blocks: int,
     return jax.jit(compute)
 
 
+@lru_cache(maxsize=None)
+def _g2_validate_fn(cfg: HWConfig, g: G2Params, n_paths: int,
+                    n_runs: int, offset: int):
+    inner = _g2_zbc_fn(cfg, g, n_paths, 1, None)
+
+    def compute(key, market):
+        def one(i):
+            return jnp.stack(inner(jax.random.fold_in(key, offset + i),
+                                   market))
+
+        return jax.lax.map(one, jnp.arange(n_runs))
+
+    return jax.jit(compute)
+
+
+def validate_zbc_g2_runs(cfg: HWConfig, g: G2Params, key,
+                         market: MarketCurve, *, n_runs: int,
+                         n_paths: int | None = None, offset: int = 4000):
+    """n_runs independent G2++ CV pricings in ONE device call (the C32
+    statistical-validation machinery extended to the second family; same
+    lax.map-over-folded-keys batching as pricing.validate_zbc_runs).
+    Returns a host (n_runs, 4) array of [price, raw, beta, se_raw]."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    return jax.device_get(
+        _g2_validate_fn(cfg, g, int(n_paths), int(n_runs),
+                        int(offset))(key, market))
+
+
 def price_zbc_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve,
                  n_paths: int | None = None, n_blocks: int = 1,
                  mesh=None) -> G2ZBC:

@@ -535,3 +535,18 @@ def test_exchange_option_is_two_factor(analytic_market):
     v1 = g2pp.exchange_analytic_g2(CFG, g1, analytic_market, 8.0, 10.0,
                                    K=K)
     assert abs(v2 - v1) > 0.1 * abs(v2), (v1, v2)
+
+
+def test_g2_validate_runs_batched(analytic_market):
+    """The batched N-run machinery (C32 for the second family): one
+    device call, run i reproduces the single-run pricer at the same
+    folded key bitwise."""
+    runs = g2pp.validate_zbc_g2_runs(CFG, G2, KEY, analytic_market,
+                                     n_runs=4, n_paths=1 << 14)
+    assert runs.shape == (4, 4)
+    single = g2pp.price_zbc_g2(CFG, G2, jax.random.fold_in(KEY, 4002),
+                               analytic_market, n_paths=1 << 14)
+    assert float(runs[2, 0]) == float(single.price)
+    true = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
+    se = runs[:, 0].std(ddof=1) / 2.0
+    assert abs(runs[:, 0].mean() - true) < 5 * se + 2e-4
