@@ -168,8 +168,9 @@ def main():
         dtb, bout = bench(fb, key, jnp.float32(cfg.sigma), market, n=3,
                           rtt=rtt)
         extras["bermudan_ms"] = round(dtb * 1e3, 3)
-        extras["bermudan_bracket"] = [round(float(bout[0]), 8),
+        extras["bermudan_bracket"] = [round(float(bout[5]), 8),
                                       round(float(bout[3]), 8)]
+        extras["bermudan_raw_lower"] = round(float(bout[0]), 8)
 
     result = {
         "metric": "Q1 curve bootstrap throughput "

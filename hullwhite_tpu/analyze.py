@@ -166,7 +166,7 @@ def plot_bermudan_bracket(data_dir: Path, plots_dir: Path):
     lo_se, up_se = np.array(r["lower_se"]), np.array(r["upper_se"])
     fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 5))
     a1.errorbar(k, lo, yerr=2 * lo_se, marker="o", color="#2b6cb0",
-                label="LSMC lower (±2 SE)")
+                label="LSMC lower, martingale CV (±2 SE)")
     a1.errorbar(k, up, yerr=2 * up_se, marker="s", color="#c05621",
                 label="AB dual upper (±2 SE)")
     a1.plot(k, dp, "k--", marker="x", label="DP oracle (fp64)")
@@ -185,7 +185,7 @@ def plot_bermudan_bracket(data_dir: Path, plots_dir: Path):
     a2.set_xticks(k)
     a2.set_xlabel("exercise rights k")
     a2.set_ylabel("gap to DP oracle")
-    a2.set_title("Bracket gaps (dual gap ~1e-6)")
+    a2.set_title("Bracket gaps to the fp64 DP oracle")
     a2.legend()
     out = plots_dir / "bermudan_bracket.png"
     fig.savefig(out, dpi=120, bbox_inches="tight")

@@ -281,6 +281,11 @@ class BermudanResult(NamedTuple):
     upper_std_error: jax.Array
     n_paths: int
     exercise_dates: tuple
+    # martingale-CV lower bound: same expectation as `price` (optional
+    # stopping: E[M_tau] = 0), variance collapsed by subtracting the
+    # dual's exact martingale at the policy's stopping time
+    price_cv: jax.Array | None = None
+    cv_std_error: jax.Array | None = None
 
 
 @lru_cache(maxsize=None)
@@ -325,6 +330,7 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
         prec = cfg.matmul_precision
         D = jnp.exp(-integral)
         cf = payoff_at(r[:, k - 1], *terms[k - 1]) * D[:, k - 1]
+        stop = jnp.full((r.shape[0],), k - 1, jnp.int32)
         est = betas is None
         out_betas = [None] * max(k - 1, 0)
         # last-date value proxy: the exact payoff (zero continuation fit)
@@ -350,7 +356,8 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
                 wc = 1.0 - exercise.astype(jnp.float32)
                 gammas[j] = _wls(X[:, :BASIS_DEGREE + 1], y, wc, prec)
             cf = jnp.where(exercise, pj * D[:, j], cf)
-        return cf, out_betas, gammas
+            stop = jnp.where(exercise, j, stop)
+        return cf, out_betas, gammas, stop
 
     sg = 1.0 if not payer else -1.0   # receiver exercises at LOW r
 
@@ -394,6 +401,7 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
         r_det, i_det = _det_states(cfg, tables, ex_dates)
         D = jnp.exp(-integral)
         M = jnp.zeros((r.shape[0],), jnp.float32)
+        Ms = []       # M after each date's increment (for M_tau)
         best = None   # initialized from the first date (no -inf literal:
         # an infinity constant in the traced graph can surface as NaN
         # under XLA fusion in some branch combinations)
@@ -422,9 +430,10 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
                                     strike, rstars[j], sg,
                                     cfg.matmul_precision)
             M = M + D[:, j] * vhat - D_prev * cond
+            Ms.append(M)
             Z = D[:, j] * payoff_at(r[:, j], *terms[j])
             best = Z - M if best is None else jnp.maximum(best, Z - M)
-        return best
+        return best, jnp.stack(Ms, axis=1)
 
     def compute(key, sigma, market):
         tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
@@ -438,8 +447,9 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
         # --- pass 1: estimate policy + value proxy (single batch) ---
         x = jax.random.normal(k_est, (n_paths, 2 * k), jnp.float32)
         r_a, i_a = states_from_normals(x, sigma, tables)
-        cf_in, betas, gammas = backward(r_a, i_a, sigma, market, stats,
-                                        terms, v0s, fit_value=True)
+        cf_in, betas, gammas, _ = backward(r_a, i_a, sigma, market,
+                                           stats, terms, v0s,
+                                           fit_value=True)
         p_in = jnp.mean(cf_in)
         rstars = exercise_boundaries(stats, terms, v0s, betas)
 
@@ -455,32 +465,44 @@ def _bermudan_fn(cfg: HWConfig, ex_dates: tuple, sched: CouponSchedule,
                 x = jax.random.normal(jax.random.fold_in(k_val, b),
                                       (n_paths, 2 * k), jnp.float32)
             r_b, i_b = states_from_normals(x, sigma, tables)
-            cf, _, _ = backward(r_b, i_b, sigma, market, stats, terms,
-                                v0s, betas=betas)
-            u = dual_path_bound(r_b, i_b, tables, stats, terms, gammas,
-                                rstars)
+            cf, _, _, stop = backward(r_b, i_b, sigma, market, stats,
+                                      terms, v0s, betas=betas)
+            u, Ms = dual_path_bound(r_b, i_b, tables, stats, terms,
+                                    gammas, rstars)
+            # martingale control variate for the lower bound: E[M_tau]=0
+            # by optional stopping (tau adapted, M an exact martingale),
+            # and cf ~ V0 + M_tau for a near-optimal policy/proxy, so
+            # cf - M_tau has ~zero variance (same expectation as cf)
+            m_tau = jnp.take_along_axis(Ms, stop[:, None], axis=1)[:, 0]
+            cv = cf - m_tau
             return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
-                              jnp.sum(u), jnp.sum(u * u)])
+                              jnp.sum(u), jnp.sum(u * u),
+                              jnp.sum(cv), jnp.sum(cv * cv)])
 
-        per_block = pmesh.map_blocks(block, n_blocks, mesh)  # (n_blocks, 4)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)  # (n_blocks, 6)
         sums = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         p_out = sums[0] / n_tot
         up = sums[2] / n_tot
+        p_cv = sums[4] / n_tot
         if rqmc:
             # within a block the Sobol points are deterministic given the
             # digital shift, so the iid pooled SE is invalid; the shifts
             # are the independent replicates (requires n_blocks >= 2)
             bm_lo = per_block[:, 0] / n_paths
             bm_up = per_block[:, 2] / n_paths
+            bm_cv = per_block[:, 4] / n_paths
             se = jnp.std(bm_lo, ddof=1) / jnp.sqrt(1.0 * n_blocks)
             up_se = jnp.std(bm_up, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            cv_se = jnp.std(bm_cv, ddof=1) / jnp.sqrt(1.0 * n_blocks)
         else:
             se = jnp.sqrt(jnp.maximum(sums[1] / n_tot - p_out ** 2, 0.0)
                           / n_tot)
             up_se = jnp.sqrt(jnp.maximum(sums[3] / n_tot - up ** 2, 0.0)
                              / n_tot)
-        return p_out, p_in, se, up, up_se
+            cv_se = jnp.sqrt(jnp.maximum(sums[5] / n_tot - p_cv ** 2, 0.0)
+                             / n_tot)
+        return p_out, p_in, se, up, up_se, p_cv, cv_se
 
     return jax.jit(compute)
 
@@ -514,14 +536,15 @@ def price_bermudan(cfg: HWConfig, key, market: MarketCurve,
     # convention: exercising exactly on a payment date forfeits that
     # payment (the `alive` mask in payoff_at is strict), i.e. exercise
     # happens immediately after the coupon.
-    p_out, p_in, se, up, up_se = _bermudan_fn(
+    p_out, p_in, se, up, up_se, p_cv, cv_se = _bermudan_fn(
         cfg, ex, sched, float(strike), bool(payer), int(n_paths),
         int(n_blocks), bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market)
     return BermudanResult(price=p_out, price_in_sample=p_in, std_error=se,
                           upper=up, upper_std_error=up_se,
                           n_paths=int(n_paths) * int(n_blocks),
-                          exercise_dates=ex)
+                          exercise_dates=ex, price_cv=p_cv,
+                          cv_std_error=cv_se)
 
 
 # ---------------------------------------------------------------------------

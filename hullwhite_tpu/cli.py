@@ -397,11 +397,15 @@ def cmd_swaption(args):
         orc = bermudan_mod.dp_oracle(cfg, market, sched, ex,
                                      payer=args.payer)
         print(f"Bermudan ({len(ex)} annual exercises): "
-              f"[{float(res.price):.8f}, {float(res.upper):.8f}] "
-              f"(SE {float(res.std_error):.2e}/{float(res.upper_std_error):.2e}; "
+              f"[{float(res.price_cv):.8f}, {float(res.upper):.8f}] "
+              f"(SE {float(res.cv_std_error):.2e}/"
+              f"{float(res.upper_std_error):.2e}; raw LSMC lower "
+              f"{float(res.price):.8f} +/- {float(res.std_error):.2e}; "
               f"DP oracle {orc:.8f}; "
-              f"early-exercise premium {float(res.price)-jam:.6f})")
+              f"early-exercise premium {float(res.price_cv)-jam:.6f})")
         results["bermudan_lower"] = float(res.price)
+        results["bermudan_lower_cv"] = float(res.price_cv)
+        results["bermudan_cv_se"] = float(res.cv_std_error)
         results["bermudan_upper"] = float(res.upper)
         results["bermudan_dp_oracle"] = orc
         results["bermudan_se"] = float(res.std_error)
@@ -434,11 +438,11 @@ def cmd_swaption(args):
                                               ex, payer=args.payer)
             orc = bermudan_mod.dp_oracle(cfg, market, sched, ex,
                                          payer=args.payer)
-            print(f"k={k}: [{float(res.price):.8f}, "
+            print(f"k={k}: [{float(res.price_cv):.8f}, "
                   f"{float(res.upper):.8f}]  DP {orc:.8f}")
             sweep["k"].append(k)
-            sweep["lower"].append(float(res.price))
-            sweep["lower_se"].append(float(res.std_error))
+            sweep["lower"].append(float(res.price_cv))
+            sweep["lower_se"].append(float(res.cv_std_error))
             sweep["upper"].append(float(res.upper))
             sweep["upper_se"].append(float(res.upper_std_error))
             sweep["dp_oracle"].append(orc)
@@ -664,10 +668,14 @@ def cmd_g2pp(args):
     bm = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex)
     orc_e = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=False)
     print(f"[Bermudan] ({len(ex)} annual exercises, 2-factor LSMC): "
-          f"[{float(bm.price):.8f}, {float(bm.upper):.8f}] "
-          f"(SE {float(bm.std_error):.2e}/{float(bm.upper_std_error):.2e}; "
-          f"early-exercise premium {float(bm.price) - orc_e:.6f})")
+          f"[{float(bm.price_cv):.8f}, {float(bm.upper):.8f}] "
+          f"(SE {float(bm.cv_std_error):.2e}/"
+          f"{float(bm.upper_std_error):.2e}; raw lower "
+          f"{float(bm.price):.8f} +/- {float(bm.std_error):.2e}; "
+          f"early-exercise premium {float(bm.price_cv) - orc_e:.6f})")
     results["bermudan_lower"] = float(bm.price)
+    results["bermudan_lower_cv"] = float(bm.price_cv)
+    results["bermudan_cv_se"] = float(bm.cv_std_error)
     results["bermudan_upper"] = float(bm.upper)
     results["bermudan_se"] = float(bm.std_error)
     hwio.write_json(hwio.DATA_DIR / "g2pp_results.json", "G2++ model", cfg,

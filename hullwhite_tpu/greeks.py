@@ -205,7 +205,7 @@ def bermudan_vega(cfg: HWConfig, key, market: MarketCurve, sched,
     sigma = jnp.asarray(cfg.sigma, jnp.float32)
     if mode == "jvp":
         def lo_up(s):
-            p, _, _, u, _ = fn(key, s, market)
+            p, _, _, u, *_ = fn(key, s, market)
             return p, u
 
         (p, u), (dp, du) = jax.jvp(lo_up, (sigma,),

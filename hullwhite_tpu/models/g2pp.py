@@ -1264,6 +1264,9 @@ class G2Bermudan(NamedTuple):
     exercise_dates: tuple
     upper: jax.Array            # Andersen-Broadie dual upper bound
     upper_std_error: jax.Array
+    # martingale-CV lower bound (E[M_tau] = 0; see bermudan.py)
+    price_cv: jax.Array | None = None
+    cv_std_error: jax.Array | None = None
 
 
 @lru_cache(maxsize=None)
@@ -1335,6 +1338,7 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             D = jnp.stack([disc_det[j] * jnp.exp(-I[:, j])
                            for j in range(k)], axis=1)
             cf = payoff_at(k - 1, x[:, k - 1], y[:, k - 1]) * D[:, k - 1]
+            stop = jnp.full((x.shape[0],), k - 1, jnp.int32)
             est = betas is None
             out = [None] * max(k - 1, 0)
             # last-date proxy: intrinsic up to the boundary, zero beyond
@@ -1355,7 +1359,8 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
                     wc = 1.0 - exercise.astype(jnp.float32)
                     gammas[j] = _wls(X, yreal, wc, prec)
                 cf = jnp.where(exercise, pj * D[:, j], cf)
-            return cf, out, gammas
+                stop = jnp.where(exercise, j, stop)
+            return cf, out, gammas, stop
 
         def boundaries(betas):
             """Per-date straight-line fit of the fitted policy's exercise
@@ -1426,6 +1431,7 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             D = jnp.stack([disc_det[j] * jnp.exp(-I[:, j])
                            for j in range(k)], axis=1)
             M = jnp.zeros((x.shape[0],), jnp.float32)
+            Ms = []       # M after each date's increment (for M_tau)
             best = None   # initialized from the first date (no -inf
             # literal: an infinity constant in the traced graph can
             # surface as NaN under XLA fusion)
@@ -1454,14 +1460,16 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
                     Ba, Bb, strike, wxb, wyb, cb, sg,
                     cfg.matmul_precision)
                 M = M + D[:, j] * vhat - D_prev * ratio * cond
+                Ms.append(M)
                 Z = D[:, j] * payoff_at(j, x[:, j], y[:, j])
                 best = Z - M if best is None else jnp.maximum(best, Z - M)
-            return best
+            return best, jnp.stack(Ms, axis=1)
 
         k_est, k_val = jax.random.split(key)
 
         # --- pass 1: estimate policy + value proxy (single batch) ---
-        cf_in, betas, gammas = backward(*states(k_est), fit_value=True)
+        cf_in, betas, gammas, _ = backward(*states(k_est),
+                                           fit_value=True)
         bnds = boundaries(betas)
 
         # --- pass 2: out-of-sample lower + dual upper, block-streamed ---
@@ -1478,31 +1486,40 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
                 xv, yv, Iv = z[:, 0::3], z[:, 1::3], z[:, 2::3]
             else:
                 xv, yv, Iv = states(kb)
-            cf, _, _ = backward(xv, yv, Iv, betas=betas)
-            u = dual_path_bound(xv, yv, Iv, gammas, bnds)
+            cf, _, _, stop = backward(xv, yv, Iv, betas=betas)
+            u, Ms = dual_path_bound(xv, yv, Iv, gammas, bnds)
+            # martingale control: E[M_tau] = 0 (see bermudan.py)
+            m_tau = jnp.take_along_axis(Ms, stop[:, None], axis=1)[:, 0]
+            cv = cf - m_tau
             return jnp.stack([jnp.sum(cf), jnp.sum(cf * cf),
-                              jnp.sum(u), jnp.sum(u * u)])
+                              jnp.sum(u), jnp.sum(u * u),
+                              jnp.sum(cv), jnp.sum(cv * cv)])
 
         from ..parallel import mesh as pmesh
 
-        per_block = pmesh.map_blocks(block, n_blocks, mesh)  # (n_blocks, 4)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)  # (n_blocks, 6)
         sums = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         p_out = sums[0] / n_tot
         up = sums[2] / n_tot
+        p_cv = sums[4] / n_tot
         if rqmc:
             # the digital shifts are the independent replicates (a block's
             # Sobol points are deterministic given its shift)
             bm_lo = per_block[:, 0] / n_paths
             bm_up = per_block[:, 2] / n_paths
+            bm_cv = per_block[:, 4] / n_paths
             se = jnp.std(bm_lo, ddof=1) / jnp.sqrt(1.0 * n_blocks)
             up_se = jnp.std(bm_up, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            cv_se = jnp.std(bm_cv, ddof=1) / jnp.sqrt(1.0 * n_blocks)
         else:
             se = jnp.sqrt(jnp.maximum(sums[1] / n_tot - p_out ** 2, 0.0)
                           / n_tot)
             up_se = jnp.sqrt(jnp.maximum(sums[3] / n_tot - up ** 2, 0.0)
                              / n_tot)
-        return p_out, jnp.mean(cf_in), se, up, up_se
+            cv_se = jnp.sqrt(jnp.maximum(sums[5] / n_tot - p_cv ** 2, 0.0)
+                             / n_tot)
+        return p_out, jnp.mean(cf_in), se, up, up_se, p_cv, cv_se
 
     return jax.jit(compute)
 
@@ -1538,13 +1555,14 @@ def price_bermudan_g2(cfg: HWConfig, g: G2Params, key,
     if rqmc and n_blocks < 2:
         raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
                          "are the independent SE replicates)")
-    p, p_in, se, up, up_se = _g2_bermudan_fn(
+    p, p_in, se, up, up_se, p_cv, cv_se = _g2_bermudan_fn(
         cfg, g, ex, tuple(sched.times), tuple(sched.coupons),
         float(strike), bool(payer), int(n_paths), int(n_blocks),
         bool(rqmc), mesh)(key, market)
     return G2Bermudan(price=p, price_in_sample=p_in, std_error=se,
                       n_paths=int(n_paths) * int(n_blocks),
-                      exercise_dates=ex, upper=up, upper_std_error=up_se)
+                      exercise_dates=ex, upper=up, upper_std_error=up_se,
+                      price_cv=p_cv, cv_std_error=cv_se)
 
 
 # ---------------------------------------------------------------------------

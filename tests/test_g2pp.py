@@ -550,3 +550,19 @@ def test_g2_validate_runs_batched(analytic_market):
     true = g2pp.zbc_price_analytic(CFG, G2, analytic_market)
     se = runs[:, 0].std(ddof=1) / 2.0
     assert abs(runs[:, 0].mean() - true) < 5 * se + 2e-4
+
+
+def test_g2_martingale_cv_lower_bound(analytic_market):
+    """G2++ martingale-CV lower: SE collapsed >=10x vs the raw LSMC
+    lower (measured ~30x), never above the dual upper within noise."""
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    cfg = CFG.replace(n_steps=1000)
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    ex = [5.0, 6.0, 7.0]
+    r = g2pp.price_bermudan_g2(cfg, G2, KEY, analytic_market, sched, ex,
+                               n_paths=1 << 15)
+    cv, cv_se = float(r.price_cv), float(r.cv_std_error)
+    assert cv_se < float(r.std_error) / 10.0, (cv_se, float(r.std_error))
+    assert cv <= float(r.upper) + 4 * (cv_se + float(r.upper_std_error))
+    assert abs(cv - float(r.price)) < 4 * float(r.std_error)
