@@ -654,7 +654,8 @@ def cmd_g2pp(args):
         runs = g2pp.validate_zbc_g2_runs(cfg, g, key, market, n_runs=n)
         s = hwstats.summarize([float(x) for x in runs[:, 0]])
         s_beta = hwstats.summarize([float(x) for x in runs[:, 2]])
-        z = (s.mean - true) / max(s.std_error, 1e-12)
+        z = ((s.mean - true) / s.std_error if s.std_error > 0
+             else float("nan"))   # single run: no SE, no z
         print(f"mean price (CV):   {s.mean:.8f}  +/- "
               f"{s.margin_of_error:.8f} (95% CI)")
         print(f"closed form:       {true:.8f}   z = {z:.2f}")

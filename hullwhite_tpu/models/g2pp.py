@@ -583,6 +583,10 @@ def exchange_analytic_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
     ws = np.array([wa[0] - wb[0], wa[1] - wb[1], 0.0])
     mu_s = lnAa - lnAb
     sig_s = math.sqrt(max(ws @ C @ ws, 0.0))
+    if K <= 0.0:
+        # exchange is always worthwhile: price = E[D(Pa - K Pb)] exactly
+        return disc0 * (math.exp(lnAa + 0.5 * float(wa @ C @ wa))
+                        - K * math.exp(lnAb + 0.5 * float(wb @ C @ wb)))
     c = math.log(K)
 
     def leg(w, lnA):
@@ -667,10 +671,10 @@ def _g2_grid_fn(cfg: HWConfig, g: G2Params, Ks_t: tuple, S2_t: tuple,
 
     LT = jnp.asarray(_state_chol(g, cfg.s1))
     d0 = -0.5 * _v_integral(g, cfg.s1)
-    vadj = [0.5 * (_v_integral(g, t - cfg.s1) - _v_integral(g, t)
-                   + _v_integral(g, cfg.s1)) for t in S2_t]
-    Ba = jnp.asarray([_B(g.a, t - cfg.s1) for t in S2_t], jnp.float32)
-    Bb = jnp.asarray([_B(g.b, t - cfg.s1) for t in S2_t], jnp.float32)
+    terms = [_exchange_terms(cfg, g, t) for t in S2_t]
+    vadj = [t[2] for t in terms]
+    Ba = jnp.asarray([t[0] for t in terms], jnp.float32)
+    Bb = jnp.asarray([t[1] for t in terms], jnp.float32)
     Ks = jnp.asarray(Ks_t, jnp.float32)
     n_k, n_s2 = len(Ks_t), len(S2_t)
 
