@@ -81,21 +81,20 @@ def run_benchmark(cfg: HWConfig, key, reps: int = 10, sweep: bool = False):
     # at full scale on v5e: 37 M paths/s, RESULTS.md.  Compiles in ~7 s on
     # the current remote toolchain.)
     scan_pairs = min(cfg.n_paths, SCAN_PATHS)
-    if True:
-        scfg = cfg.replace(n_paths=scan_pairs,
-                           path_block=min(cfg.path_block, SCAN_PATHS))
-        prep = pricing._option_prep_fn(scfg, "scan", "zbc")(
-            scfg.sigma, scfg.sigma, market)
-        f = pricing._option_run_fn(scfg, "scan", "zbc", None)
-        dt, m = bench(f, key, prep, market, n=3, rtt=rtt)
-        est = cv_estimate(jnp.asarray(m), market.P[-1])
-        rows["scan"] = {"ms": dt * 1e3,
-                        "paths_per_sec": 2 * scfg.n_paths / dt,
-                        "price": float(est.price), "beta": float(est.beta),
-                        "n_paths": scan_pairs}
-        print(f"{f'scan ({scan_pairs})':14s} {dt*1e3:10.3f} "
-              f"{2*scfg.n_paths/dt/1e6:10.0f} "
-              f"{float(est.price):12.8f} {float(est.beta):8.4f}", flush=True)
+    scfg = cfg.replace(n_paths=scan_pairs,
+                       path_block=min(cfg.path_block, SCAN_PATHS))
+    prep = pricing._option_prep_fn(scfg, "scan", "zbc")(
+        scfg.sigma, scfg.sigma, market)
+    f = pricing._option_run_fn(scfg, "scan", "zbc", None)
+    dt, m = bench(f, key, prep, market, n=3, rtt=rtt)
+    est = cv_estimate(jnp.asarray(m), market.P[-1])
+    rows["scan"] = {"ms": dt * 1e3,
+                    "paths_per_sec": 2 * scfg.n_paths / dt,
+                    "price": float(est.price), "beta": float(est.beta),
+                    "n_paths": scan_pairs}
+    print(f"{f'scan ({scan_pairs})':14s} {dt*1e3:10.3f} "
+          f"{2*scfg.n_paths/dt/1e6:10.0f} "
+          f"{float(est.price):12.8f} {float(est.beta):8.4f}", flush=True)
 
     best = max((e for e in rows if e != "scan"),
                key=lambda e: rows[e]["paths_per_sec"])
@@ -184,6 +183,162 @@ def ab_compare(cfg_a, cfg_b, key, market, engine_a, engine_b,
         print(f"[A/B {label}] {kind}: A={xa.mean():.8f} B={xb.mean():.8f} "
               f"diff={diff:+.2e} (paired SE {se:.2e}, z={z:+.2f})")
     return out
+
+
+def run_roofline(cfg: HWConfig, key, reps: int = 10):
+    """Speed-of-light accounting for the full-step tiers: analytic MXU
+    flop counts from the live tile constants (fused.fullstep_roofline)
+    divided into the measured wall time -> achieved fraction of the bf16
+    MXU peak, per tier.  The exact tiers' equivalent accounting (VPU
+    Box-Muller wall, 86% achieved) lives in RESULTS.md; this makes the
+    full-step tiers' wall equally explicit and repeatable
+    (``cli benchmark --roofline`` -> data/fullstep_roofline.json)."""
+    if jax.devices()[0].platform == "cpu":
+        raise SystemExit("--roofline times the fused Pallas kernels; "
+                         "run it on the TPU")
+    from .pallas import fused
+    from .utils.profile import _DEFAULT_PEAKS, _PEAKS
+
+    dev = str(jax.devices()[0])
+    peaks = next((p for n, p in _PEAKS.items() if n in dev),
+                 _DEFAULT_PEAKS)
+    peak_fs = peaks["bf16_tflops"] * 1e12
+    sheet = fused.fullstep_roofline(cfg)
+    rtt = fetch_rtt()
+    market = pricing.bootstrap_curve(cfg, key, engine="exact")
+    print(f"--- Full-step roofline [{dev}; bf16 peak "
+          f"{peaks['bf16_tflops']:.0f} Tflop/s; matmul passes "
+          f"{sheet['q1_fullstep']['matmul_passes']}] ---")
+    print(f"{'tier':14s} {'ms':>8s} {'M pairs/s':>10s} "
+          f"{'Mflop/pair':>11s} {'Tflop/s':>8s} {'% peak':>7s} "
+          f"{'G normals/s':>12s}")
+    out = {"device": dev, "peak_bf16_tflops": peaks["bf16_tflops"],
+           "matmul_precision": cfg.matmul_precision, "tiers": {}}
+
+    def row(name, dt):
+        e = sheet[name]
+        pairs_s = cfg.n_paths / dt
+        fs = pairs_s * e["mxu_flops_per_pair"]
+        frac = fs / peak_fs
+        norm_s = pairs_s * e["normals_per_pair"]
+        print(f"{name:14s} {dt*1e3:8.3f} {pairs_s/1e6:10.0f} "
+              f"{e['mxu_flops_per_pair']/1e6:11.3f} {fs/1e12:8.1f} "
+              f"{100*frac:6.1f}% {norm_s/1e9:12.1f}")
+        out["tiers"][name] = {
+            "ms": dt * 1e3, "pairs_per_sec": pairs_s,
+            "mxu_flops_per_pair": e["mxu_flops_per_pair"],
+            "achieved_tflops": fs / 1e12, "fraction_of_peak": frac,
+            "normals_per_sec": norm_s}
+
+    prep = pricing._curve_prep_fn(cfg, "pallas")(cfg.sigma, cfg.sigma)
+    dt, _ = bench(pricing._curve_sums_run_fn(cfg, "pallas", None),
+                  key, prep, n=reps, rtt=rtt)
+    row("q1_fullstep", dt)
+    for kind in ("zbc", "vega"):
+        prep = pricing._option_prep_fn(cfg, "pallas", kind)(
+            cfg.sigma, cfg.sigma, market)
+        f = pricing._option_run_fn(cfg, "pallas", kind, None)
+        dt, _ = bench(f, key, prep, market, n=reps, rtt=rtt)
+        row(f"{kind}_fullstep", dt)
+    # the raw-generator wall: with the Hadamard premix the tiers are no
+    # longer MXU-bound; measure the draw+bitcast peak on the same
+    # geometry and report each tier against THAT wall
+    raw_fn, raws_per_lane = fused.raw_peak_fn(cfg)
+    dt_raw, _ = bench(jax.jit(lambda key, _p, _m: raw_fn(key)),
+                      key, None, None, n=reps, rtt=rtt)
+    raw_peak = cfg.n_paths * raws_per_lane / dt_raw
+    out["raw_generator_peak_per_sec"] = raw_peak
+    print(f"\nraw-generator peak (draw + octave bitcast, minimal "
+          f"consumer): {raw_peak/1e9:.0f} G raws/s")
+    for name, t in out["tiers"].items():
+        frac = t["normals_per_sec"] / raw_peak
+        t["fraction_of_raw_wall"] = frac
+        print(f"  {name}: {100*frac:.0f}% of the raw peak, "
+              f"{100*t['fraction_of_peak']:.0f}% of the MXU peak")
+    print("with the Hadamard premix no single unit saturates: the "
+          "remaining wall is the VPU octave-spread bit ops (~6 ops per "
+          "u32 word; ~2 T ops/s at these rates, near the practical VPU "
+          "ceiling) overlapped with the weight matmul and payoff tail")
+    hwio.write_json(hwio.DATA_DIR / "fullstep_roofline.json",
+                    "Full-step roofline", cfg, results=out)
+    print("saved data/fullstep_roofline.json")
+    return 0
+
+
+def _curve_ab(cfg_a, cfg_b, key, engine_a, engine_b, n_runs):
+    """Paired P(0,10) A/B across n_runs bootstrap seeds (the curve is the
+    one deliverable the option-kernel A/B doesn't cover)."""
+    import numpy as np
+
+    pa, pb = [], []
+    for i in range(n_runs):
+        ki = jax.random.fold_in(key, 3000 + i)
+        pa.append(float(np.asarray(
+            pricing.bootstrap_curve(cfg_a, ki, engine=engine_a).P)[-1]))
+        pb.append(float(np.asarray(
+            pricing.bootstrap_curve(cfg_b, ki, engine=engine_b).P)[-1]))
+    d = np.asarray(pa) - np.asarray(pb)
+    diff = float(d.mean())
+    se = float(d.std(ddof=1) / np.sqrt(n_runs)) if n_runs > 1 else 0.0
+    z = diff / se if se > 1e-15 else (
+        0.0 if abs(diff) < 1e-15 else float("inf") * np.sign(diff))
+    print(f"[A/B] P(0,10): A={np.mean(pa):.8f} B={np.mean(pb):.8f} "
+          f"diff={diff:+.2e} (paired SE {se:.2e}, z={z:+.2f})")
+    return {"mean_a": float(np.mean(pa)), "mean_b": float(np.mean(pb)),
+            "diff": diff, "se_diff": se, "z": float(z)}
+
+
+# (mode) -> (zbc/vega engines A/B, curve engines A/B, precision A/B)
+AB_MODES = {
+    # exact-Gaussian XLA tiers vs the fused kernels' hardware PRNG +
+    # polynomial Box-Muller (same distribution, different generator)
+    "rng": dict(opt=("exact", "pallas_exact"), curve=None, prec=None,
+                label="XLA threefry+erfinv vs hw PRNG+poly Box-Muller"),
+    # MXU input precision: fp32 ("highest") vs bf16 ("default") arms on
+    # identical seeds — paired diffs resolve deterministic shifts exactly
+    "precision": dict(opt=("exact", "exact"), curve=("linear", "linear"),
+                      prec=("highest", "default"),
+                      label="matmul precision highest vs default"),
+    # full-step tiers: exact-Gaussian linear tier vs the MXU-mixed
+    # generator (128-wide Hadamard CLT mix, pallas/fused.py)
+    "fullstep": dict(opt=("linear", "pallas"), curve=("linear", "pallas"),
+                     prec=None,
+                     label="exact-Gaussian fullstep vs MXU-mixed RNG"),
+}
+
+
+def run_ab(cfg: HWConfig, key, mode: str, n_runs: int = 20):
+    """Repeatable entry point for the RESULTS.md A/B tables
+    (``cli benchmark --ab rng|precision|fullstep`` -> data/ab_results.json).
+
+    The statistical-validation analogue of the reference's method-
+    agreement z-test (3_sensitivity_analysis.cu:656-695) applied to
+    engineering choices; see ab_compare for the paired-seed design."""
+    spec = AB_MODES[mode]
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if not on_tpu and "pallas" in spec["opt"][1]:
+        raise SystemExit(
+            f"--ab {mode} compares against a fused Pallas kernel whose "
+            "in-kernel PRNG only runs on TPU hardware (interpret mode "
+            "returns zero random bits; see CLAUDE.md)")
+    cfg_a = cfg_b = cfg
+    if spec["prec"]:
+        cfg_a = cfg.replace(matmul_precision=spec["prec"][0])
+        cfg_b = cfg.replace(matmul_precision=spec["prec"][1])
+    market = pricing.bootstrap_curve(cfg, key, engine="exact")
+    out = ab_compare(cfg_a, cfg_b, key, market, *spec["opt"],
+                     n_runs=n_runs, label=spec["label"])
+    out["mode"] = mode
+    if spec["curve"]:
+        out["curve_P10"] = _curve_ab(cfg_a, cfg_b, key, *spec["curve"],
+                                     n_runs)
+    agree = all(abs(out[k]["z"]) < 3.0 for k in ("price", "vega"))
+    print(f"A/B verdict ({mode}): "
+          f"{'AGREE at the 3-sigma level' if agree else 'DISAGREE'}")
+    hwio.write_json(hwio.DATA_DIR / "ab_results.json",
+                    f"A/B {mode}", cfg, results=out)
+    print("saved data/ab_results.json")
+    return 0
 
 
 def _block_sweep(cfg, key, market, rtt, engine):

@@ -54,6 +54,8 @@ def _cfg(args) -> HWConfig:
         # largest power-of-two divisor of n_paths, capped at 2^15 — always a
         # valid block size, so any --paths value is accepted
         kw["path_block"] = min(args.paths & -args.paths, 1 << 15)
+    if getattr(args, "precision", None):
+        kw["matmul_precision"] = args.precision
     return HWConfig(**kw)
 
 
@@ -290,6 +292,14 @@ def cmd_q3(args):
         from .utils.profile import format_vmem_datasheet
 
         print("\n" + format_vmem_datasheet(cfg))
+    if getattr(args, "trace", None):
+        # runtime trace capture: a perfetto/tensorboard trace of the hot
+        # launches lands next to the XLA report (open with perfetto.dev
+        # or tensorboard --logdir).  The reference's profiling story ends
+        # at the static occupancy print; this is the dynamic half.
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(fv(key, prep_v, market))
+        print(f"\n[trace] profiler trace written to {args.trace}/")
     dt, v = bench(fv, key, prep_v, market, n=args.reps, rtt=rtt)
     vega_pw = float(v[0] / v[1])
     ms = dt * 1e3
@@ -562,6 +572,42 @@ def cmd_cap(args):
     return 0 if ok else 1
 
 
+def cmd_cms(args):
+    """CMS cap/floor leg: constant-maturity-swap caplets (convexity-
+    bearing payoff) on the exact multi-date states vs the fp64 tilted-
+    quadrature oracle (round 3; product family beyond the reference)."""
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 7171)
+    market = hwio.load_market(cfg)
+    kind = "CMS floor" if args.floor else "CMS cap"
+    print(f"--- {kind}: start {cfg.s1}y, tenor {args.tenor}y @ "
+          f"{args.rate*100:.2f}%, underlying {args.swap_tenor}y swap ---")
+    res = instruments.price_cms(cfg, key, market, rate=args.rate,
+                                tenor=args.tenor, freq=args.freq,
+                                swap_tenor=args.swap_tenor,
+                                floor=args.floor)
+    orc, per = instruments.cms_quadrature(
+        cfg, market, rate=args.rate, tenor=args.tenor, freq=args.freq,
+        swap_tenor=args.swap_tenor, floor=args.floor)
+    print(f"MC:         {float(res.price):.8f} "
+          f"+/- {float(res.std_error):.2e} (SE)")
+    print(f"quadrature: {orc:.8f}")
+    print("per-period MC:", np.array2string(np.asarray(res.periods),
+                                            precision=6))
+    z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+    ok = abs(z) < 4 or abs(float(res.price) - orc) < 2e-4
+    print(f"agreement: z = {z:.2f} ({'PASS' if ok else 'CHECK'})")
+    hwio.write_json(hwio.DATA_DIR / "cms_results.json", kind, cfg,
+                    results={"mc_price": float(res.price),
+                             "mc_se": float(res.std_error),
+                             "quadrature": orc, "z": z,
+                             "periods_mc": [float(x) for x in res.periods],
+                             "periods_quadrature": per})
+    return 0 if ok else 1
+
+
 def cmd_g2pp(args):
     """Second model family at product parity: curve bootstrap, ZBC
     (MC + RQMC + closed form), swaption (MC + conditional-decomposition
@@ -694,6 +740,89 @@ def cmd_g2pp(args):
     return 0 if ok else 1
 
 
+def cmd_sweep(args):
+    """Pod-scale sweep (BASELINE configs[4]): 2^24 antithetic pairs
+    sharded over a device mesh — curve bootstrap, ZBC CV pricing,
+    pathwise vega, and the shared-path strike x maturity grid, one
+    command.  On the 8-chip pod this is the production entry; with one
+    real chip it runs a 1-device mesh; off-TPU it self-provisions an
+    N-device virtual CPU mesh (the CI configuration), so the sharded
+    code path is exercised everywhere."""
+    from . import grid as grid_mod
+    from .parallel import mesh as pmesh
+    from .utils.timing import bench, fetch_rtt
+
+    n_dev = args.mesh or len(jax.devices())
+    if len(jax.devices()) < n_dev:
+        # self-provision a virtual CPU mesh (same dance as
+        # __graft_entry__.dryrun_multichip; the TPU backend is already
+        # initialized, so env vars are too late)
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
+        _xb.get_backend.cache_clear()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_dev)
+    devices = jax.devices()[:n_dev]
+    mesh = pmesh.path_mesh(devices)
+    n_paths = args.paths or (1 << 24)
+    cfg = HWConfig(n_paths=n_paths,
+                   path_block=min(n_paths & -n_paths,
+                                  1 << 15))
+    if (cfg.n_paths // cfg.path_block) % n_dev:
+        raise SystemExit(f"--paths must give a block count divisible by "
+                         f"the {n_dev}-device mesh")
+    key = _key(cfg, args)
+    eng = args.engine or _default_engine(cfg)
+    print(f"--- sweep: {cfg.n_paths} pairs over {n_dev} device(s) "
+          f"[{devices[0].platform}; engine {eng}] ---")
+    rtt = fetch_rtt()
+    t = {}
+
+    prep_c = pricing._curve_prep_fn(cfg, eng)(cfg.sigma, cfg.sigma)
+    fc = pricing._curve_sums_run_fn(cfg, eng, mesh)
+    dt, sums = bench(fc, key, prep_c, n=args.reps, rtt=rtt)
+    t["curve_ms"] = dt * 1e3
+    P = np.asarray(sums / (2.0 * cfg.n_paths))
+    market = pricing.bootstrap_curve(cfg, key, engine=eng, mesh=mesh)
+    print(f"[curve] P(0,10) = {P[-1]:.6f}   {dt*1e3:.1f} ms "
+          f"({2*cfg.n_paths/dt/1e6:.0f} M paths/s)")
+
+    prep_o = pricing._option_prep_fn(cfg, eng, "zbc")(
+        cfg.sigma, cfg.sigma, market)
+    fo = pricing._option_run_fn(cfg, eng, "zbc", mesh)
+    dt, m = bench(fo, key, prep_o, market, n=args.reps, rtt=rtt)
+    t["zbc_ms"] = dt * 1e3
+    from .ops.payoffs import cv_estimate
+
+    est = cv_estimate(jnp.asarray(m), market.P[-1])
+    print(f"[zbc]   price = {float(est.price):.8f}   {dt*1e3:.1f} ms "
+          f"({2*cfg.n_paths/dt/1e6:.0f} M paths/s)")
+
+    prep_v = pricing._option_prep_fn(cfg, eng, "vega")(
+        cfg.sigma, cfg.sigma, market)
+    fv = pricing._option_run_fn(cfg, eng, "vega", mesh)
+    dt, v = bench(fv, key, prep_v, market, n=args.reps, rtt=rtt)
+    t["vega_ms"] = dt * 1e3
+    print(f"[vega]  {float(v[0]/v[1]):.6f}   {dt*1e3:.1f} ms "
+          f"({cfg.n_paths/dt/1e6:.0f} M paths/s)")
+
+    Ks = [cfg.strike * (1 + s) for s in (-0.03, -0.015, 0.0, 0.015, 0.03)]
+    S2s = [6.0, 7.0, 8.0, 9.0, 10.0]
+    g = grid_mod.price_zbc_grid(cfg, key, market, Ks, S2s, mesh=mesh)
+    print(f"[grid]  {len(Ks)}x{len(S2s)} shared-path surface: "
+          f"price[mid] = {float(g.price[2, -1]):.8f}")
+    hwio.write_json(hwio.DATA_DIR / "sweep_results.json",
+                    f"sweep over {n_dev} devices", cfg,
+                    results={**t, "n_devices": n_dev,
+                             "P10": float(P[-1]),
+                             "zbc": float(est.price),
+                             "vega": float(v[0] / v[1]),
+                             "grid_mid": float(g.price[2, -1])})
+    print("saved data/sweep_results.json")
+    return 0
+
+
 def cmd_grid(args):
     from . import grid as grid_mod
 
@@ -718,14 +847,22 @@ def cmd_grid(args):
     gerr = float(np.abs(np.asarray(gres.price) - orc).max())
     print(f"G2++ surface (same grid, shared 3-normal states): "
           f"max |MC - closed| = {gerr:.2e}")
+    gv, gv_se = g2pp.vega_zbc_grid_g2(cfg, g2, key, market, Ks, S2s)
+    gv_orc = g2pp.vega_zbc_grid_analytic_g2(cfg, g2, market, Ks, S2s)
+    gv_err = float(np.abs(np.asarray(gv) - gv_orc).max())
+    print(f"G2++ vega surface (paired-shift RQMC): "
+          f"max |MC - closed FD| = {gv_err:.2e} "
+          f"(max SE {float(np.max(np.asarray(gv_se))):.1e})")
     hwio.write_json(
         hwio.DATA_DIR / "grid_results.json", "Option surface", cfg,
         results={"strikes": [float(x) for x in Ks],
-                 "maturities": S2s, "g2_max_err": gerr},
+                 "maturities": S2s, "g2_max_err": gerr,
+                 "g2_vega_max_err": gv_err},
         arrays={"price": np.asarray(g.price),
                 "beta": np.asarray(g.beta),
                 "vega": np.asarray(vegas),
-                "g2_price": np.asarray(gres.price)})
+                "g2_price": np.asarray(gres.price),
+                "g2_vega": np.asarray(gv)})
     return 0
 
 
@@ -734,8 +871,14 @@ def cmd_grid(args):
 # ---------------------------------------------------------------------------
 
 def cmd_benchmark(args):
-    from .benchmarks import run_benchmark
+    from .benchmarks import run_ab, run_benchmark, run_roofline
 
+    if args.ab:
+        return run_ab(_cfg(args), _key(_cfg(args), args), args.ab,
+                      n_runs=args.ab_runs)
+    if args.roofline:
+        return run_roofline(_cfg(args), _key(_cfg(args), args),
+                            reps=args.reps)
     return run_benchmark(_cfg(args), _key(_cfg(args), args),
                          reps=args.reps, sweep=args.sweep)
 
@@ -751,6 +894,10 @@ def main(argv=None):
     common.add_argument("--seed", type=int, default=None)
     common.add_argument("--reps", type=int, default=10,
                         help="timing repetitions")
+    common.add_argument("--precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="MXU matmul precision override (see "
+                             "HWConfig.matmul_precision)")
     sub.add_parser("q1", parents=[common])
     p2 = sub.add_parser("q2", parents=[common])
     p2.add_argument("--validate", type=int, default=0, metavar="N",
@@ -763,9 +910,20 @@ def main(argv=None):
     p3.add_argument("--qmc", type=int, default=0, metavar="NPTS")
     p3.add_argument("--profile", action="store_true",
                     help="print the XLA compile report before the hot launch")
+    p3.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of one hot vega "
+                         "launch into DIR (view with perfetto/tensorboard)")
     pb = sub.add_parser("benchmark", parents=[common])
     pb.add_argument("--sweep", action="store_true",
                     help="also sweep path_block sizes (reference C39)")
+    pb.add_argument("--ab", choices=["rng", "precision", "fullstep"],
+                    default=None,
+                    help="20-run paired A/B (RNG design / MXU precision / "
+                         "fullstep mixed generator) -> data/ab_results.json")
+    pb.add_argument("--ab-runs", type=int, default=20)
+    pb.add_argument("--roofline", action="store_true",
+                    help="full-step tier speed-of-light accounting "
+                         "(TPU) -> data/fullstep_roofline.json")
     ps = sub.add_parser("swaption", parents=[common])
     ps.add_argument("--rate", type=float, default=0.025)
     ps.add_argument("--tenor", type=float, default=5.0)
@@ -780,6 +938,10 @@ def main(argv=None):
                     help="bracket + DP oracle for k = 1..5 exercise "
                          "rights -> data/bermudan_sweep.json")
     sub.add_parser("grid", parents=[common])
+    psw = sub.add_parser("sweep", parents=[common])
+    psw.add_argument("--mesh", type=int, default=None, metavar="N",
+                     help="device-mesh size (default: all devices; "
+                          "self-provisions a virtual CPU mesh off-TPU)")
     pg2 = sub.add_parser("g2pp", parents=[common])
     pg2.add_argument("--g2a", type=float, default=1.0)
     pg2.add_argument("--g2b", type=float, default=0.1)
@@ -796,6 +958,12 @@ def main(argv=None):
     pc.add_argument("--tenor", type=float, default=4.0)
     pc.add_argument("--freq", type=float, default=1.0)
     pc.add_argument("--floor", action="store_true")
+    pcm = sub.add_parser("cms", parents=[common])
+    pcm.add_argument("--rate", type=float, default=0.02)
+    pcm.add_argument("--tenor", type=float, default=4.0)
+    pcm.add_argument("--freq", type=float, default=1.0)
+    pcm.add_argument("--swap-tenor", type=float, default=5.0)
+    pcm.add_argument("--floor", action="store_true")
     pcal = sub.add_parser("calibrate", parents=[common])
     for flag, dv in [("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
                      ("--g2eta", 0.02), ("--g2rho", -0.6)]:
@@ -819,10 +987,14 @@ def main(argv=None):
         return cmd_swaption(args)
     if args.cmd == "grid":
         return cmd_grid(args)
+    if args.cmd == "sweep":
+        return cmd_sweep(args)
     if args.cmd == "g2pp":
         return cmd_g2pp(args)
     if args.cmd == "cap":
         return cmd_cap(args)
+    if args.cmd == "cms":
+        return cmd_cms(args)
     if args.cmd == "calibrate":
         return cmd_calibrate(args)
     if args.cmd == "all":

@@ -174,7 +174,7 @@ def bermudan_vega(cfg: HWConfig, key, market: MarketCurve, sched,
                   exercise_dates, *, strike: float = 1.0,
                   payer: bool = False, n_paths: int | None = None,
                   n_blocks: int = 1, rqmc: bool = False,
-                  eps: float = 1e-3, mode: str = "jvp"):
+                  eps: float = 1e-3, mode: str = "jvp", mesh=None):
     """(price, vega, upper, upper_vega): d/dsigma of the Bermudan bracket.
 
     mode="jvp": forward-mode AD through the full two-pass estimator in
@@ -198,10 +198,15 @@ def bermudan_vega(cfg: HWConfig, key, market: MarketCurve, sched,
 
     if n_paths is None:
         n_paths = cfg.n_paths
+    if rqmc and n_blocks < 2:
+        # mirror price_bermudan's guard (this entry calls _bermudan_fn
+        # directly): with one block the shift-replicate SEs are NaN
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent SE replicates)")
     ex = tuple(sorted(float(t) for t in exercise_dates))
     fn = bermudan_mod._bermudan_fn(cfg, ex, sched, float(strike),
                                    bool(payer), int(n_paths),
-                                   int(n_blocks), bool(rqmc))
+                                   int(n_blocks), bool(rqmc), mesh)
     sigma = jnp.asarray(cfg.sigma, jnp.float32)
     if mode == "jvp":
         def lo_up(s):
@@ -234,7 +239,7 @@ def bermudan_delta(cfg: HWConfig, key, market: MarketCurve, sched,
                    exercise_dates, *, strike: float = 1.0,
                    payer: bool = False, n_paths: int | None = None,
                    n_blocks: int = 1, rqmc: bool = False,
-                   h: float = 1e-3):
+                   h: float = 1e-3, mesh=None):
     """(delta_lower, delta_upper): d/dh of the Bermudan bracket under a
     parallel forward-curve shift, by central differences with common
     random numbers (same key => the exact multi-date states are IDENTICAL
@@ -247,11 +252,11 @@ def bermudan_delta(cfg: HWConfig, key, market: MarketCurve, sched,
     rp = bermudan_mod.price_bermudan(
         cfg, key, shift_curve(cfg, market, +h), sched, exercise_dates,
         strike=strike, payer=payer, n_paths=n_paths, n_blocks=n_blocks,
-        rqmc=rqmc)
+        rqmc=rqmc, mesh=mesh)
     rm = bermudan_mod.price_bermudan(
         cfg, key, shift_curve(cfg, market, -h), sched, exercise_dates,
         strike=strike, payer=payer, n_paths=n_paths, n_blocks=n_blocks,
-        rqmc=rqmc)
+        rqmc=rqmc, mesh=mesh)
     return ((float(rp.price) - float(rm.price)) / (2.0 * h),
             (float(rp.upper) - float(rm.upper)) / (2.0 * h))
 

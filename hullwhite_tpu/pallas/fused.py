@@ -26,6 +26,7 @@ grid over a device mesh with psum combines unchanged.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 import numpy as np
 import jax
@@ -200,32 +201,47 @@ def _mix_d(n: int):
     return np.random.default_rng(_MIX_D_SEED).choice([-1.0, 1.0], n)
 
 
-def _hadamard_mix():
-    """(128, 128) bf16 Sylvester-Hadamard scaled by the bf16-exact q0."""
+def _hadamard_np():
+    """(128, 128) fp64 Sylvester-Hadamard scaled by the bf16-exact q0."""
     H = np.array([[1.0]], np.float64)
     while H.shape[0] < _MIX_BLOCK:
         H = np.block([[H, H], [H, -H]])
-    return jnp.asarray(H * _MIX_Q0, jnp.bfloat16)
+    return H * _MIX_Q0
 
 
-def _mixed_block(draw, h_ref, half_shape, salt, transposed: bool):
-    """One (128, cols) [transposed] or (rows, 128) [path-major] fp32 block
-    of CLT-mixed unit shocks from ``half_shape`` u32 draws (each word
-    yields two bf16 raws, doubling the sublane dim on bitcast)."""
+def _premix_curve(Wsh: np.ndarray) -> np.ndarray:
+    """Fold the Hadamard mix into path-major curve weights per 128-step
+    block: rows q*128:(q+1)*128 become (H q0) @ W_q, so the kernel's
+    z = sum_q U_q (H W_q) equals the mixed-generator z exactly (fp64
+    premix; associativity of the CLT mix)."""
+    H = _hadamard_np()
+    out = np.empty_like(Wsh, dtype=np.float64)
+    for q in range(Wsh.shape[0] // _MIX_BLOCK):
+        s = slice(q * _MIX_BLOCK, (q + 1) * _MIX_BLOCK)
+        out[s] = H @ Wsh[s]
+    return out
+
+
+def _premix_opt(Up: np.ndarray) -> np.ndarray:
+    """Transposed-layout premix: columns q*128:(q+1)*128 of the (8, nb*128)
+    weight rows become W_q @ (H q0) (H symmetric)."""
+    H = _hadamard_np()
+    out = np.empty_like(Up, dtype=np.float64)
+    for q in range(Up.shape[1] // _MIX_BLOCK):
+        s = slice(q * _MIX_BLOCK, (q + 1) * _MIX_BLOCK)
+        out[:, s] = Up[:, s] @ H
+    return out
+
+
+def _raw_block(draw, half_shape, salt):
+    """One block of octave-spread bf16 raw atoms from ``half_shape`` u32
+    draws (each word yields two bf16 raws, doubling the sublane dim on
+    bitcast; exponent += 4 w.p. 3/8 spreads the octaves so the 512-term
+    CLT mix matches Gaussian kurtosis, see RESULTS.md)."""
     b = draw(half_shape, salt)
     base = (b & jnp.uint32(0x807F807F)) | jnp.uint32(0x3F803F80)
     c = ((b >> 8) & ((b >> 9) | (b >> 10))) & jnp.uint32(0x00010001)
-    U = pltpu.bitcast(base + (c << 9), jnp.bfloat16)  # exponent += 4 w.p. 3/8
-    if transposed:          # U (128, cols): mix sublanes -> G = H @ U
-        return jax.lax.dot_general(
-            h_ref[:], U, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)
-    # path-major U (rows, 128): mix lanes -> G = U @ H (H symmetric)
-    return jax.lax.dot_general(
-        U, h_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT)
+    return pltpu.bitcast(base + (c << 9), jnp.bfloat16)
 
 
 def _key_seed(key, base_block: jax.Array, salt: int):
@@ -253,9 +269,26 @@ def _dot(a, b, prec="highest"):
 # Probe hook for Mosaic-level VMEM introspection (utils/profile +
 # tpu_tests/test_vmem_datasheet): when set, every fused kernel compiles
 # under this cap and Mosaic rejects the kernel if its true allocation
-# exceeds it.  Read at TRACE time — set it only around fresh
-# jit(...).lower(...).compile() probes, never around cached callables.
+# exceeds it.  Read at TRACE time — only ever set it via the
+# ``vmem_limit`` context manager, and only around fresh
+# jit(...).lower(...).compile() probes, never around cached callables
+# (a cap read while a production lru-cached kernel first traces would be
+# baked into the cached callable permanently).
 VMEM_LIMIT_BYTES: int | None = None
+
+
+@contextmanager
+def vmem_limit(limit_bytes: int | None):
+    """Scoped VMEM-cap probe: sets VMEM_LIMIT_BYTES for the duration of
+    the block and guarantees the reset (advisor round-2 finding: a bare
+    global set could leak into a cached kernel on an exception path)."""
+    global VMEM_LIMIT_BYTES
+    prev = VMEM_LIMIT_BYTES
+    VMEM_LIMIT_BYTES = limit_bytes
+    try:
+        yield
+    finally:
+        VMEM_LIMIT_BYTES = prev
 
 
 def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
@@ -284,23 +317,30 @@ def _pallas_sum(cfg: HWConfig, kernel, grid, args, out_rows, out_cols=PAD):
 # Q1: curve discount sums
 # ---------------------------------------------------------------------------
 
-def _curve_kernel(seed_ref, w_ref, h_ref, out_ref, *, prec, interpret):
-    """Fullstep: one MXU-mixed shock per path per step (see _mixed_block);
-    z = sum_q G_q W_q; accumulate sum (e^-z + e^+z) per maturity column.
+def _curve_kernel(seed_ref, w_ref, out_ref, *, prec, interpret):
+    """Fullstep: MXU-mixed shocks per path per step, with the Hadamard
+    mix PRE-FOLDED into the weights (round 3): mathematically
+    z = sum_q (U_q H) W_q = sum_q U_q (H W_q), and H W_q is a prep-time
+    constant — so the kernel runs ONE matmul per 128-step block on the
+    raw bf16 atoms instead of mix + weights (halves the MXU flops; the
+    tier was measured 86% MXU-bound).  The generator's law is unchanged:
+    z is the same weighted CLT sum of the same octave-spread raws.
 
     Path-major layout (paths in sublanes): with 128 maturity columns the
     payoff tile (TILE, PAD) is fully lane-utilized, and the path-major
     matmul measured ~1.3x faster than the transposed form (the option
     kernels, whose payoff is 2 columns wide, use the transposed layout).
-    The step axis is processed in 128-step mixing blocks (G_q = U_q H on
-    lanes); the deterministic exp(-c) scaling happens outside."""
+    The deterministic exp(-c) scaling happens outside."""
     draw = _tile_rng(seed_ref, interpret)
     nb = w_ref.shape[0] // _MIX_BLOCK
     z = jnp.zeros((TILE_FULL, PAD), jnp.float32)
     for q in range(nb):
-        G = _mixed_block(draw, h_ref, (TILE_FULL // 2, _MIX_BLOCK), q,
-                         transposed=False)
-        z += _dot(G, w_ref[q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], prec)
+        U = _raw_block(draw, (TILE_FULL // 2, _MIX_BLOCK), q)
+        if prec == "highest":
+            # Mosaic's fp32-precision matmul rejects mixed bf16/f32
+            # operands; the accuracy tier upcasts the raw atoms
+            U = U.astype(jnp.float32)
+        z += _dot(U, w_ref[q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], prec)
     # antithetic pair via one exp + one reciprocal:
     #   exp(-(c+z)) + exp(-(c-z)) = exp(-c) * (t + 1/t),  t = exp(-z)
     t = jnp.exp(-z)
@@ -351,13 +391,16 @@ def curve_prepared(cfg: HWConfig, tables, exact: bool):
         c_pad = jnp.zeros((1, PAD), dtype).at[0, : nm - 1].set(cw.c[1:])
         return (W, c_pad)
     nb = -(-cfg.n_steps // _MIX_BLOCK)
-    Wsh = np.zeros((nb * _MIX_BLOCK, PAD), np.float32)
+    Wsh = np.zeros((nb * _MIX_BLOCK, PAD), np.float64)
     Wsh[: cfg.n_steps, :nm] = engine_linear._curve_shape(cfg)
     Wsh *= _mix_d(nb * _MIX_BLOCK)[:, None]  # spectrum scrambler
-    W = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Wsh)
+    # Hadamard premix (round 3): z = sum_q U_q (H W_q) — one kernel
+    # matmul per block instead of mix + weights
+    W = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(
+        _premix_curve(Wsh), jnp.float32)
     cw = engine_linear.curve_weights(cfg, tables)
     exp_c = jnp.exp(-jnp.zeros((PAD,), dtype).at[:nm].set(cw.c))
-    return (W, _hadamard_mix(), exp_c)
+    return (W, exp_c)
 
 
 def curve_local_fn_from(cfg: HWConfig, exact: bool, prepared):
@@ -372,11 +415,11 @@ def curve_local_fn_from(cfg: HWConfig, exact: bool, prepared):
                          interpret=cfg.pallas_interpret)
         w_args = (W, c_pad)
     else:
-        W, H, exp_c = prepared
+        W, exp_c = prepared
         paths_per_tile = TILE_FULL
         kernel = partial(_curve_kernel, prec=cfg.matmul_precision,
                          interpret=cfg.pallas_interpret)
-        w_args = (W, H)
+        w_args = (W,)
 
     def local_fn(key, base_block, n_blocks):
         local_paths = n_blocks * cfg.path_block
@@ -476,20 +519,23 @@ def _zbc_exact_kernel(seed_ref, consts_ref, out_ref, *, interpret):
     _moment_accum(out_ref, xa, ya, xb, yb, 2.0 * TILE_OPT * PAD)
 
 
-def _zbc_full_kernel(seed_ref, w_ref, h_ref, consts_ref, out_ref, *, prec,
+def _zbc_full_kernel(seed_ref, w_ref, consts_ref, out_ref, *, prec,
                      interpret):
-    """Transposed fullstep ZBC: steps in sublanes, paths in lanes;
-    shocks from the MXU-mixed generator in 128-step blocks (G_q = H U_q
-    on sublanes); z = sum_q W_q G_q is an (8, TILE) matmul (rows 0/1 =
-    z_r/z_i), so the payoff/moment math runs on fully lane-utilized
+    """Transposed fullstep ZBC: steps in sublanes, paths in lanes; the
+    Hadamard mix is PRE-FOLDED into the weight rows (round 3:
+    z = sum_q W_q (H U_q) = sum_q (W_q H) U_q), so each 128-step block
+    is ONE (8, 128) @ (128, TILE) matmul on the raw bf16 atoms — 17x
+    fewer MXU flops than mix + weights, same generator law.  Rows 0/1 of
+    z = z_r/z_i, so the payoff/moment math runs on fully lane-utilized
     (1, TILE) rows."""
     draw = _tile_rng(seed_ref, interpret)
     nb = w_ref.shape[1] // _MIX_BLOCK
     z = jnp.zeros((8, TILE_FULL_OPT), jnp.float32)
     for q in range(nb):
-        G = _mixed_block(draw, h_ref, (_MIX_BLOCK // 2, TILE_FULL_OPT), q,
-                         transposed=True)
-        z += _dot(w_ref[:, q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], G, prec)
+        U = _raw_block(draw, (_MIX_BLOCK // 2, TILE_FULL_OPT), q)
+        if prec == "highest":
+            U = U.astype(jnp.float32)   # see _curve_kernel note
+        z += _dot(w_ref[:, q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], U, prec)
     z_r, z_i = z[0:1, :], z[1:2, :]
     xa, ya, xb, yb = _legs_pair(consts_ref, z_r, z_i)
     _moment_accum(out_ref, xa, ya, xb, yb, 2.0 * TILE_FULL_OPT)
@@ -563,16 +609,18 @@ def _delta_exact_kernel(seed_ref, consts_ref, out_ref, *, interpret):
     out_ref[1, :] += jnp.full((PAD,), 2.0 * TILE_OPT * PAD / PAD, jnp.float32)
 
 
-def _vega_full_kernel(seed_ref, w_ref, h_ref, consts_ref, out_ref, *, prec,
+def _vega_full_kernel(seed_ref, w_ref, consts_ref, out_ref, *, prec,
                       interpret):
-    """Transposed fullstep vega (see _zbc_full_kernel for the layout)."""
+    """Transposed fullstep vega (see _zbc_full_kernel for the layout and
+    the round-3 Hadamard premix)."""
     draw = _tile_rng(seed_ref, interpret)
     nb = w_ref.shape[1] // _MIX_BLOCK
     z = jnp.zeros((8, TILE_FULL_OPT), jnp.float32)
     for q in range(nb):
-        G = _mixed_block(draw, h_ref, (_MIX_BLOCK // 2, TILE_FULL_OPT), q,
-                         transposed=True)
-        z += _dot(w_ref[:, q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], G, prec)
+        U = _raw_block(draw, (_MIX_BLOCK // 2, TILE_FULL_OPT), q)
+        if prec == "highest":
+            U = U.astype(jnp.float32)   # see _curve_kernel note
+        z += _dot(w_ref[:, q * _MIX_BLOCK:(q + 1) * _MIX_BLOCK], U, prec)
     z_r, z_i = z[0:1, :], z[1:2, :]
     sigma = consts_ref[8]
     v = _vega_terms(consts_ref,
@@ -605,12 +653,14 @@ def option_prepared(cfg: HWConfig, tables, market, sigma, exact: bool,
     u_shape, w_shape = engine_linear._shock_shapes(cfg, n1)
     nb = -(-n1 // _MIX_BLOCK)
     # transposed: (8, nb*128) with rows 0/1 = the r/I shock shapes
-    Up = np.zeros((8, nb * _MIX_BLOCK), np.float32)
+    Up = np.zeros((8, nb * _MIX_BLOCK), np.float64)
     Up[0, :n1] = u_shape
     Up[1, :n1] = w_shape
     Up *= _mix_d(nb * _MIX_BLOCK)[None, :]  # spectrum scrambler
-    U = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(Up)
-    return (U, _hadamard_mix(), consts)
+    # Hadamard premix (round 3): z = sum_q (W_q H) U_q
+    U = (tables.sig_st * _MIX_W_SCALE) * jnp.asarray(
+        _premix_opt(Up), jnp.float32)
+    return (U, consts)
 
 
 def option_local_fn_from(cfg: HWConfig, exact: bool, kind: str, prepared):
@@ -849,9 +899,7 @@ def vmem_datasheet(cfg: HWConfig) -> dict:
 
     entry("curve_full", TILE_FULL,
           weights=nb_curve * _MIX_BLOCK * PAD * f32,
-          hadamard=_MIX_BLOCK * _MIX_BLOCK * bf16,
           z_accum=TILE_FULL * PAD * f32,
-          shock_block=TILE_FULL * _MIX_BLOCK * f32,
           raw_bf16=TILE_FULL * _MIX_BLOCK * bf16,
           draw_u32=(TILE_FULL // 2) * _MIX_BLOCK * u32,
           out=1 * PAD * f32)
@@ -872,9 +920,7 @@ def vmem_datasheet(cfg: HWConfig) -> dict:
         entry(k, TILE_OPT * PAD, **opt_exact)
     opt_full = dict(
         weights=8 * nb_opt * _MIX_BLOCK * f32,
-        hadamard=_MIX_BLOCK * _MIX_BLOCK * bf16,
         z_accum=8 * TILE_FULL_OPT * f32,
-        shock_block=_MIX_BLOCK * TILE_FULL_OPT * f32,
         raw_bf16=_MIX_BLOCK * TILE_FULL_OPT * bf16,
         draw_u32=(_MIX_BLOCK // 2) * TILE_FULL_OPT * u32,
         legs=4 * TILE_FULL_OPT * f32,
@@ -882,3 +928,88 @@ def vmem_datasheet(cfg: HWConfig) -> dict:
     for k in ("zbc_full", "vega_full"):
         entry(k, TILE_FULL_OPT, **opt_full)
     return sheet
+
+
+def _raw_peak_kernel(seed_ref, out_ref, *, nb, interpret):
+    """Raw-generator wall microbench: the same u32 draw + octave-spread
+    bitcast volume as one option fullstep tile, with a single bf16
+    accumulate per block as the minimal not-dead-code consumer (the
+    measured 'peak' therefore includes one VPU add per raw — a
+    conservative wall: the true generator-only peak is slightly
+    higher)."""
+    draw = _tile_rng(seed_ref, interpret)
+    acc = jnp.zeros((8, TILE_FULL_OPT), jnp.bfloat16)
+    for q in range(nb):
+        acc += _raw_block(draw, (_MIX_BLOCK // 2, TILE_FULL_OPT), q)[:8]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :] += jnp.sum(acc.astype(jnp.float32), axis=0)
+
+
+def raw_peak_fn(cfg: HWConfig):
+    """jit-able (key -> checksum) running the raw-generator microbench
+    over the same tile/grid geometry as the option fullstep tiers."""
+    from functools import partial
+
+    nb = -(-cfg.n_steps_s1 // _MIX_BLOCK)
+    kernel = partial(_raw_peak_kernel, nb=nb,
+                     interpret=cfg.pallas_interpret)
+
+    def fn(key):
+        seeds = _key_seed(key, 0, salt=505)
+        grid = cfg.n_paths // TILE_FULL_OPT
+        out = _pallas_sum(cfg, kernel, grid, (seeds,), out_rows=8,
+                          out_cols=TILE_FULL_OPT)
+        return jnp.sum(out[0])
+
+    return fn, nb * _MIX_BLOCK  # raws per path lane
+
+
+def fullstep_roofline(cfg: HWConfig) -> dict:
+    """Analytic MXU flop accounting of the full-step tiers from the live
+    tile constants — the speed-of-light half of the occupancy story (the
+    exact tiers' wall is the VPU Box-Muller transcendental throughput,
+    RESULTS.md; the full-step tiers' wall is the MXU: every shock is
+    produced by the 128-wide Hadamard mix matmul and consumed by the
+    weight matmul).
+
+    Per antithetic pair (shocks are shared by the +/- legs), with the
+    round-3 Hadamard premix the only matmul left is the premixed-weight
+    product on the raw bf16 atoms, multiplied by the MXU pass count of
+    ``cfg.matmul_precision`` ("highest" = 6 bf16 passes, "default" = 1 —
+    the benchmark config's choice, bias measured in RESULTS.md).
+
+    ``benchmarks.run_roofline`` divides the measured wall time into these
+    counts and names the achieved fraction of the bf16 peak."""
+    passes = 6 if cfg.matmul_precision == "highest" else 1
+    nb_curve = -(-cfg.n_steps // _MIX_BLOCK)
+    nb_opt = -(-cfg.n_steps_s1 // _MIX_BLOCK)
+
+    def tier(pairs_per_tile, weight_flops, nb):
+        return {
+            "pairs_per_tile": pairs_per_tile,
+            "weight_flops_per_pair": weight_flops / pairs_per_tile,
+            "mxu_flops_per_pair": weight_flops / pairs_per_tile,
+            "normals_per_pair": nb * _MIX_BLOCK,
+            "matmul_passes": passes,
+        }
+
+    # curve: path-major (TILE_FULL, 128) @ (128, PAD) per block
+    return {
+        "q1_fullstep": tier(
+            TILE_FULL,
+            2.0 * TILE_FULL * _MIX_BLOCK * PAD * nb_curve * passes,
+            nb_curve),
+        # options: transposed (8, 128) @ (128, TILE_FULL_OPT) per block
+        "zbc_fullstep": tier(
+            TILE_FULL_OPT,
+            2.0 * 8 * _MIX_BLOCK * TILE_FULL_OPT * nb_opt * passes,
+            nb_opt),
+        "vega_fullstep": tier(
+            TILE_FULL_OPT,
+            2.0 * 8 * _MIX_BLOCK * TILE_FULL_OPT * nb_opt * passes,
+            nb_opt),
+    }

@@ -16,11 +16,21 @@ from typing import Any
 
 import jax
 
-# rough single-chip peaks for roofline context
+# rough single-chip peaks for roofline context (published numbers; the
+# match is a substring test against str(device), most-specific first)
 _PEAKS = {
     "TPU v5 lite": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
+    "TPU v5e": {"bf16_tflops": 197.0, "hbm_gbps": 819.0},
+    "TPU v5p": {"bf16_tflops": 459.0, "hbm_gbps": 2765.0},
+    "TPU v6 lite": {"bf16_tflops": 918.0, "hbm_gbps": 1640.0},
+    "TPU v6e": {"bf16_tflops": 918.0, "hbm_gbps": 1640.0},
     "TPU v4": {"bf16_tflops": 275.0, "hbm_gbps": 1228.0},
+    "TPU v3": {"bf16_tflops": 123.0, "hbm_gbps": 900.0},
 }
+# documented fallback when the device string matches no row: v5e-class
+# numbers, flagged as assumed so the roofline lines stay interpretable
+_DEFAULT_PEAKS = {"bf16_tflops": 197.0, "hbm_gbps": 819.0,
+                  "assumed": "unrecognized TPU; v5e-class peaks assumed"}
 
 
 def kernel_report(fn, *args, static_argnums=()) -> dict[str, Any]:
@@ -48,9 +58,14 @@ def kernel_report(fn, *args, static_argnums=()) -> dict[str, Any]:
     for name, peaks in _PEAKS.items():
         if name in str(dev):
             report["peaks"] = peaks
-            if report.get("flops") and report.get("bytes_accessed"):
-                report["arithmetic_intensity_flops_per_byte"] = (
-                    report["flops"] / max(report["bytes_accessed"], 1.0))
+            break
+    else:
+        if dev.platform == "tpu":
+            report["peaks"] = _DEFAULT_PEAKS
+    if (report.get("peaks") and report.get("flops")
+            and report.get("bytes_accessed")):
+        report["arithmetic_intensity_flops_per_byte"] = (
+            report["flops"] / max(report["bytes_accessed"], 1.0))
     return report
 
 
@@ -123,6 +138,8 @@ def format_report(report: dict[str, Any], time_s: float | None = None) -> str:
             lines.append(f"  HBM utilization:      {bw:.1f}% of peak")
     lf = limiting_factor(report, time_s)
     lines.append(f"  limiting factor:      {lf['factor']} ({lf['detail']})")
+    if report.get("peaks", {}).get("assumed"):
+        lines.append(f"  NOTE: {report['peaks']['assumed']}")
     return "\n".join(lines)
 
 

@@ -499,6 +499,27 @@ def test_g2_zbc_surface_matches_per_cell_oracle(analytic_market):
     assert abs(orc[i, j] - single) < 1e-9
 
 
+def test_g2_vega_surface_matches_analytic_fd(analytic_market):
+    """Paired-shift RQMC vega surface vs the fp64 closed-form FD surface
+    cell by cell (round 3: the G2++ twin of grid.vega_zbc_grid)."""
+    Ks = [CFG.strike * (1 + s) for s in (-0.03, 0.0, 0.03)]
+    S2s = [7.0, 8.5, 10.0]
+    v, se = g2pp.vega_zbc_grid_g2(CFG, G2, KEY, analytic_market, Ks, S2s,
+                                  n_points=1 << 13, n_shifts=4)
+    orc = g2pp.vega_zbc_grid_analytic_g2(CFG, G2, analytic_market, Ks,
+                                         S2s)
+    err = np.abs(np.asarray(v) - orc)
+    assert np.all(err < 6 * np.asarray(se) + 5e-5), (
+        err, np.asarray(se))
+    # the middle cell must agree with the dedicated single-option RQMC
+    # vega (same strike/maturity, same estimator design)
+    v1, _ = g2pp.vega_zbc_g2_rqmc(CFG, G2, KEY, analytic_market,
+                                  n_points=1 << 13, n_shifts=4)
+    i, j = Ks.index(CFG.strike), S2s.index(10.0)
+    assert abs(float(v[i, j]) - float(v1)) < 1e-4, (float(v[i, j]),
+                                                    float(v1))
+
+
 def test_exchange_option_oracle_limits(analytic_market):
     """Margrabe bond-exchange closed form: K -> 0 collapses to P(0,Ta)
     (martingale identity), Ta == Tb collapses to (1-K)^+ P(0,Tb), and

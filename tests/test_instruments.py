@@ -183,3 +183,60 @@ def test_cap_vega_crn_matches_closed_form_fd(analytic_market):
         v = greeks.fd_vega_cap(CFG, KEY, analytic_market, rate=0.02,
                                tenor=4.0, floor=floor, n_paths=1 << 16)
         assert abs(v - va) < 0.01 * abs(va) + 1e-3, (floor, v, va)
+
+
+# ---------------------------------------------------------------------------
+# CMS cap/floor leg (round 3)
+# ---------------------------------------------------------------------------
+
+def test_cms_mc_matches_quadrature(analytic_market):
+    """CMS caplets (convexity-bearing payoff) vs the fp64 tilted
+    Gauss-Legendre oracle under the same discrete trapezoid law."""
+    res = instruments.price_cms(CFG, KEY, analytic_market, rate=0.02,
+                                tenor=3.0, swap_tenor=4.0,
+                                n_paths=1 << 15, n_blocks=2)
+    orc, per = instruments.cms_quadrature(CFG, analytic_market, rate=0.02,
+                                          tenor=3.0, swap_tenor=4.0)
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 2e-5, (
+        float(res.price), orc)
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(res.periods), np.asarray(per),
+                               atol=1e-4)
+
+
+def test_cms_floor_matches_quadrature(analytic_market):
+    res = instruments.price_cms(CFG, KEY, analytic_market, rate=0.03,
+                                tenor=3.0, swap_tenor=4.0, floor=True,
+                                n_paths=1 << 15, n_blocks=2)
+    orc, _ = instruments.cms_quadrature(CFG, analytic_market, rate=0.03,
+                                        tenor=3.0, swap_tenor=4.0,
+                                        floor=True)
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 2e-5, (
+        float(res.price), orc)
+
+
+def test_cms_convexity_is_positive(analytic_market):
+    """The CMS convexity adjustment: caplet - floorlet at the same strike
+    gives the CMS forward leg E[D tau (S - K)], whose implied forward
+    rate must sit ABOVE the par forward swap rate (positive convexity:
+    S is convex in the annuity-measure numeraire ratio)."""
+    import numpy as np
+
+    K = 0.025
+    cap_, _ = instruments.cms_quadrature(CFG, analytic_market, rate=K,
+                                         tenor=1.0, swap_tenor=4.0)
+    flo_, _ = instruments.cms_quadrature(CFG, analytic_market, rate=K,
+                                         tenor=1.0, swap_tenor=4.0,
+                                         floor=True)
+    # implied E^{Tp}[S] from the parity leg, vs the annuity-par forward
+    t0 = CFG.s1
+    Pp = instruments.curve_level(CFG, analytic_market, t0 + 1.0)
+    ES = (cap_ - flo_) / Pp + K        # tau = 1
+    Ts = [t0 + i + 1.0 for i in range(4)]
+    Ps = np.array([instruments.curve_level(CFG, analytic_market, t)
+                   for t in Ts])
+    par = (instruments.curve_level(CFG, analytic_market, t0)
+           - Ps[-1]) / np.sum(Ps)
+    assert ES > par, (ES, par)
+    assert ES - par < 5e-3             # adjustment is small but positive

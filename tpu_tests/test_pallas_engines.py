@@ -166,21 +166,23 @@ def test_mixed_generator_moments_on_chip():
     n1 = cfg.n_steps_s1
     u_shape, w_shape = engine_linear._shock_shapes(cfg, n1)
     nb = -(-n1 // fused._MIX_BLOCK)
-    Up = np.zeros((8, nb * 128), np.float32)
+    Up = np.zeros((8, nb * 128), np.float64)
     Up[0, :n1] = u_shape
     Up[1, :n1] = w_shape
     Up *= fused._mix_d(nb * 128)[None, :]
-    W = (float(tables.sig_st) * fused._MIX_W_SCALE) * jnp.asarray(Up)
+    # round-3 premixed form: z = sum_q (W_q H) U_q (same law as the
+    # round-2 mix + weights composition; this test pins that law)
+    W = (float(tables.sig_st) * fused._MIX_W_SCALE) * jnp.asarray(
+        fused._premix_opt(Up), jnp.float32)
     T = fused.TILE_FULL_OPT
     NT = 256
 
-    def kern(seed_ref, w_ref, h_ref, o_ref):
+    def kern(seed_ref, w_ref, o_ref):
         draw = fused._tile_rng(seed_ref, False)
         z = jnp.zeros((8, T), jnp.float32)
         for q in range(nb):
-            G = fused._mixed_block(draw, h_ref, (64, T), q,
-                                   transposed=True)
-            z += fused._dot(w_ref[:, q * 128:(q + 1) * 128], G, "default")
+            U = fused._raw_block(draw, (64, T), q)
+            z += fused._dot(w_ref[:, q * 128:(q + 1) * 128], U, "default")
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -199,10 +201,10 @@ def test_mixed_generator_moments_on_chip():
     o = np.asarray(pl.pallas_call(
         kern, grid=(NT,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, T), jnp.float32),
-    )(seeds, W, fused._hadamard_mix())).sum(axis=1)
+    )(seeds, W)).sum(axis=1)
     n = NT * T
     l11, l21, l22 = engine_exact.zbc_chol(cfg)
     sig = float(tables.sig_st)

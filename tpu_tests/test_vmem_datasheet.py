@@ -34,14 +34,11 @@ def _compile_zbc(limit_bytes):
     Ts = jax.numpy.linspace(0.0, CFG.t_final, CFG.n_mat)
     market = hw.MarketCurve(P=jax.numpy.exp(-0.012 * Ts),
                             f=jax.numpy.full((CFG.n_mat,), 0.012))
-    fused.VMEM_LIMIT_BYTES = limit_bytes
-    try:
+    with fused.vmem_limit(limit_bytes):
         local = fused.zbc_local_fn(CFG, tables, market, CFG.sigma,
                                    exact=True)
         jax.jit(local, static_argnums=(2,)).lower(
             KEY, jax.numpy.int32(0), 2).compile()
-    finally:
-        fused.VMEM_LIMIT_BYTES = None
 
 
 def test_declared_vmem_brackets_true_allocation():
