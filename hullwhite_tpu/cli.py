@@ -608,6 +608,74 @@ def cmd_cms(args):
     return 0 if ok else 1
 
 
+def cmd_exotics(args):
+    """Exotic payoff layer on the exact multi-date states (round 3):
+    CMS spread caplets (S_long - S_short - K)^+ vs the root-located
+    piecewise-quadrature fp64 oracle, and a range-accrual leg vs its
+    EXACT closed form (tilted Phi differences — no quadrature).
+    Product family beyond the CUDA reference's single option
+    (src/2_option_pricing.cu:14-35 is the product layer being widened)."""
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 9393)
+    market = hwio.load_market(cfg)
+    rc = 0
+    results = {}
+
+    print(f"--- CMS spread cap: start {cfg.s1}y, tenor {args.tenor}y, "
+          f"(S_{args.long_tenor:g}y - S_{args.short_tenor:g}y - "
+          f"{args.strike*100:.2f}%)^+ ---")
+    res = instruments.price_cms_spread(
+        cfg, key, market, strike=args.strike, tenor=args.tenor,
+        freq=args.freq, long_tenor=args.long_tenor,
+        short_tenor=args.short_tenor)
+    orc, per = instruments.cms_spread_quadrature(
+        cfg, market, strike=args.strike, tenor=args.tenor, freq=args.freq,
+        long_tenor=args.long_tenor, short_tenor=args.short_tenor)
+    z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+    ok = abs(z) < 4 or abs(float(res.price) - orc) < 2e-4
+    print(f"MC:         {float(res.price):.8f} "
+          f"+/- {float(res.std_error):.2e} (SE)")
+    print(f"quadrature: {orc:.8f}")
+    print(f"agreement: z = {z:.2f} ({'PASS' if ok else 'CHECK'})")
+    rc |= 0 if ok else 1
+    results["cms_spread"] = {
+        "mc_price": float(res.price), "mc_se": float(res.std_error),
+        "quadrature": orc, "z": z,
+        "periods_mc": [float(x) for x in res.periods],
+        "periods_quadrature": per}
+
+    print(f"--- range accrual: coupon {args.coupon*100:.2f}%, band "
+          f"[{args.lo*100:.2f}%, {args.hi*100:.2f}%], tenor {args.tenor}y, "
+          f"{args.obs} obs/period ---")
+    ra = instruments.price_range_accrual(
+        cfg, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    orc_ra, per_ra = instruments.range_accrual_closed_form(
+        cfg, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    z_ra = (float(ra.price) - orc_ra) / max(float(ra.std_error), 1e-12)
+    ok_ra = abs(z_ra) < 4 or abs(float(ra.price) - orc_ra) < 2e-4
+    print(f"MC:          {float(ra.price):.8f} "
+          f"+/- {float(ra.std_error):.2e} (SE)")
+    print(f"closed form: {orc_ra:.8f}")
+    print("mean accrual fractions:",
+          np.array2string(np.asarray(ra.mean_fraction), precision=4))
+    print(f"agreement: z = {z_ra:.2f} ({'PASS' if ok_ra else 'CHECK'})")
+    rc |= 0 if ok_ra else 1
+    results["range_accrual"] = {
+        "mc_price": float(ra.price), "mc_se": float(ra.std_error),
+        "closed_form": orc_ra, "z": z_ra,
+        "periods_mc": [float(x) for x in ra.periods],
+        "periods_closed_form": per_ra,
+        "mean_fractions": [float(x) for x in ra.mean_fraction]}
+
+    hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
+                    results=results)
+    return rc
+
+
 def cmd_g2pp(args):
     """Second model family at product parity: curve bootstrap, ZBC
     (MC + RQMC + closed form), swaption (MC + conditional-decomposition
@@ -964,6 +1032,19 @@ def main(argv=None):
     pcm.add_argument("--freq", type=float, default=1.0)
     pcm.add_argument("--swap-tenor", type=float, default=5.0)
     pcm.add_argument("--floor", action="store_true")
+    pex = sub.add_parser("exotics", parents=[common])
+    pex.add_argument("--strike", type=float, default=0.002,
+                     help="CMS spread strike")
+    pex.add_argument("--tenor", type=float, default=3.0)
+    pex.add_argument("--freq", type=float, default=1.0)
+    pex.add_argument("--long-tenor", type=float, default=4.0)
+    pex.add_argument("--short-tenor", type=float, default=1.0)
+    pex.add_argument("--coupon", type=float, default=0.03,
+                     help="range-accrual coupon")
+    pex.add_argument("--lo", type=float, default=0.010)
+    pex.add_argument("--hi", type=float, default=0.022)
+    pex.add_argument("--obs", type=int, default=5,
+                     help="range observations per period")
     pcal = sub.add_parser("calibrate", parents=[common])
     for flag, dv in [("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
                      ("--g2eta", 0.02), ("--g2rho", -0.6)]:
@@ -995,6 +1076,8 @@ def main(argv=None):
         return cmd_cap(args)
     if args.cmd == "cms":
         return cmd_cms(args)
+    if args.cmd == "exotics":
+        return cmd_exotics(args)
     if args.cmd == "calibrate":
         return cmd_calibrate(args)
     if args.cmd == "all":

@@ -626,3 +626,398 @@ def cms_quadrature(cfg: HWConfig, market: MarketCurve, *, rate: float,
         per.append(v)
         total += v
     return total, per
+
+
+# ---------------------------------------------------------------------------
+# CMS spread option (beyond-reference exotic, same product layer as the
+# reference's single option, src/2_option_pricing.cu:14-35): each period
+# pays tau (S_long(T_j) - S_short(T_j) - K)^+ at T_{j+1}, both par swap
+# rates OBSERVED at the reset.  Under one-factor Hull-White both rates are
+# closed functions of r(T_j), so the whole leg reuses the exact multi-date
+# (r, I) states of the CMS leg; the spread's dependence on r need not be
+# monotone, so the fp64 oracle locates every root of the spread-minus-
+# strike function before integrating.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _cms_spread_fn(cfg: HWConfig, strike: float, start: float, n: int,
+                   tau: float, long_tenor: float, short_tenor: float,
+                   swap_freq: float, floor: bool, n_paths: int,
+                   n_blocks: int, mesh):
+    from .bermudan import _joint_chol, _det_states
+
+    dates = tuple(start + j * tau for j in range(n + 1))
+    LT = jnp.asarray(_joint_chol(cfg, dates))
+    k = len(dates)
+
+    def compute(key, sigma, market):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        r_det, i_det = _det_states(cfg, tables, dates)
+        terms = [(
+            _swap_rate_terms(cfg, sigma, market, dates[j], long_tenor,
+                             swap_freq),
+            _swap_rate_terms(cfg, sigma, market, dates[j], short_tenor,
+                             swap_freq)) for j in range(n)]
+
+        def srate(term, r_col):
+            A, B, tau_s = term
+            P = A[None, :] * jnp.exp(-B[None, :] * r_col[:, None])
+            return (1.0 - P[:, -1]) / (tau_s * jnp.sum(P, axis=1))
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * k), jnp.float32)
+            z = tables.sig_st * jnp.dot(x, LT,
+                                        preferred_element_type=jnp.float32,
+                                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                r = r_det[None, :] + sgn * z[:, 0::2]
+                integral = i_det[None, :] + sgn * z[:, 1::2]
+                vals = []
+                for j in range(n):
+                    tl, ts = terms[j]
+                    spread = srate(tl, r[:, j]) - srate(ts, r[:, j])
+                    disc = jnp.exp(-integral[:, j + 1])
+                    intrinsic = (strike - spread) if floor \
+                        else (spread - strike)
+                    vals.append(disc * tau * jnp.maximum(intrinsic, 0.0))
+                return jnp.stack(vals, axis=1)
+
+            V = 0.5 * (leg(1.0) + leg(-1.0))
+            tot = jnp.sum(V, axis=1)
+            return jnp.concatenate([
+                jnp.stack([jnp.sum(tot), jnp.sum(tot * tot)]),
+                jnp.sum(V, axis=0)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mean = s[0] / n_tot
+        var = jnp.maximum(s[1] / n_tot - mean ** 2, 0.0)
+        var = var * n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return mean, jnp.sqrt(var / n_tot), s[2:] / n_tot
+
+    return jax.jit(compute)
+
+
+def price_cms_spread(cfg: HWConfig, key, market: MarketCurve, *,
+                     strike: float, start: float | None = None,
+                     tenor: float = 4.0, freq: float = 1.0,
+                     long_tenor: float = 10.0, short_tenor: float = 2.0,
+                     swap_freq: float = 1.0, floor: bool = False,
+                     sigma=None, n_paths: int | None = None,
+                     n_blocks: int = 1, mesh=None) -> CMSResult:
+    """Monte Carlo CMS spread cap/floor leg: tau (S_long - S_short - K)^+
+    paid at T_{j+1}, both par rates observed at T_j, all periods from one
+    exactly-sampled multi-date (r, I) state set (antithetic).  Blocks key
+    on their global index and optionally shard over ``mesh``.  fp64
+    oracle: cms_spread_quadrature (root-located piecewise Gauss-Legendre
+    on the tilted 1-d short-rate law)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    price, se, periods = _cms_spread_fn(
+        cfg, float(strike), float(start), n, float(tau), float(long_tenor),
+        float(short_tenor), float(swap_freq), bool(floor), int(n_paths),
+        int(n_blocks), mesh)(key, jnp.asarray(sigma, jnp.float32), market)
+    return CMSResult(price=price, std_error=se, periods=periods,
+                     reset_times=tuple(start + j * tau for j in range(n)),
+                     n_paths=int(n_paths) * int(n_blocks))
+
+
+def cms_spread_quadrature(cfg: HWConfig, market: MarketCurve, *,
+                          strike: float, start: float | None = None,
+                          tenor: float = 4.0, freq: float = 1.0,
+                          long_tenor: float = 10.0, short_tenor: float = 2.0,
+                          swap_freq: float = 1.0, floor: bool = False,
+                          sigma: float | None = None, n_quad: int = 400):
+    """float64 CMS spread leg by 1-d quadrature under the model's DISCRETE
+    trapezoid law (same tilting as cms_quadrature).  The spread S_long(r)
+    - S_short(r) is NOT monotone in general, so the in-the-money set is
+    found by dense sign scanning plus bisection of every root of
+    spread(r) - K, then each ITM interval is integrated by Gauss-Legendre
+    (the integrand is smooth inside an interval).  Returns
+    (leg value, per-period list)."""
+    from numpy.polynomial.legendre import leggauss
+
+    from .bermudan import _det_states, _step_index
+    from .ops.engine_linear import _shock_shapes
+
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    dates = tuple(start + j * tau for j in range(n + 1))
+    tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+    r_det, i_det = (np.asarray(a, np.float64)
+                    for a in _det_states(cfg, tables, dates))
+    sig = float(tables.sig_st)
+    gx, gw = leggauss(n_quad)
+    total, per = 0.0, []
+    for j in range(n):
+        nT = _step_index(cfg, dates[j])
+        np_ = _step_index(cfg, dates[j + 1])
+        uT, _ = (np.asarray(a, np.float64)
+                 for a in _shock_shapes(cfg, nT))
+        _, wp = (np.asarray(a, np.float64)
+                 for a in _shock_shapes(cfg, np_))
+        var_r = sig * sig * float(uT @ uT)
+        var_I = sig * sig * float(wp @ wp)
+        cov_rI = sig * sig * float(uT @ wp[:nT])
+        w0 = math.exp(-i_det[j + 1] + 0.5 * var_I)
+        m_r = r_det[j] - cov_rI           # tilted mean of r(T_j)
+        s_r = math.sqrt(var_r)
+
+        def srate_np(term, r):
+            A, B, tau_s = term
+            A = np.asarray(A, np.float64)
+            B = np.asarray(B, np.float64)
+            P = A[None, :] * np.exp(-B[None, :] * np.atleast_1d(r)[:, None])
+            return (1.0 - P[:, -1]) / (tau_s * np.sum(P, axis=1))
+
+        tl = _swap_rate_terms(cfg, sigma, market, dates[j], long_tenor,
+                              swap_freq)
+        ts = _swap_rate_terms(cfg, sigma, market, dates[j], short_tenor,
+                              swap_freq)
+
+        def g(r):
+            return srate_np(tl, r) - srate_np(ts, r) - strike
+
+        lo, hi = m_r - 12.0 * s_r, m_r + 12.0 * s_r
+        grid = np.linspace(lo, hi, 2001)
+        gv = g(grid)
+        roots = []
+        for i in range(len(grid) - 1):
+            if gv[i] == 0.0:
+                roots.append(grid[i])
+            elif gv[i] * gv[i + 1] < 0.0:
+                a_, b_ = grid[i], grid[i + 1]
+                fa = gv[i]
+                for _ in range(80):
+                    mid = 0.5 * (a_ + b_)
+                    fm = g(np.array([mid]))[0]
+                    if fa * fm <= 0.0:
+                        b_ = mid
+                    else:
+                        a_, fa = mid, fm
+                roots.append(0.5 * (a_ + b_))
+        edges = [lo] + roots + [hi]
+        pdf_c = 1.0 / (s_r * math.sqrt(2.0 * math.pi))
+        v = 0.0
+        for a_, b_ in zip(edges[:-1], edges[1:]):
+            mid_val = g(np.array([0.5 * (a_ + b_)]))[0]
+            itm = (mid_val < 0.0) if floor else (mid_val > 0.0)
+            if not itm:
+                continue
+            r = 0.5 * (b_ - a_) * gx + 0.5 * (a_ + b_)
+            wq = 0.5 * (b_ - a_) * gw
+            pdf = pdf_c * np.exp(-0.5 * ((r - m_r) / s_r) ** 2)
+            intr = -g(r) if floor else g(r)
+            v += w0 * tau * float(np.sum(intr * pdf * wq))
+        per.append(v)
+        total += v
+    return total, per
+
+
+# ---------------------------------------------------------------------------
+# Range accrual (beyond-reference exotic): period j accrues
+# coupon * tau * (1/m) sum_i 1{lo <= L(t_ji; delta) <= hi}, paid at
+# T_{j+1}, with L the delta-LIBOR observed at t_ji = T_j + i tau/m.  Under
+# Hull-White L(t) = (1/delta)(1/P(t, t+delta) - 1) is increasing in r(t),
+# so every observation is an interval indicator on r — the leg value is a
+# sum of tilted Gaussian probabilities and the fp64 oracle is CLOSED FORM
+# (no quadrature at all), the tightest oracle in the instrument family.
+# ---------------------------------------------------------------------------
+
+class RangeAccrualResult(NamedTuple):
+    price: jax.Array          # leg value
+    std_error: jax.Array
+    periods: jax.Array        # (n_periods,) per-period values
+    mean_fraction: jax.Array  # (n_periods,) mean accrual fractions (undisc.)
+    n_paths: int
+
+
+def _libor_r_bounds(cfg: HWConfig, sigma, market, t: float, delta: float,
+                    lo: float, hi: float):
+    """(r_lo, r_hi) so that lo <= L(t, t+delta) <= hi  <=>  r in the
+    interval: P(t, t+delta; r) = A e^{-B r} and 1 + delta L = 1/P give
+    r = (log A + log(1 + delta L)) / B exactly (L increasing in r)."""
+    A = hw.a_hw(cfg, sigma, market, t, jnp.float32(t + delta))
+    B = hw.b_func(t, t + delta, cfg.a)
+
+    def bound(level):
+        # L > -1/delta always (P > 0): a band edge at or below the floor
+        # maps to r = -inf (never binding)
+        if 1.0 + delta * level <= 0.0:
+            return jnp.float32(-jnp.inf)
+        return (jnp.log(A) + math.log1p(delta * level)) / B
+
+    return bound(lo), bound(hi)
+
+
+@lru_cache(maxsize=None)
+def _range_accrual_fn(cfg: HWConfig, coupon: float, lo: float, hi: float,
+                      start: float, n: int, tau: float, m: int,
+                      delta: float, n_paths: int, n_blocks: int, mesh):
+    from .bermudan import _joint_chol, _det_states
+
+    obs = [tuple(start + j * tau + i * tau / m for i in range(m))
+           for j in range(n)]
+    pays = tuple(start + (j + 1) * tau for j in range(n))
+    dates = tuple(sorted({t for o in obs for t in o} | set(pays)))
+    idx = {t: q for q, t in enumerate(dates)}
+    LT = jnp.asarray(_joint_chol(cfg, dates))
+    k = len(dates)
+    obs_idx = [jnp.asarray([idx[t] for t in o]) for o in obs]
+    pay_idx = [idx[t] for t in pays]
+
+    def compute(key, sigma, market):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        r_det, i_det = _det_states(cfg, tables, dates)
+        bounds = [jnp.stack([jnp.stack(_libor_r_bounds(
+            cfg, sigma, market, t, delta, lo, hi)) for t in o], axis=1)
+            for o in obs]              # per period: (2, m)
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * k), jnp.float32)
+            z = tables.sig_st * jnp.dot(x, LT,
+                                        preferred_element_type=jnp.float32,
+                                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                r = r_det[None, :] + sgn * z[:, 0::2]
+                integral = i_det[None, :] + sgn * z[:, 1::2]
+                vals, fracs = [], []
+                for j in range(n):
+                    ro = r[:, obs_idx[j]]              # (paths, m)
+                    b = bounds[j]
+                    in_band = ((ro >= b[0][None, :])
+                               & (ro <= b[1][None, :]))
+                    frac = jnp.mean(in_band.astype(jnp.float32), axis=1)
+                    disc = jnp.exp(-integral[:, pay_idx[j]])
+                    vals.append(coupon * tau * frac * disc)
+                    fracs.append(frac)
+                return jnp.stack(vals, axis=1), jnp.stack(fracs, axis=1)
+
+            Vp, Fp = leg(1.0)
+            Vm, Fm = leg(-1.0)
+            V, F = 0.5 * (Vp + Vm), 0.5 * (Fp + Fm)
+            tot = jnp.sum(V, axis=1)
+            return jnp.concatenate([
+                jnp.stack([jnp.sum(tot), jnp.sum(tot * tot)]),
+                jnp.sum(V, axis=0), jnp.sum(F, axis=0)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mean = s[0] / n_tot
+        var = jnp.maximum(s[1] / n_tot - mean ** 2, 0.0)
+        var = var * n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (mean, jnp.sqrt(var / n_tot), s[2:2 + n] / n_tot,
+                s[2 + n:] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_range_accrual(cfg: HWConfig, key, market: MarketCurve, *,
+                        coupon: float, lo: float, hi: float,
+                        start: float | None = None, tenor: float = 4.0,
+                        freq: float = 1.0, obs_per_period: int = 5,
+                        libor_tenor: float | None = None, sigma=None,
+                        n_paths: int | None = None, n_blocks: int = 1,
+                        mesh=None) -> RangeAccrualResult:
+    """Monte Carlo range-accrual leg: coupon tau (1/m) sum_i
+    1{lo <= L(t_i) <= hi} paid at each T_{j+1}, every observation and
+    payment drawn from one exactly-sampled multi-date (r, I) state set
+    (antithetic).  Observation dates must sit on the step grid (tau/m a
+    multiple of cfg.dt).  Blocks key on their global index and optionally
+    shard over ``mesh``.  fp64 oracle: range_accrual_closed_form — exact
+    tilted-Gaussian probabilities, no quadrature."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau / obs_per_period
+    price, se, periods, fracs = _range_accrual_fn(
+        cfg, float(coupon), float(lo), float(hi), float(start), n,
+        float(tau), int(obs_per_period), float(libor_tenor), int(n_paths),
+        int(n_blocks), mesh)(key, jnp.asarray(sigma, jnp.float32), market)
+    return RangeAccrualResult(price=price, std_error=se, periods=periods,
+                              mean_fraction=fracs,
+                              n_paths=int(n_paths) * int(n_blocks))
+
+
+def range_accrual_closed_form(cfg: HWConfig, market: MarketCurve, *,
+                              coupon: float, lo: float, hi: float,
+                              start: float | None = None, tenor: float = 4.0,
+                              freq: float = 1.0, obs_per_period: int = 5,
+                              libor_tenor: float | None = None,
+                              sigma: float | None = None):
+    """float64 range-accrual leg in CLOSED FORM under the model's DISCRETE
+    trapezoid law: each observation contributes
+
+        coupon tau/m E[e^{-I(T_p)} 1{r_lo <= r(t_i) <= r_hi}]
+      = coupon tau/m e^{-I_det(T_p) + var_I/2}
+          (Phi((r_hi - mu~)/s) - Phi((r_lo - mu~)/s)),
+
+    with mu~ = r_det(t_i) - Cov(r(t_i), I(T_p)) the exponentially tilted
+    mean (Gaussian change of measure; same tilting as cms_quadrature but
+    the interval indicator integrates to Phi differences exactly).
+    Returns (leg value, per-period list)."""
+    from .bermudan import _det_states, _step_index
+    from .models.oracles import _phi
+    from .ops.engine_linear import _shock_shapes
+
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+    obs = [tuple(start + j * tau + i * tau / m for i in range(m))
+           for j in range(n)]
+    pays = tuple(start + (j + 1) * tau for j in range(n))
+    dates = tuple(sorted({t for o in obs for t in o} | set(pays)))
+    idx = {t: q for q, t in enumerate(dates)}
+    tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+    r_det, i_det = (np.asarray(a, np.float64)
+                    for a in _det_states(cfg, tables, dates))
+    sig = float(tables.sig_st)
+    total, per = 0.0, []
+    for j in range(n):
+        npay = _step_index(cfg, pays[j])
+        _, wp = (np.asarray(a, np.float64)
+                 for a in _shock_shapes(cfg, npay))
+        var_I = sig * sig * float(wp @ wp)
+        w0 = math.exp(-i_det[idx[pays[j]]] + 0.5 * var_I)
+        v = 0.0
+        for t in obs[j]:
+            ni = _step_index(cfg, t)
+            u, _ = (np.asarray(a, np.float64)
+                    for a in _shock_shapes(cfg, ni))
+            s_r = sig * math.sqrt(float(u @ u))
+            mu = r_det[idx[t]] - sig * sig * float(u @ wp[:ni])
+            r_lo, r_hi = (float(np.asarray(b, np.float64))
+                          for b in _libor_r_bounds(
+                              cfg, jnp.float32(sigma), market, t,
+                              libor_tenor, lo, hi))
+            p = _phi((r_hi - mu) / s_r) - _phi((r_lo - mu) / s_r)
+            v += coupon * tau / m * w0 * p
+        per.append(v)
+        total += v
+    return total, per

@@ -240,3 +240,76 @@ def test_cms_convexity_is_positive(analytic_market):
            - Ps[-1]) / np.sum(Ps)
     assert ES > par, (ES, par)
     assert ES - par < 5e-3             # adjustment is small but positive
+
+
+# ---------------------------------------------------------------------------
+# CMS spread option + range accrual (round 3 exotics)
+# ---------------------------------------------------------------------------
+
+def test_cms_spread_mc_matches_quadrature(analytic_market):
+    """Spread caplets (S_4y - S_1y - K)^+ vs the root-located piecewise
+    Gauss-Legendre fp64 oracle under the same discrete trapezoid law."""
+    kw = dict(strike=0.002, tenor=2.0, long_tenor=4.0, short_tenor=1.0)
+    res = instruments.price_cms_spread(CFG, KEY, analytic_market,
+                                       n_paths=1 << 15, n_blocks=2, **kw)
+    orc, per = instruments.cms_spread_quadrature(CFG, analytic_market, **kw)
+    assert orc > 0
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 2e-5, (
+        float(res.price), orc, float(res.std_error))
+    np.testing.assert_allclose(np.asarray(res.periods), np.asarray(per),
+                               atol=1e-4)
+
+
+def test_cms_spread_floor_and_parity(analytic_market):
+    """Floor vs oracle, and cap - floor = forward spread leg (parity is a
+    pure-MC identity: same states, kinks cancel path by path)."""
+    kw = dict(strike=0.004, tenor=2.0, long_tenor=4.0, short_tenor=1.0)
+    cap = instruments.price_cms_spread(CFG, KEY, analytic_market,
+                                       n_paths=1 << 14, n_blocks=2, **kw)
+    flo = instruments.price_cms_spread(CFG, KEY, analytic_market,
+                                       n_paths=1 << 14, n_blocks=2,
+                                       floor=True, **kw)
+    orc_c, _ = instruments.cms_spread_quadrature(CFG, analytic_market, **kw)
+    orc_f, _ = instruments.cms_spread_quadrature(CFG, analytic_market,
+                                                 floor=True, **kw)
+    assert abs(float(flo.price) - orc_f) < 5 * float(flo.std_error) + 2e-5
+    # MC parity against the ORACLE parity (same CRN states on the MC side)
+    assert abs((float(cap.price) - float(flo.price))
+               - (orc_c - orc_f)) < 5 * (float(cap.std_error)
+                                         + float(flo.std_error)) + 2e-5
+
+
+def test_range_accrual_mc_matches_closed_form(analytic_market):
+    """Range accrual vs the EXACT closed form (tilted Phi differences) —
+    the only instrument whose oracle needs no quadrature at all."""
+    kw = dict(coupon=0.03, lo=0.010, hi=0.022, tenor=3.0, obs_per_period=5)
+    res = instruments.price_range_accrual(CFG, KEY, analytic_market,
+                                          n_paths=1 << 15, n_blocks=2, **kw)
+    orc, per = instruments.range_accrual_closed_form(CFG, analytic_market,
+                                                     **kw)
+    assert 0 < orc < 0.03 * 3.0        # sane: below full accrual
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 2e-5, (
+        float(res.price), orc, float(res.std_error))
+    np.testing.assert_allclose(np.asarray(res.periods), np.asarray(per),
+                               atol=2e-4)
+    fr = np.asarray(res.mean_fraction)
+    assert np.all(fr >= 0) and np.all(fr <= 1)
+
+
+def test_range_accrual_band_limits(analytic_market):
+    """An infinitely wide band accrues everything: the leg collapses to
+    coupon * tau * sum_j P(0, T_{j+1}) exactly (closed form), and the MC
+    fraction is 1 on every path; an empty band prices to zero."""
+    wide, _ = instruments.range_accrual_closed_form(
+        CFG, analytic_market, coupon=0.03, lo=-5.0, hi=5.0, tenor=3.0)
+    Ts = [CFG.s1 + j + 1.0 for j in range(3)]
+    bonds = sum(instruments.curve_level(CFG, analytic_market, t)
+                for t in Ts)
+    assert abs(wide - 0.03 * bonds) < 1e-5   # fp32 tables vs fp64 curve
+    res = instruments.price_range_accrual(
+        CFG, KEY, analytic_market, coupon=0.03, lo=-5.0, hi=5.0,
+        tenor=3.0, n_paths=1 << 12)
+    assert np.allclose(np.asarray(res.mean_fraction), 1.0)
+    empty, _ = instruments.range_accrual_closed_form(
+        CFG, analytic_market, coupon=0.03, lo=0.5, hi=0.6, tenor=3.0)
+    assert empty < 1e-9
