@@ -671,6 +671,36 @@ def cmd_exotics(args):
         "periods_closed_form": per_ra,
         "mean_fractions": [float(x) for x in ra.mean_fraction]}
 
+    print(f"--- puttable range-accrual note (Bermudan put at par, "
+          f"T_1..T_{int(args.tenor*args.freq)-1}) ---")
+    from . import range_note
+
+    dp = range_note.dp_oracle_range_note(
+        cfg, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    nt = range_note.price_range_note(
+        cfg, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs,
+        boundaries=dp.boundaries)
+    z_nt = (float(nt.price) - dp.price) / max(float(nt.std_error), 1e-12)
+    ok_nt = abs(z_nt) < 4 or abs(float(nt.price) - dp.price) < 2e-4
+    print(f"DP oracle:   {dp.price:.8f} (plain {dp.plain_price:.8f}, "
+          f"put premium {dp.put_premium:.6f})")
+    print(f"MC (CV):     {float(nt.price):.8f} "
+          f"+/- {float(nt.std_error):.2e} (SE; raw SE "
+          f"{float(nt.raw_std_error):.2e})")
+    print(f"put fraction {float(nt.put_fraction):.4f}, boundaries "
+          + np.array2string(np.asarray(dp.boundaries), precision=5))
+    print(f"agreement: z = {z_nt:.2f} ({'PASS' if ok_nt else 'CHECK'})")
+    rc |= 0 if ok_nt else 1
+    results["range_note"] = {
+        "dp_price": dp.price, "dp_plain": dp.plain_price,
+        "put_premium": dp.put_premium,
+        "boundaries": [float(b) for b in dp.boundaries],
+        "mc_price": float(nt.price), "mc_se": float(nt.std_error),
+        "mc_raw_se": float(nt.raw_std_error),
+        "put_fraction": float(nt.put_fraction), "z": z_nt}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)
     return rc

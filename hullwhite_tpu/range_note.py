@@ -1,0 +1,411 @@
+"""Puttable (Bermudan-callable) range-accrual note.
+
+The flagship callable exotic: a note paying per period the range-accrual
+coupon coupon * tau * (1/m) sum_i 1{lo <= L(t_ji) <= hi} at T_{j+1}
+(observations t_ji = T_j + i tau/m), redeeming 1 at T_n, and PUTTABLE by
+the holder at par at every interior period boundary T_1..T_{n-1}: putting
+at T_k collects the period-(k-1) coupon plus 1 at T_k and forfeits the
+rest.  This widens the reference's single European option (the product
+layer, src/2_option_pricing.cu:14-35) to a path-dependent Bermudan.
+
+Under one-factor Hull-White the decision state at T_j is r(T_j) alone, so
+
+* the fp64 oracle is a 1-d value iteration on an r-grid
+  (``dp_oracle_range_note``): per period the coupon's conditional value
+  is CLOSED FORM (tilted Gaussian Phi differences, the conditional
+  version of ``instruments.range_accrual_closed_form``), and the
+  continuation is a dense Gaussian-kernel average of the next date's
+  value function (NOT Gauss-Hermite: the value function carries narrow
+  indicator features that sparse nodes straddle) — the same
+  Gaussian-projection conditioning the Bermudan machinery uses
+  (bermudan._interval_params);
+* the optimal policy is a threshold: put when r(T_j) > r*_j (high rates
+  shrink both the in-band accrual probability and the discounted
+  redemption, so continuation is decreasing in r while par is constant);
+  the boundary is read off the DP continuation by inverse interpolation;
+* the MC estimator applies the FIXED threshold policy to exactly-sampled
+  multi-date (r, I) states (any fixed policy gives an unbiased lower
+  bound; with the DP threshold it reproduces the DP value to MC noise),
+  with the NON-callable note as a control variate (its expectation is
+  exact closed form via ``range_accrual_closed_form`` — the CV removes
+  the common coupon/redemption noise, leaving only the rare put paths).
+
+Engine invariants kept: blocks key on the GLOBAL block index, sigma
+enters only through the scalar multiplier ``tables.sig_st``, every
+product takes n_blocks/mesh.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from .models import hull_white as hw
+from .models.hull_white import MarketCurve
+from .parallel import mesh as pmesh
+
+_nphi = np.vectorize(lambda x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0))))
+
+
+def _note_dates(start: float, n: int, tau: float, m: int):
+    """(obs per period, period boundaries T_0..T_n, sorted date tuple)."""
+    obs = [tuple(start + j * tau + i * tau / m for i in range(m))
+           for j in range(n)]
+    bounds = tuple(start + j * tau for j in range(n + 1))
+    dates = tuple(sorted({t for o in obs for t in o} | set(bounds)))
+    return obs, bounds, dates
+
+
+@lru_cache(maxsize=None)
+def _note_shapes(cfg: HWConfig, start: float, n: int, tau: float, m: int):
+    """fp64 shock-shape vectors (length n_steps) for every date the note
+    touches: u (short-rate shape) and w (integral shape) per date."""
+    from .bermudan import _step_index
+    from .ops.engine_linear import _shock_shapes
+
+    obs, bounds, dates = _note_dates(start, n, tau, m)
+    U, W = {}, {}
+    for t in dates:
+        nt = _step_index(cfg, t)
+        u, w = (np.asarray(a, np.float64) for a in _shock_shapes(cfg, nt))
+        U[t] = np.pad(u, (0, cfg.n_steps - len(u)))
+        W[t] = np.pad(w, (0, cfg.n_steps - len(w)))
+    return obs, bounds, dates, U, W
+
+
+def _r_band(cfg: HWConfig, sigma, market, t: float, delta: float,
+            lo: float, hi: float):
+    from .instruments import _libor_r_bounds
+
+    r_lo, r_hi = _libor_r_bounds(cfg, jnp.float32(sigma), market, t,
+                                 delta, lo, hi)
+    return float(np.asarray(r_lo, np.float64)), \
+        float(np.asarray(r_hi, np.float64))
+
+
+class NoteDP(NamedTuple):
+    price: float               # fp64 DP value of the puttable note
+    plain_price: float         # non-callable note (coupons + redemption)
+    boundaries: tuple          # r*_j at T_1..T_{n-1} (+inf = never put)
+    put_premium: float         # price - plain_price  (>= 0)
+
+
+def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
+                         coupon: float, lo: float, hi: float,
+                         start: float | None = None, tenor: float = 4.0,
+                         freq: float = 1.0, obs_per_period: int = 5,
+                         libor_tenor: float | None = None,
+                         sigma: float | None = None, n_grid: int = 801,
+                         width: float = 8.0) -> NoteDP:
+    """fp64 value iteration for the puttable range-accrual note on a 1-d
+    r-grid.  Conditioning on r(T_j) is the Gaussian projection of the
+    model's exact discrete-law covariances (the same construction as
+    bermudan._interval_params, so the oracle integrates the SAME law the
+    MC samples).  Returns the DP price, the plain (non-callable) price
+    computed by the same iteration with the put disabled (an internal
+    consistency anchor for range_accrual_closed_form), and the exercise
+    boundary per put date."""
+    from .bermudan import _det_states
+    from .models.hull_white import step_tables
+
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+
+    obs, bounds, dates, U, W = _note_shapes(cfg, float(start), n,
+                                            float(tau), m)
+    tables = step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    r_det_a, i_det_a = (np.asarray(a, np.float64)
+                        for a in _det_states(cfg, tables, dates))
+    r_det = {t: r_det_a[q] for q, t in enumerate(dates)}
+    i_det = {t: i_det_a[q] for q, t in enumerate(dates)}
+    band = {t: _r_band(cfg, sigma, market, t, libor_tenor, lo, hi)
+            for o in obs for t in o}
+
+    try:
+        from scipy.special import ndtr as _ndtr
+    except ImportError:                      # pragma: no cover
+        _ndtr = _nphi
+
+    def grid(t):
+        """Value grid at date t.  For a period start the date's OWN
+        observation indicator jumps at its band edges: insert double
+        nodes there so the piecewise-linear representation of the value
+        function captures the jump exactly (the indicator is evaluated
+        pointwise at the nodes, so the pair brackets the discontinuity
+        within 2 ulp-scale cells)."""
+        s = sig * math.sqrt(float(U[t] @ U[t]))
+        xs = np.linspace(r_det[t] - width * s, r_det[t] + width * s,
+                         n_grid)
+        if t in band:
+            eps = 1e-9
+            extra = [v for edge in band[t]
+                     for v in (edge - eps, edge + eps)
+                     if xs[0] < v < xs[-1] and math.isfinite(v)]
+            if extra:
+                xs = np.unique(np.concatenate([xs, np.asarray(extra)]))
+        return xs
+
+    def kernel_avg(mu, s, xs, Wv):
+        """E[W(Y)], Y ~ N(mu, s^2) per element of mu, integrating the
+        piecewise-linear interpolant of (xs, Wv) EXACTLY against the
+        Gaussian kernel cell by cell (Phi/phi closed forms), with
+        constant extension beyond the grid.  Exact-cell integration —
+        NOT Gauss-Hermite or trapezoid — because W carries observation
+        indicators: narrow discontinuous features that sparse nodes
+        straddle (measured: the t=T_j observation integrated to 0 under
+        GH-48, and to ~1e-4 error under an 801-point trapezoid)."""
+        mu = np.atleast_1d(np.asarray(mu, np.float64))
+        z = (xs[None, :] - mu[:, None]) / s                # (M, G)
+        Phi = _ndtr(z)
+        phi = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+        dPhi = Phi[:, 1:] - Phi[:, :-1]
+        dphi = phi[:, 1:] - phi[:, :-1]
+        slope = np.diff(Wv) / np.diff(xs)                  # (G-1,)
+        # cell [x_k, x_{k+1}]: int (W_k + slope_k (y - x_k)) N(y) dy
+        out = dPhi @ Wv[:-1]
+        out += ((mu[:, None] - xs[None, :-1]) * dPhi - s * dphi) @ slope
+        out += Wv[0] * Phi[:, 0]
+        out += Wv[-1] * (1.0 - Phi[:, -1])
+        return out
+
+    def backward(puttable: bool):
+        xs_next = grid(bounds[n])
+        W_next = np.ones(len(xs_next))    # value at T_n = redemption
+        boundaries = []
+        for j in range(n - 1, -1, -1):
+            Tj, Tp = bounds[j], bounds[j + 1]
+            xs = grid(Tj)
+            uj, dj = U[Tj], W[Tp] - W[Tj]          # r(T_j), Delta I shapes
+            vjj = float(uj @ uj)
+            e = (xs - r_det[Tj]) / vjj             # projection coefficient
+            dI_det = i_det[Tp] - i_det[Tj]
+            b_I = float(dj @ uj)
+            v_I = sig * sig * (float(dj @ dj) - b_I * b_I / vjj)
+            m_I = dI_det + b_I * e
+            w0 = np.exp(-m_I + 0.5 * v_I)          # tilted discount factor
+
+            # closed-form conditional coupon value on the grid
+            cpn = np.zeros(len(xs))
+            for t in obs[j]:
+                ui = U[t]
+                b_i = float(ui @ uj)
+                v_i = sig * sig * (float(ui @ ui) - b_i * b_i / vjj)
+                c_iI = sig * sig * (float(ui @ dj) - b_i * b_I / vjj)
+                mu = r_det[t] + b_i * e - c_iI     # tilted conditional mean
+                s_i = math.sqrt(max(v_i, 0.0))
+                r_lo_t, r_hi_t = band[t]
+                if s_i < 1e-12:                    # t == T_j: r is known
+                    p = ((xs >= r_lo_t) & (xs <= r_hi_t)).astype(np.float64)
+                else:
+                    p = _nphi((r_hi_t - mu) / s_i) - _nphi((r_lo_t - mu) / s_i)
+                cpn += coupon * tau / m * p
+            cpn *= w0
+
+            # dense-kernel continuation through the next value function
+            up = U[Tp]
+            b_p = float(up @ uj)
+            v_p = sig * sig * (float(up @ up) - b_p * b_p / vjj)
+            c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
+            mu_p = r_det[Tp] + b_p * e - c_pI
+            s_p = math.sqrt(max(v_p, 0.0))
+            cont = cpn + w0 * kernel_avg(mu_p, s_p, xs_next, W_next)
+
+            if puttable and 1 <= j:
+                # value AT T_j with the put right exercised before period j
+                # accrues: W_j = max(1, cont).  Boundary: cont decreasing
+                # in r, crosses 1 once.
+                if cont[-1] < 1.0 < cont[0]:
+                    rb = float(np.interp(-1.0, -cont, xs))
+                elif cont[0] <= 1.0:
+                    rb = -math.inf                 # always put
+                else:
+                    rb = math.inf                  # never put
+                boundaries.append(rb)
+                W_next = np.maximum(1.0, cont)
+            else:
+                W_next = cont
+            xs_next = xs
+        # discount from 0 to T_0 (tilted unconditional Gaussian)
+        T0 = bounds[0]
+        u0, w0v = U[T0], W[T0]
+        v00 = sig * sig * float(u0 @ u0)
+        vI0 = sig * sig * float(w0v @ w0v)
+        c0 = sig * sig * float(u0 @ w0v)
+        disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
+        mu0 = r_det[T0] - c0
+        val = disc0 * float(kernel_avg(mu0, math.sqrt(v00), xs_next,
+                                       W_next)[0])
+        return val, tuple(reversed(boundaries))
+
+    price, boundaries = backward(True)
+    plain, _ = backward(False)
+    return NoteDP(price=price, plain_price=plain, boundaries=boundaries,
+                  put_premium=price - plain)
+
+
+class NoteResult(NamedTuple):
+    price: jax.Array           # CV lower-bound estimate
+    std_error: jax.Array       # SE of the CV estimate
+    raw_price: jax.Array       # plain MC (no CV)
+    raw_std_error: jax.Array
+    beta: jax.Array            # fitted CV coefficient
+    put_fraction: jax.Array    # fraction of paths that put early
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _note_fn(cfg: HWConfig, coupon: float, lo: float, hi: float,
+             start: float, n: int, tau: float, m: int, delta: float,
+             boundaries: tuple, plain_mean: float, n_paths: int,
+             n_blocks: int, mesh):
+    from .bermudan import _joint_chol, _det_states
+    from .instruments import _libor_r_bounds
+
+    obs, bounds, dates = _note_dates(start, n, tau, m)
+    idx = {t: q for q, t in enumerate(dates)}
+    LT = jnp.asarray(_joint_chol(cfg, dates))
+    k = len(dates)
+    obs_idx = [jnp.asarray([idx[t] for t in o]) for o in obs]
+    bnd_idx = [idx[t] for t in bounds]
+
+    def compute(key, sigma, market):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        r_det, i_det = _det_states(cfg, tables, dates)
+        rb = [jnp.stack([jnp.stack(_libor_r_bounds(
+            cfg, sigma, market, t, delta, lo, hi)) for t in o], axis=1)
+            for o in obs]
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * k), jnp.float32)
+            z = tables.sig_st * jnp.dot(x, LT,
+                                        preferred_element_type=jnp.float32,
+                                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                r = r_det[None, :] + sgn * z[:, 0::2]
+                integral = i_det[None, :] + sgn * z[:, 1::2]
+                # period coupons (discounted to 0)
+                cpn = []
+                for j in range(n):
+                    ro = r[:, obs_idx[j]]
+                    b = rb[j]
+                    frac = jnp.mean(((ro >= b[0][None, :])
+                                     & (ro <= b[1][None, :])
+                                     ).astype(jnp.float32), axis=1)
+                    cpn.append(coupon * tau * frac
+                               * jnp.exp(-integral[:, bnd_idx[j + 1]]))
+                # put policy: alive_j = no put at T_1..T_j
+                alive = jnp.ones(r.shape[0], jnp.float32)
+                V = cpn[0]                  # period-0 coupon always accrues
+                Y = cpn[0]                  # CV: non-callable note
+                for j in range(1, n):
+                    put = (r[:, bnd_idx[j]] > boundaries[j - 1]).astype(
+                        jnp.float32)
+                    V = V + alive * put * jnp.exp(-integral[:, bnd_idx[j]])
+                    alive = alive * (1.0 - put)
+                    V = V + alive * cpn[j]
+                    Y = Y + cpn[j]
+                fin = jnp.exp(-integral[:, bnd_idx[n]])
+                V = V + alive * fin
+                Y = Y + fin
+                return V, Y, 1.0 - alive
+
+            Vp, Yp, Pp = leg(1.0)
+            Vm, Ym, Pm = leg(-1.0)
+            V, Y, P = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym), 0.5 * (Pp + Pm)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(V * Y), jnp.sum(P)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my = s[0] / n_tot, s[2] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        # CV estimator: V - beta (Y - E[Y]), E[Y] exact (closed form)
+        price = mv - beta * (my - plain_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_range_note(cfg: HWConfig, key, market: MarketCurve, *,
+                     coupon: float, lo: float, hi: float,
+                     start: float | None = None, tenor: float = 4.0,
+                     freq: float = 1.0, obs_per_period: int = 5,
+                     libor_tenor: float | None = None, sigma=None,
+                     boundaries: tuple | None = None,
+                     n_paths: int | None = None, n_blocks: int = 1,
+                     mesh=None) -> NoteResult:
+    """Monte Carlo lower bound for the puttable range-accrual note under
+    the fixed threshold policy ``boundaries`` (default: read off the fp64
+    DP oracle; any fixed policy is an unbiased lower bound — with the DP
+    boundary the estimate reproduces ``dp_oracle_range_note`` to MC
+    noise).  The non-callable note is used as a control variate with its
+    EXACT closed-form mean, collapsing the common coupon/redemption
+    noise.  Blocks key on their global index; optionally shards over
+    ``mesh``."""
+    from .instruments import range_accrual_closed_form
+
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+    if boundaries is None:
+        boundaries = dp_oracle_range_note(
+            cfg, market, coupon=coupon, lo=lo, hi=hi, start=start,
+            tenor=tenor, freq=freq, obs_per_period=m,
+            libor_tenor=libor_tenor, sigma=float(sigma)).boundaries
+    leg, _ = range_accrual_closed_form(
+        cfg, market, coupon=coupon, lo=lo, hi=hi, start=start, tenor=tenor,
+        freq=freq, obs_per_period=m, libor_tenor=libor_tenor,
+        sigma=float(sigma))
+    # exact non-callable mean: coupon leg + discrete-law P(0, T_n)
+    from .bermudan import _det_states, _step_index
+    from .ops.engine_linear import _shock_shapes
+    from .models.hull_white import step_tables
+
+    tables = step_tables(cfg, float(sigma), cfg.sigma, jnp.float32)
+    Tn = start + n * tau
+    _, i_det = _det_states(cfg, tables, (Tn,))
+    _, wn = (np.asarray(a, np.float64)
+             for a in _shock_shapes(cfg, _step_index(cfg, Tn)))
+    sig = float(tables.sig_st)
+    p0Tn = math.exp(-float(np.asarray(i_det, np.float64)[0])
+                    + 0.5 * sig * sig * float(wn @ wn))
+    plain_mean = leg + p0Tn
+    out = _note_fn(cfg, float(coupon), float(lo), float(hi), float(start),
+                   n, float(tau), m, float(libor_tenor),
+                   tuple(float(b) for b in boundaries), float(plain_mean),
+                   int(n_paths), int(n_blocks), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market)
+    return NoteResult(price=out[0], std_error=out[1], raw_price=out[2],
+                      raw_std_error=out[3], beta=out[4],
+                      put_fraction=out[5],
+                      n_paths=int(n_paths) * int(n_blocks))

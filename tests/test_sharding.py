@@ -161,3 +161,42 @@ def test_sharded_g2_and_cap_match_single(mesh):
     np.testing.assert_allclose(float(k8.price), float(k1.price), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(k8.caplets),
                                np.asarray(k1.caplets), rtol=1e-5)
+
+
+def test_sharded_exotics_match_single(mesh):
+    """CMS spread, range accrual and the puttable note: mesh == single
+    (blocks key on the global index)."""
+    import math
+
+    from hullwhite_tpu import instruments, range_note
+    from hullwhite_tpu.models import hull_white as hw
+    from hullwhite_tpu.models import oracles
+    import jax.numpy as jnp
+
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    market = hw.MarketCurve(
+        P=jnp.asarray([oracles.bond_price(CFG, T) for T in Ts], jnp.float32),
+        f=jnp.asarray(oracles.forward_rate(CFG, Ts), jnp.float32))
+    kw = dict(n_paths=512, n_blocks=8)
+    s1 = instruments.price_cms_spread(CFG, KEY, market, strike=0.002,
+                                      tenor=2.0, long_tenor=4.0,
+                                      short_tenor=1.0, **kw)
+    s8 = instruments.price_cms_spread(CFG, KEY, market, strike=0.002,
+                                      tenor=2.0, long_tenor=4.0,
+                                      short_tenor=1.0, mesh=mesh, **kw)
+    assert abs(float(s1.price) - float(s8.price)) < 1e-6
+    r1 = instruments.price_range_accrual(CFG, KEY, market, coupon=0.03,
+                                         lo=0.01, hi=0.022, tenor=3.0, **kw)
+    r8 = instruments.price_range_accrual(CFG, KEY, market, coupon=0.03,
+                                         lo=0.01, hi=0.022, tenor=3.0,
+                                         mesh=mesh, **kw)
+    assert abs(float(r1.price) - float(r8.price)) < 1e-6
+    # fixed boundaries: skip the fp64 DP here, the policy is arbitrary
+    b = (0.018, -math.inf)
+    n1 = range_note.price_range_note(CFG, KEY, market, coupon=0.03,
+                                     lo=0.01, hi=0.022, tenor=3.0,
+                                     boundaries=b, **kw)
+    n8 = range_note.price_range_note(CFG, KEY, market, coupon=0.03,
+                                     lo=0.01, hi=0.022, tenor=3.0,
+                                     boundaries=b, mesh=mesh, **kw)
+    assert abs(float(n1.price) - float(n8.price)) < 1e-6
