@@ -693,6 +693,14 @@ def cmd_exotics(args):
           + np.array2string(np.asarray(dp.boundaries), precision=5))
     print(f"agreement: z = {z_nt:.2f} ({'PASS' if ok_nt else 'CHECK'})")
     rc |= 0 if ok_nt else 1
+    nv = range_note.vega_range_note(
+        cfg, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs,
+        n_paths=min(cfg.n_paths, 1 << 16))
+    print(f"note vega: CRN-FD {float(nv.vega):.6f} vs DP FD "
+          f"{nv.dp_vega:.6f} (envelope check)")
+    results["range_note_vega"] = {"mc_crn_fd": float(nv.vega),
+                                  "dp_fd": nv.dp_vega}
     results["range_note"] = {
         "dp_price": dp.price, "dp_plain": dp.plain_price,
         "put_premium": dp.put_premium,

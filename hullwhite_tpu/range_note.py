@@ -409,3 +409,46 @@ def price_range_note(cfg: HWConfig, key, market: MarketCurve, *,
                       raw_std_error=out[3], beta=out[4],
                       put_fraction=out[5],
                       n_paths=int(n_paths) * int(n_blocks))
+
+
+class NoteVega(NamedTuple):
+    vega: jax.Array            # CRN-FD vega of the CV estimate
+    dp_vega: float             # fp64 DP central difference (oracle)
+    price_minus: jax.Array
+    price_plus: jax.Array
+    epsilon: float
+
+
+def vega_range_note(cfg: HWConfig, key, market: MarketCurve, *,
+                    coupon: float, lo: float, hi: float,
+                    start: float | None = None, tenor: float = 4.0,
+                    freq: float = 1.0, obs_per_period: int = 5,
+                    libor_tenor: float | None = None, eps: float = 1e-3,
+                    n_paths: int | None = None, n_blocks: int = 1,
+                    mesh=None) -> NoteVega:
+    """CRN central-difference vega of the puttable note with the put
+    BOUNDARY FROZEN at the base-sigma DP policy (envelope theorem: at
+    the optimal threshold the policy derivative contributes zero first
+    order, so the fixed-policy derivative IS the price sensitivity).
+    Oracle: the same central difference of the fp64 DP value, which
+    re-optimizes the boundary at each bump — agreement of the two also
+    CHECKS the envelope argument numerically.  CRN by key reuse; the
+    control variate's exact mean is recomputed per bump so each side
+    stays unbiased."""
+    if start is None:
+        start = cfg.s1
+    kw = dict(coupon=coupon, lo=lo, hi=hi, start=start, tenor=tenor,
+              freq=freq, obs_per_period=obs_per_period,
+              libor_tenor=libor_tenor)
+    base = dp_oracle_range_note(cfg, market, sigma=cfg.sigma, **kw)
+    dp_m = dp_oracle_range_note(cfg, market, sigma=cfg.sigma - eps, **kw)
+    dp_p = dp_oracle_range_note(cfg, market, sigma=cfg.sigma + eps, **kw)
+    mc = dict(kw, boundaries=base.boundaries, n_paths=n_paths,
+              n_blocks=n_blocks, mesh=mesh)
+    p_m = price_range_note(cfg, key, market, sigma=cfg.sigma - eps,
+                           **mc).price
+    p_p = price_range_note(cfg, key, market, sigma=cfg.sigma + eps,
+                           **mc).price
+    return NoteVega(vega=(p_p - p_m) / (2.0 * eps),
+                    dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
+                    price_minus=p_m, price_plus=p_p, epsilon=eps)

@@ -122,3 +122,15 @@ def test_dp_boundary_policy_beats_heuristics(analytic_market, dp):
         # CRN (same key): the ordering holds pathwise up to policy noise
         assert float(alt.price) < float(base.price) + 3 * float(
             base.std_error), (shift, float(alt.price), float(base.price))
+
+
+def test_vega_crn_matches_dp_fd(analytic_market):
+    """Frozen-boundary CRN-FD vega vs the re-optimizing DP central
+    difference — their agreement is a numerical check of the envelope
+    theorem at the optimal threshold."""
+    v = range_note.vega_range_note(CFG, KEY, analytic_market,
+                                   n_paths=1 << 14, n_blocks=2, eps=2e-3,
+                                   **KW)
+    assert v.dp_vega > 0           # more vol -> the par put is worth more
+    assert abs(float(v.vega) - v.dp_vega) < 0.05 * abs(v.dp_vega) + 1e-3, (
+        float(v.vega), v.dp_vega)
