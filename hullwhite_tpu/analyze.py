@@ -193,6 +193,62 @@ def plot_bermudan_bracket(data_dir: Path, plots_dir: Path):
     return out
 
 
+def plot_exotics(data_dir: Path, plots_dir: Path):
+    """Exotic layer artifact (beyond-reference): left, the puttable
+    range-accrual note's continuation value C_1(r) at the first put date
+    against par, with the DP exercise boundary; right, per-period MC vs
+    fp64-oracle values for the CMS spread and range-accrual legs."""
+    p = data_dir / "exotics_results.json"
+    if not p.exists():
+        return None
+    r = json.loads(p.read_text())["results"]
+    fig, (a1, a2) = plt.subplots(1, 2, figsize=(12, 5))
+
+    note = r.get("range_note", {})
+    if note.get("profile_r"):
+        xs = np.array(note["profile_r"])
+        cont = np.array(note["profile_cont"])
+        a1.plot(xs * 100, cont, color="#2b6cb0",
+                label="continuation $C_1(r)$ (fp64 DP)")
+        a1.axhline(1.0, color="#2f855a", ls=":", label="par (put value)")
+        b = note["boundaries"][0]
+        if np.isfinite(b):
+            a1.axvline(b * 100, color="#c05621", ls="--",
+                       label=f"boundary $r^*_1$ = {b*100:.2f}%")
+        a1.set_xlim(xs.min() * 100, xs.max() * 100)
+        a1.set_xlabel("short rate r at $T_1$ (%)")
+        a1.set_ylabel("value")
+        a1.set_title("Puttable range note: first-date continuation\n"
+                     f"DP {note['dp_price']:.6f} / MC {note['mc_price']:.6f}"
+                     f" ± {note['mc_se']:.1e}, put premium "
+                     f"{note['put_premium']:.5f}")
+        a1.legend()
+
+    width = 0.35
+    for off, key, orc_key, label, color in (
+            (-width / 2, "cms_spread", "periods_quadrature",
+             "CMS spread", "#2b6cb0"),
+            (width / 2, "range_accrual", "periods_closed_form",
+             "range accrual", "#c05621")):
+        d = r.get(key)
+        if not d:
+            continue
+        mc = np.array(d["periods_mc"])
+        orc = np.array(d[orc_key])
+        idx = np.arange(len(mc))
+        a2.bar(idx + off, mc, width, color=color, alpha=0.85,
+               label=f"{label} (MC)")
+        a2.plot(idx + off, orc, "k_", markersize=14, markeredgewidth=2)
+    a2.set_xlabel("period")
+    a2.set_ylabel("discounted period value")
+    a2.set_title("Exotic legs per period: MC bars vs fp64 oracles (ticks)")
+    a2.legend()
+    out = plots_dir / "exotics.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
 def print_summary(data_dir: Path):
     """Consolidated run report (reference analyze.py:249-344)."""
     print("=" * 72)
@@ -202,7 +258,8 @@ def print_summary(data_dir: Path):
                  "q3_results.json", "zbc_statistics_optimal.json",
                  "benchmark_engines.json", "swaption_results.json",
                  "bermudan_sweep.json", "cap_results.json", "floor_results.json",
-                 "g2pp_results.json", "grid_results.json"]:
+                 "g2pp_results.json", "grid_results.json",
+                 "cms_results.json", "exotics_results.json"]:
         p = data_dir / name
         if not p.exists():
             continue
@@ -232,7 +289,7 @@ def main(argv=None):
     made = []
     for fn in [plot_paths_static, plot_p_and_f, plot_theta_recovery,
                plot_sensitivity_comparison, plot_engine_benchmark,
-               plot_bermudan_bracket]:
+               plot_bermudan_bracket, plot_exotics]:
         out = fn(data_dir, plots_dir)
         if out:
             made.append(out)

@@ -707,7 +707,10 @@ def cmd_exotics(args):
         "boundaries": [float(b) for b in dp.boundaries],
         "mc_price": float(nt.price), "mc_se": float(nt.std_error),
         "mc_raw_se": float(nt.raw_std_error),
-        "put_fraction": float(nt.put_fraction), "z": z_nt}
+        "put_fraction": float(nt.put_fraction), "z": z_nt,
+        "profile_r": list(dp.profile_x[::4]),
+        "profile_cont": list(dp.profile_cont[::4]),
+        "coupon": args.coupon, "lo": args.lo, "hi": args.hi}
 
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)

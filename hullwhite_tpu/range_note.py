@@ -94,6 +94,8 @@ class NoteDP(NamedTuple):
     plain_price: float         # non-callable note (coupons + redemption)
     boundaries: tuple          # r*_j at T_1..T_{n-1} (+inf = never put)
     put_premium: float         # price - plain_price  (>= 0)
+    profile_x: tuple = ()      # r-grid at the first put date T_1
+    profile_cont: tuple = ()   # continuation C_1(r) there (vs par = 1)
 
 
 def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
@@ -182,6 +184,8 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
         out += Wv[-1] * (1.0 - Phi[:, -1])
         return out
 
+    profile = []
+
     def backward(puttable: bool):
         xs_next = grid(bounds[n])
         W_next = np.ones(len(xs_next))    # value at T_n = redemption
@@ -224,6 +228,9 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
             s_p = math.sqrt(max(v_p, 0.0))
             cont = cpn + w0 * kernel_avg(mu_p, s_p, xs_next, W_next)
 
+            if puttable and j == 1:
+                profile.append((tuple(float(v) for v in xs),
+                                tuple(float(v) for v in cont)))
             if puttable and 1 <= j:
                 # value AT T_j with the put right exercised before period j
                 # accrues: W_j = max(1, cont).  Boundary: cont decreasing
@@ -253,8 +260,9 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
 
     price, boundaries = backward(True)
     plain, _ = backward(False)
+    px, pc = profile[0] if profile else ((), ())
     return NoteDP(price=price, plain_price=plain, boundaries=boundaries,
-                  put_premium=price - plain)
+                  put_premium=price - plain, profile_x=px, profile_cont=pc)
 
 
 class NoteResult(NamedTuple):
