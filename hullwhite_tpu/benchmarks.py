@@ -309,12 +309,18 @@ AB_MODES = {
 
 def run_ab(cfg: HWConfig, key, mode: str, n_runs: int = 20):
     """Repeatable entry point for the RESULTS.md A/B tables
-    (``cli benchmark --ab rng|precision|fullstep`` -> data/ab_results.json).
+    (``cli benchmark --ab rng|precision|fullstep`` ->
+    data/ab_results_{mode}.json).
 
     The statistical-validation analogue of the reference's method-
     agreement z-test (3_sensitivity_analysis.cu:656-695) applied to
     engineering choices; see ab_compare for the paired-seed design."""
     spec = AB_MODES[mode]
+    if "pallas" in spec["opt"][1] and cfg.path_block % (1 << 15):
+        raise SystemExit(
+            f"--ab {mode} uses a fused Pallas tier: path_block must be a "
+            f"multiple of 32768 (pass --paths >= 32768), got "
+            f"{cfg.path_block}")
     on_tpu = jax.devices()[0].platform != "cpu"
     if not on_tpu and "pallas" in spec["opt"][1]:
         raise SystemExit(
@@ -335,9 +341,11 @@ def run_ab(cfg: HWConfig, key, mode: str, n_runs: int = 20):
     agree = all(abs(out[k]["z"]) < 3.0 for k in ("price", "vega"))
     print(f"A/B verdict ({mode}): "
           f"{'AGREE at the 3-sigma level' if agree else 'DISAGREE'}")
-    hwio.write_json(hwio.DATA_DIR / "ab_results.json",
+    # one file per mode: running rng/precision/fullstep back to back must
+    # leave all three artifacts, not just the last
+    hwio.write_json(hwio.DATA_DIR / f"ab_results_{mode}.json",
                     f"A/B {mode}", cfg, results=out)
-    print("saved data/ab_results.json")
+    print(f"saved data/ab_results_{mode}.json")
     return 0
 
 

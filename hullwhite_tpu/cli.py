@@ -1028,7 +1028,7 @@ def main(argv=None):
     pb.add_argument("--ab", choices=["rng", "precision", "fullstep"],
                     default=None,
                     help="20-run paired A/B (RNG design / MXU precision / "
-                         "fullstep mixed generator) -> data/ab_results.json")
+                         "fullstep mixed generator) -> data/ab_results_{mode}.json")
     pb.add_argument("--ab-runs", type=int, default=20)
     pb.add_argument("--roofline", action="store_true",
                     help="full-step tier speed-of-light accounting "
