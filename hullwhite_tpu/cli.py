@@ -671,6 +671,27 @@ def cmd_exotics(args):
         "periods_closed_form": per_ra,
         "mean_fractions": [float(x) for x in ra.mean_fraction]}
 
+    from .models import g2pp
+
+    print("--- G2++ range accrual (two-factor twin, same band) ---")
+    g2 = g2pp.G2Params()
+    ra2 = g2pp.price_range_accrual_g2(
+        cfg, g2, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    orc_ra2, _ = g2pp.range_accrual_closed_form_g2(
+        cfg, g2, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    z_ra2 = (float(ra2.price) - orc_ra2) / max(float(ra2.std_error), 1e-12)
+    ok_ra2 = abs(z_ra2) < 4 or abs(float(ra2.price) - orc_ra2) < 2e-4
+    print(f"MC:          {float(ra2.price):.8f} "
+          f"+/- {float(ra2.std_error):.2e} (SE)")
+    print(f"closed form: {orc_ra2:.8f}")
+    print(f"agreement: z = {z_ra2:.2f} ({'PASS' if ok_ra2 else 'CHECK'})")
+    rc |= 0 if ok_ra2 else 1
+    results["range_accrual_g2"] = {
+        "mc_price": float(ra2.price), "mc_se": float(ra2.std_error),
+        "closed_form": orc_ra2, "z": z_ra2}
+
     print(f"--- puttable range-accrual note (Bermudan put at par, "
           f"T_1..T_{int(args.tenor*args.freq)-1}) ---")
     from . import range_note

@@ -2043,3 +2043,204 @@ def dp_oracle_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, sched,
         V = np.maximum(payoff_at(j, Xj, Yj), cont)
     price = backward_step(-1, 0, V, np.array([0.0]), np.array([0.0]))
     return float(price[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Range-accrual leg under G2++ (round 3): the two-factor twin of
+# instruments.price_range_accrual.  The LIBOR band 1 + delta L =
+# e^{Ba x + Bb y}/A is a STRIP c_lo <= u <= c_hi in the projected
+# coordinate u = Ba x + Bb y, so every observation is still an interval
+# indicator on a 1-d Gaussian and the fp64 oracle stays EXACT closed
+# form: tilting by e^{-I(T_p)} cancels the e^{-V/2} drift adjustment
+# (Var I = V) and shifts u's mean by -Cov(u, I_p), read directly off the
+# same _g2_joint_cov the sampler Choleskys — oracle and MC integrate the
+# identical law.
+# ---------------------------------------------------------------------------
+
+class G2Range(NamedTuple):
+    price: jax.Array
+    std_error: jax.Array
+    periods: jax.Array
+    mean_fraction: jax.Array
+    n_paths: int
+
+
+def _range_dates_g2(start: float, n: int, tau: float, m: int):
+    obs = [tuple(start + j * tau + i * tau / m for i in range(m))
+           for j in range(n)]
+    pays = tuple(start + (j + 1) * tau for j in range(n))
+    dates = tuple(sorted({t for o in obs for t in o} | set(pays)))
+    return obs, pays, dates
+
+
+def _libor_strip_g2(cfg: HWConfig, g: G2Params, market, t: float,
+                    delta: float, lo: float, hi: float):
+    """(Ba, Bb, c_lo, c_hi): lo <= L(t, t+delta) <= hi  <=>
+    c_lo <= Ba x + Bb y <= c_hi, with c = ln A + log1p(delta L) and
+    A = (P0(t+d)/P0(t)) e^{(V(d) - V(t+d) + V(t))/2}.  The c edges are
+    traced (market curve); B and the V adjustment are static."""
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    vadj = 0.5 * (_v_integral(g, delta) - _v_integral(g, t + delta)
+                  + _v_integral(g, t))
+    lnA = (jnp.log(hw.interp_curve(market.P, jnp.float32(t + delta), cfg))
+           - jnp.log(hw.interp_curve(market.P, jnp.float32(t), cfg))
+           + jnp.float32(vadj))
+
+    def edge(level):
+        if 1.0 + delta * level <= 0.0:
+            return jnp.float32(-jnp.inf)
+        return lnA + math.log1p(delta * level)
+
+    return Ba, Bb, edge(lo), edge(hi)
+
+
+@lru_cache(maxsize=None)
+def _g2_range_fn(cfg: HWConfig, g: G2Params, coupon: float, lo: float,
+                 hi: float, start: float, n: int, tau: float, m: int,
+                 delta: float, n_paths: int, n_blocks: int, mesh):
+    from ..parallel import mesh as pmesh
+
+    obs, pays, dates = _range_dates_g2(start, n, tau, m)
+    idx = {t: q for q, t in enumerate(dates)}
+    LT = jnp.asarray(_g2_joint_chol(g, dates))
+    k = len(dates)
+    v_half = [0.5 * _v_integral(g, p) for p in pays]
+
+    def compute(key, market):
+        strips = [[_libor_strip_g2(cfg, g, market, t, delta, lo, hi)
+                   for t in o] for o in obs]
+        disc0 = [hw.interp_curve(market.P, jnp.float32(p), cfg)
+                 * jnp.exp(jnp.float32(-v_half[j]))
+                 for j, p in enumerate(pays)]
+
+        def block(bi):
+            xn = jax.random.normal(jax.random.fold_in(key, bi),
+                                   (n_paths, 3 * k), jnp.float32)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                vals, fracs = [], []
+                for j in range(n):
+                    ind = []
+                    for t, (Ba, Bb, c_lo, c_hi) in zip(obs[j], strips[j]):
+                        q = idx[t]
+                        u = (Ba * sgn * z[:, 3 * q]
+                             + Bb * sgn * z[:, 3 * q + 1])
+                        ind.append(((u >= c_lo) & (u <= c_hi)
+                                    ).astype(jnp.float32))
+                    frac = jnp.mean(jnp.stack(ind, axis=1), axis=1)
+                    I_p = sgn * z[:, 3 * idx[pays[j]] + 2]
+                    disc = disc0[j] * jnp.exp(-I_p)
+                    vals.append(coupon * tau * frac * disc)
+                    fracs.append(frac)
+                return jnp.stack(vals, axis=1), jnp.stack(fracs, axis=1)
+
+            Vp, Fp = leg(1.0)
+            Vm, Fm = leg(-1.0)
+            V, F = 0.5 * (Vp + Vm), 0.5 * (Fp + Fm)
+            tot = jnp.sum(V, axis=1)
+            return jnp.concatenate([
+                jnp.stack([jnp.sum(tot), jnp.sum(tot * tot)]),
+                jnp.sum(V, axis=0), jnp.sum(F, axis=0)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mean = s[0] / n_tot
+        var = jnp.maximum(s[1] / n_tot - mean ** 2, 0.0)
+        var = var * n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (mean, jnp.sqrt(var / n_tot), s[2:2 + n] / n_tot,
+                s[2 + n:] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_range_accrual_g2(cfg: HWConfig, g: G2Params, key,
+                           market: MarketCurve, *, coupon: float,
+                           lo: float, hi: float, start: float | None = None,
+                           tenor: float = 4.0, freq: float = 1.0,
+                           obs_per_period: int = 5,
+                           libor_tenor: float | None = None,
+                           n_paths: int | None = None, n_blocks: int = 1,
+                           mesh=None) -> G2Range:
+    """Monte Carlo G2++ range-accrual leg from one exactly-sampled
+    multi-date (x, y, I) state set (antithetic); blocks key on the
+    global index, optionally sharded over ``mesh``.  fp64 oracle:
+    range_accrual_closed_form_g2 (exact, no quadrature)."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau / obs_per_period
+    price, se, periods, fracs = _g2_range_fn(
+        cfg, g, float(coupon), float(lo), float(hi), float(start), n,
+        float(tau), int(obs_per_period), float(libor_tenor), int(n_paths),
+        int(n_blocks), mesh)(key, market)
+    return G2Range(price=price, std_error=se, periods=periods,
+                   mean_fraction=fracs,
+                   n_paths=int(n_paths) * int(n_blocks))
+
+
+def range_accrual_closed_form_g2(cfg: HWConfig, g: G2Params,
+                                 market: MarketCurve, *, coupon: float,
+                                 lo: float, hi: float,
+                                 start: float | None = None,
+                                 tenor: float = 4.0, freq: float = 1.0,
+                                 obs_per_period: int = 5,
+                                 libor_tenor: float | None = None):
+    """float64 G2++ range-accrual leg in CLOSED FORM: per observation
+
+        coupon tau/m P(0,T_p) (Phi((c_hi - mu~)/s_u) - Phi((c_lo - mu~)/s_u)),
+
+    u = Ba x(t_i) + Bb y(t_i), mu~ = -Cov(u, I(T_p)), s_u^2 = Var u,
+    all read off _g2_joint_cov (the sampler's own covariance, jitter
+    included) — the e^{Var I/2} tilt normalizer cancels the e^{-V/2}
+    drift adjustment exactly.  Returns (leg value, per-period list)."""
+    from .oracles import _phi
+
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+    obs, pays, dates = _range_dates_g2(float(start), n, tau, m)
+    idx = {t: q for q, t in enumerate(dates)}
+    C = _g2_joint_cov(g, dates)
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    Ba, Bb = _B(g.a, libor_tenor), _B(g.b, libor_tenor)
+    total, per = 0.0, []
+    for j in range(n):
+        qp = idx[pays[j]]
+        P0p = float(np.interp(pays[j], Ts_grid, P0))
+        v = 0.0
+        for t in obs[j]:
+            qi = idx[t]
+            var_u = (Ba * Ba * C[3 * qi, 3 * qi]
+                     + 2.0 * Ba * Bb * C[3 * qi, 3 * qi + 1]
+                     + Bb * Bb * C[3 * qi + 1, 3 * qi + 1])
+            cov_uI = (Ba * C[3 * qi, 3 * qp + 2]
+                      + Bb * C[3 * qi + 1, 3 * qp + 2])
+            s_u = math.sqrt(var_u)
+            vadj = 0.5 * (_v_integral(g, libor_tenor)
+                          - _v_integral(g, t + libor_tenor)
+                          + _v_integral(g, t))
+            lnA = (math.log(float(np.interp(t + libor_tenor, Ts_grid, P0)))
+                   - math.log(float(np.interp(t, Ts_grid, P0))) + vadj)
+
+            def edge(level):
+                if 1.0 + libor_tenor * level <= 0.0:
+                    return -math.inf
+                return lnA + math.log1p(libor_tenor * level)
+
+            p = (_phi((edge(hi) + cov_uI) / s_u)
+                 - _phi((edge(lo) + cov_uI) / s_u))
+            v += coupon * tau / m * P0p * p
+        per.append(v)
+        total += v
+    return total, per

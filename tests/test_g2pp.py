@@ -587,3 +587,38 @@ def test_g2_martingale_cv_lower_bound(analytic_market):
     assert cv_se < float(r.std_error) / 10.0, (cv_se, float(r.std_error))
     assert cv <= float(r.upper) + 4 * (cv_se + float(r.upper_std_error))
     assert abs(cv - float(r.price)) < 4 * float(r.std_error)
+
+
+def test_g2_range_accrual_matches_closed_form(analytic_market):
+    """Two-factor range accrual: the LIBOR band is a strip in (x, y), so
+    the fp64 oracle is exact closed form (tilted Phi differences in the
+    projected coordinate, covariances straight from _g2_joint_cov)."""
+    kw = dict(coupon=0.03, lo=0.01, hi=0.022, tenor=3.0, obs_per_period=5)
+    res = g2pp.price_range_accrual_g2(CFG, G2, KEY, analytic_market,
+                                      n_paths=1 << 15, n_blocks=2, **kw)
+    orc, per = g2pp.range_accrual_closed_form_g2(CFG, G2, analytic_market,
+                                                 **kw)
+    assert 0 < orc < 0.03 * 3.0
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 2e-5, (
+        float(res.price), orc)
+    np.testing.assert_allclose(np.asarray(res.periods), np.asarray(per),
+                               atol=2e-4)
+
+
+def test_g2_range_accrual_wide_band_and_mesh(analytic_market):
+    """Wide band accrues everything: leg == coupon tau sum_j P(0,T_p)
+    exactly; and sharded == single on the 8-device mesh."""
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    wide, _ = g2pp.range_accrual_closed_form_g2(
+        CFG, G2, analytic_market, coupon=0.03, lo=-0.5, hi=5.0, tenor=3.0)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P = np.asarray(analytic_market.P, np.float64)
+    bonds = sum(float(np.interp(CFG.s1 + j + 1.0, Ts, P)) for j in range(3))
+    assert abs(wide - 0.03 * bonds) < 1e-9      # fp64 end to end
+    kw = dict(coupon=0.03, lo=0.01, hi=0.022, tenor=3.0, n_paths=512,
+              n_blocks=8)
+    r1 = g2pp.price_range_accrual_g2(CFG, G2, KEY, analytic_market, **kw)
+    r8 = g2pp.price_range_accrual_g2(CFG, G2, KEY, analytic_market,
+                                     mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(r1.price) - float(r8.price)) < 1e-6
