@@ -599,12 +599,34 @@ def cmd_cms(args):
     z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
     ok = abs(z) < 4 or abs(float(res.price) - orc) < 2e-4
     print(f"agreement: z = {z:.2f} ({'PASS' if ok else 'CHECK'})")
+    results = {"mc_price": float(res.price),
+               "mc_se": float(res.std_error),
+               "quadrature": orc, "z": z,
+               "periods_mc": [float(x) for x in res.periods],
+               "periods_quadrature": per}
+    if args.g2:
+        from .models import g2pp
+
+        g2 = g2pp.G2Params()
+        r2 = g2pp.price_cms_g2(cfg, g2, key, market, rate=args.rate,
+                               tenor=args.tenor, freq=args.freq,
+                               swap_tenor=args.swap_tenor,
+                               floor=args.floor)
+        o2, _ = g2pp.cms_quadrature_g2(cfg, g2, market, rate=args.rate,
+                                       tenor=args.tenor, freq=args.freq,
+                                       swap_tenor=args.swap_tenor,
+                                       floor=args.floor)
+        z2 = (float(r2.price) - o2) / max(float(r2.std_error), 1e-12)
+        ok2 = abs(z2) < 4 or abs(float(r2.price) - o2) < 2e-4
+        print(f"G2++ twin:  MC {float(r2.price):.8f} "
+              f"+/- {float(r2.std_error):.2e}  quadrature {o2:.8f}  "
+              f"z = {z2:.2f} ({'PASS' if ok2 else 'CHECK'})")
+        ok = ok and ok2
+        results["g2"] = {"mc_price": float(r2.price),
+                         "mc_se": float(r2.std_error),
+                         "quadrature": o2, "z": z2}
     hwio.write_json(hwio.DATA_DIR / "cms_results.json", kind, cfg,
-                    results={"mc_price": float(res.price),
-                             "mc_se": float(res.std_error),
-                             "quadrature": orc, "z": z,
-                             "periods_mc": [float(x) for x in res.periods],
-                             "periods_quadrature": per})
+                    results=results)
     return 0 if ok else 1
 
 
@@ -1094,6 +1116,8 @@ def main(argv=None):
     pcm.add_argument("--freq", type=float, default=1.0)
     pcm.add_argument("--swap-tenor", type=float, default=5.0)
     pcm.add_argument("--floor", action="store_true")
+    pcm.add_argument("--g2", action="store_true",
+                     help="also price the G2++ twin vs its oracle")
     pex = sub.add_parser("exotics", parents=[common])
     pex.add_argument("--strike", type=float, default=0.002,
                      help="CMS spread strike")

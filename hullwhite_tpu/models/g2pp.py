@@ -2244,3 +2244,202 @@ def range_accrual_closed_form_g2(cfg: HWConfig, g: G2Params,
         per.append(v)
         total += v
     return total, per
+
+
+# ---------------------------------------------------------------------------
+# CMS cap/floor leg under G2++ (round 3): the two-factor twin of
+# instruments.price_cms.  The par rate S(x, y) is increasing in BOTH
+# factors, so the fp64 oracle tilts the bivariate state by e^{-I(T_p)}
+# (means shift by -Cov(., I_p), covariance unchanged, normalizer cancels
+# the e^{-V/2} drift adjustment) and integrates exactly-in-x /
+# Gauss-Hermite-in-y: per outer y node the strike root x*(y) is bisected
+# and the smooth ITM side Gauss-Legendre'd — the same decomposition the
+# G2++ Bermudan value-iteration targets use.
+# ---------------------------------------------------------------------------
+
+def _swap_terms_g2(cfg: HWConfig, g: G2Params, t: float, swap_tenor: float,
+                   swap_freq: float):
+    """Static parts of P(t, T_i; x, y) = A_i e^{-Ba_i x - Bb_i y} for the
+    payments of the par swap observed at t: (times, Ba, Bb, vadj)."""
+    mm = int(round(swap_tenor * swap_freq))
+    tau_s = 1.0 / swap_freq
+    Ts = [t + (i + 1) * tau_s for i in range(mm)]
+    Ba = [_B(g.a, T - t) for T in Ts]
+    Bb = [_B(g.b, T - t) for T in Ts]
+    vadj = [0.5 * (_v_integral(g, T - t) - _v_integral(g, T)
+                   + _v_integral(g, t)) for T in Ts]
+    return Ts, Ba, Bb, vadj, tau_s
+
+
+@lru_cache(maxsize=None)
+def _g2_cms_fn(cfg: HWConfig, g: G2Params, rate: float, start: float,
+               n: int, tau: float, swap_tenor: float, swap_freq: float,
+               floor: bool, n_paths: int, n_blocks: int, mesh):
+    from ..parallel import mesh as pmesh
+
+    dates = tuple(start + j * tau for j in range(n + 1))
+    idx = {t: q for q, t in enumerate(dates)}
+    LT = jnp.asarray(_g2_joint_chol(g, dates))
+    k = len(dates)
+    terms = [_swap_terms_g2(cfg, g, dates[j], swap_tenor, swap_freq)
+             for j in range(n)]
+    v_half = [0.5 * _v_integral(g, dates[j + 1]) for j in range(n)]
+
+    def compute(key, market):
+        lam = []
+        for j in range(n):
+            Ts, Ba, Bb, vadj, tau_s = terms[j]
+            P0t = hw.interp_curve(market.P, jnp.float32(dates[j]), cfg)
+            A = [hw.interp_curve(market.P, jnp.float32(T), cfg) / P0t
+                 * jnp.exp(jnp.float32(v)) for T, v in zip(Ts, vadj)]
+            lam.append(jnp.stack(A))
+        disc0 = [hw.interp_curve(market.P, jnp.float32(dates[j + 1]), cfg)
+                 * jnp.exp(jnp.float32(-v_half[j])) for j in range(n)]
+
+        def block(bi):
+            xn = jax.random.normal(jax.random.fold_in(key, bi),
+                                   (n_paths, 3 * k), jnp.float32)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                vals = []
+                for j in range(n):
+                    Ts, Ba, Bb, vadj, tau_s = terms[j]
+                    q = idx[dates[j]]
+                    x = sgn * z[:, 3 * q]
+                    y = sgn * z[:, 3 * q + 1]
+                    P = lam[j][None, :] * jnp.exp(
+                        -jnp.asarray(Ba, jnp.float32)[None, :] * x[:, None]
+                        - jnp.asarray(Bb, jnp.float32)[None, :] * y[:, None])
+                    S = (1.0 - P[:, -1]) / (tau_s * jnp.sum(P, axis=1))
+                    I_p = sgn * z[:, 3 * idx[dates[j + 1]] + 2]
+                    disc = disc0[j] * jnp.exp(-I_p)
+                    intrinsic = (rate - S) if floor else (S - rate)
+                    vals.append(disc * tau * jnp.maximum(intrinsic, 0.0))
+                return jnp.stack(vals, axis=1)
+
+            V = 0.5 * (leg(1.0) + leg(-1.0))
+            tot = jnp.sum(V, axis=1)
+            return jnp.concatenate([
+                jnp.stack([jnp.sum(tot), jnp.sum(tot * tot)]),
+                jnp.sum(V, axis=0)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mean = s[0] / n_tot
+        var = jnp.maximum(s[1] / n_tot - mean ** 2, 0.0)
+        var = var * n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return mean, jnp.sqrt(var / n_tot), s[2:] / n_tot
+
+    return jax.jit(compute)
+
+
+def price_cms_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve, *,
+                 rate: float, start: float | None = None,
+                 tenor: float = 4.0, freq: float = 1.0,
+                 swap_tenor: float = 5.0, swap_freq: float = 1.0,
+                 floor: bool = False, n_paths: int | None = None,
+                 n_blocks: int = 1, mesh=None) -> G2Range:
+    """Monte Carlo G2++ CMS cap/floor leg (convexity-bearing payoff) from
+    one exactly-sampled multi-date (x, y, I) state set (antithetic);
+    blocks key on the global index, optionally sharded over ``mesh``.
+    fp64 oracle: cms_quadrature_g2."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    price, se, periods = _g2_cms_fn(
+        cfg, g, float(rate), float(start), n, float(tau),
+        float(swap_tenor), float(swap_freq), bool(floor), int(n_paths),
+        int(n_blocks), mesh)(key, market)
+    return G2Range(price=price, std_error=se, periods=periods,
+                   mean_fraction=periods * 0.0,
+                   n_paths=int(n_paths) * int(n_blocks))
+
+
+def cms_quadrature_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, *,
+                      rate: float, start: float | None = None,
+                      tenor: float = 4.0, freq: float = 1.0,
+                      swap_tenor: float = 5.0, swap_freq: float = 1.0,
+                      floor: bool = False, n_gh: int = 64,
+                      n_quad: int = 200):
+    """float64 G2++ CMS leg: exponential tilting by e^{-I(T_p)} (means
+    shift by -Cov(., I_p); the e^{Var I/2} normalizer cancels the
+    e^{-V/2} adjustment, leaving P(0,T_p) as the prefactor), then
+    exact-in-x / GH-in-y: S(x,y) is increasing in x for every y, so per
+    outer Gauss-Hermite y-node the strike root x*(y) is bisected and the
+    smooth ITM side integrated by Gauss-Legendre on the conditional
+    x | y Gaussian.  Returns (leg value, per-period list)."""
+    from numpy.polynomial.legendre import leggauss
+
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    dates = tuple(start + j * tau for j in range(n + 1))
+    idx = {t: q for q, t in enumerate(dates)}
+    C = _g2_joint_cov(g, dates)
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    gh_x, gh_w = np.polynomial.hermite.hermgauss(n_gh)
+    gh_w = gh_w / math.sqrt(math.pi)
+    gl_x, gl_w = leggauss(n_quad)
+    total, per = 0.0, []
+    for j in range(n):
+        qj, qp = idx[dates[j]], idx[dates[j + 1]]
+        var_x, var_y = C[3 * qj, 3 * qj], C[3 * qj + 1, 3 * qj + 1]
+        cov_xy = C[3 * qj, 3 * qj + 1]
+        mx = -C[3 * qj, 3 * qp + 2]            # tilted means
+        my = -C[3 * qj + 1, 3 * qp + 2]
+        P0p = float(np.interp(dates[j + 1], Ts_grid, P0))
+        Ts, Ba, Bb, vadj, tau_s = _swap_terms_g2(cfg, g, dates[j],
+                                                 swap_tenor, swap_freq)
+        P0t = float(np.interp(dates[j], Ts_grid, P0))
+        A = np.array([float(np.interp(T, Ts_grid, P0)) / P0t * math.exp(v)
+                      for T, v in zip(Ts, vadj)])
+        Ba = np.asarray(Ba)
+        Bb = np.asarray(Bb)
+
+        def srate(x, y):
+            P = A[None, :] * np.exp(-Ba[None, :] * np.atleast_1d(x)[:, None]
+                                    - Bb[None, :] * y)
+            return (1.0 - P[:, -1]) / (tau_s * np.sum(P, axis=1))
+
+        s_y = math.sqrt(var_y)
+        bx = cov_xy / var_y
+        s_xy = math.sqrt(max(var_x - cov_xy * cov_xy / var_y, 0.0))
+        v = 0.0
+        for yk, wk in zip(my + math.sqrt(2.0) * s_y * gh_x, gh_w):
+            m_x = mx + bx * (yk - my)
+            lo_x, hi_x = m_x - 12.0 * s_xy, m_x + 12.0 * s_xy
+            # S increasing in x: bisect the strike root
+            if srate(np.array([hi_x]), yk)[0] < rate:
+                root = hi_x                    # fully OTM (cap) / ITM (floor)
+            elif srate(np.array([lo_x]), yk)[0] > rate:
+                root = lo_x
+            else:
+                a_, b_ = lo_x, hi_x
+                for _ in range(200):
+                    mid = 0.5 * (a_ + b_)
+                    if srate(np.array([mid]), yk)[0] < rate:
+                        a_ = mid
+                    else:
+                        b_ = mid
+                root = 0.5 * (a_ + b_)
+            a_, b_ = (lo_x, root) if floor else (root, hi_x)
+            if b_ <= a_:
+                continue
+            xq = 0.5 * (b_ - a_) * gl_x + 0.5 * (a_ + b_)
+            wq = 0.5 * (b_ - a_) * gl_w
+            pdf = np.exp(-0.5 * ((xq - m_x) / s_xy) ** 2) / (
+                s_xy * math.sqrt(2.0 * math.pi))
+            intr = (rate - srate(xq, yk)) if floor else (srate(xq, yk)
+                                                         - rate)
+            v += wk * tau * P0p * float(
+                np.sum(np.maximum(intr, 0.0) * pdf * wq))
+        per.append(v)
+        total += v
+    return total, per

@@ -622,3 +622,42 @@ def test_g2_range_accrual_wide_band_and_mesh(analytic_market):
     r8 = g2pp.price_range_accrual_g2(CFG, G2, KEY, analytic_market,
                                      mesh=pmesh.path_mesh(), **kw)
     assert abs(float(r1.price) - float(r8.price)) < 1e-6
+
+
+def test_g2_cms_matches_quadrature(analytic_market):
+    """Two-factor CMS caplets vs the tilted exact-in-x/GH-in-y fp64
+    oracle (the same conditional decomposition as the Bermudan
+    value-iteration targets)."""
+    kw = dict(rate=0.02, tenor=3.0, swap_tenor=4.0)
+    res = g2pp.price_cms_g2(CFG, G2, KEY, analytic_market,
+                            n_paths=1 << 15, n_blocks=2, **kw)
+    orc, per = g2pp.cms_quadrature_g2(CFG, G2, analytic_market, **kw)
+    assert orc > 0
+    assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 2e-5, (
+        float(res.price), orc)
+    np.testing.assert_allclose(np.asarray(res.periods), np.asarray(per),
+                               atol=1e-4)
+
+
+def test_g2_cms_floor_parity_and_mesh(analytic_market):
+    """cap - floor at the same strike equals the forward CMS leg (pure MC
+    identity on shared states), and sharded == single."""
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(rate=0.025, tenor=2.0, swap_tenor=4.0, n_paths=1 << 14,
+              n_blocks=2)
+    cap = g2pp.price_cms_g2(CFG, G2, KEY, analytic_market, **kw)
+    flo = g2pp.price_cms_g2(CFG, G2, KEY, analytic_market, floor=True,
+                            **kw)
+    oc, _ = g2pp.cms_quadrature_g2(CFG, G2, analytic_market, rate=0.025,
+                                   tenor=2.0, swap_tenor=4.0)
+    of, _ = g2pp.cms_quadrature_g2(CFG, G2, analytic_market, rate=0.025,
+                                   tenor=2.0, swap_tenor=4.0, floor=True)
+    assert abs((float(cap.price) - float(flo.price)) - (oc - of)) \
+        < 5 * (float(cap.std_error) + float(flo.std_error)) + 2e-5
+    kw8 = dict(rate=0.02, tenor=2.0, swap_tenor=4.0, n_paths=512,
+               n_blocks=8)
+    c1 = g2pp.price_cms_g2(CFG, G2, KEY, analytic_market, **kw8)
+    c8 = g2pp.price_cms_g2(CFG, G2, KEY, analytic_market,
+                           mesh=pmesh.path_mesh(), **kw8)
+    assert abs(float(c1.price) - float(c8.price)) < 1e-6
