@@ -91,6 +91,78 @@ def _joint_chol(cfg: HWConfig, ex_dates: tuple):
 
 
 @lru_cache(maxsize=None)
+def _functional_chol(cfg: HWConfig, specs: tuple):
+    """fp64 Cholesky^T of the covariance of an arbitrary tuple of
+    functionals, specs = (("r"|"I", t), ...), per unit sig_st.  The
+    generalization of _joint_chol that samples ONLY the quantities a
+    payoff touches — the multi-date exotics draw (r at observations,
+    I at payments) directly in payoff order, with no gathers or strided
+    slices in the kernel."""
+    U = np.zeros((cfg.n_steps, len(specs)))
+    for c, (kind, t) in enumerate(specs):
+        n = _step_index(cfg, t)
+        u, w = _shock_shapes(cfg, n)
+        U[:n, c] = np.asarray(u if kind == "r" else w, np.float64)
+    C = U.T @ U + RIDGE * np.eye(len(specs))
+    L = np.linalg.cholesky(C)
+    return np.asarray(L.T, np.float32)  # z = x @ L^T
+
+
+@lru_cache(maxsize=None)
+def _det_affine(cfg: HWConfig):
+    """Host fp64 affine decomposition of the deterministic (G = 0) path:
+    drift = base + c psi with c = 0.5 (sigma^2 - sigma0^2), and the
+    recursion r' = r E + drift, I += (r + r')dt/2 is linear in drift, so
+    r_n = rA_n + c rB_n and I_n = iA_n + c iB_n.  Precomputing (rA, rB,
+    iA, iB) once removes the per-call 1000-step lax.scan
+    (det_trajectory) from the exotic pricers' hot graphs."""
+    host = hw.host_tables(cfg)
+    E, dt = host["E"], cfg.dt
+
+    def roll(drift, r0):
+        rs = np.empty(cfg.n_steps)
+        Is = np.empty(cfg.n_steps)
+        r, integral = r0, 0.0
+        for nstep in range(cfg.n_steps):
+            r_next = r * E + drift[nstep]
+            integral += 0.5 * (r + r_next) * dt
+            rs[nstep] = r_next
+            Is[nstep] = integral
+            r = r_next
+        return rs, Is
+
+    rA, iA = roll(np.asarray(host["base"], np.float64), cfg.r0)
+    rB, iB = roll(np.asarray(host["psi"], np.float64), 0.0)
+    return rA, rB, iA, iB
+
+
+@lru_cache(maxsize=None)
+def _functional_det_affine(cfg: HWConfig, specs: tuple):
+    """(detA, detB) fp32 arrays so the deterministic part of each spec
+    functional is detA + 0.5 (sigma^2 - sigma0^2) detB — exact (the path
+    is affine in the drift), differentiable in sigma, and scan-free."""
+    rA, rB, iA, iB = _det_affine(cfg)
+    A, B = [], []
+    for kind, t in specs:
+        nidx = _step_index(cfg, t) - 1
+        A.append(rA[nidx] if kind == "r" else iA[nidx])
+        B.append(rB[nidx] if kind == "r" else iB[nidx])
+    # numpy, not jnp: this is lru-cached and a jnp constant materialized
+    # inside one jit trace must not leak into another
+    return (np.asarray(A, np.float32), np.asarray(B, np.float32))
+
+
+def _functional_det(cfg: HWConfig, sigma, specs: tuple, sigma0=None):
+    """(len(specs),) deterministic parts matching _functional_chol."""
+    if sigma0 is None:
+        sigma0 = cfg.sigma
+    A, B = _functional_det_affine(cfg, specs)
+    return (jnp.asarray(A)
+            + 0.5 * (sigma * sigma - jnp.float32(sigma0) ** 2)
+            * jnp.asarray(B))
+
+
+@lru_cache(maxsize=None)
 def _interval_params(cfg: HWConfig, ex_dates: tuple):
     """fp64 conditional-Gaussian parameters of each exercise interval.
 

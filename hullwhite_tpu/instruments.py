@@ -868,44 +868,46 @@ def _range_accrual_fn(cfg: HWConfig, coupon: float, lo: float, hi: float,
                       delta: float, n_paths: int, n_blocks: int, mesh):
     from .bermudan import _joint_chol, _det_states
 
+    from .bermudan import _functional_chol, _functional_det
+
     obs = [tuple(start + j * tau + i * tau / m for i in range(m))
            for j in range(n)]
     pays = tuple(start + (j + 1) * tau for j in range(n))
-    dates = tuple(sorted({t for o in obs for t in o} | set(pays)))
-    idx = {t: q for q, t in enumerate(dates)}
-    LT = jnp.asarray(_joint_chol(cfg, dates))
-    k = len(dates)
-    obs_idx = [jnp.asarray([idx[t] for t in o]) for o in obs]
-    pay_idx = [idx[t] for t in pays]
+    # sample EXACTLY the functionals the payoff touches, in payoff order:
+    # r at the n*m observations, then I at the n payments — no gathers or
+    # strided slices in the kernel (a per-observation loop, and even a
+    # single (n, m) gather off the full date set, measured ~2-4x the
+    # draws+matmul floor)
+    specs = tuple([("r", t) for o in obs for t in o]
+                  + [("I", t) for t in pays])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    nm = n * m
 
     def compute(key, sigma, market):
         tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
-        r_det, i_det = _det_states(cfg, tables, dates)
-        bounds = [jnp.stack([jnp.stack(_libor_r_bounds(
-            cfg, sigma, market, t, delta, lo, hi)) for t in o], axis=1)
-            for o in obs]              # per period: (2, m)
+        det = _functional_det(cfg, sigma, specs)
+        r_det = det[:nm].reshape(n, m)
+        i_det = det[nm:]
+        b_lo, b_hi = (jnp.stack(b).reshape(n, m) for b in zip(
+            *[_libor_r_bounds(cfg, sigma, market, t, delta, lo, hi)
+              for o in obs for t in o]))
 
         def block(bi):
             x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * k), jnp.float32)
+                                  (n_paths, nm + n), jnp.float32)
             z = tables.sig_st * jnp.dot(x, LT,
                                         preferred_element_type=jnp.float32,
                                         precision=cfg.matmul_precision)
 
             def leg(sgn):
-                r = r_det[None, :] + sgn * z[:, 0::2]
-                integral = i_det[None, :] + sgn * z[:, 1::2]
-                vals, fracs = [], []
-                for j in range(n):
-                    ro = r[:, obs_idx[j]]              # (paths, m)
-                    b = bounds[j]
-                    in_band = ((ro >= b[0][None, :])
-                               & (ro <= b[1][None, :]))
-                    frac = jnp.mean(in_band.astype(jnp.float32), axis=1)
-                    disc = jnp.exp(-integral[:, pay_idx[j]])
-                    vals.append(coupon * tau * frac * disc)
-                    fracs.append(frac)
-                return jnp.stack(vals, axis=1), jnp.stack(fracs, axis=1)
+                ro = r_det[None, :, :] + sgn * z[:, :nm].reshape(
+                    -1, n, m)                            # (paths, n, m)
+                in_band = ((ro >= b_lo[None, :, :])
+                           & (ro <= b_hi[None, :, :]))
+                fracs = jnp.mean(in_band.astype(jnp.float32), axis=2)
+                disc = jnp.exp(-(i_det[None, :]
+                                 + sgn * z[:, nm:]))     # (paths, n)
+                return coupon * tau * fracs * disc, fracs
 
             Vp, Fp = leg(1.0)
             Vm, Fm = leg(-1.0)

@@ -2095,46 +2095,95 @@ def _libor_strip_g2(cfg: HWConfig, g: G2Params, market, t: float,
 
 
 @lru_cache(maxsize=None)
+def _g2_functional_chol(g: G2Params, specs: tuple):
+    """fp32 Cholesky^T of the covariance of an arbitrary tuple of
+    centered functionals: ("u", t, Ba, Bb) = Ba x(t) + Bb y(t) (the
+    strip projection itself is Gaussian — sample it directly, one
+    column per observation instead of (x, y, I) triples), or
+    ("I", t).  Exact continuous-time law from the _cov_* kernels."""
+    a, b, s_, e_, r = g.a, g.b, g.sigma, g.eta, g.rho
+    fx, fy = (a, s_), (b, e_)
+
+    def cxx(f1, t1, f2, t2):
+        c = 1.0 if f1 == f2 else r
+        return _cov_xx(f1[0], f1[1], f2[0], f2[1], c, t1, t2)
+
+    def cxI(f1, t1, T2):
+        return sum(_cov_xI(f1[0], f1[1], f2[0], f2[1],
+                           1.0 if f1 == f2 else r, t1, T2)
+                   for f2 in (fx, fy))
+
+    def cII(T1, T2):
+        return sum(_cov_II(f1[0], f1[1], f2[0], f2[1],
+                           1.0 if f1 == f2 else r, T1, T2)
+                   for f1 in (fx, fy) for f2 in (fx, fy))
+
+    def cov(s1, s2):
+        if s1[0] == "u" and s2[0] == "u":
+            _, t1, Ba1, Bb1 = s1
+            _, t2, Ba2, Bb2 = s2
+            return (Ba1 * Ba2 * cxx(fx, t1, fx, t2)
+                    + Ba1 * Bb2 * cxx(fx, t1, fy, t2)
+                    + Bb1 * Ba2 * cxx(fy, t1, fx, t2)
+                    + Bb1 * Bb2 * cxx(fy, t1, fy, t2))
+        if s1[0] == "u" and s2[0] == "I":
+            _, t1, Ba1, Bb1 = s1
+            return Ba1 * cxI(fx, t1, s2[1]) + Bb1 * cxI(fy, t1, s2[1])
+        if s1[0] == "I" and s2[0] == "u":
+            return cov(s2, s1)
+        return cII(s1[1], s2[1])
+
+    kk = len(specs)
+    C = np.zeros((kk, kk))
+    for i in range(kk):
+        for j in range(i, kk):
+            C[i, j] = C[j, i] = cov(specs[i], specs[j])
+    L = np.linalg.cholesky(C + 1e-16 * np.eye(kk))
+    return np.asarray(L.T, np.float32)
+
+
+@lru_cache(maxsize=None)
 def _g2_range_fn(cfg: HWConfig, g: G2Params, coupon: float, lo: float,
                  hi: float, start: float, n: int, tau: float, m: int,
                  delta: float, n_paths: int, n_blocks: int, mesh):
     from ..parallel import mesh as pmesh
 
     obs, pays, dates = _range_dates_g2(start, n, tau, m)
-    idx = {t: q for q, t in enumerate(dates)}
-    LT = jnp.asarray(_g2_joint_chol(g, dates))
-    k = len(dates)
+    del dates
     v_half = [0.5 * _v_integral(g, p) for p in pays]
+    # sample exactly the functionals the payoff touches, in payoff order:
+    # the strip projection u = Ba x + Bb y at each observation (itself
+    # Gaussian — no need for (x, y, I) triples) and I at the payments.
+    # n*m + n columns instead of 3(nm+1), and no gathers in the kernel.
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    specs = tuple([("u", t, Ba, Bb) for o in obs for t in o]
+                  + [("I", p) for p in pays])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    nm = n * m
 
     def compute(key, market):
-        strips = [[_libor_strip_g2(cfg, g, market, t, delta, lo, hi)
-                   for t in o] for o in obs]
-        disc0 = [hw.interp_curve(market.P, jnp.float32(p), cfg)
-                 * jnp.exp(jnp.float32(-v_half[j]))
-                 for j, p in enumerate(pays)]
+        edges = [_libor_strip_g2(cfg, g, market, t, delta, lo, hi)
+                 for o in obs for t in o]
+        c_lo = jnp.stack([e[2] for e in edges]).reshape(n, m)
+        c_hi = jnp.stack([e[3] for e in edges]).reshape(n, m)
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             * jnp.exp(jnp.float32(-v_half[j]))
+             for j, p in enumerate(pays)])
 
         def block(bi):
             xn = jax.random.normal(jax.random.fold_in(key, bi),
-                                   (n_paths, 3 * k), jnp.float32)
+                                   (n_paths, nm + n), jnp.float32)
             z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
                         precision=cfg.matmul_precision)
 
             def leg(sgn):
-                vals, fracs = [], []
-                for j in range(n):
-                    ind = []
-                    for t, (Ba, Bb, c_lo, c_hi) in zip(obs[j], strips[j]):
-                        q = idx[t]
-                        u = (Ba * sgn * z[:, 3 * q]
-                             + Bb * sgn * z[:, 3 * q + 1])
-                        ind.append(((u >= c_lo) & (u <= c_hi)
-                                    ).astype(jnp.float32))
-                    frac = jnp.mean(jnp.stack(ind, axis=1), axis=1)
-                    I_p = sgn * z[:, 3 * idx[pays[j]] + 2]
-                    disc = disc0[j] * jnp.exp(-I_p)
-                    vals.append(coupon * tau * frac * disc)
-                    fracs.append(frac)
-                return jnp.stack(vals, axis=1), jnp.stack(fracs, axis=1)
+                u = sgn * z[:, :nm].reshape(-1, n, m)    # (paths, n, m)
+                in_band = ((u >= c_lo[None, :, :])
+                           & (u <= c_hi[None, :, :]))
+                fracs = jnp.mean(in_band.astype(jnp.float32), axis=2)
+                disc = disc0[None, :] * jnp.exp(-sgn * z[:, nm:])
+                return coupon * tau * fracs * disc, fracs
 
             Vp, Fp = leg(1.0)
             Vm, Fm = leg(-1.0)

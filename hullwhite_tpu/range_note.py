@@ -283,52 +283,57 @@ def _note_fn(cfg: HWConfig, coupon: float, lo: float, hi: float,
     from .bermudan import _joint_chol, _det_states
     from .instruments import _libor_r_bounds
 
+    from .bermudan import _functional_chol, _functional_det
+
     obs, bounds, dates = _note_dates(start, n, tau, m)
-    idx = {t: q for q, t in enumerate(dates)}
-    LT = jnp.asarray(_joint_chol(cfg, dates))
-    k = len(dates)
-    obs_idx = [jnp.asarray([idx[t] for t in o]) for o in obs]
-    bnd_idx = [idx[t] for t in bounds]
+    del dates
+    # sample exactly the functionals the payoff touches (see the
+    # _range_accrual_fn note): r at the n*m observations — put dates
+    # T_1..T_{n-1} are observation i=0 of periods 1..n-1 — then I at
+    # T_1..T_n (put cash, coupons and redemption)
+    specs = tuple([("r", t) for o in obs for t in o]
+                  + [("I", t) for t in bounds[1:]])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    nm = n * m
 
     def compute(key, sigma, market):
         tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
-        r_det, i_det = _det_states(cfg, tables, dates)
-        rb = [jnp.stack([jnp.stack(_libor_r_bounds(
-            cfg, sigma, market, t, delta, lo, hi)) for t in o], axis=1)
-            for o in obs]
+        det = _functional_det(cfg, sigma, specs)
+        r_det = det[:nm].reshape(n, m)
+        i_det = det[nm:]
+        b_lo, b_hi = (jnp.stack(b).reshape(n, m) for b in zip(
+            *[_libor_r_bounds(cfg, sigma, market, t, delta, lo, hi)
+              for o in obs for t in o]))
 
         def block(bi):
             x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * k), jnp.float32)
+                                  (n_paths, nm + n), jnp.float32)
             z = tables.sig_st * jnp.dot(x, LT,
                                         preferred_element_type=jnp.float32,
                                         precision=cfg.matmul_precision)
 
             def leg(sgn):
-                r = r_det[None, :] + sgn * z[:, 0::2]
-                integral = i_det[None, :] + sgn * z[:, 1::2]
-                # period coupons (discounted to 0)
-                cpn = []
-                for j in range(n):
-                    ro = r[:, obs_idx[j]]
-                    b = rb[j]
-                    frac = jnp.mean(((ro >= b[0][None, :])
-                                     & (ro <= b[1][None, :])
-                                     ).astype(jnp.float32), axis=1)
-                    cpn.append(coupon * tau * frac
-                               * jnp.exp(-integral[:, bnd_idx[j + 1]]))
+                ro = r_det[None, :, :] + sgn * z[:, :nm].reshape(
+                    -1, n, m)                            # (paths, n, m)
+                integral = i_det[None, :] + sgn * z[:, nm:]  # (paths, n)
+                in_band = ((ro >= b_lo[None, :, :])
+                           & (ro <= b_hi[None, :, :]))
+                fr = jnp.mean(in_band.astype(jnp.float32), axis=2)
+                discs = jnp.exp(-integral)
+                cpn = [coupon * tau * fr[:, j] * discs[:, j]
+                       for j in range(n)]
                 # put policy: alive_j = no put at T_1..T_j
-                alive = jnp.ones(r.shape[0], jnp.float32)
+                alive = jnp.ones(ro.shape[0], jnp.float32)
                 V = cpn[0]                  # period-0 coupon always accrues
                 Y = cpn[0]                  # CV: non-callable note
                 for j in range(1, n):
-                    put = (r[:, bnd_idx[j]] > boundaries[j - 1]).astype(
+                    put = (ro[:, j, 0] > boundaries[j - 1]).astype(
                         jnp.float32)
-                    V = V + alive * put * jnp.exp(-integral[:, bnd_idx[j]])
+                    V = V + alive * put * discs[:, j - 1]
                     alive = alive * (1.0 - put)
                     V = V + alive * cpn[j]
                     Y = Y + cpn[j]
-                fin = jnp.exp(-integral[:, bnd_idx[n]])
+                fin = discs[:, n - 1]
                 V = V + alive * fin
                 Y = Y + fin
                 return V, Y, 1.0 - alive
