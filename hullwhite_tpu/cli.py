@@ -755,6 +755,29 @@ def cmd_exotics(args):
         "profile_cont": list(dp.profile_cont[::4]),
         "coupon": args.coupon, "lo": args.lo, "hi": args.hi}
 
+    print(f"--- range-accrual TARN: target {args.target*100:.2f}% "
+          f"cumulative coupon (1 obs/period, exact lattice DP) ---")
+    tkw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
+               target=args.target, tenor=args.tenor, freq=args.freq)
+    tdp = range_note.dp_oracle_tarn(cfg, market, **tkw)
+    tmc = range_note.price_tarn(cfg, key, market, **tkw)
+    z_t = (float(tmc.price) - tdp.price) / max(float(tmc.std_error), 1e-12)
+    ok_t = abs(z_t) < 4 or abs(float(tmc.price) - tdp.price) < 2e-4
+    print(f"DP (lattice): {tdp.price:.8f}  knockout prob "
+          f"{tdp.ko_prob:.4f}")
+    print(f"MC:           {float(tmc.price):.8f} "
+          f"+/- {float(tmc.std_error):.2e} (SE); knockout fraction "
+          f"{float(tmc.ko_fraction):.4f}, mean coupon total "
+          f"{float(tmc.mean_total):.5f}")
+    print(f"agreement: z = {z_t:.2f} ({'PASS' if ok_t else 'CHECK'})")
+    rc |= 0 if ok_t else 1
+    results["tarn"] = {
+        "dp_price": tdp.price, "dp_ko_prob": tdp.ko_prob,
+        "mc_price": float(tmc.price), "mc_se": float(tmc.std_error),
+        "mc_ko_fraction": float(tmc.ko_fraction),
+        "mc_mean_total": float(tmc.mean_total), "z": z_t,
+        "target": args.target}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)
     return rc
@@ -1131,6 +1154,8 @@ def main(argv=None):
     pex.add_argument("--hi", type=float, default=0.022)
     pex.add_argument("--obs", type=int, default=5,
                      help="range observations per period")
+    pex.add_argument("--target", type=float, default=0.055,
+                     help="TARN cumulative-coupon knockout target")
     pcal = sub.add_parser("calibrate", parents=[common])
     for flag, dv in [("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
                      ("--g2eta", 0.02), ("--g2rho", -0.6)]:

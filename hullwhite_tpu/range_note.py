@@ -52,6 +52,35 @@ from .parallel import mesh as pmesh
 
 _nphi = np.vectorize(lambda x: 0.5 * (1.0 + math.erf(x / math.sqrt(2.0))))
 
+try:
+    from scipy.special import ndtr as _ndtr
+except ImportError:                          # pragma: no cover
+    _ndtr = _nphi
+
+
+def _kernel_avg(mu, s, xs, Wv):
+    """E[W(Y)], Y ~ N(mu, s^2) per element of mu, integrating the
+    piecewise-linear interpolant of (xs, Wv) EXACTLY against the
+    Gaussian kernel cell by cell (Phi/phi closed forms), with constant
+    extension beyond the grid.  Exact-cell integration — NOT
+    Gauss-Hermite or trapezoid — because W carries observation
+    indicators: narrow discontinuous features that sparse nodes
+    straddle (measured: the t=T_j observation integrated to 0 under
+    GH-48, and to ~1e-4 error under an 801-point trapezoid)."""
+    mu = np.atleast_1d(np.asarray(mu, np.float64))
+    z = (xs[None, :] - mu[:, None]) / s                # (M, G)
+    Phi = _ndtr(z)
+    phi = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+    dPhi = Phi[:, 1:] - Phi[:, :-1]
+    dphi = phi[:, 1:] - phi[:, :-1]
+    slope = np.diff(Wv) / np.diff(xs)                  # (G-1,)
+    # cell [x_k, x_{k+1}]: int (W_k + slope_k (y - x_k)) N(y) dy
+    out = dPhi @ Wv[:-1]
+    out += ((mu[:, None] - xs[None, :-1]) * dPhi - s * dphi) @ slope
+    out += Wv[0] * Phi[:, 0]
+    out += Wv[-1] * (1.0 - Phi[:, -1])
+    return out
+
 
 def _note_dates(start: float, n: int, tau: float, m: int):
     """(obs per period, period boundaries T_0..T_n, sorted date tuple)."""
@@ -137,11 +166,6 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
     band = {t: _r_band(cfg, sigma, market, t, libor_tenor, lo, hi)
             for o in obs for t in o}
 
-    try:
-        from scipy.special import ndtr as _ndtr
-    except ImportError:                      # pragma: no cover
-        _ndtr = _nphi
-
     def grid(t):
         """Value grid at date t.  For a period start the date's OWN
         observation indicator jumps at its band edges: insert double
@@ -160,29 +184,6 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
             if extra:
                 xs = np.unique(np.concatenate([xs, np.asarray(extra)]))
         return xs
-
-    def kernel_avg(mu, s, xs, Wv):
-        """E[W(Y)], Y ~ N(mu, s^2) per element of mu, integrating the
-        piecewise-linear interpolant of (xs, Wv) EXACTLY against the
-        Gaussian kernel cell by cell (Phi/phi closed forms), with
-        constant extension beyond the grid.  Exact-cell integration —
-        NOT Gauss-Hermite or trapezoid — because W carries observation
-        indicators: narrow discontinuous features that sparse nodes
-        straddle (measured: the t=T_j observation integrated to 0 under
-        GH-48, and to ~1e-4 error under an 801-point trapezoid)."""
-        mu = np.atleast_1d(np.asarray(mu, np.float64))
-        z = (xs[None, :] - mu[:, None]) / s                # (M, G)
-        Phi = _ndtr(z)
-        phi = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
-        dPhi = Phi[:, 1:] - Phi[:, :-1]
-        dphi = phi[:, 1:] - phi[:, :-1]
-        slope = np.diff(Wv) / np.diff(xs)                  # (G-1,)
-        # cell [x_k, x_{k+1}]: int (W_k + slope_k (y - x_k)) N(y) dy
-        out = dPhi @ Wv[:-1]
-        out += ((mu[:, None] - xs[None, :-1]) * dPhi - s * dphi) @ slope
-        out += Wv[0] * Phi[:, 0]
-        out += Wv[-1] * (1.0 - Phi[:, -1])
-        return out
 
     profile = []
 
@@ -226,7 +227,7 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
             c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
             mu_p = r_det[Tp] + b_p * e - c_pI
             s_p = math.sqrt(max(v_p, 0.0))
-            cont = cpn + w0 * kernel_avg(mu_p, s_p, xs_next, W_next)
+            cont = cpn + w0 * _kernel_avg(mu_p, s_p, xs_next, W_next)
 
             if puttable and j == 1:
                 profile.append((tuple(float(v) for v in xs),
@@ -254,8 +255,8 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
         c0 = sig * sig * float(u0 @ w0v)
         disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
         mu0 = r_det[T0] - c0
-        val = disc0 * float(kernel_avg(mu0, math.sqrt(v00), xs_next,
-                                       W_next)[0])
+        val = disc0 * float(_kernel_avg(mu0, math.sqrt(v00),
+                                        xs_next, W_next)[0])
         return val, tuple(reversed(boundaries))
 
     price, boundaries = backward(True)
@@ -465,3 +466,249 @@ def vega_range_note(cfg: HWConfig, key, market: MarketCurve, *,
     return NoteVega(vega=(p_p - p_m) / (2.0 * eps),
                     dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
                     price_minus=p_m, price_plus=p_p, epsilon=eps)
+
+
+# ---------------------------------------------------------------------------
+# TARN (target redemption note) on the range-accrual coupon: the note
+# accrues coupon tau frac_j per period and KNOCKS OUT at the first
+# payment date where the cumulative coupon reaches ``target`` — the
+# final coupon is capped at target - K and par is redeemed immediately
+# at that payment date; otherwise par at T_n.  Path-dependent through
+# the running total K, which at one observation per period (m = 1, the
+# observation at the period start) lives on the LATTICE {0, ct, 2 ct,
+# ...} (ct = coupon tau): the fp64 oracle is a value iteration over
+# (lattice level, r-grid) with the coupon indicator DETERMINISTIC at
+# the decision state — exact, no approximation beyond the grid.
+# ---------------------------------------------------------------------------
+
+class TarnDP(NamedTuple):
+    price: float
+    ko_prob: float             # knockout probability (lattice DP)
+    levels: tuple              # lattice of cumulative-coupon levels
+
+
+def dp_oracle_tarn(cfg: HWConfig, market: MarketCurve, *, coupon: float,
+                   lo: float, hi: float, target: float,
+                   start: float | None = None, tenor: float = 4.0,
+                   freq: float = 1.0, libor_tenor: float | None = None,
+                   sigma: float | None = None, n_grid: int = 801,
+                   width: float = 8.0) -> TarnDP:
+    """fp64 lattice value iteration for the range-accrual TARN with ONE
+    observation per period (m = 1): the period-j coupon indicator is a
+    deterministic function of the decision state r(T_j), so the running
+    total K is lattice-valued and the DP over (K, r) integrates the
+    model's exact projected law — same conditioning and exact
+    piecewise-linear kernel integration as dp_oracle_range_note.
+    Also returns the knockout probability (computed by the same
+    iteration with the value replaced by the knockout indicator)."""
+    from .bermudan import _det_states
+    from .models.hull_white import step_tables
+
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    ct = coupon * tau
+    levels = tuple(k * ct for k in range(n + 1))
+
+    obs, bounds, dates, U, W = _note_shapes(cfg, float(start), n,
+                                            float(tau), 1)
+    tables = step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    r_det_a, i_det_a = (np.asarray(a, np.float64)
+                        for a in _det_states(cfg, tables, dates))
+    r_det = {t: r_det_a[q] for q, t in enumerate(dates)}
+    i_det = {t: i_det_a[q] for q, t in enumerate(dates)}
+    band = {t: _r_band(cfg, sigma, market, t, libor_tenor, lo, hi)
+            for o in obs for t in o}
+
+    def grid(t):
+        s = sig * math.sqrt(float(U[t] @ U[t]))
+        xs = np.linspace(r_det[t] - width * s, r_det[t] + width * s,
+                         n_grid)
+        if t in band:
+            eps = 1e-9
+            extra = [v for edge in band[t]
+                     for v in (edge - eps, edge + eps)
+                     if xs[0] < v < xs[-1] and math.isfinite(v)]
+            if extra:
+                xs = np.unique(np.concatenate([xs, np.asarray(extra)]))
+        return xs
+
+    # W[l] = value at T_j given running total levels[l], not yet knocked
+    # out; P[l] = knockout probability from that state on
+    xs_next = grid(bounds[n])
+    Wn = [np.ones(len(xs_next)) for _ in range(n + 1)]
+    Pn = [np.zeros(len(xs_next)) for _ in range(n + 1)]
+    for j in range(n - 1, -1, -1):
+        Tj, Tp = bounds[j], bounds[j + 1]
+        xs = grid(Tj)
+        uj, dj = U[Tj], W[Tp] - W[Tj]
+        vjj = float(uj @ uj)
+        e = (xs - r_det[Tj]) / vjj
+        b_I = float(dj @ uj)
+        v_I = sig * sig * (float(dj @ dj) - b_I * b_I / vjj)
+        m_I = (i_det[Tp] - i_det[Tj]) + b_I * e
+        w0 = np.exp(-m_I + 0.5 * v_I)
+        up = U[Tp]
+        b_p = float(up @ uj)
+        v_p = sig * sig * (float(up @ up) - b_p * b_p / vjj)
+        c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
+        mu_p = r_det[Tp] + b_p * e - c_pI
+        mu_p_real = r_det[Tp] + b_p * e    # untilted: knockout PROBABILITY
+        s_p = math.sqrt(max(v_p, 0.0))
+        r_lo_t, r_hi_t = band[bounds[j]]
+        ind = ((xs >= r_lo_t) & (xs <= r_hi_t)).astype(np.float64)
+        W_new, P_new = [], []
+        for li, K in enumerate(levels):
+            if K >= target - 1e-12:            # already out (unreachable)
+                W_new.append(np.ones(len(xs)))
+                P_new.append(np.ones(len(xs)))
+                continue
+            c_full = min(ct, target - K)
+            ko = K + ct >= target - 1e-12
+            # coupon-earning branch: knock out (pay capped coupon + par
+            # at T_p) or move up one level
+            if ko:
+                v_in = w0 * (c_full + 1.0)
+                p_in = np.ones(len(xs))
+            else:
+                li_up = min(li + 1, n)
+                v_in = w0 * (ct + _kernel_avg(mu_p, s_p, xs_next,
+                                              Wn[li_up]))
+                p_in = _kernel_avg(mu_p_real, s_p, xs_next, Pn[li_up])
+            # no-coupon branch: stay at level li
+            v_out = w0 * _kernel_avg(mu_p, s_p, xs_next, Wn[li])
+            p_out = _kernel_avg(mu_p_real, s_p, xs_next, Pn[li])
+            W_new.append(ind * v_in + (1.0 - ind) * v_out)
+            P_new.append(ind * p_in + (1.0 - ind) * p_out)
+        Wn, Pn, xs_next = W_new, P_new, xs
+    # discount 0 -> T_0 over the tilted unconditional law
+    T0 = bounds[0]
+    u0, w0v = U[T0], W[T0]
+    v00 = sig * sig * float(u0 @ u0)
+    vI0 = sig * sig * float(w0v @ w0v)
+    c0 = sig * sig * float(u0 @ w0v)
+    disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
+    price = disc0 * float(_kernel_avg(r_det[T0] - c0, math.sqrt(v00),
+                                      xs_next, Wn[0])[0])
+    # knockout probability under the REAL (untilted) measure
+    ko_p = float(_kernel_avg(r_det[T0], math.sqrt(v00), xs_next, Pn[0])[0])
+    return TarnDP(price=price, ko_prob=ko_p, levels=levels)
+
+
+class TarnResult(NamedTuple):
+    price: jax.Array
+    std_error: jax.Array
+    ko_fraction: jax.Array     # fraction of paths that knocked out
+    mean_total: jax.Array      # mean cumulative coupon paid
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _tarn_fn(cfg: HWConfig, coupon: float, lo: float, hi: float,
+             target: float, start: float, n: int, tau: float, m: int,
+             delta: float, n_paths: int, n_blocks: int, mesh):
+    from .bermudan import _functional_chol, _functional_det
+    from .instruments import _libor_r_bounds
+
+    obs, bounds, dates = _note_dates(start, n, tau, m)
+    del dates
+    specs = tuple([("r", t) for o in obs for t in o]
+                  + [("I", t) for t in bounds[1:]])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    nm = n * m
+    ct = coupon * tau
+
+    def compute(key, sigma, market):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det = det[:nm].reshape(n, m)
+        i_det = det[nm:]
+        b_lo, b_hi = (jnp.stack(b).reshape(n, m) for b in zip(
+            *[_libor_r_bounds(cfg, sigma, market, t, delta, lo, hi)
+              for o in obs for t in o]))
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, nm + n), jnp.float32)
+            z = tables.sig_st * jnp.dot(x, LT,
+                                        preferred_element_type=jnp.float32,
+                                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :, :] + sgn * z[:, :nm].reshape(
+                    -1, n, m)
+                integral = i_det[None, :] + sgn * z[:, nm:]
+                in_band = ((ro >= b_lo[None, :, :])
+                           & (ro <= b_hi[None, :, :]))
+                fr = jnp.mean(in_band.astype(jnp.float32), axis=2)
+                discs = jnp.exp(-integral)               # (paths, n)
+                alive = jnp.ones(ro.shape[0], jnp.float32)
+                K = jnp.zeros(ro.shape[0], jnp.float32)
+                V = jnp.zeros(ro.shape[0], jnp.float32)
+                for j in range(n):
+                    c = jnp.minimum(ct * fr[:, j], target - K)
+                    ko = (K + ct * fr[:, j] >= target - 1e-12).astype(
+                        jnp.float32)
+                    # coupon (capped) always paid at T_{j+1} while alive;
+                    # on knockout par is redeemed at the same date
+                    V = V + alive * discs[:, j] * (c + ko)
+                    K = K + alive * c
+                    alive = alive * (1.0 - ko)
+                V = V + alive * discs[:, n - 1]          # par at T_n
+                return V, 1.0 - alive, K
+
+            Vp, Kop, Kp = leg(1.0)
+            Vm, Kom, Km = leg(-1.0)
+            V, Ko, K = 0.5 * (Vp + Vm), 0.5 * (Kop + Kom), 0.5 * (Kp + Km)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Ko),
+                              jnp.sum(K)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mean = s[0] / n_tot
+        var = jnp.maximum(s[1] / n_tot - mean ** 2, 0.0)
+        var = var * n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (mean, jnp.sqrt(var / n_tot), s[2] / n_tot, s[3] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_tarn(cfg: HWConfig, key, market: MarketCurve, *, coupon: float,
+               lo: float, hi: float, target: float,
+               start: float | None = None, tenor: float = 4.0,
+               freq: float = 1.0, obs_per_period: int = 1,
+               libor_tenor: float | None = None, sigma=None,
+               n_paths: int | None = None, n_blocks: int = 1,
+               mesh=None) -> TarnResult:
+    """Monte Carlo range-accrual TARN from the exact multi-date states
+    (antithetic): the cumulative coupon K knocks the note out at the
+    first payment where K reaches ``target`` (final coupon capped at
+    target - K, par redeemed at that payment date).  obs_per_period = 1
+    (the default) is the lattice case pinned EXACTLY by
+    ``dp_oracle_tarn``; larger m is supported by the MC (the oracle
+    lattice no longer applies).  Blocks key on the global index;
+    optionally sharded over ``mesh``."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+    out = _tarn_fn(cfg, float(coupon), float(lo), float(hi), float(target),
+                   float(start), n, float(tau), m, float(libor_tenor),
+                   int(n_paths), int(n_blocks), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market)
+    return TarnResult(price=out[0], std_error=out[1], ko_fraction=out[2],
+                      mean_total=out[3],
+                      n_paths=int(n_paths) * int(n_blocks))

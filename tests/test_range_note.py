@@ -134,3 +134,67 @@ def test_vega_crn_matches_dp_fd(analytic_market):
     assert v.dp_vega > 0           # more vol -> the par put is worth more
     assert abs(float(v.vega) - v.dp_vega) < 0.05 * abs(v.dp_vega) + 1e-3, (
         float(v.vega), v.dp_vega)
+
+
+# ---------------------------------------------------------------------------
+# Range-accrual TARN (target redemption)
+# ---------------------------------------------------------------------------
+
+TARN_KW = dict(coupon=0.03, lo=0.005, hi=0.03, target=0.055, tenor=4.0)
+
+
+def test_tarn_mc_matches_lattice_dp(analytic_market):
+    """m=1 lattice case: the coupon indicator is deterministic at the
+    decision state, so the (level, r) DP is exact — MC must reproduce
+    both the price and the knockout probability."""
+    dp = range_note.dp_oracle_tarn(CFG, analytic_market, **TARN_KW)
+    res = range_note.price_tarn(CFG, KEY, analytic_market,
+                                n_paths=1 << 15, n_blocks=2, **TARN_KW)
+    assert abs(float(res.price) - dp.price) \
+        < 5 * float(res.std_error) + 2e-5, (float(res.price), dp.price)
+    n_tot = 2.0 * res.n_paths
+    se_ko = math.sqrt(dp.ko_prob * (1 - dp.ko_prob) / n_tot)
+    assert abs(float(res.ko_fraction) - dp.ko_prob) < 6 * se_ko + 1e-3
+    assert 0.0 < float(res.mean_total) <= TARN_KW["target"] + 1e-9
+
+
+def test_tarn_no_knockout_is_plain_note(analytic_market):
+    """target above any attainable total: the TARN IS the plain note
+    (closed form) and the knockout probability is zero."""
+    kw = dict(coupon=0.03, lo=0.005, hi=0.03, target=1.0, tenor=3.0)
+    dp = range_note.dp_oracle_tarn(CFG, analytic_market, **kw)
+    leg, _ = instruments.range_accrual_closed_form(
+        CFG, analytic_market, coupon=0.03, lo=0.005, hi=0.03, tenor=3.0,
+        obs_per_period=1)
+    assert dp.ko_prob == 0.0
+    assert abs(dp.price - (leg + _p0_discrete(CFG.s1 + 3.0))) < 1e-5
+
+
+def test_tarn_instant_knockout(analytic_market):
+    """target below one coupon: the note dies at the first in-band
+    payment with a capped coupon.  Price is NOT monotone in target
+    (a full-coupon target beats both neighbors: full coupon AND early
+    par), but the knockout probability IS non-increasing; pin that,
+    plus MC agreement at a tiny target where the cap binds."""
+    kw = dict(coupon=0.03, lo=0.005, hi=0.03, tenor=4.0)
+    kos = [range_note.dp_oracle_tarn(CFG, analytic_market,
+                                     target=t, **kw).ko_prob
+           for t in (0.01, 0.055, 0.10)]
+    assert kos[0] >= kos[1] >= kos[2]
+    assert kos[0] > 0.5 > kos[2]
+    dp = range_note.dp_oracle_tarn(CFG, analytic_market, target=0.01, **kw)
+    res = range_note.price_tarn(CFG, KEY, analytic_market, target=0.01,
+                                n_paths=1 << 14, n_blocks=2, **kw)
+    assert abs(float(res.price) - dp.price) < 5 * float(res.std_error) \
+        + 2e-5
+    assert float(res.mean_total) <= 0.01 + 1e-9   # the cap binds
+
+
+def test_tarn_sharded_matches_single(analytic_market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=512, n_blocks=8, **TARN_KW)
+    r1 = range_note.price_tarn(CFG, KEY, analytic_market, **kw)
+    r8 = range_note.price_tarn(CFG, KEY, analytic_market,
+                               mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(r1.price) - float(r8.price)) < 1e-6
