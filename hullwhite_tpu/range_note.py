@@ -66,19 +66,31 @@ def _kernel_avg(mu, s, xs, Wv):
     Gauss-Hermite or trapezoid — because W carries observation
     indicators: narrow discontinuous features that sparse nodes
     straddle (measured: the t=T_j observation integrated to 0 under
-    GH-48, and to ~1e-4 error under an 801-point trapezoid)."""
+    GH-48, and to ~1e-4 error under an 801-point trapezoid).
+
+    Wv may be (G,) -> returns (M,), or (G, L) for L value functions on
+    the shared grid -> returns (M, L) (one dPhi assembly serves all
+    columns; the integral is linear in the values — the snowball and
+    two-factor DPs batch their coupon levels / outer nodes this way)."""
     mu = np.atleast_1d(np.asarray(mu, np.float64))
     z = (xs[None, :] - mu[:, None]) / s                # (M, G)
     Phi = _ndtr(z)
     phi = np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
     dPhi = Phi[:, 1:] - Phi[:, :-1]
     dphi = phi[:, 1:] - phi[:, :-1]
-    slope = np.diff(Wv) / np.diff(xs)                  # (G-1,)
-    # cell [x_k, x_{k+1}]: int (W_k + slope_k (y - x_k)) N(y) dy
-    out = dPhi @ Wv[:-1]
+    if Wv.ndim == 1:
+        slope = np.diff(Wv) / np.diff(xs)              # (G-1,)
+        # cell [x_k, x_{k+1}]: int (W_k + slope_k (y - x_k)) N(y) dy
+        out = dPhi @ Wv[:-1]
+        out += ((mu[:, None] - xs[None, :-1]) * dPhi - s * dphi) @ slope
+        out += Wv[0] * Phi[:, 0]
+        out += Wv[-1] * (1.0 - Phi[:, -1])
+        return out
+    slope = np.diff(Wv, axis=0) / np.diff(xs)[:, None]     # (G-1, L)
+    out = dPhi @ Wv[:-1, :]
     out += ((mu[:, None] - xs[None, :-1]) * dPhi - s * dphi) @ slope
-    out += Wv[0] * Phi[:, 0]
-    out += Wv[-1] * (1.0 - Phi[:, -1])
+    out += Wv[0][None, :] * Phi[:, :1]
+    out += Wv[-1][None, :] * (1.0 - Phi[:, -1:])
     return out
 
 
