@@ -778,6 +778,34 @@ def cmd_exotics(args):
         "mc_mean_total": float(tmc.mean_total), "z": z_t,
         "target": args.target}
 
+    print("--- G2++ puttable range-accrual note (2-d (u, w) DP oracle, "
+          "boundary-curve policy MC) ---")
+    from . import g2_note
+
+    nkw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
+               tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    dp2 = g2_note.dp_oracle_range_note_g2(cfg, g2, market, **nkw)
+    nt2 = g2_note.price_range_note_g2(cfg, g2, key, market,
+                                      boundaries=dp2.boundaries, **nkw)
+    z_n2 = (float(nt2.price) - dp2.price) / max(float(nt2.std_error), 1e-12)
+    ok_n2 = abs(z_n2) < 4 or abs(float(nt2.price) - dp2.price) < 2e-4
+    print(f"DP oracle:   {dp2.price:.8f} (plain {dp2.plain_price:.8f}, "
+          f"put premium {dp2.put_premium:.6f})")
+    print(f"MC (CV):     {float(nt2.price):.8f} "
+          f"+/- {float(nt2.std_error):.2e} (SE; raw SE "
+          f"{float(nt2.raw_std_error):.2e})")
+    print(f"put fraction {float(nt2.put_fraction):.4f}")
+    print(f"agreement: z = {z_n2:.2f} ({'PASS' if ok_n2 else 'CHECK'})")
+    rc |= 0 if ok_n2 else 1
+    results["range_note_g2"] = {
+        "dp_price": dp2.price, "dp_plain": dp2.plain_price,
+        "put_premium": dp2.put_premium,
+        "mc_price": float(nt2.price), "mc_se": float(nt2.std_error),
+        "mc_raw_se": float(nt2.raw_std_error),
+        "put_fraction": float(nt2.put_fraction), "z": z_n2,
+        "boundary_w": [list(b[0][::8]) for b in dp2.boundaries],
+        "boundary_u": [list(b[1][::8]) for b in dp2.boundaries]}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)
     return rc

@@ -1,0 +1,431 @@
+"""Puttable (Bermudan-callable) range-accrual note under G2++.
+
+Two-factor twin of ``range_note`` (the product layer the reference stops
+short of, src/2_option_pricing.cu:14-35): per period the note pays
+coupon * tau * (1/m) sum_i 1{lo <= L(t_ji) <= hi} at T_{j+1}, redeems 1
+at T_n, and is puttable by the holder at par at T_1..T_{n-1}.
+
+Under G2++ the decision state at T_j is (x, y) — 2-d — but the product
+only ever LOOKS at the state through two fixed linear functionals:
+
+* the LIBOR strip projection u = Ba x + Bb y (Ba = B(a, delta),
+  Bb = B(b, delta); delta is the same at every observation, so the strip
+  DIRECTION is date-independent — g2pp._libor_strip_g2), and
+* discounting, through I = int (x + y) ds.
+
+So the DP runs in ROTATED coordinates (u, w) with w = -Bb x + Ba y the
+orthogonal complement: the bijection (x, y) <-> (u, w) makes (u, w) the
+full Markov state, and the date's own observation indicator (t_j0 = T_j
+is known at the decision time) jumps on the VERTICAL lines u = c_lo,
+c_hi — the 1-factor oracle's double-node trick applies verbatim to the
+u-grid, and the value function stays smooth in w given u.  Per period,
+conditional on (u_j, w_j) and tilted by e^{-Delta I} (means shift by
+-Cov_cond(., Delta I), normalizer exp(-m_dI + v_dI/2)):
+
+* the coupon's conditional value is CLOSED FORM (Phi differences per
+  interior observation; the T_j observation is a deterministic strip
+  indicator on the u-grid),
+* the continuation integrates the bilinear interpolant of the next
+  value function EXACTLY in u' per Gauss-Hermite node in w' — the
+  w'-blend weights commute with the u'-integral (bilinear = linear in
+  u' per column), so one ``range_note._kernel_avg`` (G, L)-batched call
+  per node serves every w'-column at once.
+
+Every conditional law is projected off ``g2pp._g2_functional_cov`` —
+the SAME matrix whose Cholesky drives the sampler — so the oracle and
+the MC integrate the identical law (the property that makes the HW
+note's DP==MC agreement exact; range_note.dp_oracle_range_note).
+
+The MC estimator applies the FIXED DP policy — put at T_j when
+u_j > u*_j(w_j), a per-date piecewise-linear boundary curve read off
+the DP continuation — to exactly-sampled functionals (u at the n*m
+observations, w at the put dates, I at the payments: the
+bermudan._functional_chol pattern), with the non-callable note as a
+control variate against its EXACT closed-form mean
+(g2pp.range_accrual_closed_form_g2 + P(0, T_n)).
+
+Engine invariants kept: blocks key on the GLOBAL block index, every
+product takes n_blocks/mesh, antithetic pairs throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from .models import hull_white as hw
+from .models.hull_white import MarketCurve
+from .models.g2pp import (G2Params, _B, _v_integral, _g2_functional_cov,
+                          _g2_functional_chol, _libor_strip_g2,
+                          range_accrual_closed_form_g2)
+from .range_note import _kernel_avg, _note_dates, _nphi
+from .parallel import mesh as pmesh
+
+
+def _strip_edges_f64(cfg: HWConfig, g: G2Params, market, t: float,
+                     delta: float, lo: float, hi: float):
+    """fp64 (c_lo, c_hi): lo <= L(t, t+delta) <= hi  <=>
+    c_lo <= Ba x + Bb y <= c_hi (the host-precision twin of
+    g2pp._libor_strip_g2, matching range_accrual_closed_form_g2)."""
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    vadj = 0.5 * (_v_integral(g, delta) - _v_integral(g, t + delta)
+                  + _v_integral(g, t))
+    lnA = (math.log(float(np.interp(t + delta, Ts, P0)))
+           - math.log(float(np.interp(t, Ts, P0))) + vadj)
+
+    def edge(level):
+        if 1.0 + delta * level <= 0.0:
+            return -math.inf
+        return lnA + math.log1p(delta * level)
+
+    return edge(lo), edge(hi)
+
+
+def _period_machine(g: G2Params, Tj: float, Tp: float, obs_j, Ba: float,
+                    Bb: float, ca: float, cb: float):
+    """Conditional-Gaussian parameters of one period, given the rotated
+    state S = (u_j, w_j).  Targets, in order: Delta I = I(Tp) - I(Tj),
+    the period's INTERIOR observations u(t_i) (t_i > Tj; the t = Tj
+    observation is deterministic given S), u(Tp), w(Tp).
+
+    Returns (interior obs times, kcoef (2, T): cond mean of target t at
+    state s is kcoef[:, t] . s, CondC (T, T): cond covariance).  All
+    read off _g2_functional_cov — the sampler's own law."""
+    interior = tuple(t for t in obs_j if t > Tj + 1e-12)
+    specs = ((("u", Tj, Ba, Bb), ("u", Tj, ca, cb), ("I", Tj), ("I", Tp))
+             + tuple(("u", t, Ba, Bb) for t in interior)
+             + (("u", Tp, Ba, Bb), ("u", Tp, ca, cb)))
+    Sig = _g2_functional_cov(g, specs)
+    ns = len(specs)
+
+    def unit(i):
+        v = np.zeros(ns)
+        v[i] = 1.0
+        return v
+
+    cols = ([unit(3) - unit(2)]                       # Delta I
+            + [unit(4 + i) for i in range(len(interior))]
+            + [unit(ns - 2), unit(ns - 1)])           # u(Tp), w(Tp)
+    A = np.stack(cols, axis=1)                        # (ns, T)
+    S = Sig[:2, :2]
+    Sinv = np.linalg.inv(S)
+    SigSA = Sig[:2, :] @ A                            # (2, T)
+    kcoef = Sinv @ SigSA
+    CondC = A.T @ Sig @ A - SigSA.T @ Sinv @ SigSA
+    return interior, kcoef, CondC
+
+
+def _expect_bilinear(mu_u, mu_w, v_u, c_uw, v_w, ug, wg, V, nodes, wq):
+    """E[V(U, W)] per source, (U, W) ~ N((mu_u, mu_w), [[v_u, c_uw],
+    [c_uw, v_w]]) elementwise over the flat source arrays: exact
+    piecewise-linear integration in u (where V carries the strip-edge
+    jumps — double grid nodes) per Gauss-Hermite node in w (where V is
+    smooth).  V is (len(ug), len(wg)); the per-node w-blend weights are
+    independent of u, so they commute with the u-integral and one
+    (G, L)-batched _kernel_avg serves all w-columns."""
+    v_w = max(v_w, 1e-18)
+    s_w = math.sqrt(v_w)
+    beta = c_uw / v_w
+    s_c = math.sqrt(max(v_u - c_uw * c_uw / v_w, 1e-18))
+    out = np.zeros(mu_u.shape[0])
+    last = len(wg) - 2
+    for xq, wq_ in zip(nodes, wq):
+        w_val = mu_w + s_w * xq
+        T = _kernel_avg(mu_u + beta * s_w * xq, s_c, ug, V)   # (ns, L)
+        idx = np.clip(np.searchsorted(wg, w_val) - 1, 0, last)
+        lam = np.clip((w_val - wg[idx]) / (wg[idx + 1] - wg[idx]), 0.0, 1.0)
+        rows = np.arange(T.shape[0])
+        out += wq_ * ((1.0 - lam) * T[rows, idx] + lam * T[rows, idx + 1])
+    return out
+
+
+class G2NoteDP(NamedTuple):
+    price: float               # fp64 DP value of the puttable note
+    plain_price: float         # non-callable note (coupons + redemption)
+    boundaries: tuple          # per put date: (w-grid, u*(w)) tuples
+    put_premium: float         # price - plain_price  (>= 0)
+    profile_u: tuple = ()      # u-grid at the first put date T_1
+    profile_cont: tuple = ()   # continuation there (center w column)
+
+
+def dp_oracle_range_note_g2(cfg: HWConfig, g: G2Params,
+                            market: MarketCurve, *, coupon: float,
+                            lo: float, hi: float,
+                            start: float | None = None, tenor: float = 4.0,
+                            freq: float = 1.0, obs_per_period: int = 5,
+                            libor_tenor: float | None = None,
+                            n_u: int = 161, n_w: int = 61,
+                            width: float = 7.0,
+                            n_quad: int = 16) -> G2NoteDP:
+    """fp64 2-d value iteration for the G2++ puttable range-accrual note
+    on rotated (u, w) grids (see the module docstring).  Also returns
+    the plain (put-disabled) price from the same iteration — pinned
+    against range_accrual_closed_form_g2 + P(0, T_n) by the tests, which
+    certifies the whole conditional machinery — and the per-date
+    exercise boundary curves u*_j(w) for the MC policy."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+    obs, bounds, dates = _note_dates(float(start), n, float(tau), m)
+    del dates
+    Ba, Bb = _B(g.a, libor_tenor), _B(g.b, libor_tenor)
+    ca, cb = -Bb, Ba
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    dd = {t: float(np.interp(t, Ts, P0)) * math.exp(-0.5 * _v_integral(g, t))
+          for t in bounds}
+    band = {t: _strip_edges_f64(cfg, g, market, t, libor_tenor, lo, hi)
+            for o in obs for t in o}
+
+    def grids(t):
+        s_u = math.sqrt(_g2_functional_cov(g, (("u", t, Ba, Bb),))[0, 0])
+        s_w = math.sqrt(_g2_functional_cov(g, (("u", t, ca, cb),))[0, 0])
+        ug = np.linspace(-width * s_u, width * s_u, n_u)
+        if t in band:
+            eps = 1e-9
+            extra = [v for edge in band[t]
+                     for v in (edge - eps, edge + eps)
+                     if ug[0] < v < ug[-1] and math.isfinite(v)]
+            if extra:
+                ug = np.unique(np.concatenate([ug, np.asarray(extra)]))
+        return ug, np.linspace(-width * s_w, width * s_w, n_w)
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2.0 * math.pi)
+    gr = {t: grids(t) for t in bounds}
+    profile = []
+
+    def backward(puttable: bool):
+        ug_next, wg_next = gr[bounds[n]]
+        V = np.ones((len(ug_next), len(wg_next)))     # redemption at T_n
+        boundaries = []
+        for j in range(n - 1, -1, -1):
+            Tj, Tp = bounds[j], bounds[j + 1]
+            ug, wg = gr[Tj]
+            U, Wm = np.meshgrid(ug, wg, indexing="ij")
+            uf, wf = U.ravel(), Wm.ravel()
+            interior, kcoef, C = _period_machine(g, Tj, Tp, obs[j],
+                                                 Ba, Bb, ca, cb)
+            ni = len(interior)
+            iu, iw = 1 + ni, 2 + ni
+            m_d = kcoef[0, 0] * uf + kcoef[1, 0] * wf
+            w0 = (dd[Tp] / dd[Tj]) * np.exp(-m_d + 0.5 * C[0, 0])
+
+            # closed-form conditional coupon fraction (tilted)
+            cpn = np.zeros(uf.shape[0])
+            for t in obs[j]:
+                c_lo_t, c_hi_t = band[t]
+                if t <= Tj + 1e-12:    # the date's own observation:
+                    p = ((uf >= c_lo_t) & (uf <= c_hi_t)).astype(np.float64)
+                else:
+                    q = 1 + interior.index(t)
+                    mu = kcoef[0, q] * uf + kcoef[1, q] * wf - C[q, 0]
+                    s_i = math.sqrt(max(C[q, q], 1e-18))
+                    p = (_nphi((c_hi_t - mu) / s_i)
+                         - _nphi((c_lo_t - mu) / s_i))
+                cpn += coupon * tau / m * p
+
+            mu_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf - C[iu, 0]
+            mu_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf - C[iw, 0]
+            Ev = _expect_bilinear(mu_u, mu_w, C[iu, iu], C[iu, iw],
+                                  C[iw, iw], ug_next, wg_next, V,
+                                  nodes, wq)
+            cont = (w0 * (cpn + Ev)).reshape(len(ug), len(wg))
+
+            if puttable and j == 1:
+                mid = cont[:, len(wg) // 2]
+                profile.append((tuple(float(v) for v in ug),
+                                tuple(float(v) for v in mid)))
+            if puttable and j >= 1:
+                span = ug[-1] - ug[0]
+                lo_big, hi_big = ug[0] - span, ug[-1] + span
+                ustar = []
+                for col in range(len(wg)):
+                    d = cont[:, col] - 1.0
+                    if d[0] <= 0.0:
+                        ustar.append(lo_big)       # put at every u
+                        continue
+                    cr = np.nonzero(d[:-1] * d[1:] <= 0.0)[0]
+                    if len(cr) == 0:
+                        ustar.append(hi_big)       # never put
+                        continue
+                    i = int(cr[0])
+                    lam = d[i] / (d[i] - d[i + 1])
+                    ustar.append(float(ug[i] + lam * (ug[i + 1] - ug[i])))
+                boundaries.append((tuple(float(v) for v in wg),
+                                   tuple(ustar)))
+                V = np.maximum(1.0, cont)
+            else:
+                V = cont
+            ug_next, wg_next = ug, wg
+        # integrate from 0 over the tilted unconditional (u_0, w_0) law:
+        # dd(T0) e^{Var I(T0)/2} = P(0, T0) exactly
+        T0 = bounds[0]
+        S0 = _g2_functional_cov(
+            g, (("I", T0), ("u", T0, Ba, Bb), ("u", T0, ca, cb)))
+        val = float(np.interp(T0, Ts, P0)) * _expect_bilinear(
+            np.array([-S0[1, 0]]), np.array([-S0[2, 0]]), S0[1, 1],
+            S0[1, 2], S0[2, 2], ug_next, wg_next, V, nodes, wq)[0]
+        return val, tuple(reversed(boundaries))
+
+    price, boundaries = backward(True)
+    plain, _ = backward(False)
+    pu, pc = profile[0] if profile else ((), ())
+    return G2NoteDP(price=price, plain_price=plain, boundaries=boundaries,
+                    put_premium=price - plain, profile_u=pu,
+                    profile_cont=pc)
+
+
+class G2NoteResult(NamedTuple):
+    price: jax.Array           # CV lower-bound estimate
+    std_error: jax.Array       # SE of the CV estimate
+    raw_price: jax.Array       # plain MC (no CV)
+    raw_std_error: jax.Array
+    beta: jax.Array            # fitted CV coefficient
+    put_fraction: jax.Array    # fraction of paths that put early
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _g2_note_fn(cfg: HWConfig, g: G2Params, coupon: float, lo: float,
+                hi: float, start: float, n: int, tau: float, m: int,
+                delta: float, boundaries: tuple, plain_mean: float,
+                n_paths: int, n_blocks: int, mesh):
+    obs, bounds, dates = _note_dates(start, n, tau, m)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+    # sample exactly the functionals the payoff touches: u at the n*m
+    # observations (put dates T_1..T_{n-1} are observation i=0 of
+    # periods 1..n-1), w at the put dates (the second policy
+    # coordinate), I at the payments T_1..T_n
+    specs = tuple([("u", t, Ba, Bb) for o in obs for t in o]
+                  + [("u", T, ca, cb) for T in bounds[1:n]]
+                  + [("I", T) for T in bounds[1:]])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    nm = n * m
+    v_half = [0.5 * _v_integral(g, p) for p in bounds[1:]]
+    bw = [jnp.asarray(b[0], jnp.float32) for b in boundaries]
+    bu = [jnp.asarray(b[1], jnp.float32) for b in boundaries]
+
+    def compute(key, market):
+        edges = [_libor_strip_g2(cfg, g, market, t, delta, lo, hi)
+                 for o in obs for t in o]
+        c_lo = jnp.stack([e[2] for e in edges]).reshape(n, m)
+        c_hi = jnp.stack([e[3] for e in edges]).reshape(n, m)
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             * jnp.exp(jnp.float32(-v_half[j]))
+             for j, p in enumerate(bounds[1:])])
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, nm + (n - 1) + n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :nm].reshape(-1, n, m)       # (paths, n, m)
+                wv = sgn * z[:, nm:nm + n - 1]              # (paths, n-1)
+                integral = sgn * z[:, nm + n - 1:]          # (paths, n)
+                in_band = ((u >= c_lo[None, :, :])
+                           & (u <= c_hi[None, :, :]))
+                fr = jnp.mean(in_band.astype(jnp.float32), axis=2)
+                discs = disc0[None, :] * jnp.exp(-integral)
+                cpn = [coupon * tau * fr[:, j] * discs[:, j]
+                       for j in range(n)]
+                alive = jnp.ones(u.shape[0], jnp.float32)
+                V = cpn[0]                  # period-0 coupon always accrues
+                Y = cpn[0]                  # CV: non-callable note
+                for j in range(1, n):
+                    ustar = jnp.interp(wv[:, j - 1], bw[j - 1], bu[j - 1])
+                    put = (u[:, j, 0] > ustar).astype(jnp.float32)
+                    V = V + alive * put * discs[:, j - 1]
+                    alive = alive * (1.0 - put)
+                    V = V + alive * cpn[j]
+                    Y = Y + cpn[j]
+                fin = discs[:, n - 1]
+                V = V + alive * fin
+                Y = Y + fin
+                return V, Y, 1.0 - alive
+
+            Vp, Yp, Pp = leg(1.0)
+            Vm, Ym, Pm = leg(-1.0)
+            V, Y, P = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym), 0.5 * (Pp + Pm)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(V * Y), jnp.sum(P)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my = s[0] / n_tot, s[2] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        price = mv - beta * (my - plain_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_range_note_g2(cfg: HWConfig, g: G2Params, key,
+                        market: MarketCurve, *, coupon: float, lo: float,
+                        hi: float, start: float | None = None,
+                        tenor: float = 4.0, freq: float = 1.0,
+                        obs_per_period: int = 5,
+                        libor_tenor: float | None = None,
+                        boundaries: tuple | None = None,
+                        n_paths: int | None = None, n_blocks: int = 1,
+                        mesh=None) -> G2NoteResult:
+    """Monte Carlo lower bound for the G2++ puttable range-accrual note
+    under the fixed boundary-curve policy ``boundaries`` (default: read
+    off the fp64 2-d DP oracle; any fixed policy is an unbiased lower
+    bound — with the DP curves the estimate reproduces
+    ``dp_oracle_range_note_g2`` to MC noise).  The non-callable note is
+    the control variate with its EXACT closed-form mean.  Blocks key on
+    their global index; optionally sharded over ``mesh``."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    if n < 2:
+        raise ValueError("puttable note needs tenor * freq >= 2 periods")
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+    if boundaries is None:
+        boundaries = dp_oracle_range_note_g2(
+            cfg, g, market, coupon=coupon, lo=lo, hi=hi, start=start,
+            tenor=tenor, freq=freq, obs_per_period=m,
+            libor_tenor=libor_tenor).boundaries
+    leg, _ = range_accrual_closed_form_g2(
+        cfg, g, market, coupon=coupon, lo=lo, hi=hi, start=start,
+        tenor=tenor, freq=freq, obs_per_period=m, libor_tenor=libor_tenor)
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0n = float(np.interp(start + n * tau, Ts,
+                          np.asarray(market.P, np.float64)))
+    out = _g2_note_fn(cfg, g, float(coupon), float(lo), float(hi),
+                      float(start), n, float(tau), m, float(libor_tenor),
+                      boundaries, float(leg + P0n), int(n_paths),
+                      int(n_blocks), mesh)(key, market)
+    return G2NoteResult(price=out[0], std_error=out[1], raw_price=out[2],
+                        raw_std_error=out[3], beta=out[4],
+                        put_fraction=out[5],
+                        n_paths=int(n_paths) * int(n_blocks))

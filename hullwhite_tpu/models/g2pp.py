@@ -2095,12 +2095,14 @@ def _libor_strip_g2(cfg: HWConfig, g: G2Params, market, t: float,
 
 
 @lru_cache(maxsize=None)
-def _g2_functional_chol(g: G2Params, specs: tuple):
-    """fp32 Cholesky^T of the covariance of an arbitrary tuple of
-    centered functionals: ("u", t, Ba, Bb) = Ba x(t) + Bb y(t) (the
-    strip projection itself is Gaussian — sample it directly, one
-    column per observation instead of (x, y, I) triples), or
-    ("I", t).  Exact continuous-time law from the _cov_* kernels."""
+def _g2_functional_cov(g: G2Params, specs: tuple):
+    """fp64 covariance of an arbitrary tuple of centered functionals:
+    ("u", t, Ba, Bb) = Ba x(t) + Bb y(t) (the strip projection itself
+    is Gaussian — sample it directly, one column per observation
+    instead of (x, y, I) triples), or ("I", t).  Exact continuous-time
+    law from the _cov_* kernels, with the sampler's 1e-16 jitter (the
+    2-d note DP conditions on this same matrix, so oracle and MC
+    integrate the identical law)."""
     a, b, s_, e_, r = g.a, g.b, g.sigma, g.eta, g.rho
     fx, fy = (a, s_), (b, e_)
 
@@ -2138,7 +2140,13 @@ def _g2_functional_chol(g: G2Params, specs: tuple):
     for i in range(kk):
         for j in range(i, kk):
             C[i, j] = C[j, i] = cov(specs[i], specs[j])
-    L = np.linalg.cholesky(C + 1e-16 * np.eye(kk))
+    return C + 1e-16 * np.eye(kk)
+
+
+@lru_cache(maxsize=None)
+def _g2_functional_chol(g: G2Params, specs: tuple):
+    """fp32 Cholesky^T of _g2_functional_cov (z = x @ L^T sampling)."""
+    L = np.linalg.cholesky(_g2_functional_cov(g, specs))
     return np.asarray(L.T, np.float32)
 
 
