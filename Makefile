@@ -1,6 +1,6 @@
 # hullwhite_tpu — build & run targets (analogue of the reference makefile)
 
-.PHONY: native test tpu-test q1 q2 q3 benchmark all analyze bench clean cms exotics \
+.PHONY: native test tpu-test q1 q2 q3 benchmark all analyze bench clean cms exotics notes \
         g2pp swaption cap grid calibrate products
 
 native:
@@ -37,7 +37,7 @@ calibrate:
 	python -m hullwhite_tpu.cli calibrate
 
 # every beyond-reference product surface in one go (after q1)
-products: swaption cap cms exotics grid g2pp calibrate
+products: swaption cap cms exotics notes grid g2pp calibrate
 
 cap:
 	python -m hullwhite_tpu.cli cap
@@ -47,6 +47,9 @@ cms:
 
 exotics:
 	python -m hullwhite_tpu.cli exotics
+
+notes:
+	python -m hullwhite_tpu.cli notes
 
 grid:
 	python -m hullwhite_tpu.cli grid

@@ -259,7 +259,8 @@ def print_summary(data_dir: Path):
                  "benchmark_engines.json", "swaption_results.json",
                  "bermudan_sweep.json", "cap_results.json", "floor_results.json",
                  "g2pp_results.json", "grid_results.json",
-                 "cms_results.json", "exotics_results.json"]:
+                 "cms_results.json", "exotics_results.json",
+                 "notes_results.json"]:
         p = data_dir / name
         if not p.exists():
             continue
@@ -268,6 +269,13 @@ def print_summary(data_dir: Path):
         res = doc.get("results", {})
         for k, v in res.items():
             if isinstance(v, dict):
+                # product sub-results: one line of the headline fields
+                keys = [q for q in ("mc_price", "mc_se", "dp_price",
+                                    "closed_form", "quadrature", "z")
+                        if q in v and isinstance(v[q], (int, float))]
+                if keys:
+                    print(f"  {k}: " + "  ".join(f"{q}={v[q]:.6g}"
+                                                 for q in keys))
                 continue
             print(f"  {k}: {v}")
         if "performance" in doc:

@@ -797,6 +797,12 @@ def cmd_exotics(args):
     print(f"put fraction {float(nt2.put_fraction):.4f}")
     print(f"agreement: z = {z_n2:.2f} ({'PASS' if ok_n2 else 'CHECK'})")
     rc |= 0 if ok_n2 else 1
+    nv2 = g2_note.vega_range_note_g2(
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16), **nkw)
+    print(f"note vega: CRN-FD {float(nv2.vega):.6f} vs DP FD "
+          f"{nv2.dp_vega:.6f} (2-d envelope check)")
+    results["range_note_g2_vega"] = {"mc_crn_fd": float(nv2.vega),
+                                     "dp_fd": nv2.dp_vega}
     results["range_note_g2"] = {
         "dp_price": dp2.price, "dp_plain": dp2.plain_price,
         "put_premium": dp2.put_premium,
@@ -806,7 +812,118 @@ def cmd_exotics(args):
         "boundary_w": [list(b[0][::8]) for b in dp2.boundaries],
         "boundary_u": [list(b[1][::8]) for b in dp2.boundaries]}
 
+    print("--- G2++ range-accrual TARN (lattice DP over (K, u, w)) ---")
+    t2kw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
+                target=args.target, tenor=args.tenor, freq=args.freq)
+    tdp2 = g2_note.dp_oracle_tarn_g2(cfg, g2, market, **t2kw)
+    tmc2 = g2_note.price_tarn_g2(cfg, g2, key, market, **t2kw)
+    z_t2 = (float(tmc2.price) - tdp2.price) / max(float(tmc2.std_error),
+                                                  1e-12)
+    ok_t2 = abs(z_t2) < 4 or abs(float(tmc2.price) - tdp2.price) < 2e-4
+    print(f"DP (lattice): {tdp2.price:.8f}  knockout prob "
+          f"{tdp2.ko_prob:.4f}")
+    print(f"MC:           {float(tmc2.price):.8f} "
+          f"+/- {float(tmc2.std_error):.2e} (SE); knockout fraction "
+          f"{float(tmc2.ko_fraction):.4f}, mean coupon total "
+          f"{float(tmc2.mean_total):.5f}")
+    print(f"agreement: z = {z_t2:.2f} ({'PASS' if ok_t2 else 'CHECK'})")
+    rc |= 0 if ok_t2 else 1
+    results["tarn_g2"] = {
+        "dp_price": tdp2.price, "dp_ko_prob": tdp2.ko_prob,
+        "mc_price": float(tmc2.price), "mc_se": float(tmc2.std_error),
+        "mc_ko_fraction": float(tmc2.ko_fraction),
+        "mc_mean_total": float(tmc2.mean_total), "z": z_t2,
+        "target": args.target}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
+                    results=results)
+    return rc
+
+
+def cmd_notes(args):
+    """Structured-note layer: the snowball note (continuous-state
+    path-dependent coupon, 2-d (r, coupon) DP oracle, unclipped-linear
+    closed-form CV) and the issuer-callable capped floater (kinked
+    deterministic coupon, closed-form plain leg, 1-d DP oracle,
+    issuer-policy MC upper bound), both with frozen-policy CRN-FD vegas
+    checked against the re-optimizing DP central difference (envelope
+    theorem).  Widens the reference's product layer
+    (src/2_option_pricing.cu:14-35)."""
+    from . import floater, snowball
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 77121)
+    market = hwio.load_market(cfg)
+    rc = 0
+    results = {}
+
+    print(f"--- snowball note: c_j = clip(c_j-1 + spread - L, floor, cap), "
+          f"c_0 {args.sb_initial*100:.2f}%, spread {args.sb_spread*100:.2f}%"
+          f", cap {args.sb_cap*100:.2f}%, tenor {args.tenor}y ---")
+    skw = dict(initial=args.sb_initial, spread=args.sb_spread,
+               cap=args.sb_cap, floor=args.floor, tenor=args.tenor,
+               freq=args.freq)
+    sdp = snowball.dp_oracle_snowball(cfg, market, **skw)
+    smc = snowball.price_snowball(cfg, key, market, **skw)
+    z_s = (float(smc.price) - sdp.price) / max(float(smc.std_error), 1e-12)
+    ok_s = abs(z_s) < 4 or abs(float(smc.price) - sdp.price) < 2e-4
+    print(f"DP oracle:   {sdp.price:.8f} (unclipped linear CF "
+          f"{sdp.linear_price:.8f})")
+    print(f"MC (CV):     {float(smc.price):.8f} "
+          f"+/- {float(smc.std_error):.2e} (SE; raw SE "
+          f"{float(smc.raw_std_error):.2e})")
+    print(f"mean final coupon: MC {float(smc.mean_final_coupon):.6f} "
+          f"vs DP {sdp.mean_final_coupon:.6f}")
+    print(f"agreement: z = {z_s:.2f} ({'PASS' if ok_s else 'CHECK'})")
+    rc |= 0 if ok_s else 1
+    sv = snowball.vega_snowball(cfg, key, market,
+                                n_paths=min(cfg.n_paths, 1 << 16), **skw)
+    print(f"snowball vega: CRN-FD {float(sv.vega):.6f} vs DP FD "
+          f"{sv.dp_vega:.6f}")
+    results["snowball"] = {
+        "dp_price": sdp.price, "linear_closed_form": sdp.linear_price,
+        "mc_price": float(smc.price), "mc_se": float(smc.std_error),
+        "mc_raw_se": float(smc.raw_std_error), "z": z_s,
+        "mean_final_coupon_mc": float(smc.mean_final_coupon),
+        "mean_final_coupon_dp": sdp.mean_final_coupon,
+        "vega_crn_fd": float(sv.vega), "vega_dp_fd": sv.dp_vega}
+
+    print(f"--- callable capped floater: clip(L + "
+          f"{args.fl_spread*100:.2f}%, {args.floor*100:.2f}%, "
+          f"{args.fl_cap*100:.2f}%), tenor {args.fl_tenor}y, issuer call "
+          f"at par ---")
+    fkw = dict(cap=args.fl_cap, floor=args.floor, spread=args.fl_spread,
+               tenor=args.fl_tenor, freq=args.freq)
+    fdp = floater.dp_oracle_capped_floater(cfg, market, **fkw)
+    fcf = floater.capped_floater_closed_form(cfg, market, **fkw)
+    fmc = floater.price_capped_floater(cfg, key, market,
+                                       boundaries=fdp.boundaries, **fkw)
+    z_f = (float(fmc.price) - fdp.price) / max(float(fmc.std_error), 1e-12)
+    ok_f = abs(z_f) < 4 or abs(float(fmc.price) - fdp.price) < 2e-4
+    print(f"DP oracle:   {fdp.price:.8f} (plain {fdp.plain_price:.8f}, "
+          f"CF coupon leg {fcf[0]:.8f}, call discount "
+          f"{fdp.plain_price - fdp.price:.6f})")
+    print(f"MC (CV):     {float(fmc.price):.8f} "
+          f"+/- {float(fmc.std_error):.2e} (SE; raw SE "
+          f"{float(fmc.raw_std_error):.2e}); call fraction "
+          f"{float(fmc.call_fraction):.4f}")
+    print(f"agreement: z = {z_f:.2f} ({'PASS' if ok_f else 'CHECK'})")
+    rc |= 0 if ok_f else 1
+    fv = floater.vega_capped_floater(cfg, key, market,
+                                     n_paths=min(cfg.n_paths, 1 << 16),
+                                     **fkw)
+    print(f"floater vega: CRN-FD {float(fv.vega):.6f} vs DP FD "
+          f"{fv.dp_vega:.6f} (envelope check)")
+    results["capped_floater"] = {
+        "dp_price": fdp.price, "dp_plain": fdp.plain_price,
+        "closed_form_coupon_leg": fcf[0],
+        "mc_price": float(fmc.price), "mc_se": float(fmc.std_error),
+        "mc_raw_se": float(fmc.raw_std_error), "z": z_f,
+        "call_fraction": float(fmc.call_fraction),
+        "boundaries": [float(b) for b in fdp.boundaries],
+        "vega_crn_fd": float(fv.vega), "vega_dp_fd": fv.dp_vega}
+
+    hwio.write_json(hwio.DATA_DIR / "notes_results.json", "notes", cfg,
                     results=results)
     return rc
 
@@ -1184,6 +1301,18 @@ def main(argv=None):
                      help="range observations per period")
     pex.add_argument("--target", type=float, default=0.055,
                      help="TARN cumulative-coupon knockout target")
+    pnt = sub.add_parser("notes", parents=[common])
+    pnt.add_argument("--sb-initial", type=float, default=0.02,
+                     help="snowball initial coupon c_0")
+    pnt.add_argument("--sb-spread", type=float, default=0.013)
+    pnt.add_argument("--sb-cap", type=float, default=0.06)
+    pnt.add_argument("--fl-cap", type=float, default=0.016,
+                     help="capped-floater coupon cap")
+    pnt.add_argument("--fl-spread", type=float, default=0.004)
+    pnt.add_argument("--fl-tenor", type=float, default=3.0)
+    pnt.add_argument("--floor", type=float, default=0.0)
+    pnt.add_argument("--tenor", type=float, default=4.0)
+    pnt.add_argument("--freq", type=float, default=1.0)
     pcal = sub.add_parser("calibrate", parents=[common])
     for flag, dv in [("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
                      ("--g2eta", 0.02), ("--g2rho", -0.6)]:
@@ -1217,6 +1346,8 @@ def main(argv=None):
         return cmd_cms(args)
     if args.cmd == "exotics":
         return cmd_exotics(args)
+    if args.cmd == "notes":
+        return cmd_notes(args)
     if args.cmd == "calibrate":
         return cmd_calibrate(args)
     if args.cmd == "all":

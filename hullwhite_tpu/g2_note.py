@@ -429,3 +429,310 @@ def price_range_note_g2(cfg: HWConfig, g: G2Params, key,
                         raw_std_error=out[3], beta=out[4],
                         put_fraction=out[5],
                         n_paths=int(n_paths) * int(n_blocks))
+
+
+# ---------------------------------------------------------------------------
+# G2++ TARN (two-factor twin of range_note.price_tarn / dp_oracle_tarn):
+# the note accrues coupon tau frac_j per period and KNOCKS OUT at the
+# first payment where the cumulative coupon reaches ``target``.  With
+# one observation per period (at the period start) the coupon indicator
+# is a deterministic STRIP in u at the decision state, so the running
+# total K lives on the lattice {0, ct, 2ct, ...} and the fp64 oracle is
+# a value iteration over (lattice level, u, w) — the level axis rides
+# _kernel_avg's (G, L) batching (one Phi assembly per Hermite node
+# serves every level's every w'-column at once).
+# ---------------------------------------------------------------------------
+
+class G2TarnDP(NamedTuple):
+    price: float
+    ko_prob: float             # knockout probability (untilted recursion)
+    levels: tuple
+
+
+def _expect_bilinear_multi(mu_u, mu_w, v_u, c_uw, v_w, ug, wg, Vs,
+                           nodes, wq):
+    """Batched _expect_bilinear over a LIST of value surfaces sharing
+    the (ug, wg) grid: returns (n_src, len(Vs)).  The per-node Phi/phi
+    assembly depends only on the source means, so it is shared across
+    every surface and every w-column (one (G, L = n_surf * n_w) matmul
+    per Hermite node)."""
+    n_sur = len(Vs)
+    V = np.stack(Vs, axis=1).reshape(len(ug), n_sur * len(wg))
+    v_w = max(v_w, 1e-18)
+    s_w = math.sqrt(v_w)
+    beta = c_uw / v_w
+    s_c = math.sqrt(max(v_u - c_uw * c_uw / v_w, 1e-18))
+    out = np.zeros((mu_u.shape[0], n_sur))
+    last = len(wg) - 2
+    rows = np.arange(mu_u.shape[0])
+    for xq, wq_ in zip(nodes, wq):
+        w_val = mu_w + s_w * xq
+        T = _kernel_avg(mu_u + beta * s_w * xq, s_c, ug, V).reshape(
+            -1, n_sur, len(wg))
+        idx = np.clip(np.searchsorted(wg, w_val) - 1, 0, last)
+        lam = np.clip((w_val - wg[idx]) / (wg[idx + 1] - wg[idx]), 0.0, 1.0)
+        out += wq_ * ((1.0 - lam)[:, None] * T[rows, :, idx]
+                      + lam[:, None] * T[rows, :, idx + 1])
+    return out
+
+
+def dp_oracle_tarn_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, *,
+                      coupon: float, lo: float, hi: float, target: float,
+                      start: float | None = None, tenor: float = 4.0,
+                      freq: float = 1.0, libor_tenor: float | None = None,
+                      n_u: int = 161, n_w: int = 61, width: float = 7.0,
+                      n_quad: int = 16) -> G2TarnDP:
+    """fp64 lattice value iteration for the G2++ range-accrual TARN with
+    ONE observation per period: DP over (cumulative-coupon level, u, w)
+    in the rotated coordinates of the module docstring.  Also returns
+    the knockout probability from the same iteration run UNTILTED
+    (real-measure conditional means, no discounting) — an independent
+    second statistic the MC must reproduce."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    ct = coupon * tau
+    levels = tuple(k * ct for k in range(n + 1))
+    obs, bounds, dates = _note_dates(float(start), n, float(tau), 1)
+    del dates
+    Ba, Bb = _B(g.a, libor_tenor), _B(g.b, libor_tenor)
+    ca, cb = -Bb, Ba
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    dd = {t: float(np.interp(t, Ts, P0)) * math.exp(-0.5 * _v_integral(g, t))
+          for t in bounds}
+    band = {t: _strip_edges_f64(cfg, g, market, t, libor_tenor, lo, hi)
+            for o in obs for t in o}
+
+    def grids(t):
+        s_u = math.sqrt(_g2_functional_cov(g, (("u", t, Ba, Bb),))[0, 0])
+        s_w = math.sqrt(_g2_functional_cov(g, (("u", t, ca, cb),))[0, 0])
+        ug = np.linspace(-width * s_u, width * s_u, n_u)
+        if t in band:
+            eps = 1e-9
+            extra = [v for edge in band[t]
+                     for v in (edge - eps, edge + eps)
+                     if ug[0] < v < ug[-1] and math.isfinite(v)]
+            if extra:
+                ug = np.unique(np.concatenate([ug, np.asarray(extra)]))
+        return ug, np.linspace(-width * s_w, width * s_w, n_w)
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2.0 * math.pi)
+    gr = {t: grids(t) for t in bounds}
+
+    ug_next, wg_next = gr[bounds[n]]
+    shape = (len(ug_next), len(wg_next))
+    Wn = [np.ones(shape) for _ in range(n + 1)]
+    Pn = [np.zeros(shape) for _ in range(n + 1)]
+    for j in range(n - 1, -1, -1):
+        Tj, Tp = bounds[j], bounds[j + 1]
+        ug, wg = gr[Tj]
+        U, Wm = np.meshgrid(ug, wg, indexing="ij")
+        uf, wf = U.ravel(), Wm.ravel()
+        interior, kcoef, C = _period_machine(g, Tj, Tp, obs[j],
+                                             Ba, Bb, ca, cb)
+        assert not interior          # m = 1: the only obs is at T_j
+        iu, iw = 1, 2
+        m_d = kcoef[0, 0] * uf + kcoef[1, 0] * wf
+        w0 = (dd[Tp] / dd[Tj]) * np.exp(-m_d + 0.5 * C[0, 0])
+        mu_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf - C[iu, 0]
+        mu_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf - C[iw, 0]
+        # untilted means: real-measure knockout probability
+        ru_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf
+        ru_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf
+        Ev = _expect_bilinear_multi(mu_u, mu_w, C[iu, iu], C[iu, iw],
+                                    C[iw, iw], ug_next, wg_next, Wn,
+                                    nodes, wq)
+        Pv = _expect_bilinear_multi(ru_u, ru_w, C[iu, iu], C[iu, iw],
+                                    C[iw, iw], ug_next, wg_next, Pn,
+                                    nodes, wq)
+        c_lo_t, c_hi_t = band[bounds[j]]
+        ind = ((uf >= c_lo_t) & (uf <= c_hi_t)).astype(np.float64)
+        W_new, P_new = [], []
+        for li, K in enumerate(levels):
+            if K >= target - 1e-12:            # already out (unreachable)
+                W_new.append(np.ones(len(uf)).reshape(len(ug), len(wg)))
+                P_new.append(np.ones(len(uf)).reshape(len(ug), len(wg)))
+                continue
+            c_full = min(ct, target - K)
+            if K + ct >= target - 1e-12:       # coupon branch knocks out
+                v_in = w0 * (c_full + 1.0)
+                p_in = np.ones(len(uf))
+            else:
+                li_up = min(li + 1, n)
+                v_in = w0 * (ct + Ev[:, li_up])
+                p_in = Pv[:, li_up]
+            v_out = w0 * Ev[:, li]
+            p_out = Pv[:, li]
+            W_new.append((ind * v_in + (1.0 - ind) * v_out)
+                         .reshape(len(ug), len(wg)))
+            P_new.append((ind * p_in + (1.0 - ind) * p_out)
+                         .reshape(len(ug), len(wg)))
+        Wn, Pn, ug_next, wg_next = W_new, P_new, ug, wg
+    # integrate from 0: tilted for the price, untilted for the KO prob
+    T0 = bounds[0]
+    S0 = _g2_functional_cov(
+        g, (("I", T0), ("u", T0, Ba, Bb), ("u", T0, ca, cb)))
+    price = float(np.interp(T0, Ts, P0)) * _expect_bilinear(
+        np.array([-S0[1, 0]]), np.array([-S0[2, 0]]), S0[1, 1], S0[1, 2],
+        S0[2, 2], ug_next, wg_next, Wn[0], nodes, wq)[0]
+    ko_p = _expect_bilinear(
+        np.array([0.0]), np.array([0.0]), S0[1, 1], S0[1, 2], S0[2, 2],
+        ug_next, wg_next, Pn[0], nodes, wq)[0]
+    return G2TarnDP(price=price, ko_prob=float(ko_p), levels=levels)
+
+
+class G2TarnResult(NamedTuple):
+    price: jax.Array
+    std_error: jax.Array
+    ko_fraction: jax.Array     # fraction of paths that knocked out
+    mean_total: jax.Array      # mean cumulative coupon paid
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _g2_tarn_fn(cfg: HWConfig, g: G2Params, coupon: float, lo: float,
+                hi: float, target: float, start: float, n: int,
+                tau: float, m: int, delta: float, n_paths: int,
+                n_blocks: int, mesh):
+    obs, bounds, dates = _note_dates(start, n, tau, m)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    specs = tuple([("u", t, Ba, Bb) for o in obs for t in o]
+                  + [("I", T) for T in bounds[1:]])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    nm = n * m
+    ct = coupon * tau
+    v_half = [0.5 * _v_integral(g, p) for p in bounds[1:]]
+
+    def compute(key, market):
+        edges = [_libor_strip_g2(cfg, g, market, t, delta, lo, hi)
+                 for o in obs for t in o]
+        c_lo = jnp.stack([e[2] for e in edges]).reshape(n, m)
+        c_hi = jnp.stack([e[3] for e in edges]).reshape(n, m)
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             * jnp.exp(jnp.float32(-v_half[j]))
+             for j, p in enumerate(bounds[1:])])
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, nm + n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :nm].reshape(-1, n, m)
+                integral = sgn * z[:, nm:]
+                in_band = ((u >= c_lo[None, :, :])
+                           & (u <= c_hi[None, :, :]))
+                fr = jnp.mean(in_band.astype(jnp.float32), axis=2)
+                discs = disc0[None, :] * jnp.exp(-integral)
+                alive = jnp.ones(u.shape[0], jnp.float32)
+                K = jnp.zeros(u.shape[0], jnp.float32)
+                V = jnp.zeros(u.shape[0], jnp.float32)
+                for j in range(n):
+                    c = jnp.minimum(ct * fr[:, j], target - K)
+                    ko = (K + ct * fr[:, j] >= target - 1e-12).astype(
+                        jnp.float32)
+                    V = V + alive * discs[:, j] * (c + ko)
+                    K = K + alive * c
+                    alive = alive * (1.0 - ko)
+                V = V + alive * discs[:, n - 1]          # par at T_n
+                return V, 1.0 - alive, K
+
+            Vp, Kop, Kp = leg(1.0)
+            Vm, Kom, Km = leg(-1.0)
+            V, Ko, K = 0.5 * (Vp + Vm), 0.5 * (Kop + Kom), 0.5 * (Kp + Km)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Ko),
+                              jnp.sum(K)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mean = s[0] / n_tot
+        var = jnp.maximum(s[1] / n_tot - mean ** 2, 0.0)
+        var = var * n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (mean, jnp.sqrt(var / n_tot), s[2] / n_tot, s[3] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_tarn_g2(cfg: HWConfig, g: G2Params, key, market: MarketCurve, *,
+                  coupon: float, lo: float, hi: float, target: float,
+                  start: float | None = None, tenor: float = 4.0,
+                  freq: float = 1.0, obs_per_period: int = 1,
+                  libor_tenor: float | None = None,
+                  n_paths: int | None = None, n_blocks: int = 1,
+                  mesh=None) -> G2TarnResult:
+    """Monte Carlo G2++ range-accrual TARN from the exact multi-date
+    functionals (antithetic): obs_per_period = 1 (the default) is the
+    lattice case pinned EXACTLY by ``dp_oracle_tarn_g2``; larger m is
+    supported by the MC (the oracle lattice no longer applies).  Blocks
+    key on the global index; optionally sharded over ``mesh``."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    m = int(obs_per_period)
+    if libor_tenor is None:
+        libor_tenor = tau / m
+    out = _g2_tarn_fn(cfg, g, float(coupon), float(lo), float(hi),
+                      float(target), float(start), n, float(tau), m,
+                      float(libor_tenor), int(n_paths), int(n_blocks),
+                      mesh)(key, market)
+    return G2TarnResult(price=out[0], std_error=out[1], ko_fraction=out[2],
+                        mean_total=out[3],
+                        n_paths=int(n_paths) * int(n_blocks))
+
+
+class G2NoteVega(NamedTuple):
+    vega: jax.Array            # CRN-FD vega of the CV estimate
+    dp_vega: float             # fp64 DP central difference (oracle)
+    price_minus: jax.Array
+    price_plus: jax.Array
+    epsilon: float
+
+
+def vega_range_note_g2(cfg: HWConfig, g: G2Params, key,
+                       market: MarketCurve, *, coupon: float, lo: float,
+                       hi: float, start: float | None = None,
+                       tenor: float = 4.0, freq: float = 1.0,
+                       obs_per_period: int = 5,
+                       libor_tenor: float | None = None,
+                       eps: float = 1e-3, n_paths: int | None = None,
+                       n_blocks: int = 1, mesh=None,
+                       dp_kwargs: dict | None = None) -> G2NoteVega:
+    """CRN central-difference d price / d sigma (the x-factor vol) of
+    the G2++ puttable note with the put BOUNDARY CURVES frozen at the
+    base-sigma DP policy (envelope theorem: at the optimal boundary the
+    policy derivative contributes zero first order).  Oracle: the same
+    central difference of the fp64 2-d DP, which RE-OPTIMIZES the curve
+    at each bump — agreement also checks the envelope argument for the
+    curved 2-d boundary.  CRN by key reuse (the functional Cholesky
+    carries all sigma dependence, the vega_zbc_g2 convention); the CV's
+    exact mean is recomputed per bump so each side stays unbiased."""
+    if start is None:
+        start = cfg.s1
+    kw = dict(coupon=coupon, lo=lo, hi=hi, start=start, tenor=tenor,
+              freq=freq, obs_per_period=obs_per_period,
+              libor_tenor=libor_tenor)
+    dkw = dict(dp_kwargs or {})
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    base = dp_oracle_range_note_g2(cfg, g, market, **kw, **dkw)
+    dp_m = dp_oracle_range_note_g2(cfg, gm, market, **kw, **dkw)
+    dp_p = dp_oracle_range_note_g2(cfg, gp, market, **kw, **dkw)
+    mc = dict(kw, boundaries=base.boundaries, n_paths=n_paths,
+              n_blocks=n_blocks, mesh=mesh)
+    p_m = price_range_note_g2(cfg, gm, key, market, **mc).price
+    p_p = price_range_note_g2(cfg, gp, key, market, **mc).price
+    return G2NoteVega(vega=(p_p - p_m) / (2.0 * eps),
+                      dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
+                      price_minus=p_m, price_plus=p_p, epsilon=eps)

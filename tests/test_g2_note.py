@@ -111,3 +111,67 @@ def test_degenerate_policy_is_plain_note(analytic_market):
     assert float(res.put_fraction) == 0.0
     # V == Y pathwise -> CV estimator returns the exact mean
     assert abs(float(res.price) - (leg + P0n)) < 1e-5
+
+
+# --------------------------- G2++ TARN twin ---------------------------
+
+TKW = dict(coupon=0.03, lo=0.010, hi=0.022, tenor=2.0, freq=1.0)
+
+
+@pytest.fixture(scope="module")
+def tarn_dp(analytic_market):
+    return g2_note.dp_oracle_tarn_g2(CFG, G2, analytic_market,
+                                     target=0.045, n_u=121, n_w=41,
+                                     n_quad=12, **TKW)
+
+
+def test_tarn_mc_matches_lattice_dp(analytic_market, tarn_dp):
+    res = g2_note.price_tarn_g2(CFG, G2, KEY, analytic_market,
+                                target=0.045, n_blocks=4, **TKW)
+    tol = 4.0 * float(res.std_error) + 5e-5
+    assert abs(float(res.price) - tarn_dp.price) < tol, \
+        (float(res.price), tarn_dp.price)
+    n_tot = res.n_paths * 2
+    ko_se = math.sqrt(max(tarn_dp.ko_prob * (1 - tarn_dp.ko_prob), 1e-9)
+                      / n_tot)
+    assert abs(float(res.ko_fraction) - tarn_dp.ko_prob) \
+        < 5.0 * ko_se + 1e-3
+
+
+def test_tarn_infinite_target_is_plain_note(analytic_market):
+    """target -> infinity disables the knockout: the lattice DP must
+    collapse to the m=1 closed-form leg + P(0, T_n)."""
+    dp = g2_note.dp_oracle_tarn_g2(CFG, G2, analytic_market, target=1e9,
+                                   n_u=121, n_w=41, n_quad=12, **TKW)
+    leg, _ = g2pp.range_accrual_closed_form_g2(CFG, G2, analytic_market,
+                                               obs_per_period=1, **TKW)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P0n = float(np.interp(CFG.s1 + TKW["tenor"], Ts,
+                          np.asarray(analytic_market.P, np.float64)))
+    assert dp.ko_prob == 0.0
+    assert abs(dp.price - (leg + P0n)) < 2e-5
+
+
+def test_tarn_mesh_matches_single_device(analytic_market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+    mesh = pmesh.path_mesh()
+    kw = dict(target=0.045, n_blocks=8, **TKW)
+    single = g2_note.price_tarn_g2(CFG, G2, KEY, analytic_market, **kw)
+    sharded = g2_note.price_tarn_g2(CFG, G2, KEY, analytic_market,
+                                    mesh=mesh, **kw)
+    np.testing.assert_allclose(float(sharded.price), float(single.price),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(float(sharded.ko_fraction),
+                               float(single.ko_fraction), atol=1e-6)
+
+
+def test_vega_envelope_check(analytic_market):
+    """Frozen-boundary CRN-FD vega must match the re-optimizing DP
+    central difference (envelope theorem for the curved 2-d boundary)."""
+    nv = g2_note.vega_range_note_g2(CFG, G2, KEY, analytic_market,
+                                    n_blocks=4, dp_kwargs=dict(
+                                        n_u=121, n_w=41, n_quad=12), **KW)
+    # CRN collapses the FD noise; the DP re-optimization differs from
+    # the frozen policy only at second order in eps
+    assert abs(float(nv.vega) - nv.dp_vega) < 0.05 * max(
+        abs(nv.dp_vega), 1.0), (float(nv.vega), nv.dp_vega)
