@@ -923,6 +923,41 @@ def cmd_notes(args):
         "boundaries": [float(b) for b in fdp.boundaries],
         "vega_crn_fd": float(fv.vega), "vega_dp_fd": fv.dp_vega}
 
+    print("--- G2++ callable capped floater (2-d (u, w) DP oracle, "
+          "boundary-curve issuer policy) ---")
+    from . import g2_note
+    from .models import g2pp
+
+    g2 = g2pp.G2Params()
+    fdp2 = g2_note.dp_oracle_capped_floater_g2(cfg, g2, market, **fkw)
+    fcf2 = g2_note.capped_floater_closed_form_g2(cfg, g2, market, **fkw)
+    fmc2 = g2_note.price_capped_floater_g2(cfg, g2, key, market,
+                                           boundaries=fdp2.boundaries,
+                                           **fkw)
+    z_f2 = (float(fmc2.price) - fdp2.price) / max(float(fmc2.std_error),
+                                                  1e-12)
+    ok_f2 = abs(z_f2) < 4 or abs(float(fmc2.price) - fdp2.price) < 2e-4
+    print(f"DP oracle:   {fdp2.price:.8f} (plain {fdp2.plain_price:.8f}, "
+          f"CF coupon leg {fcf2[0]:.8f}, call discount "
+          f"{fdp2.call_premium:.6f})")
+    print(f"MC (CV):     {float(fmc2.price):.8f} "
+          f"+/- {float(fmc2.std_error):.2e} (SE; raw SE "
+          f"{float(fmc2.raw_std_error):.2e}); call fraction "
+          f"{float(fmc2.call_fraction):.4f}")
+    print(f"agreement: z = {z_f2:.2f} ({'PASS' if ok_f2 else 'CHECK'})")
+    rc |= 0 if ok_f2 else 1
+    fv2 = g2_note.vega_capped_floater_g2(
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16), **fkw)
+    print(f"floater vega: CRN-FD {float(fv2.vega):.6f} vs DP FD "
+          f"{fv2.dp_vega:.6f} (2-d envelope check)")
+    results["capped_floater_g2"] = {
+        "dp_price": fdp2.price, "dp_plain": fdp2.plain_price,
+        "closed_form_coupon_leg": fcf2[0],
+        "mc_price": float(fmc2.price), "mc_se": float(fmc2.std_error),
+        "mc_raw_se": float(fmc2.raw_std_error), "z": z_f2,
+        "call_fraction": float(fmc2.call_fraction),
+        "vega_crn_fd": float(fv2.vega), "vega_dp_fd": fv2.dp_vega}
+
     hwio.write_json(hwio.DATA_DIR / "notes_results.json", "notes", cfg,
                     results=results)
     return rc

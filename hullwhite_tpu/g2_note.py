@@ -73,19 +73,8 @@ def _strip_edges_f64(cfg: HWConfig, g: G2Params, market, t: float,
     """fp64 (c_lo, c_hi): lo <= L(t, t+delta) <= hi  <=>
     c_lo <= Ba x + Bb y <= c_hi (the host-precision twin of
     g2pp._libor_strip_g2, matching range_accrual_closed_form_g2)."""
-    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
-    P0 = np.asarray(market.P, np.float64)
-    vadj = 0.5 * (_v_integral(g, delta) - _v_integral(g, t + delta)
-                  + _v_integral(g, t))
-    lnA = (math.log(float(np.interp(t + delta, Ts, P0)))
-           - math.log(float(np.interp(t, Ts, P0))) + vadj)
-
-    def edge(level):
-        if 1.0 + delta * level <= 0.0:
-            return -math.inf
-        return lnA + math.log1p(delta * level)
-
-    return edge(lo), edge(hi)
+    lnA = _strip_lnA_f64(cfg, g, market, t, delta)
+    return _kink_edge(lnA, delta, lo), _kink_edge(lnA, delta, hi)
 
 
 def _period_machine(g: G2Params, Tj: float, Tp: float, obs_j, Ba: float,
@@ -733,6 +722,399 @@ def vega_range_note_g2(cfg: HWConfig, g: G2Params, key,
               n_blocks=n_blocks, mesh=mesh)
     p_m = price_range_note_g2(cfg, gm, key, market, **mc).price
     p_p = price_range_note_g2(cfg, gp, key, market, **mc).price
+    return G2NoteVega(vega=(p_p - p_m) / (2.0 * eps),
+                      dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
+                      price_minus=p_m, price_plus=p_p, epsilon=eps)
+
+
+# ---------------------------------------------------------------------------
+# G2++ issuer-callable capped floater (two-factor twin of floater.py,
+# widening the reference product layer src/2_option_pricing.cu:14-35):
+# coupon clip(L(T_j; delta) + spread, floor, cap) tau at T_{j+1},
+# redemption 1 at T_n, ISSUER call at par at T_1..T_{n-1}.  Under G2++
+# the coupon is a deterministic KINKED function of the strip projection
+# u (L is increasing in u), so the DP rides the same rotated (u, w)
+# machinery as the puttable note with kink nodes (single nodes — the
+# value is continuous there) instead of jump double-nodes, the plain
+# leg is closed form (tilted lognormal partial moments in u), and the
+# issuer policy is a boundary CURVE u*(w): call when u < u*(w) (low
+# rates: the spread is expensive to keep paying; the continuation is
+# decreasing in u because the coupon is capped while discounting is
+# not).  Any fixed issuer policy gives an unbiased UPPER bound (the
+# issuer minimizes); with the DP curves the MC reproduces the DP value.
+# ---------------------------------------------------------------------------
+
+
+def _strip_lnA_f64(cfg: HWConfig, g: G2Params, market, t: float,
+                   delta: float) -> float:
+    """fp64 lnA(t) so that L(t, t+delta) = (e^{u - lnA} - 1)/delta with
+    u the strip projection (the host twin of g2pp._libor_strip_g2's
+    traced lnA)."""
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    vadj = 0.5 * (_v_integral(g, delta) - _v_integral(g, t + delta)
+                  + _v_integral(g, t))
+    return (math.log(float(np.interp(t + delta, Ts, P0)))
+            - math.log(float(np.interp(t, Ts, P0))) + vadj)
+
+
+def _strip_lnA_traced(cfg: HWConfig, g: G2Params, market, t: float,
+                      delta: float):
+    """Traced (market-dependent) lnA, fp32 — the MC-side twin."""
+    vadj = 0.5 * (_v_integral(g, delta) - _v_integral(g, t + delta)
+                  + _v_integral(g, t))
+    return (jnp.log(hw.interp_curve(market.P, jnp.float32(t + delta), cfg))
+            - jnp.log(hw.interp_curve(market.P, jnp.float32(t), cfg))
+            + jnp.float32(vadj))
+
+
+def _kink_edge(lnA: float, delta: float, level: float) -> float:
+    """u-coordinate of the coupon kink at L + spread = level."""
+    if 1.0 + delta * level <= 0.0:
+        return -math.inf
+    return lnA + math.log1p(delta * level)
+
+
+class G2FloaterDP(NamedTuple):
+    price: float               # fp64 DP value of the callable note
+    plain_price: float         # non-callable note (coupons + redemption)
+    boundaries: tuple          # per call date: (w-grid, u*(w) tuples);
+    call_premium: float        # plain_price - price  (>= 0)
+
+
+def capped_floater_closed_form_g2(cfg: HWConfig, g: G2Params,
+                                  market: MarketCurve, *, cap: float,
+                                  floor: float = 0.0, spread: float = 0.0,
+                                  start: float | None = None,
+                                  tenor: float = 4.0, freq: float = 1.0,
+                                  libor_tenor: float | None = None):
+    """float64 non-callable capped-floater LEG in closed form under the
+    exact G2++ functional law (the two-factor twin of
+    floater.capped_floater_closed_form): per period, with u Gaussian
+    and tilted mean mu~ = -Cov(u, I(T_p)),
+
+      tau P(0,T_p) [ floor Phi(zf) + cap (1 - Phi(zc)) + spread dPhi
+                     + (1/delta)(e^{mu~ + s^2/2 - lnA}
+                                 (Phi(zc - s) - Phi(zf - s)) - dPhi) ],
+
+    zf/zc the standardized kink locations u(floor - spread),
+    u(cap - spread).  Returns (leg value, per-period list); note value
+    = leg + P(0, T_n)."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    total, per = 0.0, []
+    for j in range(n):
+        t = float(start) + j * tau
+        Tp = t + tau
+        Sig = _g2_functional_cov(g, (("I", Tp), ("u", t, Ba, Bb)))
+        s_u = math.sqrt(Sig[1, 1])
+        mu = -Sig[1, 0]
+        lnA = _strip_lnA_f64(cfg, g, market, t, delta)
+        c_f = _kink_edge(lnA, delta, floor - spread)
+        c_c = _kink_edge(lnA, delta, cap - spread)
+        zf, zc = (c_f - mu) / s_u, (c_c - mu) / s_u
+        Pf, Pc = float(_nphi(zf)), float(_nphi(zc))
+        dPhi = Pc - Pf
+        emom = math.exp(mu + 0.5 * s_u * s_u - lnA) \
+            * float(_nphi(zc - s_u) - _nphi(zf - s_u))
+        P0p = float(np.interp(Tp, Ts, P0))
+        v = tau * P0p * (floor * Pf + cap * (1.0 - Pc) + spread * dPhi
+                         + (emom - dPhi) / delta)
+        per.append(v)
+        total += v
+    return total, per
+
+
+def dp_oracle_capped_floater_g2(cfg: HWConfig, g: G2Params,
+                                market: MarketCurve, *, cap: float,
+                                floor: float = 0.0, spread: float = 0.0,
+                                start: float | None = None,
+                                tenor: float = 4.0, freq: float = 1.0,
+                                libor_tenor: float | None = None,
+                                n_u: int = 161, n_w: int = 61,
+                                width: float = 7.0,
+                                n_quad: int = 16) -> G2FloaterDP:
+    """fp64 2-d value iteration for the G2++ issuer-callable capped
+    floater on rotated (u, w) grids.  The coupon is deterministic and
+    kinked at the decision state (kink nodes inserted in the u-grid);
+    the issuer minimizes, W_j = min(1, cont), and the call boundary is
+    a per-date curve u*(w) (call when u < u*).  The call-disabled plain
+    price from the same iteration is pinned against
+    ``capped_floater_closed_form_g2`` + P(0, T_n) by the tests."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    obs, bounds, dates = _note_dates(float(start), n, float(tau), 1)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    dd = {t: float(np.interp(t, Ts, P0)) * math.exp(-0.5 * _v_integral(g, t))
+          for t in bounds}
+    lnAs = {t: _strip_lnA_f64(cfg, g, market, t, delta)
+            for o in obs for t in o}
+    kinks = {t: (_kink_edge(lnAs[t], delta, floor - spread),
+                 _kink_edge(lnAs[t], delta, cap - spread))
+             for o in obs for t in o}
+
+    def grids(t):
+        s_u = math.sqrt(_g2_functional_cov(g, (("u", t, Ba, Bb),))[0, 0])
+        s_w = math.sqrt(_g2_functional_cov(g, (("u", t, ca, cb),))[0, 0])
+        ug = np.linspace(-width * s_u, width * s_u, n_u)
+        if t in kinks:
+            extra = [v for v in kinks[t]
+                     if ug[0] < v < ug[-1] and math.isfinite(v)]
+            if extra:
+                ug = np.unique(np.concatenate([ug, np.asarray(extra)]))
+        return ug, np.linspace(-width * s_w, width * s_w, n_w)
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2.0 * math.pi)
+    gr = {t: grids(t) for t in bounds}
+
+    def backward(callable_: bool):
+        ug_next, wg_next = gr[bounds[n]]
+        V = np.ones((len(ug_next), len(wg_next)))     # redemption at T_n
+        boundaries = []
+        for j in range(n - 1, -1, -1):
+            Tj, Tp = bounds[j], bounds[j + 1]
+            ug, wg = gr[Tj]
+            U, Wm = np.meshgrid(ug, wg, indexing="ij")
+            uf, wf = U.ravel(), Wm.ravel()
+            interior, kcoef, C = _period_machine(g, Tj, Tp, obs[j],
+                                                 Ba, Bb, ca, cb)
+            assert not interior          # m = 1: the only obs is at T_j
+            iu, iw = 1, 2
+            m_d = kcoef[0, 0] * uf + kcoef[1, 0] * wf
+            w0 = (dd[Tp] / dd[Tj]) * np.exp(-m_d + 0.5 * C[0, 0])
+            L = (np.exp(uf - lnAs[Tj]) - 1.0) / delta
+            cpn = tau * np.clip(L + spread, floor, cap)
+            mu_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf - C[iu, 0]
+            mu_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf - C[iw, 0]
+            Ev = _expect_bilinear(mu_u, mu_w, C[iu, iu], C[iu, iw],
+                                  C[iw, iw], ug_next, wg_next, V,
+                                  nodes, wq)
+            cont = (w0 * (cpn + Ev)).reshape(len(ug), len(wg))
+
+            if callable_ and j >= 1:
+                # issuer calls at par: W_j = min(1, cont).  cont is
+                # decreasing in u (capped coupon, full discounting), so
+                # it crosses 1 at most once per w-column from above:
+                # call when u < u*(w).
+                span = ug[-1] - ug[0]
+                lo_big, hi_big = ug[0] - span, ug[-1] + span
+                ustar = []
+                for col in range(len(wg)):
+                    d = cont[:, col] - 1.0
+                    if d[0] <= 0.0:
+                        ustar.append(lo_big)       # never call
+                        continue
+                    cr = np.nonzero(d[:-1] * d[1:] <= 0.0)[0]
+                    if len(cr) == 0:
+                        ustar.append(hi_big)       # always call
+                        continue
+                    i = int(cr[0])
+                    lam = d[i] / (d[i] - d[i + 1])
+                    ustar.append(float(ug[i] + lam * (ug[i + 1] - ug[i])))
+                boundaries.append((tuple(float(v) for v in wg),
+                                   tuple(ustar)))
+                V = np.minimum(1.0, cont)
+            else:
+                V = cont
+            ug_next, wg_next = ug, wg
+        T0 = bounds[0]
+        S0 = _g2_functional_cov(
+            g, (("I", T0), ("u", T0, Ba, Bb), ("u", T0, ca, cb)))
+        val = float(np.interp(T0, Ts, P0)) * _expect_bilinear(
+            np.array([-S0[1, 0]]), np.array([-S0[2, 0]]), S0[1, 1],
+            S0[1, 2], S0[2, 2], ug_next, wg_next, V, nodes, wq)[0]
+        return val, tuple(reversed(boundaries))
+
+    price, boundaries = backward(True)
+    plain, _ = backward(False)
+    return G2FloaterDP(price=price, plain_price=plain,
+                       boundaries=boundaries,
+                       call_premium=plain - price)
+
+
+class G2FloaterResult(NamedTuple):
+    price: jax.Array           # CV upper-bound estimate (issuer policy)
+    std_error: jax.Array
+    raw_price: jax.Array       # plain MC (no CV)
+    raw_std_error: jax.Array
+    beta: jax.Array            # fitted CV coefficient
+    call_fraction: jax.Array   # fraction of paths called early
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _g2_floater_fn(cfg: HWConfig, g: G2Params, cap: float, floor: float,
+                   spread: float, start: float, n: int, tau: float,
+                   delta: float, boundaries: tuple, plain_mean: float,
+                   n_paths: int, n_blocks: int, mesh):
+    obs, bounds, dates = _note_dates(start, n, tau, 1)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+    # sample exactly the functionals the payoff touches: u at the n
+    # period starts (call dates T_1..T_{n-1} are observations 1..n-1),
+    # w there (the second policy coordinate), I at T_1..T_n
+    specs = tuple([("u", o[0], Ba, Bb) for o in obs]
+                  + [("u", T, ca, cb) for T in bounds[1:n]]
+                  + [("I", T) for T in bounds[1:]])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    v_half = [0.5 * _v_integral(g, p) for p in bounds[1:]]
+    bw = [jnp.asarray(b[0], jnp.float32) for b in boundaries]
+    bu = [jnp.asarray(b[1], jnp.float32) for b in boundaries]
+
+    def compute(key, market):
+        lnA = jnp.stack([_strip_lnA_traced(cfg, g, market, o[0], delta)
+                         for o in obs])
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             * jnp.exp(jnp.float32(-v_half[j]))
+             for j, p in enumerate(bounds[1:])])
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, n + (n - 1) + n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :n]                          # (paths, n)
+                wv = sgn * z[:, n:n + n - 1]                # (paths, n-1)
+                integral = sgn * z[:, n + n - 1:]           # (paths, n)
+                L = (jnp.exp(u - lnA[None, :]) - 1.0) / delta
+                crate = jnp.clip(L + spread, floor, cap)
+                discs = disc0[None, :] * jnp.exp(-integral)
+                cpn = [tau * crate[:, j] * discs[:, j] for j in range(n)]
+                alive = jnp.ones(u.shape[0], jnp.float32)
+                V = cpn[0]                  # period-0 coupon always accrues
+                Y = cpn[0]                  # CV: non-callable note
+                for j in range(1, n):
+                    ustar = jnp.interp(wv[:, j - 1], bw[j - 1], bu[j - 1])
+                    call = (u[:, j] < ustar).astype(jnp.float32)
+                    V = V + alive * call * discs[:, j - 1]
+                    alive = alive * (1.0 - call)
+                    V = V + alive * cpn[j]
+                    Y = Y + cpn[j]
+                fin = discs[:, n - 1]
+                V = V + alive * fin
+                Y = Y + fin
+                return V, Y, 1.0 - alive
+
+            Vp, Yp, Pp = leg(1.0)
+            Vm, Ym, Pm = leg(-1.0)
+            V, Y, P = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym), 0.5 * (Pp + Pm)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(V * Y), jnp.sum(P)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my = s[0] / n_tot, s[2] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        price = mv - beta * (my - plain_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_capped_floater_g2(cfg: HWConfig, g: G2Params, key,
+                            market: MarketCurve, *, cap: float,
+                            floor: float = 0.0, spread: float = 0.0,
+                            start: float | None = None, tenor: float = 4.0,
+                            freq: float = 1.0,
+                            libor_tenor: float | None = None,
+                            boundaries: tuple | None = None,
+                            n_paths: int | None = None, n_blocks: int = 1,
+                            mesh=None) -> G2FloaterResult:
+    """Monte Carlo upper bound for the G2++ issuer-callable capped
+    floater under the fixed boundary-curve policy ``boundaries``
+    (default: read off the fp64 2-d DP oracle; any fixed issuer policy
+    is an unbiased upper bound — with the DP curves the estimate
+    reproduces ``dp_oracle_capped_floater_g2`` to MC noise).  The
+    non-callable note is the control variate with its EXACT closed-form
+    mean.  Blocks key on their global index; optionally sharded over
+    ``mesh``."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    if n < 2:
+        raise ValueError("callable floater needs tenor * freq >= 2 periods")
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    kw = dict(cap=cap, floor=floor, spread=spread, start=start,
+              tenor=tenor, freq=freq, libor_tenor=libor_tenor)
+    if boundaries is None:
+        boundaries = dp_oracle_capped_floater_g2(cfg, g, market,
+                                                 **kw).boundaries
+    leg, _ = capped_floater_closed_form_g2(cfg, g, market, **kw)
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0n = float(np.interp(start + n * tau, Ts,
+                          np.asarray(market.P, np.float64)))
+    out = _g2_floater_fn(cfg, g, float(cap), float(floor), float(spread),
+                         float(start), n, float(tau), float(libor_tenor),
+                         boundaries, float(leg + P0n), int(n_paths),
+                         int(n_blocks), mesh)(key, market)
+    return G2FloaterResult(price=out[0], std_error=out[1],
+                           raw_price=out[2], raw_std_error=out[3],
+                           beta=out[4], call_fraction=out[5],
+                           n_paths=int(n_paths) * int(n_blocks))
+
+
+def vega_capped_floater_g2(cfg: HWConfig, g: G2Params, key,
+                           market: MarketCurve, *, cap: float,
+                           floor: float = 0.0, spread: float = 0.0,
+                           start: float | None = None, tenor: float = 4.0,
+                           freq: float = 1.0,
+                           libor_tenor: float | None = None,
+                           eps: float = 1e-3, n_paths: int | None = None,
+                           n_blocks: int = 1, mesh=None,
+                           dp_kwargs: dict | None = None) -> G2NoteVega:
+    """CRN central-difference d price / d sigma (the x-factor vol) of
+    the G2++ callable floater with the call BOUNDARY CURVES frozen at
+    the base-sigma DP policy (envelope theorem at the issuer-optimal
+    boundary).  Oracle: the same central difference of the fp64 2-d DP,
+    which re-optimizes at each bump.  CRN by key reuse; the CV's exact
+    mean is recomputed per bump so each side stays unbiased."""
+    if start is None:
+        start = cfg.s1
+    kw = dict(cap=cap, floor=floor, spread=spread, start=start,
+              tenor=tenor, freq=freq, libor_tenor=libor_tenor)
+    dkw = dict(dp_kwargs or {})
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    base = dp_oracle_capped_floater_g2(cfg, g, market, **kw, **dkw)
+    dp_m = dp_oracle_capped_floater_g2(cfg, gm, market, **kw, **dkw)
+    dp_p = dp_oracle_capped_floater_g2(cfg, gp, market, **kw, **dkw)
+    mc = dict(kw, boundaries=base.boundaries, n_paths=n_paths,
+              n_blocks=n_blocks, mesh=mesh)
+    p_m = price_capped_floater_g2(cfg, gm, key, market, **mc).price
+    p_p = price_capped_floater_g2(cfg, gp, key, market, **mc).price
     return G2NoteVega(vega=(p_p - p_m) / (2.0 * eps),
                       dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
                       price_minus=p_m, price_plus=p_p, epsilon=eps)

@@ -175,3 +175,87 @@ def test_vega_envelope_check(analytic_market):
     # the frozen policy only at second order in eps
     assert abs(float(nv.vega) - nv.dp_vega) < 0.05 * max(
         abs(nv.dp_vega), 1.0), (float(nv.vega), nv.dp_vega)
+
+
+# --------------------- G2++ callable capped floater ---------------------
+
+FKW = dict(cap=0.016, spread=0.004, tenor=3.0, freq=1.0)
+
+
+@pytest.fixture(scope="module")
+def floater_dp(analytic_market):
+    return g2_note.dp_oracle_capped_floater_g2(CFG, G2, analytic_market,
+                                               **FKW, **DPKW)
+
+
+def test_floater_dp_plain_matches_closed_form(analytic_market, floater_dp):
+    """The call-disabled DP must reproduce capped_floater_closed_form_g2
+    + P(0, T_n) — pins the kinked-coupon grid and the conditional
+    machinery with no MC noise."""
+    leg, _ = g2_note.capped_floater_closed_form_g2(CFG, G2,
+                                                   analytic_market, **FKW)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P0n = float(np.interp(CFG.s1 + FKW["tenor"], Ts,
+                          np.asarray(analytic_market.P, np.float64)))
+    assert abs(floater_dp.plain_price - (leg + P0n)) < 4e-5, \
+        (floater_dp.plain_price, leg + P0n)
+
+
+def test_floater_call_premium_and_boundaries(floater_dp):
+    assert floater_dp.call_premium >= -1e-12
+    n = int(round(FKW["tenor"]))
+    assert len(floater_dp.boundaries) == n - 1
+    for wg, ustar in floater_dp.boundaries:
+        assert len(wg) == len(ustar)
+        assert all(math.isfinite(u) for u in ustar)
+
+
+def test_floater_mc_reproduces_dp(analytic_market, floater_dp):
+    res = g2_note.price_capped_floater_g2(CFG, G2, KEY, analytic_market,
+                                          boundaries=floater_dp.boundaries,
+                                          n_blocks=4, **FKW)
+    tol = 4.0 * float(res.std_error) + 5e-5
+    assert abs(float(res.price) - floater_dp.price) < tol, \
+        (float(res.price), floater_dp.price, float(res.std_error))
+    assert 0.0 < float(res.call_fraction) < 1.0
+
+
+def test_floater_mesh_matches_single_device(analytic_market, floater_dp):
+    from hullwhite_tpu.parallel import mesh as pmesh
+    mesh = pmesh.path_mesh()
+    kw = dict(boundaries=floater_dp.boundaries, n_blocks=8, **FKW)
+    single = g2_note.price_capped_floater_g2(CFG, G2, KEY,
+                                             analytic_market, **kw)
+    sharded = g2_note.price_capped_floater_g2(CFG, G2, KEY,
+                                              analytic_market, mesh=mesh,
+                                              **kw)
+    np.testing.assert_allclose(float(sharded.price), float(single.price),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(float(sharded.call_fraction),
+                               float(single.call_fraction), atol=1e-6)
+
+
+def test_floater_never_call_is_plain_note(analytic_market):
+    """A never-call boundary (u* far below the grid) must reproduce the
+    closed-form plain floater; with the CV the residual is ~exact
+    because V == Y pathwise."""
+    n = int(round(FKW["tenor"]))
+    never = tuple(((-1.0, 1.0), (-10.0, -10.0)) for _ in range(n - 1))
+    res = g2_note.price_capped_floater_g2(CFG, G2, KEY, analytic_market,
+                                          boundaries=never, n_blocks=2,
+                                          **FKW)
+    leg, _ = g2_note.capped_floater_closed_form_g2(CFG, G2,
+                                                   analytic_market, **FKW)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P0n = float(np.interp(CFG.s1 + FKW["tenor"], Ts,
+                          np.asarray(analytic_market.P, np.float64)))
+    assert float(res.call_fraction) == 0.0
+    assert abs(float(res.price) - (leg + P0n)) < 1e-5
+
+
+def test_floater_vega_envelope_check(analytic_market):
+    nv = g2_note.vega_capped_floater_g2(CFG, G2, KEY, analytic_market,
+                                        n_blocks=4,
+                                        dp_kwargs=DPKW, **FKW)
+    assert abs(float(nv.vega) - nv.dp_vega) < 0.05 * max(
+        abs(nv.dp_vega), 1.0), (float(nv.vega), nv.dp_vega)
