@@ -784,7 +784,13 @@ def cmd_exotics(args):
 
     nkw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
                tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
-    dp2 = g2_note.dp_oracle_range_note_g2(cfg, g2, market, **nkw)
+    # --fine: the (u, w) DP's piecewise-bilinear surface carries an
+    # O(h^2) convexity bias concentrated at the exercise kink (measured
+    # +7e-5 at the 161/61/16 defaults, +1.3e-5 at 241/91/24 on the
+    # headline note); artifact runs quote the fine oracle
+    fine = (dict(n_u=241, n_w=91, n_quad=20) if getattr(args, "fine",
+                                                        False) else {})
+    dp2 = g2_note.dp_oracle_range_note_g2(cfg, g2, market, **nkw, **fine)
     nt2 = g2_note.price_range_note_g2(cfg, g2, key, market,
                                       boundaries=dp2.boundaries, **nkw)
     z_n2 = (float(nt2.price) - dp2.price) / max(float(nt2.std_error), 1e-12)
@@ -798,7 +804,8 @@ def cmd_exotics(args):
     print(f"agreement: z = {z_n2:.2f} ({'PASS' if ok_n2 else 'CHECK'})")
     rc |= 0 if ok_n2 else 1
     nv2 = g2_note.vega_range_note_g2(
-        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16), **nkw)
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16),
+        dp_kwargs=fine, **nkw)
     print(f"note vega: CRN-FD {float(nv2.vega):.6f} vs DP FD "
           f"{nv2.dp_vega:.6f} (2-d envelope check)")
     results["range_note_g2_vega"] = {"mc_crn_fd": float(nv2.vega),
@@ -815,7 +822,7 @@ def cmd_exotics(args):
     print("--- G2++ range-accrual TARN (lattice DP over (K, u, w)) ---")
     t2kw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
                 target=args.target, tenor=args.tenor, freq=args.freq)
-    tdp2 = g2_note.dp_oracle_tarn_g2(cfg, g2, market, **t2kw)
+    tdp2 = g2_note.dp_oracle_tarn_g2(cfg, g2, market, **t2kw, **fine)
     tmc2 = g2_note.price_tarn_g2(cfg, g2, key, market, **t2kw)
     z_t2 = (float(tmc2.price) - tdp2.price) / max(float(tmc2.std_error),
                                                   1e-12)
@@ -923,13 +930,45 @@ def cmd_notes(args):
         "boundaries": [float(b) for b in fdp.boundaries],
         "vega_crn_fd": float(fv.vega), "vega_dp_fd": fv.dp_vega}
 
-    print("--- G2++ callable capped floater (2-d (u, w) DP oracle, "
-          "boundary-curve issuer policy) ---")
     from . import g2_note
     from .models import g2pp
 
     g2 = g2pp.G2Params()
-    fdp2 = g2_note.dp_oracle_capped_floater_g2(cfg, g2, market, **fkw)
+    fine = (dict(n_u=241, n_w=91, n_quad=20) if getattr(args, "fine",
+                                                        False) else {})
+    print("--- G2++ snowball note ((u, w, c) DP oracle, surface-batched "
+          "c-levels) ---")
+    sdp2 = g2_note.dp_oracle_snowball_g2(cfg, g2, market, **skw, **fine)
+    smc2 = g2_note.price_snowball_g2(cfg, g2, key, market, **skw)
+    z_s2 = (float(smc2.price) - sdp2.price) / max(float(smc2.std_error),
+                                                  1e-12)
+    ok_s2 = abs(z_s2) < 4 or abs(float(smc2.price) - sdp2.price) < 2e-4
+    print(f"DP oracle:   {sdp2.price:.8f} (unclipped linear CF "
+          f"{sdp2.linear_price:.8f})")
+    print(f"MC (CV):     {float(smc2.price):.8f} "
+          f"+/- {float(smc2.std_error):.2e} (SE; raw SE "
+          f"{float(smc2.raw_std_error):.2e})")
+    print(f"mean final coupon: MC {float(smc2.mean_final_coupon):.6f} "
+          f"vs DP {sdp2.mean_final_coupon:.6f}")
+    print(f"agreement: z = {z_s2:.2f} ({'PASS' if ok_s2 else 'CHECK'})")
+    rc |= 0 if ok_s2 else 1
+    sv2 = g2_note.vega_snowball_g2(cfg, g2, key, market,
+                                   n_paths=min(cfg.n_paths, 1 << 16),
+                                   dp_kwargs=fine, **skw)
+    print(f"snowball vega: CRN-FD {float(sv2.vega):.6f} vs DP FD "
+          f"{sv2.dp_vega:.6f}")
+    results["snowball_g2"] = {
+        "dp_price": sdp2.price, "linear_closed_form": sdp2.linear_price,
+        "mc_price": float(smc2.price), "mc_se": float(smc2.std_error),
+        "mc_raw_se": float(smc2.raw_std_error), "z": z_s2,
+        "mean_final_coupon_mc": float(smc2.mean_final_coupon),
+        "mean_final_coupon_dp": sdp2.mean_final_coupon,
+        "vega_crn_fd": float(sv2.vega), "vega_dp_fd": sv2.dp_vega}
+
+    print("--- G2++ callable capped floater (2-d (u, w) DP oracle, "
+          "boundary-curve issuer policy) ---")
+    fdp2 = g2_note.dp_oracle_capped_floater_g2(cfg, g2, market, **fkw,
+                                                **fine)
     fcf2 = g2_note.capped_floater_closed_form_g2(cfg, g2, market, **fkw)
     fmc2 = g2_note.price_capped_floater_g2(cfg, g2, key, market,
                                            boundaries=fdp2.boundaries,
@@ -947,7 +986,8 @@ def cmd_notes(args):
     print(f"agreement: z = {z_f2:.2f} ({'PASS' if ok_f2 else 'CHECK'})")
     rc |= 0 if ok_f2 else 1
     fv2 = g2_note.vega_capped_floater_g2(
-        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16), **fkw)
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16),
+        dp_kwargs=fine, **fkw)
     print(f"floater vega: CRN-FD {float(fv2.vega):.6f} vs DP FD "
           f"{fv2.dp_vega:.6f} (2-d envelope check)")
     results["capped_floater_g2"] = {
@@ -1336,6 +1376,10 @@ def main(argv=None):
                      help="range observations per period")
     pex.add_argument("--target", type=float, default=0.055,
                      help="TARN cumulative-coupon knockout target")
+    pex.add_argument("--fine", action="store_true",
+                     help="fine G2 DP oracle grids (241, 91, 20) — "
+                          "artifact runs; shrinks the exercise-kink "
+                          "bilinear bias ~5x")
     pnt = sub.add_parser("notes", parents=[common])
     pnt.add_argument("--sb-initial", type=float, default=0.02,
                      help="snowball initial coupon c_0")
@@ -1348,6 +1392,8 @@ def main(argv=None):
     pnt.add_argument("--floor", type=float, default=0.0)
     pnt.add_argument("--tenor", type=float, default=4.0)
     pnt.add_argument("--freq", type=float, default=1.0)
+    pnt.add_argument("--fine", action="store_true",
+                     help="fine G2 DP oracle grids (241, 91, 20)")
     pcal = sub.add_parser("calibrate", parents=[common])
     for flag, dv in [("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
                      ("--g2eta", 0.02), ("--g2rho", -0.6)]:

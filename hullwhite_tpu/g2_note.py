@@ -1118,3 +1118,325 @@ def vega_capped_floater_g2(cfg: HWConfig, g: G2Params, key,
     return G2NoteVega(vega=(p_p - p_m) / (2.0 * eps),
                       dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
                       price_minus=p_m, price_plus=p_p, epsilon=eps)
+
+
+# ---------------------------------------------------------------------------
+# G2++ snowball note (two-factor twin of snowball.py): the coupon RATE
+# accumulates path-dependently, c_j = clip(c_{j-1} + spread - L(T_j),
+# floor, cap), paying tau c_j at T_{j+1} and redeeming 1 at T_n.  L is a
+# deterministic increasing function of the strip projection u, so the
+# CONTINUOUS coupon state joins the rotated-coordinate machinery as a
+# third axis: the fp64 oracle iterates over (u, w, c) with the c-levels
+# riding _expect_bilinear_multi's surface batch (one Phi assembly per
+# Hermite node serves every c-level's every w'-column), then blends
+# linearly in c at the deterministic update — exactly the HW snowball's
+# c-interpolation, on the 2-d conditional machinery.  The MC is
+# unbiased (no policy); the UNCLIPPED linear snowball is the control
+# variate with its exact closed-form mean (tilted lognormal moments in
+# u), and E[c_{n-1}] runs as an untilted cross-observable.
+# ---------------------------------------------------------------------------
+
+
+class G2SnowballDP(NamedTuple):
+    price: float               # fp64 DP value of the snowball note
+    linear_price: float        # unclipped linear snowball (closed form)
+    mean_final_coupon: float   # E[c_{n-1}] under the real measure (DP)
+    c_grid: tuple
+
+
+def snowball_linear_closed_form_g2(cfg: HWConfig, g: G2Params,
+                                   market: MarketCurve, *, initial: float,
+                                   spread: float,
+                                   start: float | None = None,
+                                   tenor: float = 4.0, freq: float = 1.0,
+                                   libor_tenor: float | None = None):
+    """float64 UNCLIPPED G2++ snowball value in closed form: with
+    c_j = c_0 + j spread - sum_{i<=j} L_i and E[e^{-I(T_p)}] = P(0,T_p)
+    exact under the functional law,
+
+      V = sum_j tau P(0,T_{j+1}) [ c_0 + j spread
+                                   - sum_{i<=j} tilted_L(T_i, T_{j+1}) ]
+          + P(0, T_n),
+
+    tilted_L(t, T_p) = (e^{mu~ + s^2/2 - lnA} - 1)/delta with
+    mu~ = -Cov(u_t, I(T_p)) — the G2 analogue of the HW snowball's
+    tilted lognormal moment.  Returns (value, per-period list)."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    obs = tuple(float(start) + j * tau for j in range(n))
+    pays = tuple(float(start) + (j + 1) * tau for j in range(n))
+
+    def tilted_L(t, T_p):
+        Sig = _g2_functional_cov(g, (("I", T_p), ("u", t, Ba, Bb)))
+        mu = -Sig[1, 0]
+        s2 = Sig[1, 1]
+        lnA = _strip_lnA_f64(cfg, g, market, t, delta)
+        return (math.exp(mu + 0.5 * s2 - lnA) - 1.0) / delta
+
+    total, per = 0.0, []
+    for j in range(n):
+        P0p = float(np.interp(pays[j], Ts, P0))
+        c_mean = initial + j * spread - sum(tilted_L(obs[i], pays[j])
+                                            for i in range(1, j + 1))
+        v = tau * P0p * c_mean
+        per.append(v)
+        total += v
+    total += float(np.interp(pays[-1], Ts, P0))
+    return total, per
+
+
+def dp_oracle_snowball_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                          *, initial: float, spread: float, cap: float,
+                          floor: float = 0.0, start: float | None = None,
+                          tenor: float = 4.0, freq: float = 1.0,
+                          libor_tenor: float | None = None,
+                          n_u: int = 161, n_w: int = 61, n_c: int = 41,
+                          width: float = 7.0,
+                          n_quad: int = 16) -> G2SnowballDP:
+    """fp64 value iteration for the G2++ snowball over (u, w, c): the
+    c-levels are value surfaces batched through
+    ``_expect_bilinear_multi`` (tilted for the value, untilted for
+    E[c_{n-1}]), blended linearly in c at the deterministic update
+    c' = clip(c + spread - L(u), floor, cap).  With clip bounds the
+    paths cannot reach, the DP must collapse to
+    ``snowball_linear_closed_form_g2`` (pinned by the tests)."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    obs, bounds, dates = _note_dates(float(start), n, float(tau), 1)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    dd = {t: float(np.interp(t, Ts, P0)) * math.exp(-0.5 * _v_integral(g, t))
+          for t in bounds}
+    lnAs = {o[0]: _strip_lnA_f64(cfg, g, market, o[0], delta) for o in obs}
+    cs = np.linspace(floor, cap, n_c)
+
+    def grids(t):
+        s_u = math.sqrt(_g2_functional_cov(g, (("u", t, Ba, Bb),))[0, 0])
+        s_w = math.sqrt(_g2_functional_cov(g, (("u", t, ca, cb),))[0, 0])
+        return (np.linspace(-width * s_u, width * s_u, n_u),
+                np.linspace(-width * s_w, width * s_w, n_w))
+
+    def c_interp(M, c_new):
+        """Blend columns of M (n_src, n_c) linearly in c at c_new."""
+        k = np.clip(np.searchsorted(cs, c_new) - 1, 0, n_c - 2)
+        dc = cs[k + 1] - cs[k]
+        lam = np.clip((c_new - cs[k]) / np.where(dc > 0, dc, 1.0),
+                      0.0, 1.0)
+        rows = np.arange(len(c_new))
+        return (1.0 - lam) * M[rows, k] + lam * M[rows, k + 1]
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2.0 * math.pi)
+    gr = {t: grids(t) for t in bounds}
+
+    ug_next, wg_next = gr[bounds[n]]
+    shape = (len(ug_next), len(wg_next))
+    Wn = [np.ones(shape) for _ in range(n_c)]         # value per c-level
+    Cn = [np.full(shape, c) for c in cs]              # E[c_{n-1}] per level
+    for j in range(n - 1, -1, -1):
+        Tj, Tp = bounds[j], bounds[j + 1]
+        ug, wg = gr[Tj]
+        U, Wm = np.meshgrid(ug, wg, indexing="ij")
+        uf, wf = U.ravel(), Wm.ravel()
+        interior, kcoef, C = _period_machine(g, Tj, Tp, obs[j],
+                                             Ba, Bb, ca, cb)
+        assert not interior          # m = 1: the only obs is at T_j
+        iu, iw = 1, 2
+        m_d = kcoef[0, 0] * uf + kcoef[1, 0] * wf
+        w0 = (dd[Tp] / dd[Tj]) * np.exp(-m_d + 0.5 * C[0, 0])
+        mu_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf - C[iu, 0]
+        mu_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf - C[iw, 0]
+        ru_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf
+        ru_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf
+        Ev = _expect_bilinear_multi(mu_u, mu_w, C[iu, iu], C[iu, iw],
+                                    C[iw, iw], ug_next, wg_next, Wn,
+                                    nodes, wq)
+        Cv = _expect_bilinear_multi(ru_u, ru_w, C[iu, iu], C[iu, iw],
+                                    C[iw, iw], ug_next, wg_next, Cn,
+                                    nodes, wq)
+        L = (np.exp(uf - lnAs[Tj]) - 1.0) / delta
+        W_new, C_new = [], []
+        for l, c_prev in enumerate(cs):
+            c_new = (np.full(len(uf), initial) if j == 0
+                     else np.clip(c_prev + spread - L, floor, cap))
+            W_new.append((w0 * (tau * c_new + c_interp(Ev, c_new)))
+                         .reshape(len(ug), len(wg)))
+            cv = c_interp(Cv, c_new) if j < n - 1 else c_new
+            C_new.append(cv.reshape(len(ug), len(wg)))
+        Wn, Cn, ug_next, wg_next = W_new, C_new, ug, wg
+    # integrate from 0 (every c-column is identical at j = 0: the first
+    # coupon is `initial` regardless of c_prev — use column 0)
+    T0 = bounds[0]
+    S0 = _g2_functional_cov(
+        g, (("I", T0), ("u", T0, Ba, Bb), ("u", T0, ca, cb)))
+    price = float(np.interp(T0, Ts, P0)) * _expect_bilinear(
+        np.array([-S0[1, 0]]), np.array([-S0[2, 0]]), S0[1, 1], S0[1, 2],
+        S0[2, 2], ug_next, wg_next, Wn[0], nodes, wq)[0]
+    mean_c = _expect_bilinear(
+        np.array([0.0]), np.array([0.0]), S0[1, 1], S0[1, 2], S0[2, 2],
+        ug_next, wg_next, Cn[0], nodes, wq)[0]
+    lin, _ = snowball_linear_closed_form_g2(
+        cfg, g, market, initial=initial, spread=spread, start=start,
+        tenor=tenor, freq=freq, libor_tenor=libor_tenor)
+    return G2SnowballDP(price=price, linear_price=lin,
+                        mean_final_coupon=float(mean_c),
+                        c_grid=tuple(cs))
+
+
+class G2SnowballResult(NamedTuple):
+    price: jax.Array           # CV estimate
+    std_error: jax.Array
+    raw_price: jax.Array       # plain MC (no CV)
+    raw_std_error: jax.Array
+    beta: jax.Array            # fitted CV coefficient
+    mean_final_coupon: jax.Array
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _g2_snowball_fn(cfg: HWConfig, g: G2Params, initial: float,
+                    spread: float, cap: float, floor: float, start: float,
+                    n: int, tau: float, delta: float, linear_mean: float,
+                    n_paths: int, n_blocks: int, mesh):
+    obs, bounds, dates = _note_dates(start, n, tau, 1)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    # sample exactly the functionals the payoff touches: u at the n
+    # period starts, I at the n payments
+    specs = tuple([("u", o[0], Ba, Bb) for o in obs]
+                  + [("I", T) for T in bounds[1:]])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    v_half = [0.5 * _v_integral(g, p) for p in bounds[1:]]
+
+    def compute(key, market):
+        lnA = jnp.stack([_strip_lnA_traced(cfg, g, market, o[0], delta)
+                         for o in obs])
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             * jnp.exp(jnp.float32(-v_half[j]))
+             for j, p in enumerate(bounds[1:])])
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :n]                          # (paths, n)
+                integral = sgn * z[:, n:]                   # (paths, n)
+                L = (jnp.exp(u - lnA[None, :]) - 1.0) / delta
+                discs = disc0[None, :] * jnp.exp(-integral)
+                c = jnp.full(u.shape[0], initial, jnp.float32)
+                cl = jnp.full(u.shape[0], initial, jnp.float32)
+                V = tau * c * discs[:, 0]
+                Y = V                          # CV: unclipped recursion
+                for j in range(1, n):
+                    c = jnp.clip(c + spread - L[:, j], floor, cap)
+                    cl = cl + spread - L[:, j]
+                    V = V + tau * c * discs[:, j]
+                    Y = Y + tau * cl * discs[:, j]
+                fin = discs[:, n - 1]
+                return V + fin, Y + fin, c
+
+            Vp, Yp, Cp = leg(1.0)
+            Vm, Ym, Cm = leg(-1.0)
+            V, Y, Cc = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym), 0.5 * (Cp + Cm)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(V * Y), jnp.sum(Cc)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my = s[0] / n_tot, s[2] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        price = mv - beta * (my - linear_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_snowball_g2(cfg: HWConfig, g: G2Params, key,
+                      market: MarketCurve, *, initial: float,
+                      spread: float, cap: float, floor: float = 0.0,
+                      start: float | None = None, tenor: float = 4.0,
+                      freq: float = 1.0, libor_tenor: float | None = None,
+                      n_paths: int | None = None, n_blocks: int = 1,
+                      mesh=None) -> G2SnowballResult:
+    """Monte Carlo G2++ snowball from exactly-sampled (u, I) functionals
+    (antithetic), UNBIASED (no policy), with the unclipped linear
+    snowball as control variate against its exact closed-form mean;
+    ``dp_oracle_snowball_g2`` pins the price.  Blocks key on their
+    global index; optionally sharded over ``mesh``."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    linear_mean, _ = snowball_linear_closed_form_g2(
+        cfg, g, market, initial=initial, spread=spread, start=start,
+        tenor=tenor, freq=freq, libor_tenor=libor_tenor)
+    out = _g2_snowball_fn(cfg, g, float(initial), float(spread),
+                          float(cap), float(floor), float(start), n,
+                          float(tau), float(libor_tenor),
+                          float(linear_mean), int(n_paths), int(n_blocks),
+                          mesh)(key, market)
+    return G2SnowballResult(price=out[0], std_error=out[1],
+                            raw_price=out[2], raw_std_error=out[3],
+                            beta=out[4], mean_final_coupon=out[5],
+                            n_paths=int(n_paths) * int(n_blocks))
+
+
+def vega_snowball_g2(cfg: HWConfig, g: G2Params, key,
+                     market: MarketCurve, *, initial: float, spread: float,
+                     cap: float, floor: float = 0.0,
+                     start: float | None = None, tenor: float = 4.0,
+                     freq: float = 1.0, libor_tenor: float | None = None,
+                     eps: float = 1e-3, n_paths: int | None = None,
+                     n_blocks: int = 1, mesh=None,
+                     dp_kwargs: dict | None = None) -> G2NoteVega:
+    """CRN central-difference d price / d sigma (the x-factor vol) of
+    the G2++ snowball (key reuse; the CV's exact mean is recomputed per
+    bump).  Oracle: the central difference of the fp64 3-axis DP.  No
+    policy freezing is needed — the snowball has no exercise right."""
+    if start is None:
+        start = cfg.s1
+    kw = dict(initial=initial, spread=spread, cap=cap, floor=floor,
+              start=start, tenor=tenor, freq=freq,
+              libor_tenor=libor_tenor)
+    dkw = dict(dp_kwargs or {})
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    dp_m = dp_oracle_snowball_g2(cfg, gm, market, **kw, **dkw)
+    dp_p = dp_oracle_snowball_g2(cfg, gp, market, **kw, **dkw)
+    mc = dict(kw, n_paths=n_paths, n_blocks=n_blocks, mesh=mesh)
+    p_m = price_snowball_g2(cfg, gm, key, market, **mc).price
+    p_p = price_snowball_g2(cfg, gp, key, market, **mc).price
+    return G2NoteVega(vega=(p_p - p_m) / (2.0 * eps),
+                      dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
+                      price_minus=p_m, price_plus=p_p, epsilon=eps)

@@ -259,3 +259,92 @@ def test_floater_vega_envelope_check(analytic_market):
                                         dp_kwargs=DPKW, **FKW)
     assert abs(float(nv.vega) - nv.dp_vega) < 0.05 * max(
         abs(nv.dp_vega), 1.0), (float(nv.vega), nv.dp_vega)
+
+
+# --------------------------- G2++ snowball twin ---------------------------
+
+SKW = dict(initial=0.02, spread=0.013, cap=0.06, floor=0.0, tenor=3.0)
+SDPKW = dict(n_u=81, n_w=31, n_c=41, n_quad=10)
+
+
+@pytest.fixture(scope="module")
+def snow_dp(analytic_market):
+    return g2_note.dp_oracle_snowball_g2(CFG, G2, analytic_market,
+                                         **SKW, **SDPKW)
+
+
+def test_snowball_unclipped_dp_matches_linear_closed_form(analytic_market):
+    """With clip bounds the paths cannot reach, the (u, w, c) DP must
+    collapse to the unclipped linear snowball's exact closed form —
+    pins the surface-batched continuation + c-interpolation (which is
+    EXACT here: the unclipped value is linear in c).  The residual is
+    the bilinear (u, w) surface's convexity bias, measured O(h^2):
+    +1.2e-4 / +7.8e-5 / +3.9e-5 at (81,31,10) / (121,41,12) /
+    (161,61,16)."""
+    kw = dict(SKW, cap=3.0, floor=-3.0)
+    dp2 = g2_note.dp_oracle_snowball_g2(CFG, G2, analytic_market,
+                                        **kw, n_u=121, n_w=41, n_c=41,
+                                        n_quad=12)
+    assert abs(dp2.price - dp2.linear_price) < 1.2e-4, (
+        dp2.price, dp2.linear_price)
+
+
+def test_snowball_clips_add_value(snow_dp):
+    """floor=0 truncates the coupon's downside only -> the clipped note
+    is worth MORE than the linear one."""
+    assert snow_dp.price > snow_dp.linear_price
+    assert 0.0 <= snow_dp.mean_final_coupon <= SKW["cap"]
+
+
+def test_snowball_mc_reproduces_dp(analytic_market, snow_dp):
+    res = g2_note.price_snowball_g2(CFG, G2, KEY, analytic_market,
+                                    n_blocks=4, **SKW)
+    se = float(res.std_error)
+    assert abs(float(res.price) - snow_dp.price) < 5 * se + 5e-5, (
+        float(res.price), snow_dp.price, se)
+    assert float(res.std_error) < 0.5 * float(res.raw_std_error)
+    n_tot = 4.0 * res.n_paths
+    assert abs(float(res.mean_final_coupon) - snow_dp.mean_final_coupon) \
+        < 6 * 0.01 / math.sqrt(n_tot) + 2e-4
+
+
+def test_snowball_degenerate_is_fixed_coupon(analytic_market):
+    """spread == 0 with floor == cap == initial freezes the coupon: the
+    note is a fixed-coupon bond, closed form from the exact curve
+    (E[e^{-I}] = P(0, T) exactly under the functional law)."""
+    kw = dict(initial=0.02, spread=0.0, cap=0.02, floor=0.02, tenor=3.0)
+    dp3 = g2_note.dp_oracle_snowball_g2(CFG, G2, analytic_market,
+                                        **kw, n_u=121, n_w=41, n_c=11,
+                                        n_quad=12)
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    P0 = np.asarray(analytic_market.P, np.float64)
+    expect = sum(0.02 * float(np.interp(CFG.s1 + j + 1.0, Ts, P0))
+                 for j in range(3)) \
+        + float(np.interp(CFG.s1 + 3.0, Ts, P0))
+    # residual = the discount surface's own convexity bias under the
+    # bilinear interpolation: +4.9e-5 / +3.1e-5 / +1.6e-5 at
+    # (81,31,10) / (121,41,12) / (161,61,16) — O(h^2)
+    assert abs(dp3.price - expect) < 5e-5, (dp3.price, expect)
+    res = g2_note.price_snowball_g2(CFG, G2, KEY, analytic_market,
+                                    n_paths=1 << 12, **kw)
+    assert abs(float(res.price) - expect) < 5 * float(res.std_error) + 1e-5
+
+
+def test_snowball_vega_crn_matches_dp_fd(analytic_market):
+    v = g2_note.vega_snowball_g2(CFG, G2, KEY, analytic_market,
+                                 n_blocks=2, eps=2e-3,
+                                 dp_kwargs=SDPKW, **SKW)
+    assert abs(float(v.vega) - v.dp_vega) < 0.05 * abs(v.dp_vega) + 1e-3, (
+        float(v.vega), v.dp_vega)
+
+
+def test_snowball_sharded_matches_single(analytic_market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=512, n_blocks=8, **SKW)
+    r1 = g2_note.price_snowball_g2(CFG, G2, KEY, analytic_market, **kw)
+    r8 = g2_note.price_snowball_g2(CFG, G2, KEY, analytic_market,
+                                   mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(r1.price) - float(r8.price)) < 1e-6
+    assert abs(float(r1.mean_final_coupon)
+               - float(r8.mean_final_coupon)) < 1e-6

@@ -59,3 +59,61 @@ def test_range_note_on_tpu(market):
                                       boundaries=dp.boundaries, **kw)
     assert abs(float(res.price) - dp.price) < 5 * float(res.std_error) + 1e-5
     assert float(res.std_error) < float(res.raw_std_error)
+
+
+def test_snowball_and_floater_on_tpu(market):
+    from hullwhite_tpu import floater, snowball
+
+    skw = dict(initial=0.02, spread=0.013, cap=0.06, tenor=3.0)
+    sdp = snowball.dp_oracle_snowball(CFG, market, **skw)
+    sres = snowball.price_snowball(CFG, KEY, market, n_blocks=2, **skw)
+    assert abs(float(sres.price) - sdp.price) \
+        < 5 * float(sres.std_error) + 1e-5
+    fkw = dict(cap=0.016, spread=0.004, tenor=3.0)
+    fdp = floater.dp_oracle_capped_floater(CFG, market, **fkw)
+    fres = floater.price_capped_floater(CFG, KEY, market, n_blocks=2,
+                                        boundaries=fdp.boundaries, **fkw)
+    assert abs(float(fres.price) - fdp.price) \
+        < 5 * float(fres.std_error) + 1e-5
+
+
+def test_g2_note_family_on_tpu(market):
+    """The G2++ exotic twins compile and price on chip vs their fp64
+    oracles at reduced grid sizes (the CPU suite pins the oracles; the
+    measured O(h^2) bilinear convexity bias at (81,31,10) bounds the
+    extra tolerance)."""
+    from hullwhite_tpu import g2_note
+    from hullwhite_tpu.models import g2pp
+
+    g2 = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
+    dpkw = dict(n_u=81, n_w=31, n_quad=10)
+    nkw = dict(coupon=0.03, lo=0.01, hi=0.022, tenor=2.0,
+               obs_per_period=4)
+    dp = g2_note.dp_oracle_range_note_g2(CFG, g2, market, **nkw, **dpkw)
+    res = g2_note.price_range_note_g2(CFG, g2, KEY, market, n_blocks=2,
+                                      boundaries=dp.boundaries, **nkw)
+    assert abs(float(res.price) - dp.price) \
+        < 5 * float(res.std_error) + 2e-4
+    tkw = dict(coupon=0.03, lo=0.01, hi=0.022, tenor=2.0, freq=1.0)
+    tdp = g2_note.dp_oracle_tarn_g2(CFG, g2, market, target=0.045,
+                                    **tkw, **dpkw)
+    tres = g2_note.price_tarn_g2(CFG, g2, KEY, market, target=0.045,
+                                 n_blocks=2, **tkw)
+    assert abs(float(tres.price) - tdp.price) \
+        < 5 * float(tres.std_error) + 2e-4
+    skw = dict(initial=0.02, spread=0.013, cap=0.06, tenor=3.0)
+    sdp = g2_note.dp_oracle_snowball_g2(CFG, g2, market, **skw,
+                                        n_c=41, **dpkw)
+    sres = g2_note.price_snowball_g2(CFG, g2, KEY, market, n_blocks=2,
+                                     **skw)
+    assert abs(float(sres.price) - sdp.price) \
+        < 5 * float(sres.std_error) + 2e-4
+    fkw = dict(cap=0.016, spread=0.004, tenor=3.0)
+    fdp = g2_note.dp_oracle_capped_floater_g2(CFG, g2, market, **fkw,
+                                              **dpkw)
+    fres = g2_note.price_capped_floater_g2(CFG, g2, KEY, market,
+                                           n_blocks=2,
+                                           boundaries=fdp.boundaries,
+                                           **fkw)
+    assert abs(float(fres.price) - fdp.price) \
+        < 5 * float(fres.std_error) + 2e-4
