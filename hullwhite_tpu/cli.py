@@ -842,6 +842,53 @@ def cmd_exotics(args):
         "mc_mean_total": float(tmc2.mean_total), "z": z_t2,
         "target": args.target}
 
+    print(f"--- chooser (flexi) cap: k = {args.rights} of "
+          f"{int(args.tenor * args.freq)} caplets at "
+          f"{args.cap_rate*100:.2f}%, vs auto-cap ---")
+    from . import chooser as flexi
+
+    ckw = dict(rate=args.cap_rate, k=args.rights, tenor=args.tenor,
+               freq=args.freq)
+    cdp = flexi.dp_oracle_chooser_cap(cfg, market, **ckw)
+    cmc = flexi.price_chooser_cap(cfg, key, market, **ckw)
+    z_c = (float(cmc.price) - cdp.price) / max(float(cmc.std_error), 1e-12)
+    ok_c = abs(z_c) < 4 or abs(float(cmc.price) - cdp.price) < 2e-4
+    cap_cf, _ = instruments.cap_closed_form(cfg, market,
+                                            rate=args.cap_rate,
+                                            tenor=args.tenor,
+                                            freq=args.freq)
+    print(f"DP oracle:   {cdp.price:.8f}  (full cap {cdp.cap_price:.8f}, "
+          f"closed form {cap_cf:.8f})")
+    print(f"MC (CV):     {float(cmc.price):.8f} "
+          f"+/- {float(cmc.std_error):.2e} (SE; raw SE "
+          f"{float(cmc.raw_std_error):.2e}); mean rights used "
+          f"{float(cmc.used_mean):.3f}")
+    print(f"agreement: z = {z_c:.2f} ({'PASS' if ok_c else 'CHECK'})")
+    rc |= 0 if ok_c else 1
+    adp = flexi.dp_oracle_chooser_cap(cfg, market, auto=True, **ckw)
+    amc = flexi.price_chooser_cap(cfg, key, market, auto=True, **ckw)
+    z_a = (float(amc.price) - adp.price) / max(float(amc.std_error), 1e-12)
+    ok_a = abs(z_a) < 4 or abs(float(amc.price) - adp.price) < 2e-4
+    print(f"auto-cap DP: {adp.price:.8f}   MC {float(amc.price):.8f} "
+          f"+/- {float(amc.std_error):.2e}  z = {z_a:.2f} "
+          f"({'PASS' if ok_a else 'CHECK'}); choice premium "
+          f"{cdp.price - adp.price:.6f}")
+    rc |= 0 if ok_a else 1
+    cv = flexi.vega_chooser_cap(cfg, key, market,
+                                n_paths=min(cfg.n_paths, 1 << 16), **ckw)
+    print(f"chooser vega: CRN-FD {float(cv.vega):.6f} vs DP FD "
+          f"{cv.dp_vega:.6f} (frozen-policy envelope check)")
+    results["chooser_cap"] = {
+        "dp_price": cdp.price, "dp_cap": cdp.cap_price,
+        "cap_closed_form": cap_cf, "mc_price": float(cmc.price),
+        "mc_se": float(cmc.std_error),
+        "mc_raw_se": float(cmc.raw_std_error),
+        "used_mean": float(cmc.used_mean), "z": z_c,
+        "auto_dp": adp.price, "auto_mc": float(amc.price),
+        "auto_z": z_a, "choice_premium": cdp.price - adp.price,
+        "vega_mc_crn_fd": float(cv.vega), "vega_dp_fd": cv.dp_vega,
+        "k": args.rights, "rate": args.cap_rate}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)
     return rc
@@ -1376,6 +1423,10 @@ def main(argv=None):
                      help="range observations per period")
     pex.add_argument("--target", type=float, default=0.055,
                      help="TARN cumulative-coupon knockout target")
+    pex.add_argument("--cap-rate", type=float, default=0.013,
+                     help="chooser/auto cap strike rate")
+    pex.add_argument("--rights", type=int, default=2,
+                     help="chooser cap exercise budget k")
     pex.add_argument("--fine", action="store_true",
                      help="fine G2 DP oracle grids (241, 91, 20) — "
                           "artifact runs; shrinks the exercise-kink "
