@@ -942,6 +942,35 @@ def cmd_notes(args):
         "mean_final_coupon_dp": sdp.mean_final_coupon,
         "vega_crn_fd": float(sv.vega), "vega_dp_fd": sv.dp_vega}
 
+    print("--- callable snowball: issuer call at par, boundary-curve "
+          "policy r*(c) over the (r, coupon) DP ---")
+    csdp = snowball.dp_oracle_callable_snowball(cfg, market, **skw)
+    csmc = snowball.price_callable_snowball(
+        cfg, key, market, boundaries=csdp.boundaries, c_grid=csdp.c_grid,
+        plain_mean=csdp.plain_price, **skw)
+    z_cs = (float(csmc.price) - csdp.price) / max(float(csmc.std_error),
+                                                  1e-12)
+    ok_cs = abs(z_cs) < 4 or abs(float(csmc.price) - csdp.price) < 2e-4
+    print(f"DP oracle:   {csdp.price:.8f} (plain {csdp.plain_price:.8f}, "
+          f"call discount {csdp.call_premium:.6f})")
+    print(f"MC (2-CV):   {float(csmc.price):.8f} "
+          f"+/- {float(csmc.std_error):.2e} (SE; raw SE "
+          f"{float(csmc.raw_std_error):.2e}); call fraction "
+          f"{float(csmc.call_fraction):.4f}")
+    print(f"agreement: z = {z_cs:.2f} ({'PASS' if ok_cs else 'CHECK'})")
+    rc |= 0 if ok_cs else 1
+    csv_ = snowball.vega_callable_snowball(
+        cfg, key, market, n_paths=min(cfg.n_paths, 1 << 16), **skw)
+    print(f"callable-snowball vega: CRN-FD {float(csv_.vega):.6f} vs DP "
+          f"FD {csv_.dp_vega:.6f} (envelope check)")
+    results["callable_snowball"] = {
+        "dp_price": csdp.price, "dp_plain": csdp.plain_price,
+        "call_premium": csdp.call_premium,
+        "mc_price": float(csmc.price), "mc_se": float(csmc.std_error),
+        "mc_raw_se": float(csmc.raw_std_error), "z": z_cs,
+        "call_fraction": float(csmc.call_fraction),
+        "vega_crn_fd": float(csv_.vega), "vega_dp_fd": csv_.dp_vega}
+
     print(f"--- callable capped floater: clip(L + "
           f"{args.fl_spread*100:.2f}%, {args.floor*100:.2f}%, "
           f"{args.fl_cap*100:.2f}%), tenor {args.fl_tenor}y, issuer call "

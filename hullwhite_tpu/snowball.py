@@ -128,32 +128,23 @@ def snowball_linear_closed_form(cfg: HWConfig, market: MarketCurve, *,
     return total, per
 
 
-def dp_oracle_snowball(cfg: HWConfig, market: MarketCurve, *,
-                       initial: float, spread: float, cap: float,
-                       floor: float = 0.0, start: float | None = None,
-                       tenor: float = 4.0, freq: float = 1.0,
-                       libor_tenor: float | None = None,
-                       sigma: float | None = None, n_grid: int = 801,
-                       n_cgrid: int = 81, width: float = 8.0) -> SnowballDP:
-    """fp64 value iteration for the snowball note over (r-grid, c-grid).
-    The c-grid spans [floor, cap] (the clip makes the reachable coupon
-    set exactly that interval); the r-conditioning and exact cell-kernel
-    continuation are the ``dp_oracle_range_note`` machinery, applied
-    once per c-level and blended linearly at the deterministic coupon
-    update.  Also iterates E[c_{n-1}] under the untilted measure as a
-    cross-check observable for the MC."""
+def _snowball_dp(cfg: HWConfig, market: MarketCurve, *, initial: float,
+                 spread: float, cap: float, floor: float, start: float,
+                 n: int, tau: float, delta: float, sigma: float,
+                 n_grid: int, n_cgrid: int, width: float,
+                 callable_: bool = False):
+    """Shared fp64 (r-grid x c-grid) value iteration for the snowball
+    family.  With ``callable_`` the ISSUER may call at par at every
+    interior period boundary T_1..T_{n-1} (decision state: r(T_j) and
+    the coupon c_{j-1} just paid): the value gets min(1, .) per c-level
+    and the call boundary CURVE r*(c_l) is read off by linear crossing
+    (call when r < r*; the snowball is worth most when rates are low,
+    so the issuer calls there).  Never/always-call levels are clamped
+    one grid-span outside the r-band so the MC's linear c-interpolation
+    of the boundary stays finite.  Returns (price, mean_final_coupon,
+    boundaries, cs) with boundaries = () unless ``callable_``."""
     from .bermudan import _det_states
     from .models.hull_white import step_tables
-
-    if sigma is None:
-        sigma = cfg.sigma
-    if start is None:
-        start = cfg.s1
-    n = int(round(tenor * freq))
-    tau = 1.0 / freq
-    if libor_tenor is None:
-        libor_tenor = tau
-    delta = float(libor_tenor)
 
     obs, bounds, dates, U, W = _note_shapes(cfg, float(start), n,
                                             float(tau), 1)
@@ -188,6 +179,7 @@ def dp_oracle_snowball(cfg: HWConfig, market: MarketCurve, *,
     xs_next = grid(bounds[n])
     W_next = np.ones((len(xs_next), n_cgrid))
     C_next = np.tile(cs, (len(xs_next), 1))
+    bnds = []
     for j in range(n - 1, -1, -1):
         Tj, Tp = bounds[j], bounds[j + 1]
         xs = grid(Tj)
@@ -218,6 +210,24 @@ def dp_oracle_snowball(cfg: HWConfig, market: MarketCurve, *,
                      else np.clip(c_prev + spread - L, floor, cap))
             W_new[:, l] = w0 * (tau * c_new + c_interp(K, c_new))
             C_new[:, l] = c_interp(Kc, c_new) if j < n - 1 else c_new
+        if callable_ and 1 <= j:
+            # issuer calls at par after the T_j coupon: the value is
+            # decreasing in r per c-level (the coupon melts and the
+            # discounting deepens as rates rise), so min(1, W) flips on
+            # at most one crossing r*(c_l) per column.
+            span = xs[-1] - xs[0]
+            row = []
+            for l in range(n_cgrid):
+                col = W_new[:, l]
+                if col[0] > 1.0 > col[-1]:
+                    rb = float(np.interp(-1.0, -col, xs))
+                elif col[0] <= 1.0:
+                    rb = xs[0] - span          # never call at this level
+                else:
+                    rb = xs[-1] + span         # always call
+                row.append(rb)
+            bnds.append(tuple(row))
+            W_new = np.minimum(1.0, W_new)
         W_next, C_next, xs_next = W_new, C_new, xs
     T0 = bounds[0]
     u0, w0v = U[T0], W[T0]
@@ -229,11 +239,86 @@ def dp_oracle_snowball(cfg: HWConfig, market: MarketCurve, *,
                                       xs_next, W_next[:, 0])[0])
     mean_c = float(_kernel_avg(r_det[T0], math.sqrt(v00), xs_next,
                                C_next[:, 0])[0])
+    return price, mean_c, tuple(reversed(bnds)), tuple(cs)
+
+
+def dp_oracle_snowball(cfg: HWConfig, market: MarketCurve, *,
+                       initial: float, spread: float, cap: float,
+                       floor: float = 0.0, start: float | None = None,
+                       tenor: float = 4.0, freq: float = 1.0,
+                       libor_tenor: float | None = None,
+                       sigma: float | None = None, n_grid: int = 801,
+                       n_cgrid: int = 81, width: float = 8.0) -> SnowballDP:
+    """fp64 value iteration for the snowball note over (r-grid, c-grid).
+    The c-grid spans [floor, cap] (the clip makes the reachable coupon
+    set exactly that interval); the r-conditioning and exact cell-kernel
+    continuation are the ``dp_oracle_range_note`` machinery, applied
+    once per c-level and blended linearly at the deterministic coupon
+    update.  Also iterates E[c_{n-1}] under the untilted measure as a
+    cross-check observable for the MC."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    price, mean_c, _, cs = _snowball_dp(
+        cfg, market, initial=initial, spread=spread, cap=cap, floor=floor,
+        start=float(start), n=n, tau=tau, delta=float(libor_tenor),
+        sigma=float(sigma), n_grid=n_grid, n_cgrid=n_cgrid, width=width)
     lin, _ = snowball_linear_closed_form(
         cfg, market, initial=initial, spread=spread, start=start,
         tenor=tenor, freq=freq, libor_tenor=libor_tenor, sigma=sigma)
     return SnowballDP(price=price, linear_price=lin,
-                      mean_final_coupon=mean_c, c_grid=tuple(cs))
+                      mean_final_coupon=mean_c, c_grid=cs)
+
+
+class CallableSnowballDP(NamedTuple):
+    price: float               # fp64 DP value of the callable snowball
+    plain_price: float         # call-disabled (clipped) snowball DP value
+    boundaries: tuple          # (n-1, n_cgrid) r*(c_l) at T_1..T_{n-1}
+    call_premium: float        # plain_price - price  (>= 0)
+    c_grid: tuple              # the coupon grid the curves are indexed by
+
+
+def dp_oracle_callable_snowball(cfg: HWConfig, market: MarketCurve, *,
+                                initial: float, spread: float, cap: float,
+                                floor: float = 0.0,
+                                start: float | None = None,
+                                tenor: float = 4.0, freq: float = 1.0,
+                                libor_tenor: float | None = None,
+                                sigma: float | None = None,
+                                n_grid: int = 801, n_cgrid: int = 81,
+                                width: float = 8.0) -> CallableSnowballDP:
+    """fp64 value iteration for the ISSUER-CALLABLE snowball note: the
+    snowball (r, c) DP with W_j = min(1, W_j) per c-level at every
+    interior period boundary (the issuer minimizes, calling at par after
+    the T_j coupon), and the per-date call boundary CURVE r*(c) read off
+    the crossing — the two-state analogue of the capped floater's scalar
+    threshold (``floater.dp_oracle_capped_floater``).  The min kinks the
+    value in c, so the linear c-blend carries the same O(h^2) class of
+    grid bias as the clip already does.  Combines the reference's single
+    European product layer (src/2_option_pricing.cu:14-35) with a
+    path-dependent state AND an exercise right."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    kw = dict(initial=initial, spread=spread, cap=cap, floor=floor,
+              start=float(start), n=n, tau=tau, delta=float(libor_tenor),
+              sigma=float(sigma), n_grid=n_grid, n_cgrid=n_cgrid,
+              width=width)
+    price, _, bnds, cs = _snowball_dp(cfg, market, callable_=True, **kw)
+    plain, _, _, _ = _snowball_dp(cfg, market, callable_=False, **kw)
+    return CallableSnowballDP(price=price, plain_price=plain,
+                              boundaries=bnds, call_premium=plain - price,
+                              c_grid=cs)
 
 
 class SnowballResult(NamedTuple):
@@ -385,3 +470,205 @@ def vega_snowball(cfg: HWConfig, key, market: MarketCurve, *,
     return SnowballVega(vega=(p_p - p_m) / (2.0 * eps),
                         dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
                         price_minus=p_m, price_plus=p_p, epsilon=eps)
+
+
+class CallableSnowballResult(NamedTuple):
+    price: jax.Array           # CV upper-bound estimate (issuer policy)
+    std_error: jax.Array
+    raw_price: jax.Array       # plain policy MC (no CV)
+    raw_std_error: jax.Array
+    beta: jax.Array            # fitted CV coefficient
+    call_fraction: jax.Array   # fraction of paths called early
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _callable_snowball_fn(cfg: HWConfig, initial: float, spread: float,
+                          cap: float, floor: float, start: float, n: int,
+                          tau: float, delta: float, boundaries: tuple,
+                          cs: tuple, plain_mean: float, z_mean: float,
+                          n_paths: int, n_blocks: int, mesh):
+    from .bermudan import _functional_chol, _functional_det
+
+    obs, bounds, dates = _note_dates(start, n, tau, 1)
+    del dates
+    specs = tuple([("r", o[0]) for o in obs]
+                  + [("I", t) for t in bounds[1:]])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    BND = jnp.asarray(boundaries, jnp.float32)        # (n-1, n_cgrid)
+    CS = jnp.asarray(cs, jnp.float32)
+
+    def compute(key, sigma, market):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det = det[:n]
+        i_det = det[n:]
+        lnA, B = (jnp.stack(v) for v in zip(
+            *[_libor_terms(cfg, sigma, market, o[0], delta) for o in obs]))
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * n), jnp.float32)
+            z = tables.sig_st * jnp.dot(x, LT,
+                                        preferred_element_type=jnp.float32,
+                                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :n]
+                integral = i_det[None, :] + sgn * z[:, n:]
+                L = (jnp.exp(B[None, :] * ro - lnA[None, :]) - 1.0) / delta
+                discs = jnp.exp(-integral)
+                c = jnp.full(ro.shape[0], initial, jnp.float32)
+                alive = jnp.ones(ro.shape[0], jnp.float32)
+                V = tau * c * discs[:, 0]
+                Y = V                      # CV: the non-callable note
+                for j in range(1, n):
+                    # issuer decision at T_j: state (r(T_j), c_{j-1});
+                    # boundary curve linearly interpolated in the coupon
+                    rb = jnp.interp(c, CS, BND[j - 1])
+                    call_now = alive * (ro[:, j] < rb).astype(jnp.float32)
+                    V = V + call_now * discs[:, j - 1]   # par at T_j
+                    alive = alive - call_now
+                    c = jnp.clip(c + spread - L[:, j], floor, cap)
+                    V = V + alive * tau * c * discs[:, j]
+                    Y = Y + tau * c * discs[:, j]
+                V = V + alive * discs[:, n - 1]
+                Y = Y + discs[:, n - 1]
+                # second CV: the deterministic-policy "call at T_1" leg
+                # (coupon c_0 + par at T_1) — correlates with V on the
+                # early-called mass the plain note cannot explain
+                Z = (1.0 + tau * initial) * discs[:, 0]
+                return V, Y, Z, 1.0 - alive
+
+            Vp, Yp, Zp, Fp = leg(1.0)
+            Vm, Ym, Zm, Fm = leg(-1.0)
+            V, Y = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym)
+            Z, F = 0.5 * (Zp + Zm), 0.5 * (Fp + Fm)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(Z), jnp.sum(Z * Z),
+                              jnp.sum(V * Y), jnp.sum(V * Z),
+                              jnp.sum(Y * Z), jnp.sum(F)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my, mz = s[0] / n_tot, s[2] / n_tot, s[4] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        var_z = jnp.maximum(s[5] / n_tot - mz * mz, 1e-30)
+        c_vy = s[6] / n_tot - mv * my
+        c_vz = s[7] / n_tot - mv * mz
+        c_yz = s[8] / n_tot - my * mz
+        # 2x2 CV solve: beta = Cov(Y,Z)^-1 cov(V, (Y,Z))
+        det = jnp.maximum(var_y * var_z - c_yz * c_yz, 1e-30)
+        b_y = (var_z * c_vy - c_yz * c_vz) / det
+        b_z = (var_y * c_vz - c_yz * c_vy) / det
+        price = mv - b_y * (my - plain_mean) - b_z * (mz - z_mean)
+        var_cv = jnp.maximum(var_v - b_y * c_vy - b_z * c_vz, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), b_y, s[9] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_callable_snowball(cfg: HWConfig, key, market: MarketCurve, *,
+                            initial: float, spread: float, cap: float,
+                            floor: float = 0.0, start: float | None = None,
+                            tenor: float = 4.0, freq: float = 1.0,
+                            libor_tenor: float | None = None, sigma=None,
+                            boundaries: tuple | None = None,
+                            c_grid: tuple | None = None,
+                            plain_mean: float | None = None,
+                            n_paths: int | None = None, n_blocks: int = 1,
+                            mesh=None,
+                            dp_kwargs: dict | None = None
+                            ) -> CallableSnowballResult:
+    """Monte Carlo upper bound for the issuer-callable snowball under
+    the fixed boundary-CURVE policy r*(c) per call date (default: read
+    off the fp64 2-d DP; any fixed issuer policy is an unbiased upper
+    bound on the issuer-optimal value).  The issuer calls at T_j when
+    r(T_j) < r*_j(c_{j-1}), the boundary linearly interpolated in the
+    running coupon.  The NON-CALLABLE snowball on the same paths is the
+    control variate, anchored at its own DP mean (the chooser's full-cap
+    CV pattern).  Blocks key on their global index; optionally sharded
+    over ``mesh``."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    if boundaries is None or c_grid is None or plain_mean is None:
+        dp = dp_oracle_callable_snowball(
+            cfg, market, initial=initial, spread=spread, cap=cap,
+            floor=floor, start=start, tenor=tenor, freq=freq,
+            libor_tenor=libor_tenor, sigma=float(sigma),
+            **(dp_kwargs or {}))
+        if boundaries is None or c_grid is None:
+            boundaries, c_grid = dp.boundaries, dp.c_grid
+        if plain_mean is None:
+            plain_mean = dp.plain_price
+    z_mean = (1.0 + tau * initial) * _p0_discrete(cfg, float(sigma),
+                                                  float(start) + tau)
+    out = _callable_snowball_fn(
+        cfg, float(initial), float(spread), float(cap), float(floor),
+        float(start), n, float(tau), float(libor_tenor),
+        tuple(tuple(float(v) for v in row) for row in boundaries),
+        tuple(float(v) for v in c_grid), float(plain_mean),
+        float(z_mean), int(n_paths), int(n_blocks), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market)
+    return CallableSnowballResult(
+        price=out[0], std_error=out[1], raw_price=out[2],
+        raw_std_error=out[3], beta=out[4], call_fraction=out[5],
+        n_paths=int(n_paths) * int(n_blocks))
+
+
+class CallableSnowballVega(NamedTuple):
+    vega: jax.Array            # CRN-FD vega of the CV estimate
+    dp_vega: float             # fp64 DP central difference (oracle)
+    price_minus: jax.Array
+    price_plus: jax.Array
+    epsilon: float
+
+
+def vega_callable_snowball(cfg: HWConfig, key, market: MarketCurve, *,
+                           initial: float, spread: float, cap: float,
+                           floor: float = 0.0, start: float | None = None,
+                           tenor: float = 4.0, freq: float = 1.0,
+                           libor_tenor: float | None = None,
+                           eps: float = 1e-3, n_paths: int | None = None,
+                           n_blocks: int = 1, mesh=None,
+                           dp_kwargs: dict | None = None
+                           ) -> CallableSnowballVega:
+    """CRN central-difference vega with the call boundary CURVES frozen
+    at the base-sigma DP policy (envelope theorem at the issuer-optimal
+    boundary).  Oracle: the central difference of the fp64 DP value,
+    which re-optimizes per bump — agreement also checks the envelope
+    argument numerically.  The CV's DP mean is recomputed per bump so
+    each side stays anchored at its own sigma."""
+    if start is None:
+        start = cfg.s1
+    dpk = dp_kwargs or {}
+    kw = dict(initial=initial, spread=spread, cap=cap, floor=floor,
+              start=start, tenor=tenor, freq=freq,
+              libor_tenor=libor_tenor)
+    base = dp_oracle_callable_snowball(cfg, market, sigma=cfg.sigma,
+                                       **kw, **dpk)
+    dp_m = dp_oracle_callable_snowball(cfg, market, sigma=cfg.sigma - eps,
+                                       **kw, **dpk)
+    dp_p = dp_oracle_callable_snowball(cfg, market, sigma=cfg.sigma + eps,
+                                       **kw, **dpk)
+    mc = dict(kw, boundaries=base.boundaries, c_grid=base.c_grid,
+              n_paths=n_paths, n_blocks=n_blocks, mesh=mesh)
+    p_m = price_callable_snowball(cfg, key, market, sigma=cfg.sigma - eps,
+                                  plain_mean=dp_m.plain_price, **mc).price
+    p_p = price_callable_snowball(cfg, key, market, sigma=cfg.sigma + eps,
+                                  plain_mean=dp_p.plain_price, **mc).price
+    return CallableSnowballVega(
+        vega=(p_p - p_m) / (2.0 * eps),
+        dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
+        price_minus=p_m, price_plus=p_p, epsilon=eps)

@@ -96,3 +96,66 @@ def test_sharded_matches_single(analytic_market):
     r8 = snowball.price_snowball(CFG, KEY, analytic_market,
                                  mesh=pmesh.path_mesh(), **kw)
     assert abs(float(r1.price) - float(r8.price)) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def cdp(analytic_market):
+    return snowball.dp_oracle_callable_snowball(CFG, analytic_market, **KW)
+
+
+def test_callable_dp_below_plain(dp, cdp):
+    """The issuer's call right can only cheapen the note, the plain legs
+    of both oracles must agree exactly (same backward pass), and the
+    boundary curves must rise with the running coupon (a richer coupon
+    is called at higher rates)."""
+    assert cdp.price < cdp.plain_price
+    assert cdp.call_premium > 1e-3
+    assert abs(cdp.plain_price - dp.price) < 1e-14
+    b = np.array(cdp.boundaries)
+    assert b.shape == (3, len(cdp.c_grid))
+    assert np.all(np.diff(b, axis=1) > -1e-9)
+
+
+def test_callable_mc_reproduces_dp(analytic_market, cdp):
+    res = snowball.price_callable_snowball(
+        CFG, KEY, analytic_market, n_paths=1 << 15, n_blocks=2,
+        boundaries=cdp.boundaries, c_grid=cdp.c_grid,
+        plain_mean=cdp.plain_price, **KW)
+    se = float(res.std_error)
+    assert abs(float(res.price) - cdp.price) < 5 * se + 3e-5, (
+        float(res.price), cdp.price, se)
+    assert 0.0 < float(res.call_fraction) < 1.0
+    # the 2-CV (plain note + call-at-T_1 leg) must not inflate the SE
+    assert float(res.std_error) < float(res.raw_std_error)
+
+
+def test_callable_policy_is_upper_bound(analytic_market, cdp):
+    """A deliberately WRONG fixed policy (boundaries shifted down by
+    25 bp: the issuer calls too late) must price ABOVE the DP optimum —
+    the fixed-policy MC is an upper bound for the minimizer."""
+    shifted = tuple(tuple(v - 0.0025 for v in row)
+                    for row in cdp.boundaries)
+    res = snowball.price_callable_snowball(
+        CFG, KEY, analytic_market, n_paths=1 << 15, n_blocks=2,
+        boundaries=shifted, c_grid=cdp.c_grid,
+        plain_mean=cdp.plain_price, **KW)
+    assert float(res.price) > cdp.price - 3 * float(res.std_error)
+
+
+def test_callable_vega_envelope(analytic_market):
+    v = snowball.vega_callable_snowball(CFG, KEY, analytic_market,
+                                        n_paths=1 << 15, n_blocks=2,
+                                        eps=2e-3, **KW)
+    assert abs(float(v.vega) - v.dp_vega) < 0.05 * abs(v.dp_vega) + 1e-3, (
+        float(v.vega), v.dp_vega)
+
+
+def test_callable_sharded_matches_single(analytic_market, cdp):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=512, n_blocks=8, boundaries=cdp.boundaries,
+              c_grid=cdp.c_grid, plain_mean=cdp.plain_price, **KW)
+    r1 = snowball.price_callable_snowball(CFG, KEY, analytic_market, **kw)
+    r8 = snowball.price_callable_snowball(CFG, KEY, analytic_market,
+                                          mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(r1.price) - float(r8.price)) < 1e-6
