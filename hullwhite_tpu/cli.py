@@ -889,6 +889,36 @@ def cmd_exotics(args):
         "vega_mc_crn_fd": float(cv.vega), "vega_dp_fd": cv.dp_vega,
         "k": args.rights, "rate": args.cap_rate}
 
+    print(f"--- ratchet cap: strike resets to previous LIBOR + "
+          f"{args.ratchet_spread*100:.2f}% (Rao-Blackwell MC vs "
+          f"GH-outer/closed-inner fp64 quadrature) ---")
+    from . import ratchet
+
+    rkw = dict(spread=args.ratchet_spread, tenor=args.tenor,
+               freq=args.freq)
+    rq, rq_per = ratchet.ratchet_cap_quadrature(cfg, market, **rkw)
+    rmc = ratchet.price_ratchet_cap(cfg, key, market, **rkw)
+    z_rt = (float(rmc.price) - rq) / max(float(rmc.std_error), 1e-12)
+    ok_rt = abs(z_rt) < 4 or abs(float(rmc.price) - rq) < 2e-4
+    print(f"quadrature:  {rq:.8f}")
+    print(f"MC (RB+CV):  {float(rmc.price):.8f} "
+          f"+/- {float(rmc.std_error):.2e} (SE; raw kinked-payoff SE "
+          f"{float(rmc.raw_std_error):.2e})")
+    print(f"agreement: z = {z_rt:.2f} ({'PASS' if ok_rt else 'CHECK'})")
+    rc |= 0 if ok_rt else 1
+    rv = ratchet.vega_ratchet_cap(cfg, key, market,
+                                  n_paths=min(cfg.n_paths, 1 << 16), **rkw)
+    print(f"ratchet vega: CRN-FD {float(rv.vega):.6f} vs quadrature FD "
+          f"{rv.oracle_vega:.6f}")
+    results["ratchet_cap"] = {
+        "quadrature": rq, "periods_quadrature": rq_per,
+        "mc_price": float(rmc.price), "mc_se": float(rmc.std_error),
+        "mc_raw_se": float(rmc.raw_std_error),
+        "periods_mc": [float(x) for x in rmc.periods], "z": z_rt,
+        "vega_mc_crn_fd": float(rv.vega),
+        "vega_quadrature_fd": rv.oracle_vega,
+        "spread": args.ratchet_spread}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)
     return rc
@@ -1456,6 +1486,9 @@ def main(argv=None):
                      help="chooser/auto cap strike rate")
     pex.add_argument("--rights", type=int, default=2,
                      help="chooser cap exercise budget k")
+    pex.add_argument("--ratchet-spread", type=float, default=0.0,
+                     help="ratchet cap reset spread over the previous "
+                          "fixing")
     pex.add_argument("--fine", action="store_true",
                      help="fine G2 DP oracle grids (241, 91, 20) — "
                           "artifact runs; shrinks the exercise-kink "
