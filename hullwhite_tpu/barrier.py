@@ -1,0 +1,333 @@
+"""Up-and-out (knock-out) cap under Hull-White.
+
+A cap at strike ``rate`` that DIES the first time a fixing breaches the
+barrier: at each fixing T_j, if L(T_j) >= H the caplet j and every later
+caplet are cancelled; otherwise caplet j pays tau (L(T_j) - rate)^+ at
+T_{j+1}.  The canonical barrier structure on rates — path-dependent
+through the survival indicator only, so it rides the exotic-layer
+machinery unchanged: exact multi-date functional sampling
+(bermudan._functional_chol) for the MC, and the 1-d r-grid value
+iteration with exact piecewise-linear cell-kernel continuation
+(range_note._kernel_avg) for the fp64 oracle.  Product-family extension
+of the reference's single-option layer (src/2_option_pricing.cu:14-35).
+
+The DP inserts a DOUBLE NODE at the barrier level r_H (the value
+function JUMPS to zero there — the pair of nodes makes the
+piecewise-linear representation exact at the cliff, the same trick the
+(u, w) two-factor notes use on observation lines) and a kink node at
+the strike.  A side column with the indicator disabled prices the FULL
+cap through the same iteration; it must land on
+``instruments.cap_closed_form`` up to the discrete-trapezoid-law vs
+continuous-law gap (~1e-6 at the reference step count) and is the MC
+control variate's exact mean under the SAME discrete law the sampler
+integrates (computed in closed form inside the jit, as a function of
+sigma, so CRN-FD vega differentiates through it).
+
+Engine invariants kept: blocks key on the GLOBAL block index, sigma
+enters only through ``tables.sig_st``, every product takes
+n_blocks/mesh, antithetic pairs throughout.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from .floater import _libor_terms
+from .models import hull_white as hw
+from .models.hull_white import MarketCurve
+from .parallel import mesh as pmesh
+from .range_note import _kernel_avg, _note_shapes
+
+
+class KoCapDP(NamedTuple):
+    price: float               # fp64 DP value of the knock-out cap
+    cap_price: float           # full cap from the same iteration
+    barrier_premium: float     # cap_price - price (>= 0)
+    r_barriers: tuple          # r_H per fixing (knocked out when r >= r_H)
+    survival: float = 0.0      # P(never knocked out) under the DP law
+
+
+def _r_level(cfg: HWConfig, sigma, market, t: float, delta: float,
+             level: float) -> float:
+    """r such that L(t, t+delta; r) = level (L increasing in r)."""
+    from .instruments import _libor_r_bounds
+
+    _, r_hi = _libor_r_bounds(cfg, jnp.float32(sigma), market, t, delta,
+                              -math.inf, level)
+    return float(np.asarray(r_hi, np.float64))
+
+
+def dp_oracle_ko_cap(cfg: HWConfig, market: MarketCurve, *, rate: float,
+                     barrier: float, start: float | None = None,
+                     tenor: float = 4.0, freq: float = 1.0,
+                     libor_tenor: float | None = None,
+                     sigma: float | None = None, n_grid: int = 801,
+                     width: float = 8.0) -> KoCapDP:
+    """fp64 value iteration for the up-and-out cap on a 1-d r-grid with
+    a double node at the barrier (jump) and a single node at the strike
+    (kink).  A second value column (indicator off) prices the full cap
+    and a third carries the survival probability, all through one
+    (G, 3)-batched cell-kernel pass per date."""
+    from .bermudan import _det_states
+    from .models.hull_white import step_tables
+
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    if barrier <= rate:
+        raise ValueError("barrier must sit above the strike rate")
+
+    obs, bounds, dates, U, W = _note_shapes(cfg, float(start), n,
+                                            float(tau), 1)
+    tables = step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    r_det_a, i_det_a = (np.asarray(a, np.float64)
+                        for a in _det_states(cfg, tables, dates))
+    r_det = {t: r_det_a[q] for q, t in enumerate(dates)}
+    i_det = {t: i_det_a[q] for q, t in enumerate(dates)}
+    fixes = [o[0] for o in obs]
+    r_K = {t: _r_level(cfg, sigma, market, t, delta, rate) for t in fixes}
+    r_H = {t: _r_level(cfg, sigma, market, t, delta, barrier)
+           for t in fixes}
+    terms = {t: tuple(float(np.asarray(v, np.float64))
+                      for v in _libor_terms(cfg, jnp.float32(sigma),
+                                            market, t, delta))
+             for t in fixes}
+
+    def grid(t):
+        s = sig * math.sqrt(float(U[t] @ U[t]))
+        xs = np.linspace(r_det[t] - width * s, r_det[t] + width * s,
+                         n_grid)
+        extra = []
+        if xs[0] < r_K[t] < xs[-1]:
+            extra.append(r_K[t])                    # kink (single node)
+        if xs[0] < r_H[t] < xs[-1]:
+            extra += [r_H[t] - 1e-9, r_H[t]]        # jump (double node)
+        if extra:
+            xs = np.unique(np.concatenate([xs, np.asarray(extra)]))
+        return xs
+
+    # value columns: [0] knock-out cap, [1] full cap, [2] survival prob;
+    # at T_n there is nothing left to observe: value 0, survival 1
+    s_n = sig * math.sqrt(float(U[bounds[n]] @ U[bounds[n]]))
+    xs_next = np.linspace(r_det[bounds[n]] - width * s_n,
+                          r_det[bounds[n]] + width * s_n, n_grid)
+    W_next = np.zeros((len(xs_next), 3))
+    W_next[:, 2] = 1.0
+
+    for j in range(n - 1, -1, -1):
+        Tj, Tp = fixes[j], bounds[j + 1]
+        xs = grid(Tj)
+        uj, dj = U[Tj], W[Tp] - W[Tj]
+        vjj = float(uj @ uj)
+        e = (xs - r_det[Tj]) / vjj
+        b_I = float(dj @ uj)
+        v_I = sig * sig * (float(dj @ dj) - b_I * b_I / vjj)
+        m_I = (i_det[Tp] - i_det[Tj]) + b_I * e
+        w0 = np.exp(-m_I + 0.5 * v_I)
+        lnA, B = terms[Tj]
+        L = (np.exp(B * xs - lnA) - 1.0) / delta
+        cpn = tau * np.maximum(L - rate, 0.0)
+        up = U[Tp]
+        b_p = float(up @ uj)
+        v_p = sig * sig * (float(up @ up) - b_p * b_p / vjj)
+        c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
+        mu_p = r_det[Tp] + b_p * e - c_pI
+        s_p = math.sqrt(max(v_p, 0.0))
+        cont = _kernel_avg(mu_p, s_p, xs_next, W_next[:, :2])  # (M, 2)
+        # survival propagates under the UNtilted kernel (no discounting)
+        mu_s = r_det[Tp] + b_p * e
+        surv = _kernel_avg(mu_s, s_p, xs_next, W_next[:, 2])
+        V = np.empty((len(xs), 3))
+        alive = xs < r_H[Tj]
+        V[:, 0] = np.where(alive, w0 * (cpn + cont[:, 0]), 0.0)
+        V[:, 1] = w0 * (cpn + cont[:, 1])
+        V[:, 2] = np.where(alive, surv, 0.0)
+        xs_next, W_next = xs, V
+
+    T0 = fixes[0]
+    u0, w0v = U[T0], W[T0]
+    v00 = sig * sig * float(u0 @ u0)
+    vI0 = sig * sig * float(w0v @ w0v)
+    c0 = sig * sig * float(u0 @ w0v)
+    disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
+    mu0 = r_det[T0] - c0
+    vals = disc0 * _kernel_avg(np.array([mu0]), math.sqrt(v00), xs_next,
+                               W_next[:, :2])[0]
+    surv0 = float(_kernel_avg(np.array([r_det[T0]]), math.sqrt(v00),
+                              xs_next, W_next[:, 2])[0])
+    return KoCapDP(price=float(vals[0]), cap_price=float(vals[1]),
+                   barrier_premium=float(vals[1] - vals[0]),
+                   r_barriers=tuple(r_H[t] for t in fixes),
+                   survival=surv0)
+
+
+class KoCapResult(NamedTuple):
+    price: jax.Array           # CV estimate of the knock-out cap
+    std_error: jax.Array
+    raw_price: jax.Array       # plain MC (no CV)
+    raw_std_error: jax.Array
+    beta: jax.Array            # fitted CV coefficient
+    ko_fraction: jax.Array     # fraction of paths knocked out
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _ko_cap_fn(cfg: HWConfig, rate: float, barrier: float, start: float,
+               n: int, tau: float, delta: float, n_paths: int,
+               n_blocks: int, mesh):
+    from .bermudan import _functional_chol, _functional_det
+    from .ratchet import _ratchet_stats
+
+    fixes = tuple(start + j * tau for j in range(n))
+    pays = tuple(start + (j + 1) * tau for j in range(n))
+    specs = tuple([("r", t) for t in fixes] + [("I", t) for t in pays])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    stats = tuple(jnp.asarray(v, jnp.float32)
+                  for v in _ratchet_stats(cfg, start, n, tau))
+
+    def compute(key, sigma, market):
+        from jax.scipy.stats import norm
+
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det, i_det = det[:n], det[n:]
+        lnA, B = (jnp.stack(v) for v in zip(
+            *[_libor_terms(cfg, sigma, market, t, delta) for t in fixes]))
+        # CV: the SINGLE-DATE truncated caplets sum_j tau (L_j - rate)^+
+        # 1{L_j < H} e^{-I_{j+1}} — the knock-out payoff with only the
+        # PAST-survival coupling removed, so it tracks the target far
+        # better than the full cap (which a deep barrier decorrelates).
+        # Its mean is a doubly-truncated tilted lognormal, exact under
+        # the discrete law and differentiable in sigma.
+        sig2 = tables.sig_st * tables.sig_st
+        var_r, var_I, cov_rI = (sig2 * stats[q] for q in range(3))
+        sd_r = jnp.sqrt(var_r)
+        w0 = jnp.exp(-i_det + 0.5 * var_I)
+        m_t = r_det - cov_rI
+        Q = 1.0 + delta * rate
+        QH = 1.0 + delta * barrier
+        rstar = (lnA + math.log(Q)) / B
+        rbar = (lnA + math.log(QH)) / B
+        d2 = (m_t - rstar) / sd_r
+        d2H = (m_t - rbar) / sd_r
+        M = jnp.exp(B * m_t - lnA + 0.5 * B * B * var_r)
+        cv_mean = tau / delta * jnp.sum(w0 * (
+            M * (norm.cdf(d2 + B * sd_r) - norm.cdf(d2H + B * sd_r))
+            - Q * (norm.cdf(d2) - norm.cdf(d2H))))
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * n), jnp.float32)
+            z = tables.sig_st * jnp.dot(x, LT,
+                                        preferred_element_type=jnp.float32,
+                                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :n]
+                disc = jnp.exp(-(i_det[None, :] + sgn * z[:, n:]))
+                L = (jnp.exp(B[None, :] * ro - lnA[None, :]) - 1.0) / delta
+                cash = tau * jnp.maximum(L - rate, 0.0) * disc
+                below = (L < barrier).astype(jnp.float32)
+                alive = jnp.cumprod(below, axis=1)     # survives fix j
+                V = jnp.sum(alive * cash, axis=1)
+                Y = jnp.sum(below * cash, axis=1)
+                return V, Y, 1.0 - alive[:, -1]
+
+            Vp, Yp, Kp = leg(1.0)
+            Vm, Ym, Km = leg(-1.0)
+            V, Y, KO = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym), 0.5 * (Kp + Km)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(V * Y),
+                              jnp.sum(KO)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my = s[0] / n_tot, s[2] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        price = mv - beta * (my - cv_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_ko_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
+                 barrier: float, start: float | None = None,
+                 tenor: float = 4.0, freq: float = 1.0,
+                 libor_tenor: float | None = None, sigma=None,
+                 n_paths: int | None = None, n_blocks: int = 1,
+                 mesh=None) -> KoCapResult:
+    """Monte Carlo up-and-out cap on exactly-sampled multi-date (r, I)
+    functionals (survival via a cumulative product over fixings), with
+    the FULL cap as control variate at its exact discrete-law
+    closed-form mean.  Blocks key on their global index; optionally
+    sharded over ``mesh``.  fp64 oracle: dp_oracle_ko_cap."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    out = _ko_cap_fn(cfg, float(rate), float(barrier), float(start), n,
+                     float(tau), float(libor_tenor), int(n_paths),
+                     int(n_blocks), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market)
+    return KoCapResult(price=out[0], std_error=out[1], raw_price=out[2],
+                       raw_std_error=out[3], beta=out[4],
+                       ko_fraction=out[5],
+                       n_paths=int(n_paths) * int(n_blocks))
+
+
+class KoCapVega(NamedTuple):
+    vega: jax.Array            # CRN-FD vega of the CV estimate
+    dp_vega: float             # fp64 DP central difference
+    price_minus: jax.Array
+    price_plus: jax.Array
+    epsilon: float
+
+
+def vega_ko_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
+                barrier: float, start: float | None = None,
+                tenor: float = 4.0, freq: float = 1.0,
+                libor_tenor: float | None = None,
+                sigma: float | None = None, eps: float = 1e-3,
+                n_paths: int | None = None, n_blocks: int = 1,
+                mesh=None) -> KoCapVega:
+    """CRN central-difference vega vs the fp64 DP's own FD."""
+    if sigma is None:
+        sigma = cfg.sigma
+    kw = dict(rate=rate, barrier=barrier, start=start, tenor=tenor,
+              freq=freq, libor_tenor=libor_tenor)
+    pm = price_ko_cap(cfg, key, market, sigma=sigma - eps,
+                      n_paths=n_paths, n_blocks=n_blocks, mesh=mesh, **kw)
+    pp = price_ko_cap(cfg, key, market, sigma=sigma + eps,
+                      n_paths=n_paths, n_blocks=n_blocks, mesh=mesh, **kw)
+    om = dp_oracle_ko_cap(cfg, market, sigma=float(sigma) - eps, **kw)
+    op = dp_oracle_ko_cap(cfg, market, sigma=float(sigma) + eps, **kw)
+    return KoCapVega(vega=(pp.price - pm.price) / (2.0 * eps),
+                     dp_vega=(op.price - om.price) / (2.0 * eps),
+                     price_minus=pm.price, price_plus=pp.price,
+                     epsilon=float(eps))

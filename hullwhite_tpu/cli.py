@@ -919,6 +919,39 @@ def cmd_exotics(args):
         "vega_quadrature_fd": rv.oracle_vega,
         "spread": args.ratchet_spread}
 
+    print(f"--- up-and-out cap: strike {args.cap_rate*100:.2f}%, "
+          f"knock-out at L >= {args.ko_barrier*100:.2f}% (survival-"
+          f"indicator MC vs 1-d double-node DP) ---")
+    from . import barrier as ko
+
+    kkw = dict(rate=args.cap_rate, barrier=args.ko_barrier,
+               tenor=args.tenor, freq=args.freq)
+    kdp = ko.dp_oracle_ko_cap(cfg, market, **kkw)
+    kmc = ko.price_ko_cap(cfg, key, market, **kkw)
+    z_ko = (float(kmc.price) - kdp.price) / max(float(kmc.std_error),
+                                                1e-12)
+    ok_ko = abs(z_ko) < 4 or abs(float(kmc.price) - kdp.price) < 2e-4
+    print(f"DP oracle:   {kdp.price:.8f} (full cap {kdp.cap_price:.8f}, "
+          f"survival {kdp.survival:.4f})")
+    print(f"MC (CV):     {float(kmc.price):.8f} "
+          f"+/- {float(kmc.std_error):.2e} (SE; raw SE "
+          f"{float(kmc.raw_std_error):.2e}); knock-out fraction "
+          f"{float(kmc.ko_fraction):.4f}")
+    print(f"agreement: z = {z_ko:.2f} ({'PASS' if ok_ko else 'CHECK'})")
+    rc |= 0 if ok_ko else 1
+    kv = ko.vega_ko_cap(cfg, key, market,
+                        n_paths=min(cfg.n_paths, 1 << 16), **kkw)
+    print(f"KO-cap vega: CRN-FD {float(kv.vega):.6f} vs DP FD "
+          f"{kv.dp_vega:.6f} (indicator-FD envelope check)")
+    results["ko_cap"] = {
+        "dp_price": kdp.price, "dp_cap": kdp.cap_price,
+        "dp_survival": kdp.survival, "mc_price": float(kmc.price),
+        "mc_se": float(kmc.std_error),
+        "mc_raw_se": float(kmc.raw_std_error),
+        "ko_fraction": float(kmc.ko_fraction), "z": z_ko,
+        "vega_mc_crn_fd": float(kv.vega), "vega_dp_fd": kv.dp_vega,
+        "barrier": args.ko_barrier, "rate": args.cap_rate}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)
     return rc
@@ -1489,6 +1522,8 @@ def main(argv=None):
     pex.add_argument("--ratchet-spread", type=float, default=0.0,
                      help="ratchet cap reset spread over the previous "
                           "fixing")
+    pex.add_argument("--ko-barrier", type=float, default=0.05,
+                     help="up-and-out cap knock-out LIBOR level")
     pex.add_argument("--fine", action="store_true",
                      help="fine G2 DP oracle grids (241, 91, 20) — "
                           "artifact runs; shrinks the exercise-kink "
