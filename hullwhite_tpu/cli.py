@@ -919,6 +919,23 @@ def cmd_exotics(args):
         "vega_quadrature_fd": rv.oracle_vega,
         "spread": args.ratchet_spread}
 
+    print("--- G2++ ratchet cap (two-factor twin on the strip "
+          "projection) ---")
+    rq2, _ = ratchet.ratchet_cap_quadrature_g2(cfg, g2, market, **rkw)
+    rmc2 = ratchet.price_ratchet_cap_g2(cfg, g2, key, market, **rkw)
+    z_rt2 = (float(rmc2.price) - rq2) / max(float(rmc2.std_error), 1e-12)
+    ok_rt2 = abs(z_rt2) < 4 or abs(float(rmc2.price) - rq2) < 2e-4
+    print(f"quadrature:  {rq2:.8f}")
+    print(f"MC (RB+CV):  {float(rmc2.price):.8f} "
+          f"+/- {float(rmc2.std_error):.2e} (SE; raw SE "
+          f"{float(rmc2.raw_std_error):.2e})")
+    print(f"agreement: z = {z_rt2:.2f} ({'PASS' if ok_rt2 else 'CHECK'})")
+    rc |= 0 if ok_rt2 else 1
+    results["ratchet_cap_g2"] = {
+        "quadrature": rq2, "mc_price": float(rmc2.price),
+        "mc_se": float(rmc2.std_error),
+        "mc_raw_se": float(rmc2.raw_std_error), "z": z_rt2}
+
     print(f"--- up-and-out cap: strike {args.cap_rate*100:.2f}%, "
           f"knock-out at L >= {args.ko_barrier*100:.2f}% (survival-"
           f"indicator MC vs 1-d double-node DP) ---")

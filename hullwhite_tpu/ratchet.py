@@ -386,3 +386,291 @@ def vega_ratchet_cap(cfg: HWConfig, key, market: MarketCurve, *,
                        oracle_vega=(op - om) / (2.0 * eps),
                        price_minus=pm.price, price_plus=pp.price,
                        epsilon=float(eps))
+
+
+# ---------------------------------------------------------------------------
+# G2++ twin: the ratchet rides the LIBOR strip projection u = Ba x + Bb y
+# (a DATE-INDEPENDENT direction — the libor tenor is fixed), so
+# (u_{j-1}, u_j, I_{j+1}) is the entire per-period state: the oracle is
+# the SAME GH-outer / closed-form-inner integral with u replacing B r
+# (unit exponent), covariances read off _g2_functional_cov — the
+# sampler's own matrix, so oracle and MC integrate the identical law —
+# and the deterministic drift absorbed into lnA by the V-adjustment
+# (g2pp._libor_strip_g2's identity: u is CENTERED, tilting by e^{-I_p}
+# shifts it by -Cov(u, I_p) and pays P(0, T_p) exactly).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _ratchet_g2_stats(g, start: float, n: int, tau: float, delta: float):
+    """Per-period fp64 covariances of (u_{j-1}, u_j, I_{j+1}) and the
+    Rao-Blackwell regression of u_j on (u_{j-1}, I_{j+1}): returns
+    (var_u, var_I, cov_uI, b1, b2, s_c), each (n,).  Period 0
+    conditions on I(T_1) only (b1[0] = 0)."""
+    from .models.g2pp import _B, _g2_functional_cov
+
+    fixes, pays = _ratchet_dates(start, n, tau)
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    var_u = np.zeros(n)
+    var_I = np.zeros(n)
+    cov_uI = np.zeros(n)
+    b1 = np.zeros(n)
+    b2 = np.zeros(n)
+    s_c = np.zeros(n)
+    for j in range(n):
+        if j == 0:
+            C = _g2_functional_cov(g, (("u", fixes[0], Ba, Bb),
+                                       ("I", pays[0])))
+            var_u[0], var_I[0], cov_uI[0] = C[0, 0], C[1, 1], C[0, 1]
+            b2[0] = C[0, 1] / C[1, 1]
+            s_c[0] = math.sqrt(max(C[0, 0] - C[0, 1] ** 2 / C[1, 1],
+                                   1e-30))
+        else:
+            C = _g2_functional_cov(g, (("u", fixes[j - 1], Ba, Bb),
+                                       ("u", fixes[j], Ba, Bb),
+                                       ("I", pays[j])))
+            var_u[j], var_I[j], cov_uI[j] = C[1, 1], C[2, 2], C[1, 2]
+            S = C[np.ix_([0, 2], [0, 2])]
+            c = C[np.ix_([1], [0, 2])][0]
+            beta = np.linalg.solve(S, c)
+            b1[j], b2[j] = beta
+            s_c[j] = math.sqrt(max(C[1, 1] - float(beta @ c), 1e-30))
+    return var_u, var_I, cov_uI, b1, b2, s_c
+
+
+@lru_cache(maxsize=None)
+def _ratchet_g2_cross(g, start: float, n: int, tau: float, delta: float):
+    """(n,) fp64 cross covariances Cov(u_{j-1}, I_{j+1}) and
+    Cov(u_{j-1}, u_j) for the oracle's outer/inner decomposition."""
+    from .models.g2pp import _B, _g2_functional_cov
+
+    fixes, pays = _ratchet_dates(start, n, tau)
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    cov_aI = np.zeros(n)
+    cov_ab = np.zeros(n)
+    for j in range(1, n):
+        C = _g2_functional_cov(g, (("u", fixes[j - 1], Ba, Bb),
+                                   ("u", fixes[j], Ba, Bb),
+                                   ("I", pays[j])))
+        cov_aI[j] = C[0, 2]
+        cov_ab[j] = C[0, 1]
+    return cov_aI, cov_ab
+
+
+def ratchet_cap_quadrature_g2(cfg: HWConfig, g, market: MarketCurve, *,
+                              spread: float = 0.0,
+                              strike0: float | None = None,
+                              start: float | None = None,
+                              tenor: float = 4.0, freq: float = 1.0,
+                              libor_tenor: float | None = None,
+                              n_quad: int = 96):
+    """float64 G2++ ratchet-cap leg: per period, Gauss-Hermite over the
+    tilted previous-fixing projection u_{j-1} of a closed-form
+    (truncated lognormal in e^{u_j}) inner caplet.  Returns
+    (leg value, per-period list)."""
+    from numpy.polynomial.hermite_e import hermegauss
+
+    from .g2_note import _strip_lnA_f64
+    from .range_note import _ndtr as _phi
+
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    if strike0 is None:
+        strike0 = forward_libor(cfg, market, float(start), delta) + spread
+
+    fixes, pays = _ratchet_dates(float(start), n, tau)
+    var_u, var_I, cov_uI, b1, b2, s_c = _ratchet_g2_stats(
+        g, float(start), n, tau, delta)
+    del var_I, b1, b2, s_c
+    cov_aI, cov_ab = _ratchet_g2_cross(g, float(start), n, tau, delta)
+    lnA = [_strip_lnA_f64(cfg, g, market, t, delta) for t in fixes]
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    gh_x, gh_w = hermegauss(int(n_quad))
+    gh_w = gh_w / math.sqrt(2.0 * math.pi)
+
+    def caplet(m_b, s_b, lnA_b, Q):
+        M = np.exp(m_b - lnA_b + 0.5 * s_b * s_b)
+        Qc = np.maximum(Q, 1e-300)
+        d2 = (m_b - (lnA_b + np.log(Qc))) / s_b
+        itm = M * _phi(d2 + s_b) - Qc * _phi(d2)
+        return np.where(Q > 0.0, itm, M - Q) / delta
+
+    per = []
+    for j in range(n):
+        P0p = float(np.interp(pays[j], Ts, P0))
+        m_b = -cov_uI[j]
+        if j == 0:
+            v = P0p * tau * float(caplet(
+                np.array([m_b]), math.sqrt(var_u[0]), lnA[0],
+                np.array([1.0 + delta * strike0]))[0])
+        else:
+            m_a = -cov_aI[j]
+            s_a = math.sqrt(var_u[j - 1])
+            beta_c = cov_ab[j] / var_u[j - 1]
+            s_cc = math.sqrt(max(var_u[j] - cov_ab[j] ** 2 / var_u[j - 1],
+                                 1e-30))
+            x = m_a + s_a * gh_x
+            La = (np.exp(x - lnA[j - 1]) - 1.0) / delta
+            Q = 1.0 + delta * (La + spread)
+            mu_c = m_b + beta_c * (x - m_a)
+            v = P0p * tau * float(gh_w @ caplet(mu_c, s_cc, lnA[j], Q))
+        per.append(v)
+    return float(sum(per)), per
+
+
+@lru_cache(maxsize=None)
+def _ratchet_g2_fn(cfg: HWConfig, g, spread: float, strike0: float,
+                   start: float, n: int, tau: float, delta: float,
+                   n_paths: int, n_blocks: int, mesh):
+    from .models.g2pp import (_B, _g2_functional_chol, _v_integral)
+    from .g2_note import _strip_lnA_traced
+
+    fixes, pays = _ratchet_dates(start, n, tau)
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    specs = tuple([("u", t, Ba, Bb) for t in fixes]
+                  + [("I", p) for p in pays])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    var_u, var_I, cov_uI, b1v, b2v, scv = _ratchet_g2_stats(
+        g, start, n, tau, delta)
+    var_u, cov_uI = (jnp.asarray(v, jnp.float32) for v in (var_u, cov_uI))
+    b1, b2, sc = (jnp.asarray(v, jnp.float32) for v in (b1v, b2v, scv))
+    v_half = jnp.asarray([0.5 * _v_integral(g, p) for p in pays],
+                         jnp.float32)
+
+    def compute(key, market):
+        from jax.scipy.stats import norm
+
+        lnA = jnp.stack([_strip_lnA_traced(cfg, g, market, t, delta)
+                         for t in fixes])
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             for p in pays]) * jnp.exp(-v_half)
+        # floating-leg CV mean: exact tilted lognormal in u
+        cv_mean = tau * jnp.sum(
+            jnp.stack([hw.interp_curve(market.P, jnp.float32(p), cfg)
+                       for p in pays])
+            * (jnp.exp(-cov_uI - lnA + 0.5 * var_u) - 1.0) / delta)
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :n]                        # centered
+                zi = sgn * z[:, n:]
+                disc = disc0[None, :] * jnp.exp(-zi)
+                L = (jnp.exp(u - lnA[None, :]) - 1.0) / delta
+                K = jnp.concatenate(
+                    [jnp.full((u.shape[0], 1), strike0, jnp.float32),
+                     L[:, :-1] + spread], axis=1)
+                u_prev = jnp.concatenate([u[:, :1] * 0, u[:, :-1]],
+                                         axis=1)
+                m_c = b1[None, :] * u_prev + b2[None, :] * zi
+                Q = 1.0 + delta * K
+                d2 = (m_c - lnA[None, :]
+                      - jnp.log(jnp.maximum(Q, 1e-30))) / sc[None, :]
+                M = jnp.exp(m_c - lnA[None, :] + 0.5 * sc[None, :] ** 2)
+                itm = (M * norm.cdf(d2 + sc[None, :]) - Q * norm.cdf(d2))
+                cond = jnp.where(Q > 0.0, itm, M - Q) / delta
+                pv = tau * cond * disc
+                Y = tau * jnp.sum(L * disc, axis=1)
+                raw = tau * jnp.sum(jnp.maximum(L - K, 0.0) * disc,
+                                    axis=1)
+                return pv, Y, raw
+
+            pv_p, Yp, Rp = leg(1.0)
+            pv_m, Ym, Rm = leg(-1.0)
+            pv, Y = 0.5 * (pv_p + pv_m), 0.5 * (Yp + Ym)
+            raw = 0.5 * (Rp + Rm)
+            V = jnp.sum(pv, axis=1)
+            return jnp.concatenate([
+                jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                           jnp.sum(Y * Y), jnp.sum(V * Y),
+                           jnp.sum(raw), jnp.sum(raw * raw)]),
+                jnp.sum(pv, axis=0)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my, mr = s[0] / n_tot, s[2] / n_tot, s[5] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        var_raw = jnp.maximum(s[6] / n_tot - mr * mr, 0.0)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        price = mv - beta * (my - cv_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mr,
+                jnp.sqrt(bessel * var_raw / n_tot), beta, s[7:] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_ratchet_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                         spread: float = 0.0, strike0: float | None = None,
+                         start: float | None = None, tenor: float = 4.0,
+                         freq: float = 1.0,
+                         libor_tenor: float | None = None,
+                         n_paths: int | None = None, n_blocks: int = 1,
+                         mesh=None) -> RatchetResult:
+    """Monte Carlo G2++ ratchet-cap leg (Rao-Blackwell conditional
+    caplets on the strip projection, floating-leg CV).  fp64 oracle:
+    ratchet_cap_quadrature_g2."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    if strike0 is None:
+        strike0 = forward_libor(cfg, market, float(start),
+                                float(libor_tenor)) + spread
+    out = _ratchet_g2_fn(cfg, g, float(spread), float(strike0),
+                         float(start), n, float(tau), float(libor_tenor),
+                         int(n_paths), int(n_blocks), mesh)(key, market)
+    return RatchetResult(price=out[0], std_error=out[1], raw_price=out[2],
+                         raw_std_error=out[3], beta=out[4], periods=out[5],
+                         n_paths=int(n_paths) * int(n_blocks))
+
+
+def vega_ratchet_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                        spread: float = 0.0, strike0: float | None = None,
+                        start: float | None = None, tenor: float = 4.0,
+                        freq: float = 1.0,
+                        libor_tenor: float | None = None,
+                        eps: float = 1e-3, n_paths: int | None = None,
+                        n_blocks: int = 1, mesh=None) -> RatchetVega:
+    """CRN central-difference d price / d sigma (the x-factor vol),
+    cross-checked against the fp64 quadrature's own FD."""
+    from .models.g2pp import G2Params
+
+    if start is None:
+        start = cfg.s1
+    if libor_tenor is None:
+        libor_tenor = 1.0 / freq
+    if strike0 is None:
+        strike0 = forward_libor(cfg, market, float(start),
+                                float(libor_tenor)) + spread
+    kw = dict(spread=spread, strike0=strike0, start=start, tenor=tenor,
+              freq=freq, libor_tenor=libor_tenor)
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    mc = dict(n_paths=n_paths, n_blocks=n_blocks, mesh=mesh)
+    pm = price_ratchet_cap_g2(cfg, gm, key, market, **kw, **mc)
+    pp = price_ratchet_cap_g2(cfg, gp, key, market, **kw, **mc)
+    om, _ = ratchet_cap_quadrature_g2(cfg, gm, market, **kw)
+    op, _ = ratchet_cap_quadrature_g2(cfg, gp, market, **kw)
+    return RatchetVega(vega=(pp.price - pm.price) / (2.0 * eps),
+                       oracle_vega=(op - om) / (2.0 * eps),
+                       price_minus=pm.price, price_plus=pp.price,
+                       epsilon=float(eps))

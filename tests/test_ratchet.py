@@ -109,3 +109,49 @@ def test_vega_crn_matches_oracle_fd(market):
     # CRN collapses the FD noise; the Rao-Blackwell value is smooth in
     # sigma, so the MC vega sits on the fp64 quadrature FD
     assert abs(float(v.vega) - v.oracle_vega) < 0.02 * abs(v.oracle_vega)
+
+
+# --- G2++ twin ---------------------------------------------------------
+
+from hullwhite_tpu.models.g2pp import G2Params
+
+G2 = G2Params()
+
+
+def test_g2_oracle_gh_convergence(market):
+    t96, per = ratchet.ratchet_cap_quadrature_g2(CFG, G2, market,
+                                                 spread=0.0)
+    t48, _ = ratchet.ratchet_cap_quadrature_g2(CFG, G2, market,
+                                               spread=0.0, n_quad=48)
+    assert len(per) == 4 and all(v > 0 for v in per)
+    assert abs(t96 - t48) < 1e-12
+
+
+def test_g2_mc_matches_oracle(market):
+    tot, per = ratchet.ratchet_cap_quadrature_g2(CFG, G2, market,
+                                                 spread=0.0)
+    res = ratchet.price_ratchet_cap_g2(CFG, G2, KEY, market, spread=0.0,
+                                       n_paths=1 << 14, n_blocks=4)
+    z = (float(res.price) - tot) / max(float(res.std_error), 1e-12)
+    assert abs(z) < 4.0 or abs(float(res.price) - tot) < 2e-4
+    assert float(res.std_error) < 0.75 * float(res.raw_std_error)
+    zr = (float(res.raw_price) - tot) / max(float(res.raw_std_error),
+                                            1e-12)
+    assert abs(zr) < 4.0
+    assert np.allclose(np.asarray(res.periods), per, atol=3e-4)
+
+
+def test_g2_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(spread=0.002, n_paths=1 << 12, n_blocks=8)
+    single = ratchet.price_ratchet_cap_g2(CFG, G2, KEY, market, **kw)
+    shard = ratchet.price_ratchet_cap_g2(CFG, G2, KEY, market,
+                                         mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.price) - float(shard.price)) < 1e-6
+
+
+def test_g2_vega_crn_matches_oracle_fd(market):
+    v = ratchet.vega_ratchet_cap_g2(CFG, G2, KEY, market, spread=0.0,
+                                    n_paths=1 << 14, n_blocks=2)
+    assert abs(float(v.vega) - v.oracle_vega) < 0.02 * abs(v.oracle_vega)
