@@ -331,3 +331,336 @@ def vega_ko_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
                      dp_vega=(op.price - om.price) / (2.0 * eps),
                      price_minus=pm.price, price_plus=pp.price,
                      epsilon=float(eps))
+
+
+# ---------------------------------------------------------------------------
+# G2++ twin: the barrier indicator L(T_j) >= H is a VERTICAL line in the
+# rotated coordinate u = Ba x + Bb y (the LIBOR strip projection — a
+# date-independent direction since the libor tenor is fixed), so the
+# two-factor up-and-out cap rides the (u, w) DP machinery of g2_note
+# unchanged: double node at u_H (the value cliff), kink node at u_K (the
+# caplet kink), coupon DETERMINISTIC on the u-grid, continuation exact
+# in u / Gauss-Hermite in w, survival propagated under the untilted
+# kernel.  Every conditional law projects off g2pp._g2_functional_cov —
+# the sampler's own matrix — so oracle and MC integrate the same law.
+# ---------------------------------------------------------------------------
+
+
+class KoCapDPG2(NamedTuple):
+    price: float               # fp64 DP value of the knock-out cap
+    cap_price: float           # full cap from the same iteration
+    barrier_premium: float     # cap_price - price (>= 0)
+    survival: float            # P(never knocked out) under the DP law
+
+
+def cap_closed_form_g2(cfg: HWConfig, g, market: MarketCurve, *,
+                       rate: float, start: float | None = None,
+                       tenor: float = 4.0, freq: float = 1.0,
+                       libor_tenor: float | None = None):
+    """float64 G2++ cap leg in closed form under the exact functional
+    law: per caplet, with u Gaussian and tilted mean m = -Cov(u, I_p),
+
+      tau/delta P(0,T_p) [ e^{m + s^2/2 - lnA} Phi(d2 + s) - Q Phi(d2) ],
+
+    d2 = (m - u_K)/s, u_K = lnA + log(1 + delta rate).  Returns
+    (leg value, per-period list).  Two-factor twin of
+    instruments.cap_closed_form; the DP full-cap column and the MC's
+    truncated-caplet CV mean both reduce to this when the barrier is
+    pushed to infinity."""
+    from .g2_note import _kink_edge, _strip_lnA_f64
+    from .models.g2pp import _B, _g2_functional_cov
+    from .range_note import _nphi
+
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    Q = 1.0 + delta * rate
+    total, per = 0.0, []
+    for j in range(n):
+        t = float(start) + j * tau
+        Tp = t + tau
+        Sig = _g2_functional_cov(g, (("u", t, Ba, Bb), ("I", Tp)))
+        s = math.sqrt(Sig[0, 0])
+        m = -Sig[0, 1]
+        lnA = _strip_lnA_f64(cfg, g, market, t, delta)
+        uK = _kink_edge(lnA, delta, rate)
+        d2 = (m - uK) / s
+        M = math.exp(m - lnA + 0.5 * s * s)
+        v = tau / delta * float(np.interp(Tp, Ts, P0)) * (
+            M * float(_nphi(d2 + s)) - Q * float(_nphi(d2)))
+        per.append(v)
+        total += v
+    return total, per
+
+
+def dp_oracle_ko_cap_g2(cfg: HWConfig, g, market: MarketCurve, *,
+                        rate: float, barrier: float,
+                        start: float | None = None, tenor: float = 4.0,
+                        freq: float = 1.0,
+                        libor_tenor: float | None = None,
+                        n_u: int = 161, n_w: int = 61,
+                        width: float = 7.0,
+                        n_quad: int = 16) -> KoCapDPG2:
+    """fp64 2-d value iteration for the G2++ up-and-out cap on rotated
+    (u, w) grids: per fixing the u-grid carries a kink node at u_K and a
+    DOUBLE node at u_H (the knock-out cliff), value columns
+    [knock-out cap, full cap, survival] batch through one
+    _expect_bilinear_multi call per date (survival separately, under the
+    untilted kernel).  The full-cap column is pinned against
+    cap_closed_form_g2 by the tests."""
+    from .g2_note import (_expect_bilinear, _expect_bilinear_multi,
+                          _kink_edge, _period_machine, _strip_lnA_f64)
+    from .models.g2pp import _B, _g2_functional_cov, _v_integral
+    from .range_note import _note_dates
+
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    delta = float(libor_tenor)
+    if barrier <= rate:
+        raise ValueError("barrier must sit above the strike rate")
+    obs, bounds, dates = _note_dates(float(start), n, float(tau), 1)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    dd = {t: float(np.interp(t, Ts, P0))
+          * math.exp(-0.5 * _v_integral(g, t)) for t in bounds}
+    lnAs = {t: _strip_lnA_f64(cfg, g, market, t, delta)
+            for o in obs for t in o}
+    uK = {t: _kink_edge(lnAs[t], delta, rate) for t in lnAs}
+    uH = {t: _kink_edge(lnAs[t], delta, barrier) for t in lnAs}
+
+    def grids(t):
+        s_u = math.sqrt(_g2_functional_cov(g, (("u", t, Ba, Bb),))[0, 0])
+        s_w = math.sqrt(_g2_functional_cov(g, (("u", t, ca, cb),))[0, 0])
+        ug = np.linspace(-width * s_u, width * s_u, n_u)
+        extra = []
+        if ug[0] < uK[t] < ug[-1]:
+            extra.append(uK[t])                     # kink (single node)
+        if ug[0] < uH[t] < ug[-1]:
+            extra += [uH[t] - 1e-9, uH[t]]          # jump (double node)
+        if extra:
+            ug = np.unique(np.concatenate([ug, np.asarray(extra)]))
+        return ug, np.linspace(-width * s_w, width * s_w, n_w)
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2.0 * math.pi)
+    gr = {t: grids(t) for t in bounds[:n]}
+
+    # at T_n nothing is left to observe: value 0, survival 1
+    s_un = math.sqrt(_g2_functional_cov(
+        g, (("u", bounds[n], Ba, Bb),))[0, 0])
+    s_wn = math.sqrt(_g2_functional_cov(
+        g, (("u", bounds[n], ca, cb),))[0, 0])
+    ug_next = np.linspace(-width * s_un, width * s_un, n_u)
+    wg_next = np.linspace(-width * s_wn, width * s_wn, n_w)
+    Vko = np.zeros((len(ug_next), len(wg_next)))
+    Vfull = np.zeros_like(Vko)
+    Vsur = np.ones_like(Vko)
+
+    for j in range(n - 1, -1, -1):
+        Tj, Tp = bounds[j], bounds[j + 1]
+        ug, wg = gr[Tj]
+        U, Wm = np.meshgrid(ug, wg, indexing="ij")
+        uf, wf = U.ravel(), Wm.ravel()
+        interior, kcoef, C = _period_machine(g, Tj, Tp, obs[j],
+                                             Ba, Bb, ca, cb)
+        assert not interior              # the only obs is at T_j itself
+        iu, iw = 1, 2
+        m_d = kcoef[0, 0] * uf + kcoef[1, 0] * wf
+        w0 = (dd[Tp] / dd[Tj]) * np.exp(-m_d + 0.5 * C[0, 0])
+        L = (np.exp(uf - lnAs[Tj]) - 1.0) / delta
+        cpn = tau * np.maximum(L - rate, 0.0)
+        mu_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf
+        mu_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf
+        Ev = _expect_bilinear_multi(
+            mu_u - C[iu, 0], mu_w - C[iw, 0], C[iu, iu], C[iu, iw],
+            C[iw, iw], ug_next, wg_next, [Vko, Vfull], nodes, wq)
+        # survival propagates under the UNtilted kernel (no discounting)
+        Es = _expect_bilinear(mu_u, mu_w, C[iu, iu], C[iu, iw],
+                              C[iw, iw], ug_next, wg_next, Vsur,
+                              nodes, wq)
+        alive = uf < uH[Tj]
+        sh = (len(ug), len(wg))
+        Vko = np.where(alive, w0 * (cpn + Ev[:, 0]), 0.0).reshape(sh)
+        Vfull = (w0 * (cpn + Ev[:, 1])).reshape(sh)
+        Vsur = np.where(alive, Es, 0.0).reshape(sh)
+        ug_next, wg_next = ug, wg
+
+    T0 = bounds[0]
+    S0 = _g2_functional_cov(
+        g, (("I", T0), ("u", T0, Ba, Bb), ("u", T0, ca, cb)))
+    P00 = float(np.interp(T0, Ts, P0))
+    vals = P00 * _expect_bilinear_multi(
+        np.array([-S0[1, 0]]), np.array([-S0[2, 0]]), S0[1, 1],
+        S0[1, 2], S0[2, 2], ug_next, wg_next, [Vko, Vfull],
+        nodes, wq)[0]
+    surv = float(_expect_bilinear(
+        np.array([0.0]), np.array([0.0]), S0[1, 1], S0[1, 2], S0[2, 2],
+        ug_next, wg_next, Vsur, nodes, wq)[0])
+    return KoCapDPG2(price=float(vals[0]), cap_price=float(vals[1]),
+                     barrier_premium=float(vals[1] - vals[0]),
+                     survival=surv)
+
+
+@lru_cache(maxsize=None)
+def _ko_cap_g2_stats(g, start: float, n: int, tau: float, delta: float):
+    """Per-period fp64 (var_u, cov_uI) of the fixing projection u(T_j)
+    and the payment integral I(T_{j+1}), off the sampler's own
+    covariance — drives the truncated-caplet CV's exact tilted mean."""
+    from .models.g2pp import _B, _g2_functional_cov
+
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    var_u = np.zeros(n)
+    cov_uI = np.zeros(n)
+    for j in range(n):
+        t = start + j * tau
+        C = _g2_functional_cov(g, (("u", t, Ba, Bb), ("I", t + tau)))
+        var_u[j], cov_uI[j] = C[0, 0], C[0, 1]
+    return var_u, cov_uI
+
+
+@lru_cache(maxsize=None)
+def _ko_cap_g2_fn(cfg: HWConfig, g, rate: float, barrier: float,
+                  start: float, n: int, tau: float, delta: float,
+                  n_paths: int, n_blocks: int, mesh):
+    from .g2_note import _strip_lnA_traced
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    fixes = tuple(start + j * tau for j in range(n))
+    pays = tuple(start + (j + 1) * tau for j in range(n))
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    specs = tuple([("u", t, Ba, Bb) for t in fixes]
+                  + [("I", p) for p in pays])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    var_u, cov_uI = (jnp.asarray(v, jnp.float32)
+                     for v in _ko_cap_g2_stats(g, start, n, tau, delta))
+    v_half = jnp.asarray([0.5 * _v_integral(g, p) for p in pays],
+                         jnp.float32)
+    lQ = math.log1p(delta * rate)
+    lH = math.log1p(delta * barrier)
+    Q = 1.0 + delta * rate
+
+    def compute(key, market):
+        from jax.scipy.stats import norm
+
+        lnA = jnp.stack([_strip_lnA_traced(cfg, g, market, t, delta)
+                         for t in fixes])
+        P0p = jnp.stack([hw.interp_curve(market.P, jnp.float32(p), cfg)
+                         for p in pays])
+        disc0 = P0p * jnp.exp(-v_half)
+        # CV: single-date truncated caplets (the knock-out payoff with
+        # only the PAST-survival coupling removed) at their exact
+        # doubly-truncated tilted-lognormal mean under the sampled law
+        sd = jnp.sqrt(var_u)
+        m_t = -cov_uI
+        d2 = (m_t - (lnA + lQ)) / sd
+        d2H = (m_t - (lnA + lH)) / sd
+        M = jnp.exp(m_t - lnA + 0.5 * var_u)
+        cv_mean = tau / delta * jnp.sum(P0p * (
+            M * (norm.cdf(d2 + sd) - norm.cdf(d2H + sd))
+            - Q * (norm.cdf(d2) - norm.cdf(d2H))))
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 2 * n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :n]                          # centered
+                disc = disc0[None, :] * jnp.exp(-sgn * z[:, n:])
+                L = (jnp.exp(u - lnA[None, :]) - 1.0) / delta
+                cash = tau * jnp.maximum(L - rate, 0.0) * disc
+                below = (L < barrier).astype(jnp.float32)
+                alive = jnp.cumprod(below, axis=1)
+                V = jnp.sum(alive * cash, axis=1)
+                Y = jnp.sum(below * cash, axis=1)
+                return V, Y, 1.0 - alive[:, -1]
+
+            Vp, Yp, Kp = leg(1.0)
+            Vm, Ym, Km = leg(-1.0)
+            V, Y, KO = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym), 0.5 * (Kp + Km)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(V * Y),
+                              jnp.sum(KO)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my = s[0] / n_tot, s[2] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        price = mv - beta * (my - cv_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_ko_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                    rate: float, barrier: float,
+                    start: float | None = None, tenor: float = 4.0,
+                    freq: float = 1.0, libor_tenor: float | None = None,
+                    n_paths: int | None = None, n_blocks: int = 1,
+                    mesh=None) -> KoCapResult:
+    """Monte Carlo G2++ up-and-out cap on exactly-sampled (u, I)
+    functionals (survival via a cumulative product over fixings), with
+    the single-date truncated caplets as control variate at their exact
+    closed-form mean.  fp64 oracle: dp_oracle_ko_cap_g2."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    out = _ko_cap_g2_fn(cfg, g, float(rate), float(barrier), float(start),
+                        n, float(tau), float(libor_tenor), int(n_paths),
+                        int(n_blocks), mesh)(key, market)
+    return KoCapResult(price=out[0], std_error=out[1], raw_price=out[2],
+                       raw_std_error=out[3], beta=out[4],
+                       ko_fraction=out[5],
+                       n_paths=int(n_paths) * int(n_blocks))
+
+
+def vega_ko_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                   rate: float, barrier: float,
+                   start: float | None = None, tenor: float = 4.0,
+                   freq: float = 1.0, libor_tenor: float | None = None,
+                   eps: float = 1e-3, n_paths: int | None = None,
+                   n_blocks: int = 1, mesh=None) -> KoCapVega:
+    """CRN central-difference d price / d sigma (the x-factor vol) vs
+    the fp64 DP oracle's own FD."""
+    from .models.g2pp import G2Params
+
+    kw = dict(rate=rate, barrier=barrier, start=start, tenor=tenor,
+              freq=freq, libor_tenor=libor_tenor)
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    mc = dict(n_paths=n_paths, n_blocks=n_blocks, mesh=mesh)
+    pm = price_ko_cap_g2(cfg, gm, key, market, **kw, **mc)
+    pp = price_ko_cap_g2(cfg, gp, key, market, **kw, **mc)
+    om = dp_oracle_ko_cap_g2(cfg, gm, market, **kw)
+    op = dp_oracle_ko_cap_g2(cfg, gp, market, **kw)
+    return KoCapVega(vega=(pp.price - pm.price) / (2.0 * eps),
+                     dp_vega=(op.price - om.price) / (2.0 * eps),
+                     price_minus=pm.price, price_plus=pp.price,
+                     epsilon=float(eps))

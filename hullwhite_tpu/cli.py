@@ -969,6 +969,29 @@ def cmd_exotics(args):
         "vega_mc_crn_fd": float(kv.vega), "vega_dp_fd": kv.dp_vega,
         "barrier": args.ko_barrier, "rate": args.cap_rate}
 
+    print(f"--- G2++ up-and-out cap (two-factor twin: barrier is a "
+          f"vertical line in u, (u, w) double-node DP) ---")
+    kdp2 = ko.dp_oracle_ko_cap_g2(cfg, g2, market, **kkw)
+    kmc2 = ko.price_ko_cap_g2(cfg, g2, key, market, **kkw)
+    z_ko2 = (float(kmc2.price) - kdp2.price) / max(float(kmc2.std_error),
+                                                   1e-12)
+    ok_ko2 = abs(z_ko2) < 4 or abs(float(kmc2.price) - kdp2.price) < 2e-4
+    print(f"DP oracle:   {kdp2.price:.8f} (full cap {kdp2.cap_price:.8f},"
+          f" survival {kdp2.survival:.4f})")
+    print(f"MC (CV):     {float(kmc2.price):.8f} "
+          f"+/- {float(kmc2.std_error):.2e} (SE; raw SE "
+          f"{float(kmc2.raw_std_error):.2e}); knock-out fraction "
+          f"{float(kmc2.ko_fraction):.4f}")
+    print(f"agreement: z = {z_ko2:.2f} ({'PASS' if ok_ko2 else 'CHECK'})")
+    rc |= 0 if ok_ko2 else 1
+    results["ko_cap_g2"] = {
+        "dp_price": kdp2.price, "dp_cap": kdp2.cap_price,
+        "dp_survival": kdp2.survival, "mc_price": float(kmc2.price),
+        "mc_se": float(kmc2.std_error),
+        "mc_raw_se": float(kmc2.raw_std_error),
+        "ko_fraction": float(kmc2.ko_fraction), "z": z_ko2,
+        "barrier": args.ko_barrier, "rate": args.cap_rate}
+
     hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
                     results=results)
     return rc

@@ -80,3 +80,64 @@ def test_vega_crn_envelope(market):
                             n_blocks=4, **KW)
     assert abs(float(v.vega) - v.dp_vega) < max(0.25 * abs(v.dp_vega),
                                                 0.03)
+
+
+# --- G2++ twin ---------------------------------------------------------
+
+from hullwhite_tpu.models.g2pp import G2Params
+
+G2 = G2Params()
+
+
+@pytest.fixture(scope="module")
+def dp_g2(market):
+    return barrier.dp_oracle_ko_cap_g2(CFG, G2, market, **KW)
+
+
+def test_g2_dp_full_cap_column_matches_closed_form(market, dp_g2):
+    cap_cf, per = barrier.cap_closed_form_g2(CFG, G2, market,
+                                             rate=KW["rate"],
+                                             tenor=KW["tenor"])
+    assert len(per) == 4 and all(v > 0 for v in per)
+    # the (u, w) bilinear surface's documented O(h^2) convexity bias
+    assert abs(dp_g2.cap_price - cap_cf) < 2e-4
+    fine = barrier.dp_oracle_ko_cap_g2(CFG, G2, market, n_u=241, n_w=91,
+                                       n_quad=24, **KW)
+    assert abs(fine.cap_price - cap_cf) < 1e-4
+    assert abs(dp_g2.price - fine.price) < 3e-5
+    assert 0.0 < dp_g2.price < dp_g2.cap_price
+    assert 0.0 < dp_g2.survival < 1.0
+
+
+def test_g2_dp_huge_barrier_degenerates_to_cap(market):
+    wide = barrier.dp_oracle_ko_cap_g2(CFG, G2, market, rate=KW["rate"],
+                                       barrier=5.0, tenor=KW["tenor"])
+    assert abs(wide.price - wide.cap_price) < 1e-12
+    assert wide.survival > 1.0 - 1e-9
+
+
+def test_g2_mc_matches_dp(market, dp_g2):
+    res = barrier.price_ko_cap_g2(CFG, G2, KEY, market, n_paths=1 << 14,
+                                  n_blocks=4, **KW)
+    z = (float(res.price) - dp_g2.price) / max(float(res.std_error),
+                                               1e-12)
+    assert abs(z) < 4.0 or abs(float(res.price) - dp_g2.price) < 2e-4
+    assert float(res.std_error) < 0.8 * float(res.raw_std_error)
+    assert abs(float(res.ko_fraction) - (1.0 - dp_g2.survival)) < 0.02
+
+
+def test_g2_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    ekw = dict(n_paths=1 << 12, n_blocks=8)
+    single = barrier.price_ko_cap_g2(CFG, G2, KEY, market, **KW, **ekw)
+    shard = barrier.price_ko_cap_g2(CFG, G2, KEY, market,
+                                    mesh=pmesh.path_mesh(), **KW, **ekw)
+    assert abs(float(single.price) - float(shard.price)) < 1e-6
+
+
+def test_g2_vega_crn_envelope(market):
+    v = barrier.vega_ko_cap_g2(CFG, G2, KEY, market, n_paths=1 << 14,
+                               n_blocks=4, **KW)
+    assert abs(float(v.vega) - v.dp_vega) < max(0.25 * abs(v.dp_vega),
+                                                0.03)
