@@ -371,3 +371,314 @@ def vega_chooser_cap(cfg: HWConfig, key, market: MarketCurve, *,
     return ChooserVega(vega=(p_p - p_m) / (2.0 * eps),
                        dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
                        price_minus=p_m, price_plus=p_p, epsilon=eps)
+
+
+# ---------------------------------------------------------------------------
+# G2++ twin: the caplet cash is deterministic on the LIBOR strip
+# projection u = Ba x + Bb y (date-independent direction), so the swing
+# DP runs over (rights c, u, w) on rotated grids — the c-levels batch
+# through one g2_note._expect_bilinear_multi call per date exactly like
+# the TARN's lattice levels, the caplet kink is a u-grid node, and the
+# exercise policy becomes a per-(date, rights) boundary CURVE u*(w)
+# (exercise when u > u*), extracted per w-column the way the callable
+# floater extracts its call curve.  Conditional laws project off
+# g2pp._g2_functional_cov — the sampler's own matrix.
+# ---------------------------------------------------------------------------
+
+
+class G2ChooserDP(NamedTuple):
+    price: float               # fp64 DP value with k rights
+    cap_price: float           # full cap (all n caplets) from the same DP
+    boundaries: tuple          # per date: (w-grid, (k+1, n_w) u*(w) rows)
+    k: int
+    auto: bool
+
+
+def dp_oracle_chooser_cap_g2(cfg: HWConfig, g, market: MarketCurve, *,
+                             rate: float, k: int,
+                             start: float | None = None,
+                             tenor: float = 5.0, freq: float = 1.0,
+                             auto: bool = False, n_u: int = 161,
+                             n_w: int = 61, width: float = 7.0,
+                             n_quad: int = 16) -> G2ChooserDP:
+    """fp64 value iteration for the G2++ chooser cap (or auto-cap) on a
+    (rights-lattice, u-grid, w-grid) state space.  The full-cap side
+    column is pinned against barrier.cap_closed_form_g2 (exact under
+    the sampled functional law) up to the documented O(h^2) bilinear
+    grid bias; chooser(k = n) == auto(k = n) == that column."""
+    from .barrier import cap_closed_form_g2
+    from .g2_note import (_expect_bilinear_multi, _kink_edge,
+                          _period_machine, _strip_lnA_f64)
+    from .models.g2pp import _B, _g2_functional_cov, _v_integral
+
+    del cap_closed_form_g2      # documented pin target (tests)
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    delta = tau
+    k = int(k)
+    if not 0 <= k <= n:
+        raise ValueError(f"need 0 <= k <= n caplets, got k={k}, n={n}")
+    obs, bounds, dates = _note_dates(float(start), n, float(tau), 1)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P0 = np.asarray(market.P, np.float64)
+    dd = {t: float(np.interp(t, Ts, P0))
+          * math.exp(-0.5 * _v_integral(g, t)) for t in bounds}
+    lnAs = {t: _strip_lnA_f64(cfg, g, market, t, delta)
+            for o in obs for t in o}
+    uK = {t: _kink_edge(lnAs[t], delta, rate) for t in lnAs}
+
+    def grids(t):
+        s_u = math.sqrt(_g2_functional_cov(g, (("u", t, Ba, Bb),))[0, 0])
+        s_w = math.sqrt(_g2_functional_cov(g, (("u", t, ca, cb),))[0, 0])
+        ug = np.linspace(-width * s_u, width * s_u, n_u)
+        if ug[0] < uK[t] < ug[-1] and math.isfinite(uK[t]):
+            # chooser: the value is CONTINUOUS at the kink (d = 0 at the
+            # exercise boundary), one node; auto-cap: forced exercise of
+            # a worthless right makes the value JUMP just above u_K —
+            # double node, the barrier-cliff treatment
+            extra = [uK[t], uK[t] + 1e-9] if auto else [uK[t]]
+            ug = np.unique(np.concatenate([ug, extra]))
+        return ug, np.linspace(-width * s_w, width * s_w, n_w)
+
+    nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
+    wq = wq / math.sqrt(2.0 * math.pi)
+    gr = {t: grids(t) for t in bounds[:n]}
+
+    xs_next = None
+    Vs = None                    # list of k+2 surfaces (ug, wg)
+    boundaries = []
+    for j in range(n - 1, -1, -1):
+        Tj, Tp = bounds[j], bounds[j + 1]
+        ug, wg = gr[Tj]
+        U, Wm = np.meshgrid(ug, wg, indexing="ij")
+        uf, wf = U.ravel(), Wm.ravel()
+        interior, kcoef, C = _period_machine(g, Tj, Tp, obs[j],
+                                             Ba, Bb, ca, cb)
+        assert not interior
+        iu, iw = 1, 2
+        m_d = kcoef[0, 0] * uf + kcoef[1, 0] * wf
+        w0 = (dd[Tp] / dd[Tj]) * np.exp(-m_d + 0.5 * C[0, 0])
+        L = (np.exp(uf - lnAs[Tj]) - 1.0) / delta
+        cp = tau * np.maximum(L - rate, 0.0)
+        if Vs is None:
+            Ec = np.zeros((len(uf), k + 2))
+        else:
+            mu_u = kcoef[0, iu] * uf + kcoef[1, iu] * wf - C[iu, 0]
+            mu_w = kcoef[0, iw] * uf + kcoef[1, iw] * wf - C[iw, 0]
+            Ec = _expect_bilinear_multi(mu_u, mu_w, C[iu, iu],
+                                        C[iu, iw], C[iw, iw],
+                                        xs_next[0], xs_next[1], Vs,
+                                        nodes, wq)
+        sh = (len(ug), len(wg))
+        span = ug[-1] - ug[0]
+        lo_big, hi_big = ug[0] - span, ug[-1] + span
+        V_new = [np.zeros(sh)]                        # c = 0: no rights
+        rows = []
+        for c in range(1, k + 1):
+            d = (cp + Ec[:, c - 1] - Ec[:, c]).reshape(sh)
+            if auto:
+                ex = (cp > 0.0).reshape(sh)
+            else:
+                ex = d > 1e-14
+                # boundary curve u*(w): first positive-crossing of the
+                # marginal value per w-column (exercise when u > u*)
+                ustar = []
+                for col in range(len(wg)):
+                    dc = d[:, col]
+                    pos = np.nonzero(dc > 1e-14)[0]
+                    if len(pos) == 0:
+                        ustar.append(hi_big)          # never exercise
+                    elif pos[0] == 0:
+                        ustar.append(lo_big)          # always
+                    else:
+                        i = int(pos[0])
+                        lam = -dc[i - 1] / (dc[i] - dc[i - 1])
+                        ustar.append(float(ug[i - 1]
+                                           + lam * (ug[i] - ug[i - 1])))
+                rows.append(tuple(ustar))
+            V_new.append((w0 * np.where(ex.ravel(), cp + Ec[:, c - 1],
+                                        Ec[:, c])).reshape(sh))
+        V_new.append((w0 * (cp + Ec[:, k + 1])).reshape(sh))  # full cap
+        if not auto:
+            boundaries.append((tuple(float(v) for v in wg),
+                               (tuple([hi_big] * len(wg)),) + tuple(rows)))
+        Vs, xs_next = V_new, (ug, wg)
+
+    T0 = bounds[0]
+    S0 = _g2_functional_cov(
+        g, (("I", T0), ("u", T0, Ba, Bb), ("u", T0, ca, cb)))
+    from .g2_note import _expect_bilinear_multi as _ebm
+    top = float(np.interp(T0, Ts, P0)) * _ebm(
+        np.array([-S0[1, 0]]), np.array([-S0[2, 0]]), S0[1, 1],
+        S0[1, 2], S0[2, 2], xs_next[0], xs_next[1], Vs, nodes, wq)[0]
+    return G2ChooserDP(price=float(top[k]), cap_price=float(top[k + 1]),
+                       boundaries=tuple(reversed(boundaries)), k=k,
+                       auto=bool(auto))
+
+
+@lru_cache(maxsize=None)
+def _chooser_g2_fn(cfg: HWConfig, g, rate: float, start: float, n: int,
+                   tau: float, k: int, auto: bool, boundaries: tuple,
+                   cap_mean: float, n_paths: int, n_blocks: int, mesh):
+    from .g2_note import _strip_lnA_traced
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    obs, bounds, dates = _note_dates(start, n, tau, 1)
+    del dates
+    fixes = tuple(o[0] for o in obs)
+    pays = bounds[1:]
+    delta = tau
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+    # sample u at the fixings (cash + policy), w there (the second
+    # policy coordinate; the auto-cap's policy is intrinsic in u but the
+    # shared Cholesky keeps the two estimators on common random numbers)
+    specs = tuple([("u", t, Ba, Bb) for t in fixes]
+                  + [("u", t, ca, cb) for t in fixes]
+                  + [("I", p) for p in pays])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    v_half = jnp.asarray([0.5 * _v_integral(g, p) for p in pays],
+                         jnp.float32)
+    if not auto:
+        bw = [jnp.asarray(b[0], jnp.float32) for b in boundaries]
+        bu = [jnp.asarray(np.asarray(b[1], np.float64), jnp.float32)
+              for b in boundaries]          # (k+1, n_w) per date
+
+    def compute(key, market):
+        lnA = jnp.stack([_strip_lnA_traced(cfg, g, market, t, delta)
+                         for t in fixes])
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             for p in pays]) * jnp.exp(-v_half)
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, 3 * n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :n]                          # centered
+                wv = sgn * z[:, n:2 * n]
+                disc = disc0[None, :] * jnp.exp(-sgn * z[:, 2 * n:])
+                L = (jnp.exp(u - lnA[None, :]) - 1.0) / delta
+                cp = tau * jnp.maximum(L - rate, 0.0) * disc
+                c = jnp.full(u.shape[0], k, jnp.int32)
+                V = jnp.zeros(u.shape[0], jnp.float32)
+                for j in range(n):
+                    if auto:
+                        ex = (cp[:, j] > 0.0) & (c >= 1)
+                    else:
+                        thr_all = jax.vmap(
+                            lambda row: jnp.interp(wv[:, j], bw[j],
+                                                   row))(bu[j])
+                        thr = jnp.take_along_axis(
+                            thr_all, c[None, :].astype(jnp.int32),
+                            axis=0, mode="clip")[0]
+                        ex = (u[:, j] > thr) & (c >= 1)
+                    V = V + ex.astype(jnp.float32) * cp[:, j]
+                    c = c - ex.astype(jnp.int32)
+                Y = jnp.sum(cp, axis=1)             # full cap (CV)
+                return V, Y, jnp.float32(k) - c.astype(jnp.float32)
+
+            Vp, Yp, Up = leg(1.0)
+            Vm, Ym, Um = leg(-1.0)
+            V, Y, Uc = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym), 0.5 * (Up + Um)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(V * Y),
+                              jnp.sum(Uc)])
+
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my = s[0] / n_tot, s[2] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        cov = s[4] / n_tot - mv * my
+        beta = cov / var_y
+        price = mv - beta * (my - cap_mean)
+        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_chooser_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                         rate: float, k: int, start: float | None = None,
+                         tenor: float = 5.0, freq: float = 1.0,
+                         auto: bool = False,
+                         boundaries: tuple | None = None,
+                         cap_mean: float | None = None,
+                         n_paths: int | None = None, n_blocks: int = 1,
+                         mesh=None) -> ChooserResult:
+    """Monte Carlo G2++ chooser cap (or auto-cap) under the fixed DP
+    boundary-curve policy (exercise right c at T_j when
+    u_j > u*_{j,c}(w_j); default: curves and the CV's exact full-cap
+    mean read off the fp64 (u, w) DP / the closed form).  Any fixed
+    policy is an unbiased LOWER bound on the holder-optimal value; the
+    auto-cap's intrinsic policy makes its estimate exact to MC noise."""
+    from .barrier import cap_closed_form_g2
+
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if boundaries is None and not auto:
+        dp = dp_oracle_chooser_cap_g2(cfg, g, market, rate=rate, k=k,
+                                      start=start, tenor=tenor,
+                                      freq=freq, auto=False)
+        boundaries = dp.boundaries
+    if cap_mean is None:
+        # exact under the sampled functional law (no trapezoid gap)
+        cap_mean, _ = cap_closed_form_g2(cfg, g, market, rate=rate,
+                                         start=start, tenor=tenor,
+                                         freq=freq)
+    out = _chooser_g2_fn(cfg, g, float(rate), float(start), n,
+                         float(tau), int(k), bool(auto),
+                         boundaries if auto else tuple(boundaries),
+                         float(cap_mean), int(n_paths), int(n_blocks),
+                         mesh)(key, market)
+    return ChooserResult(price=out[0], std_error=out[1], raw_price=out[2],
+                         raw_std_error=out[3], beta=out[4],
+                         used_mean=out[5],
+                         n_paths=int(n_paths) * int(n_blocks))
+
+
+def vega_chooser_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                        rate: float, k: int, start: float | None = None,
+                        tenor: float = 5.0, freq: float = 1.0,
+                        auto: bool = False, eps: float = 1e-3,
+                        n_paths: int | None = None, n_blocks: int = 1,
+                        mesh=None) -> ChooserVega:
+    """CRN central-difference d price / d sigma (the x-factor vol) with
+    the exercise curves FROZEN at the base-sigma DP policy (envelope
+    theorem); oracle: the re-optimizing fp64 DP's own FD.  The CV's
+    exact mean is recomputed per bump so each side stays unbiased."""
+    from .models.g2pp import G2Params
+
+    if start is None:
+        start = cfg.s1
+    kw = dict(rate=rate, k=k, start=start, tenor=tenor, freq=freq,
+              auto=auto)
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    base = (None if auto
+            else dp_oracle_chooser_cap_g2(cfg, g, market, **kw).boundaries)
+    dp_m = dp_oracle_chooser_cap_g2(cfg, gm, market, **kw)
+    dp_p = dp_oracle_chooser_cap_g2(cfg, gp, market, **kw)
+    mc = dict(kw, boundaries=base, n_paths=n_paths, n_blocks=n_blocks,
+              mesh=mesh)
+    p_m = price_chooser_cap_g2(cfg, gm, key, market, **mc).price
+    p_p = price_chooser_cap_g2(cfg, gp, key, market, **mc).price
+    return ChooserVega(vega=(p_p - p_m) / (2.0 * eps),
+                       dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
+                       price_minus=p_m, price_plus=p_p, epsilon=eps)

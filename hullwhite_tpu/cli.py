@@ -889,6 +889,46 @@ def cmd_exotics(args):
         "vega_mc_crn_fd": float(cv.vega), "vega_dp_fd": cv.dp_vega,
         "k": args.rights, "rate": args.cap_rate}
 
+    print(f"--- G2++ chooser cap (two-factor twin: boundary CURVES "
+          f"u*(w) per (date, rights) on the (u, w) swing DP) ---")
+    c2kw = dict(ckw, n_paths=min(cfg.n_paths, 1 << 17))
+    cdp2 = flexi.dp_oracle_chooser_cap_g2(cfg, g2, market, **ckw)
+    cmc2 = flexi.price_chooser_cap_g2(cfg, g2, key, market,
+                                      boundaries=cdp2.boundaries, **c2kw)
+    # the default-grid (u, w) DP carries the documented O(h^2) bias;
+    # gate on the absolute gap like the note products
+    ok_c2 = abs(float(cmc2.price) - cdp2.price) < 2.5e-4
+    print(f"DP oracle:   {cdp2.price:.8f}  (full cap "
+          f"{cdp2.cap_price:.8f})")
+    print(f"MC (CV):     {float(cmc2.price):.8f} "
+          f"+/- {float(cmc2.std_error):.2e} (SE; raw SE "
+          f"{float(cmc2.raw_std_error):.2e}); mean rights used "
+          f"{float(cmc2.used_mean):.3f}")
+    print(f"agreement: |MC - DP| = "
+          f"{abs(float(cmc2.price) - cdp2.price):.2e} "
+          f"({'PASS' if ok_c2 else 'CHECK'})")
+    rc |= 0 if ok_c2 else 1
+    adp2 = flexi.dp_oracle_chooser_cap_g2(cfg, g2, market, auto=True,
+                                          **ckw)
+    amc2 = flexi.price_chooser_cap_g2(cfg, g2, key, market, auto=True,
+                                      **c2kw)
+    z_a2 = (float(amc2.price) - adp2.price) / max(float(amc2.std_error),
+                                                  1e-12)
+    ok_a2 = abs(z_a2) < 4 or abs(float(amc2.price) - adp2.price) < 2e-4
+    print(f"auto-cap DP: {adp2.price:.8f}   MC {float(amc2.price):.8f} "
+          f"+/- {float(amc2.std_error):.2e}  z = {z_a2:.2f} "
+          f"({'PASS' if ok_a2 else 'CHECK'}); choice premium "
+          f"{cdp2.price - adp2.price:.6f}")
+    rc |= 0 if ok_a2 else 1
+    results["chooser_cap_g2"] = {
+        "dp_price": cdp2.price, "dp_cap": cdp2.cap_price,
+        "mc_price": float(cmc2.price), "mc_se": float(cmc2.std_error),
+        "mc_raw_se": float(cmc2.raw_std_error),
+        "used_mean": float(cmc2.used_mean),
+        "auto_dp": adp2.price, "auto_mc": float(amc2.price),
+        "auto_z": z_a2, "choice_premium": cdp2.price - adp2.price,
+        "k": args.rights, "rate": args.cap_rate}
+
     print(f"--- ratchet cap: strike resets to previous LIBOR + "
           f"{args.ratchet_spread*100:.2f}% (Rao-Blackwell MC vs "
           f"GH-outer/closed-inner fp64 quadrature) ---")

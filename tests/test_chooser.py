@@ -176,3 +176,92 @@ def test_mesh_matches_single(analytic_market):
                                       mesh=mesh, **KW)
     np.testing.assert_allclose(float(shard.price), float(single.price),
                                rtol=0, atol=2e-6)
+
+
+# --- G2++ twin ---------------------------------------------------------
+
+from hullwhite_tpu.models.g2pp import G2Params
+
+G2 = G2Params()
+
+
+@pytest.fixture(scope="module")
+def dp2_g2(analytic_market):
+    return chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market,
+                                            k=2, **KW)
+
+
+def test_g2_full_rights_collapse_to_cap(analytic_market):
+    from hullwhite_tpu.barrier import cap_closed_form_g2
+
+    cf, _ = cap_closed_form_g2(CFG, G2, analytic_market, rate=KW["rate"],
+                               tenor=KW["tenor"])
+    ch = chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market, k=N,
+                                          **KW)
+    au = chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market, k=N,
+                                          auto=True, **KW)
+    assert abs(ch.price - ch.cap_price) < 1e-12
+    assert abs(au.price - au.cap_price) < 1e-12
+    # the (u, w) bilinear surface's documented O(h^2) convexity bias
+    assert abs(ch.cap_price - cf) < 2e-4
+
+
+def test_g2_rights_monotone_concave(analytic_market):
+    vals = [chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market,
+                                             k=k, **KW).price
+            for k in range(N + 1)]
+    assert vals[0] == 0.0
+    marg = np.diff(vals)
+    assert (marg > 0).all()
+    assert (np.diff(marg) < 1e-12).all()     # diminishing marginal right
+    # auto <= chooser for every interior budget (choice premium >= 0)
+    for k in (1, 2):
+        a = chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market,
+                                             k=k, auto=True, **KW).price
+        assert a <= vals[k] + 1e-12
+
+
+def test_g2_mc_reproduces_dp(analytic_market, dp2_g2):
+    res = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market,
+                                       k=2, n_paths=1 << 14, n_blocks=4,
+                                       **KW)
+    # the default-grid DP carries the documented O(h^2) bias (~1e-4);
+    # the MC is policy-insensitive, so pin on the absolute gap
+    assert abs(float(res.price) - dp2_g2.price) < 2.5e-4
+    assert float(res.std_error) < 0.8 * float(res.raw_std_error)
+    assert 0.0 < float(res.used_mean) <= 2.0
+
+
+def test_g2_auto_mc_reproduces_dp(analytic_market):
+    dp = chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market, k=2,
+                                          auto=True, **KW)
+    res = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market,
+                                       k=2, auto=True, n_paths=1 << 14,
+                                       n_blocks=4, **KW)
+    z = (float(res.price) - dp.price) / max(float(res.std_error), 1e-12)
+    assert abs(z) < 4.0 or abs(float(res.price) - dp.price) < 2e-4
+
+
+def test_g2_chooser_dominates_auto_mc(analytic_market):
+    kw = dict(k=2, n_paths=1 << 14, n_blocks=2, **KW)
+    ch = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market, **kw)
+    au = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market,
+                                      auto=True, **kw)
+    assert float(ch.price) > float(au.price)
+
+
+def test_g2_vega_matches_dp_fd(analytic_market):
+    v = chooser.vega_chooser_cap_g2(CFG, G2, KEY, analytic_market, k=2,
+                                    n_paths=1 << 14, n_blocks=2, **KW)
+    assert abs(float(v.vega) - v.dp_vega) < 0.03 * abs(v.dp_vega) + 1e-3
+
+
+def test_g2_mesh_matches_single(analytic_market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(k=2, n_paths=1 << 12, n_blocks=8, **KW)
+    single = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market,
+                                          **kw)
+    shard = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market,
+                                         mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.price) - float(shard.price)) < 1e-6
