@@ -1184,6 +1184,45 @@ def cmd_notes(args):
         "mean_final_coupon_dp": sdp2.mean_final_coupon,
         "vega_crn_fd": float(sv2.vega), "vega_dp_fd": sv2.dp_vega}
 
+    print("--- G2++ callable snowball (issuer call at par, boundary "
+          "SURFACES u*(w, c) over the (u, w, c) DP) ---")
+    # moderate grids by default: the callable DP runs the backward pass
+    # twice (call on/off); --fine restores the snowball defaults
+    csg = (dict(n_u=161, n_w=61, n_quad=16) if getattr(args, "fine",
+                                                       False)
+           else dict(n_u=121, n_w=41, n_quad=12))
+    csdp2 = g2_note.dp_oracle_callable_snowball_g2(cfg, g2, market,
+                                                   **skw, **csg)
+    csmc2 = g2_note.price_callable_snowball_g2(
+        cfg, g2, key, market, boundaries=csdp2.boundaries,
+        c_grid=csdp2.c_grid, plain_mean=csdp2.plain_price, **skw)
+    # the (u, w) bilinear DP carries the documented O(h^2) bias; gate
+    # on the absolute gap like the other G2 note products
+    ok_cs2 = abs(float(csmc2.price) - csdp2.price) < 5e-4
+    print(f"DP oracle:   {csdp2.price:.8f} (plain "
+          f"{csdp2.plain_price:.8f}, call discount "
+          f"{csdp2.call_premium:.6f})")
+    print(f"MC (2-CV):   {float(csmc2.price):.8f} "
+          f"+/- {float(csmc2.std_error):.2e} (SE; raw SE "
+          f"{float(csmc2.raw_std_error):.2e}); call fraction "
+          f"{float(csmc2.call_fraction):.4f}")
+    print(f"agreement: |MC - DP| = "
+          f"{abs(float(csmc2.price) - csdp2.price):.2e} "
+          f"({'PASS' if ok_cs2 else 'CHECK'})")
+    rc |= 0 if ok_cs2 else 1
+    csv2 = g2_note.vega_callable_snowball_g2(
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16),
+        dp_kwargs=csg, **skw)
+    print(f"callable-snowball vega: CRN-FD {float(csv2.vega):.6f} vs "
+          f"DP FD {csv2.dp_vega:.6f} (frozen-surface envelope check)")
+    results["callable_snowball_g2"] = {
+        "dp_price": csdp2.price, "dp_plain": csdp2.plain_price,
+        "call_premium": csdp2.call_premium,
+        "mc_price": float(csmc2.price), "mc_se": float(csmc2.std_error),
+        "mc_raw_se": float(csmc2.raw_std_error),
+        "call_fraction": float(csmc2.call_fraction),
+        "vega_crn_fd": float(csv2.vega), "vega_dp_fd": csv2.dp_vega}
+
     print("--- G2++ callable capped floater (2-d (u, w) DP oracle, "
           "boundary-curve issuer policy) ---")
     fdp2 = g2_note.dp_oracle_capped_floater_g2(cfg, g2, market, **fkw,

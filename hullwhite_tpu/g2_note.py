@@ -1193,28 +1193,22 @@ def snowball_linear_closed_form_g2(cfg: HWConfig, g: G2Params,
     return total, per
 
 
-def dp_oracle_snowball_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
-                          *, initial: float, spread: float, cap: float,
-                          floor: float = 0.0, start: float | None = None,
-                          tenor: float = 4.0, freq: float = 1.0,
-                          libor_tenor: float | None = None,
-                          n_u: int = 161, n_w: int = 61, n_c: int = 41,
-                          width: float = 7.0,
-                          n_quad: int = 16) -> G2SnowballDP:
-    """fp64 value iteration for the G2++ snowball over (u, w, c): the
-    c-levels are value surfaces batched through
-    ``_expect_bilinear_multi`` (tilted for the value, untilted for
-    E[c_{n-1}]), blended linearly in c at the deterministic update
-    c' = clip(c + spread - L(u), floor, cap).  With clip bounds the
-    paths cannot reach, the DP must collapse to
-    ``snowball_linear_closed_form_g2`` (pinned by the tests)."""
-    if start is None:
-        start = cfg.s1
-    n = int(round(tenor * freq))
-    tau = 1.0 / freq
-    if libor_tenor is None:
-        libor_tenor = tau
-    delta = float(libor_tenor)
+def _g2_snowball_dp(cfg: HWConfig, g: G2Params, market: MarketCurve, *,
+                    initial: float, spread: float, cap: float,
+                    floor: float, start: float, n: int, tau: float,
+                    delta: float, n_u: int, n_w: int, n_c: int,
+                    width: float, n_quad: int, callable_: bool = False):
+    """Shared fp64 (u, w, c) value iteration for the G2++ snowball
+    family.  With ``callable_`` the ISSUER may call at par at every
+    interior boundary T_1..T_{n-1} (decision state: (u_j, w_j) and the
+    running coupon c_{j-1}): the value gets min(1, .) per c-level and
+    the call boundary becomes a per-date SURFACE u*(w, c_l) read off
+    the crossing per (w-column, c-level) — call when u < u* (the note
+    is worth most when rates are low).  Never/always-call levels are
+    clamped one u-span outside the grid so the MC's bilinear (w, c)
+    interpolation stays finite.  Returns (price, mean_final_coupon,
+    boundaries, cs) with boundaries = () unless ``callable_``; each
+    boundaries entry is (w-grid tuple, (n_c, n_w) u*(w, c) rows)."""
     obs, bounds, dates = _note_dates(float(start), n, float(tau), 1)
     del dates
     Ba, Bb = _B(g.a, delta), _B(g.b, delta)
@@ -1250,6 +1244,7 @@ def dp_oracle_snowball_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
     shape = (len(ug_next), len(wg_next))
     Wn = [np.ones(shape) for _ in range(n_c)]         # value per c-level
     Cn = [np.full(shape, c) for c in cs]              # E[c_{n-1}] per level
+    bnds = []
     for j in range(n - 1, -1, -1):
         Tj, Tp = bounds[j], bounds[j + 1]
         ug, wg = gr[Tj]
@@ -1280,6 +1275,28 @@ def dp_oracle_snowball_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
                          .reshape(len(ug), len(wg)))
             cv = c_interp(Cv, c_new) if j < n - 1 else c_new
             C_new.append(cv.reshape(len(ug), len(wg)))
+        if callable_ and 1 <= j:
+            # issuer calls at par at T_j (decision state: (u, w) and
+            # the running coupon level): the value is decreasing in u
+            # per (w, c) — the coupon melts and the discounting deepens
+            # as rates rise — so min(1, W) flips on at most one
+            # crossing u*(w, c_l) per column
+            span = ug[-1] - ug[0]
+            rows = []
+            for l in range(n_c):
+                row = []
+                for col in range(len(wg)):
+                    v = W_new[l][:, col]
+                    if v[0] > 1.0 > v[-1]:
+                        ub = float(np.interp(-1.0, -v, ug))
+                    elif v[0] <= 1.0:
+                        ub = ug[0] - span      # never call at this level
+                    else:
+                        ub = ug[-1] + span     # always call
+                    row.append(ub)
+                rows.append(tuple(row))
+            bnds.append((tuple(float(v) for v in wg), tuple(rows)))
+            W_new = [np.minimum(1.0, Wl) for Wl in W_new]
         Wn, Cn, ug_next, wg_next = W_new, C_new, ug, wg
     # integrate from 0 (every c-column is identical at j = 0: the first
     # coupon is `initial` regardless of c_prev — use column 0)
@@ -1292,12 +1309,83 @@ def dp_oracle_snowball_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
     mean_c = _expect_bilinear(
         np.array([0.0]), np.array([0.0]), S0[1, 1], S0[1, 2], S0[2, 2],
         ug_next, wg_next, Cn[0], nodes, wq)[0]
+    return price, float(mean_c), tuple(reversed(bnds)), tuple(cs)
+
+
+def dp_oracle_snowball_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                          *, initial: float, spread: float, cap: float,
+                          floor: float = 0.0, start: float | None = None,
+                          tenor: float = 4.0, freq: float = 1.0,
+                          libor_tenor: float | None = None,
+                          n_u: int = 161, n_w: int = 61, n_c: int = 41,
+                          width: float = 7.0,
+                          n_quad: int = 16) -> G2SnowballDP:
+    """fp64 value iteration for the G2++ snowball over (u, w, c): the
+    c-levels are value surfaces batched through
+    ``_expect_bilinear_multi`` (tilted for the value, untilted for
+    E[c_{n-1}]), blended linearly in c at the deterministic update
+    c' = clip(c + spread - L(u), floor, cap).  With clip bounds the
+    paths cannot reach, the DP must collapse to
+    ``snowball_linear_closed_form_g2`` (pinned by the tests)."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    price, mean_c, _, cs = _g2_snowball_dp(
+        cfg, g, market, initial=initial, spread=spread, cap=cap,
+        floor=floor, start=float(start), n=n, tau=tau,
+        delta=float(libor_tenor), n_u=n_u, n_w=n_w, n_c=n_c, width=width,
+        n_quad=n_quad)
     lin, _ = snowball_linear_closed_form_g2(
         cfg, g, market, initial=initial, spread=spread, start=start,
         tenor=tenor, freq=freq, libor_tenor=libor_tenor)
     return G2SnowballDP(price=price, linear_price=lin,
-                        mean_final_coupon=float(mean_c),
-                        c_grid=tuple(cs))
+                        mean_final_coupon=mean_c, c_grid=cs)
+
+
+class G2CallableSnowballDP(NamedTuple):
+    price: float               # fp64 DP value of the callable snowball
+    plain_price: float         # call-disabled snowball DP value
+    boundaries: tuple          # per call date: (w-grid, (n_c, n_w) u*)
+    call_premium: float        # plain_price - price  (>= 0)
+    c_grid: tuple
+
+
+def dp_oracle_callable_snowball_g2(cfg: HWConfig, g: G2Params,
+                                   market: MarketCurve, *, initial: float,
+                                   spread: float, cap: float,
+                                   floor: float = 0.0,
+                                   start: float | None = None,
+                                   tenor: float = 4.0, freq: float = 1.0,
+                                   libor_tenor: float | None = None,
+                                   n_u: int = 161, n_w: int = 61,
+                                   n_c: int = 41, width: float = 7.0,
+                                   n_quad: int = 16
+                                   ) -> G2CallableSnowballDP:
+    """fp64 value iteration for the G2++ ISSUER-CALLABLE snowball: the
+    (u, w, c) snowball DP with min(1, .) per c-level at every interior
+    boundary and the call boundary SURFACE u*(w, c) read off the
+    crossing — the two-factor twin of
+    ``snowball.dp_oracle_callable_snowball`` (whose boundary is the
+    curve r*(c)); the extra w-axis is the orthogonal factor direction
+    the issuer also observes."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    kw = dict(initial=initial, spread=spread, cap=cap, floor=floor,
+              start=float(start), n=n, tau=tau, delta=float(libor_tenor),
+              n_u=n_u, n_w=n_w, n_c=n_c, width=width, n_quad=n_quad)
+    price, _, bnds, cs = _g2_snowball_dp(cfg, g, market, callable_=True,
+                                         **kw)
+    plain, _, _, _ = _g2_snowball_dp(cfg, g, market, **kw)
+    return G2CallableSnowballDP(price=price, plain_price=plain,
+                                boundaries=bnds,
+                                call_premium=plain - price, c_grid=cs)
 
 
 class G2SnowballResult(NamedTuple):
@@ -1440,3 +1528,214 @@ def vega_snowball_g2(cfg: HWConfig, g: G2Params, key,
     return G2NoteVega(vega=(p_p - p_m) / (2.0 * eps),
                       dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
                       price_minus=p_m, price_plus=p_p, epsilon=eps)
+
+
+class G2CallableSnowballResult(NamedTuple):
+    price: jax.Array           # CV upper-bound estimate (issuer policy)
+    std_error: jax.Array
+    raw_price: jax.Array       # plain MC (no CV)
+    raw_std_error: jax.Array
+    beta: jax.Array            # fitted CV coefficient (plain-note leg)
+    call_fraction: jax.Array   # fraction of paths called early
+    n_paths: int
+
+
+@lru_cache(maxsize=None)
+def _g2_callable_snowball_fn(cfg: HWConfig, g: G2Params, initial: float,
+                             spread: float, cap: float, floor: float,
+                             start: float, n: int, tau: float,
+                             delta: float, boundaries: tuple, cs: tuple,
+                             plain_mean: float, n_paths: int,
+                             n_blocks: int, mesh):
+    obs, bounds, dates = _note_dates(start, n, tau, 1)
+    del dates
+    Ba, Bb = _B(g.a, delta), _B(g.b, delta)
+    ca, cb = -Bb, Ba
+    # sample u at the n period starts (coupon + policy), w at the
+    # interior call dates T_1..T_{n-1}, I at the n payments
+    specs = tuple([("u", o[0], Ba, Bb) for o in obs]
+                  + [("u", T, ca, cb) for T in bounds[1:n]]
+                  + [("I", T) for T in bounds[1:]])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    v_half = [0.5 * _v_integral(g, p) for p in bounds[1:]]
+    CS = jnp.asarray(cs, jnp.float32)
+    n_c = len(cs)
+    bw = [jnp.asarray(b[0], jnp.float32) for b in boundaries]
+    bu = [jnp.asarray(np.asarray(b[1], np.float64), jnp.float32)
+          for b in boundaries]              # (n_c, n_w) per call date
+
+    def compute(key, market):
+        lnA = jnp.stack([_strip_lnA_traced(cfg, g, market, o[0], delta)
+                         for o in obs])
+        disc0 = jnp.stack(
+            [hw.interp_curve(market.P, jnp.float32(p), cfg)
+             * jnp.exp(jnp.float32(-v_half[j]))
+             for j, p in enumerate(bounds[1:])])
+
+        def block(bi):
+            x = jax.random.normal(jax.random.fold_in(key, bi),
+                                  (n_paths, n + (n - 1) + n), jnp.float32)
+            z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                u = sgn * z[:, :n]                          # centered
+                wv = sgn * z[:, n:n + n - 1]
+                discs = disc0[None, :] * jnp.exp(-sgn * z[:, n + n - 1:])
+                L = (jnp.exp(u - lnA[None, :]) - 1.0) / delta
+                c = jnp.full(u.shape[0], initial, jnp.float32)
+                alive = jnp.ones(u.shape[0], jnp.float32)
+                V = tau * c * discs[:, 0]
+                Y = V                      # CV: the non-callable note
+                for j in range(1, n):
+                    # issuer decision at T_j: state (u_j, w_j, c_{j-1});
+                    # boundary surface bilinear in (w, coupon)
+                    bwj, buj = bw[j - 1], bu[j - 1]
+                    iw = jnp.clip(jnp.searchsorted(bwj, wv[:, j - 1]) - 1,
+                                  0, bwj.shape[0] - 2)
+                    lw = jnp.clip((wv[:, j - 1] - bwj[iw])
+                                  / (bwj[iw + 1] - bwj[iw]), 0.0, 1.0)
+                    ic = jnp.clip(jnp.searchsorted(CS, c) - 1,
+                                  0, n_c - 2)
+                    dc = CS[ic + 1] - CS[ic]
+                    lc = jnp.clip((c - CS[ic])
+                                  / jnp.where(dc > 0, dc, 1.0), 0.0, 1.0)
+                    lo = (1.0 - lw) * buj[ic, iw] + lw * buj[ic, iw + 1]
+                    hi = ((1.0 - lw) * buj[ic + 1, iw]
+                          + lw * buj[ic + 1, iw + 1])
+                    ub = (1.0 - lc) * lo + lc * hi
+                    call_now = alive * (u[:, j] < ub).astype(jnp.float32)
+                    V = V + call_now * discs[:, j - 1]     # par at T_j
+                    alive = alive - call_now
+                    c = jnp.clip(c + spread - L[:, j], floor, cap)
+                    V = V + alive * tau * c * discs[:, j]
+                    Y = Y + tau * c * discs[:, j]
+                V = V + alive * discs[:, n - 1]
+                Y = Y + discs[:, n - 1]
+                # second CV: the deterministic "call at T_1" leg
+                Z = (1.0 + tau * initial) * discs[:, 0]
+                return V, Y, Z, 1.0 - alive
+
+            Vp, Yp, Zp, Fp = leg(1.0)
+            Vm, Ym, Zm, Fm = leg(-1.0)
+            V, Y = 0.5 * (Vp + Vm), 0.5 * (Yp + Ym)
+            Z, F = 0.5 * (Zp + Zm), 0.5 * (Fp + Fm)
+            return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
+                              jnp.sum(Y * Y), jnp.sum(Z), jnp.sum(Z * Z),
+                              jnp.sum(V * Y), jnp.sum(V * Z),
+                              jnp.sum(Y * Z), jnp.sum(F)])
+
+        # exact mean of the second CV: E[e^{-I(T_1)}] = P(0, T_1)
+        z_mean = ((1.0 + tau * initial)
+                  * hw.interp_curve(market.P, jnp.float32(bounds[1]),
+                                    cfg))
+        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        n_tot = 1.0 * n_paths * n_blocks
+        mv, my, mz = s[0] / n_tot, s[2] / n_tot, s[4] / n_tot
+        var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
+        var_y = jnp.maximum(s[3] / n_tot - my * my, 1e-30)
+        var_z = jnp.maximum(s[5] / n_tot - mz * mz, 1e-30)
+        c_vy = s[6] / n_tot - mv * my
+        c_vz = s[7] / n_tot - mv * mz
+        c_yz = s[8] / n_tot - my * mz
+        det = jnp.maximum(var_y * var_z - c_yz * c_yz, 1e-30)
+        b_y = (var_z * c_vy - c_yz * c_vz) / det
+        b_z = (var_y * c_vz - c_yz * c_vy) / det
+        price = mv - b_y * (my - plain_mean) - b_z * (mz - z_mean)
+        var_cv = jnp.maximum(var_v - b_y * c_vy - b_z * c_vz, 0.0)
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
+                jnp.sqrt(bessel * var_v / n_tot), b_y, s[9] / n_tot)
+
+    return jax.jit(compute)
+
+
+def price_callable_snowball_g2(cfg: HWConfig, g: G2Params, key,
+                               market: MarketCurve, *, initial: float,
+                               spread: float, cap: float,
+                               floor: float = 0.0,
+                               start: float | None = None,
+                               tenor: float = 4.0, freq: float = 1.0,
+                               libor_tenor: float | None = None,
+                               boundaries: tuple | None = None,
+                               c_grid: tuple | None = None,
+                               plain_mean: float | None = None,
+                               n_paths: int | None = None,
+                               n_blocks: int = 1, mesh=None,
+                               dp_kwargs: dict | None = None
+                               ) -> G2CallableSnowballResult:
+    """Monte Carlo upper bound for the G2++ issuer-callable snowball
+    under the fixed boundary-SURFACE policy u*(w, c) per call date
+    (default: read off the fp64 (u, w, c) DP; any fixed issuer policy
+    is an unbiased upper bound).  The issuer calls at T_j when
+    u_j < u*_j(w_j, c_{j-1}), bilinear in (w, running coupon).  CVs: the
+    non-callable snowball anchored at its DP mean, plus the
+    deterministic call-at-T_1 leg at its exact closed-form mean."""
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    tau = 1.0 / freq
+    if libor_tenor is None:
+        libor_tenor = tau
+    if boundaries is None or c_grid is None or plain_mean is None:
+        dp = dp_oracle_callable_snowball_g2(
+            cfg, g, market, initial=initial, spread=spread, cap=cap,
+            floor=floor, start=start, tenor=tenor, freq=freq,
+            libor_tenor=libor_tenor, **(dp_kwargs or {}))
+        if boundaries is None or c_grid is None:
+            boundaries, c_grid = dp.boundaries, dp.c_grid
+        if plain_mean is None:
+            plain_mean = dp.plain_price
+    out = _g2_callable_snowball_fn(
+        cfg, g, float(initial), float(spread), float(cap), float(floor),
+        float(start), n, float(tau), float(libor_tenor),
+        tuple(boundaries), tuple(float(v) for v in c_grid),
+        float(plain_mean), int(n_paths), int(n_blocks), mesh)(key, market)
+    return G2CallableSnowballResult(
+        price=out[0], std_error=out[1], raw_price=out[2],
+        raw_std_error=out[3], beta=out[4], call_fraction=out[5],
+        n_paths=int(n_paths) * int(n_blocks))
+
+
+def vega_callable_snowball_g2(cfg: HWConfig, g: G2Params, key,
+                              market: MarketCurve, *, initial: float,
+                              spread: float, cap: float,
+                              floor: float = 0.0,
+                              start: float | None = None,
+                              tenor: float = 4.0, freq: float = 1.0,
+                              libor_tenor: float | None = None,
+                              eps: float = 1e-3,
+                              n_paths: int | None = None,
+                              n_blocks: int = 1, mesh=None,
+                              dp_kwargs: dict | None = None
+                              ) -> G2NoteVega:
+    """CRN central-difference d price / d sigma (the x-factor vol) with
+    the call boundary SURFACES frozen at the base-sigma DP policy
+    (envelope theorem at the issuer-optimal boundary); oracle: the
+    re-optimizing fp64 DP's own FD.  The CV's DP mean is recomputed per
+    bump so each side stays anchored at its own sigma."""
+    if start is None:
+        start = cfg.s1
+    dpk = dp_kwargs or {}
+    kw = dict(initial=initial, spread=spread, cap=cap, floor=floor,
+              start=start, tenor=tenor, freq=freq,
+              libor_tenor=libor_tenor)
+    gp = G2Params(a=g.a, b=g.b, sigma=g.sigma + eps, eta=g.eta, rho=g.rho)
+    gm = G2Params(a=g.a, b=g.b, sigma=g.sigma - eps, eta=g.eta, rho=g.rho)
+    base = dp_oracle_callable_snowball_g2(cfg, g, market, **kw, **dpk)
+    dp_m = dp_oracle_callable_snowball_g2(cfg, gm, market, **kw, **dpk)
+    dp_p = dp_oracle_callable_snowball_g2(cfg, gp, market, **kw, **dpk)
+    mc = dict(kw, boundaries=base.boundaries, c_grid=base.c_grid,
+              n_paths=n_paths, n_blocks=n_blocks, mesh=mesh)
+    p_m = price_callable_snowball_g2(cfg, gm, key, market,
+                                     plain_mean=dp_m.plain_price,
+                                     **mc).price
+    p_p = price_callable_snowball_g2(cfg, gp, key, market,
+                                     plain_mean=dp_p.plain_price,
+                                     **mc).price
+    return G2NoteVega(vega=(p_p - p_m) / (2.0 * eps),
+                      dp_vega=(dp_p.price - dp_m.price) / (2.0 * eps),
+                      price_minus=p_m, price_plus=p_p,
+                      epsilon=float(eps))

@@ -348,3 +348,77 @@ def test_snowball_sharded_matches_single(analytic_market):
     assert abs(float(r1.price) - float(r8.price)) < 1e-6
     assert abs(float(r1.mean_final_coupon)
                - float(r8.mean_final_coupon)) < 1e-6
+
+
+# --- issuer-callable snowball (boundary SURFACES u*(w, c)) -------------
+
+
+@pytest.fixture(scope="module")
+def csnow_dp(analytic_market):
+    return g2_note.dp_oracle_callable_snowball_g2(CFG, G2,
+                                                  analytic_market,
+                                                  **SKW, **SDPKW)
+
+
+def test_callable_snowball_dp_below_plain(snow_dp, csnow_dp):
+    """The issuer's call right can only cheapen the note, the plain
+    legs of both oracles must agree exactly (same backward pass), and
+    the boundary surfaces must rise with the running coupon (a richer
+    coupon is called at higher rates, i.e. larger u)."""
+    assert csnow_dp.price < csnow_dp.plain_price
+    assert csnow_dp.call_premium > 1e-3
+    assert abs(csnow_dp.plain_price - snow_dp.price) < 1e-14
+    b = np.array([rows for _, rows in csnow_dp.boundaries])
+    assert b.shape == (2, len(csnow_dp.c_grid), SDPKW["n_w"])
+    assert np.all(np.diff(b, axis=1) > -1e-9)
+
+
+def test_callable_snowball_mc_reproduces_dp(analytic_market, csnow_dp):
+    res = g2_note.price_callable_snowball_g2(
+        CFG, G2, KEY, analytic_market, n_paths=1 << 14, n_blocks=2,
+        boundaries=csnow_dp.boundaries, c_grid=csnow_dp.c_grid,
+        plain_mean=csnow_dp.plain_price, **SKW)
+    se = float(res.std_error)
+    # the (u, w) bilinear DP carries the documented O(h^2) bias
+    assert abs(float(res.price) - csnow_dp.price) < 5 * se + 3e-4, (
+        float(res.price), csnow_dp.price, se)
+    assert 0.0 < float(res.call_fraction) < 1.0
+    assert float(res.std_error) < float(res.raw_std_error)
+
+
+def test_callable_snowball_policy_is_upper_bound(analytic_market,
+                                                 csnow_dp):
+    """A deliberately WRONG fixed policy (surfaces shifted down in u:
+    the issuer calls too late) must price ABOVE the DP optimum — the
+    fixed-policy MC is an upper bound for the minimizer."""
+    shifted = tuple((wg, tuple(tuple(v - 0.01 for v in row)
+                               for row in rows))
+                    for wg, rows in csnow_dp.boundaries)
+    res = g2_note.price_callable_snowball_g2(
+        CFG, G2, KEY, analytic_market, n_paths=1 << 14, n_blocks=2,
+        boundaries=shifted, c_grid=csnow_dp.c_grid,
+        plain_mean=csnow_dp.plain_price, **SKW)
+    assert float(res.price) > csnow_dp.price - 3 * float(res.std_error)
+
+
+def test_callable_snowball_vega_envelope(analytic_market):
+    v = g2_note.vega_callable_snowball_g2(CFG, G2, KEY, analytic_market,
+                                          n_blocks=2, eps=2e-3,
+                                          dp_kwargs=SDPKW, **SKW)
+    assert abs(float(v.vega) - v.dp_vega) < 0.08 * abs(v.dp_vega) + 1e-3, (
+        float(v.vega), v.dp_vega)
+
+
+def test_callable_snowball_sharded_matches_single(analytic_market,
+                                                  csnow_dp):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=512, n_blocks=8, boundaries=csnow_dp.boundaries,
+              c_grid=csnow_dp.c_grid, plain_mean=csnow_dp.plain_price,
+              **SKW)
+    r1 = g2_note.price_callable_snowball_g2(CFG, G2, KEY,
+                                            analytic_market, **kw)
+    r8 = g2_note.price_callable_snowball_g2(CFG, G2, KEY,
+                                            analytic_market,
+                                            mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(r1.price) - float(r8.price)) < 1e-6
