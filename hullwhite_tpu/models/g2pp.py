@@ -1253,7 +1253,16 @@ POWXY = tuple((d - iy, iy) for d in range(PROXY_DEG + 1)
 # ~5e-4 under the pure monomial fit); their truncated moments are the
 # same U-recursion closed forms, so the martingale stays exact.
 SPLINE_DELTAS = (-1.2, -0.6, 0.0, 0.6, 1.2)
-N_PROXY = len(POWXY) + len(SPLINE_DELTAS) + 1  # + the bond feature W
+# round-3b: each knot column is TENSORED with probe powers pt^a
+# (a <= SPLINE_PDEG) — the kink ridge's AMPLITUDE varies along the
+# boundary, which a pc-constant spline coefficient cannot track (the
+# measured k=3 dual-gap residual ~6e-6 was exactly this misfit; the
+# tensor columns take it to ~1e-6).  Their conditional moments are the
+# SAME closed forms: pt is a deterministic function of the outer
+# Gauss-Hermite variable, so it multiplies through the v-moment.
+SPLINE_PDEG = 2
+N_SPL = len(SPLINE_DELTAS) * (SPLINE_PDEG + 1)
+N_PROXY = len(POWXY) + N_SPL + 1               # + the bond feature W
 N_GH = 24      # Gauss-Hermite nodes for the dual's p-direction integral
 BOUND_DEG = 3  # polynomial degree of the fitted exercise-boundary curve
 BOUND_RANGE = 3.5  # probe range (in p-sigmas) of the boundary fit
@@ -1309,8 +1318,16 @@ def _g2_proxy_cols(x, y, sx, sy, lam_j, Ba, Bb, bnd, swap, pscale, sg):
         yp.append(yp[-1] * yt)
     p, v = (y, x) if swap else (x, y)
     sv_m = sx if swap else sy
+    sp_m = sy if swap else sx
     t = sg * (v - _g2_boundary_eval(bnd, p / pscale)) / sv_m
-    spl = [jnp.maximum(t - d, 0.0) ** 3 for d in SPLINE_DELTAS]
+    ptp = p / sp_m
+    spl = []
+    for d in SPLINE_DELTAS:
+        base = jnp.maximum(t - d, 0.0) ** 3
+        fac = jnp.ones_like(ptp)
+        for _ in range(SPLINE_PDEG + 1):
+            spl.append(base * fac)
+            fac = fac * ptp
     return jnp.stack([xp[ix] * yp[iy] for ix, iy in POWXY] + spl + [W],
                      axis=1)
 
@@ -1469,9 +1486,15 @@ def _g2_piecewise_cond(gamma, sx, sy, lam_j, Ba, Bb, strike, bnd, swap,
             V2 = V0 + at * phi_t
             V3 = (2.0 + at * at) * phi_t
             md = m_t - dlt
-            e_sp = e_sp + gamma[len(POWXY) + i] * (
-                md ** 3 * V0 + 3.0 * md * md * s_t * phi_t
-                + 3.0 * md * s_t2 * V2 + s_t2 * s_t * V3)
+            mom = (md ** 3 * V0 + 3.0 * md * md * s_t * phi_t
+                   + 3.0 * md * s_t2 * V2 + s_t2 * s_t * V3)
+            # tensor factor: pt^a is deterministic at the node, so it
+            # multiplies straight through the v-moment (closed form,
+            # martingale exactness preserved)
+            base_col = len(POWXY) + i * (SPLINE_PDEG + 1)
+            coef = sum(gamma[base_col + a] * ppow[a]
+                       for a in range(SPLINE_PDEG + 1))
+            e_sp = e_sp + coef * mom
         # bond feature W on the continuation side
         e_W = ((e_full - e_ex) / v0 - Ts[0] - c_p * pt * Ts[0]
                - c_v * Ts[1] / sv_m) / cn

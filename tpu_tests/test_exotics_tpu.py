@@ -117,3 +117,56 @@ def test_g2_note_family_on_tpu(market):
                                            **fkw)
     assert abs(float(fres.price) - fdp.price) \
         < 5 * float(fres.std_error) + 2e-4
+
+
+def test_cap_family_on_tpu(market):
+    """Chooser/auto, ratchet and knock-out caps (HW + G2++ twins)
+    compile and price on chip against their fp64 oracles."""
+    from hullwhite_tpu import barrier, chooser, ratchet
+    from hullwhite_tpu.models import g2pp
+
+    g2 = g2pp.G2Params()
+    ckw = dict(rate=0.013, k=2, tenor=3.0)
+    cdp = chooser.dp_oracle_chooser_cap(CFG, market, **ckw)
+    cres = chooser.price_chooser_cap(CFG, KEY, market, n_blocks=2, **ckw)
+    assert abs(float(cres.price) - cdp.price) \
+        < 5 * float(cres.std_error) + 1e-5
+    gdp = chooser.dp_oracle_chooser_cap_g2(CFG, g2, market, **ckw)
+    gres = chooser.price_chooser_cap_g2(CFG, g2, KEY, market, n_blocks=2,
+                                        boundaries=gdp.boundaries, **ckw)
+    assert abs(float(gres.price) - gdp.price) \
+        < 5 * float(gres.std_error) + 3e-4
+    rkw = dict(tenor=3.0)
+    rq, _ = ratchet.ratchet_cap_quadrature(CFG, market, **rkw)
+    rres = ratchet.price_ratchet_cap(CFG, KEY, market, n_blocks=2, **rkw)
+    assert abs(float(rres.price) - rq) < 5 * float(rres.std_error) + 1e-5
+    rq2, _ = ratchet.ratchet_cap_quadrature_g2(CFG, g2, market, **rkw)
+    rres2 = ratchet.price_ratchet_cap_g2(CFG, g2, KEY, market,
+                                         n_blocks=2, **rkw)
+    assert abs(float(rres2.price) - rq2) \
+        < 5 * float(rres2.std_error) + 1e-5
+    kkw = dict(rate=0.013, barrier=0.05, tenor=3.0)
+    kdp = barrier.dp_oracle_ko_cap(CFG, market, **kkw)
+    kres = barrier.price_ko_cap(CFG, KEY, market, n_blocks=2, **kkw)
+    assert abs(float(kres.price) - kdp.price) \
+        < 5 * float(kres.std_error) + 1e-5
+    kdp2 = barrier.dp_oracle_ko_cap_g2(CFG, g2, market, **kkw)
+    kres2 = barrier.price_ko_cap_g2(CFG, g2, KEY, market, n_blocks=2,
+                                    **kkw)
+    assert abs(float(kres2.price) - kdp2.price) \
+        < 5 * float(kres2.std_error) + 3e-4
+
+
+def test_g2_callable_snowball_on_tpu(market):
+    from hullwhite_tpu import g2_note
+    from hullwhite_tpu.models import g2pp
+
+    g2 = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
+    skw = dict(initial=0.02, spread=0.013, cap=0.06, tenor=3.0)
+    dp = g2_note.dp_oracle_callable_snowball_g2(
+        CFG, g2, market, **skw, n_u=81, n_w=31, n_c=41, n_quad=10)
+    res = g2_note.price_callable_snowball_g2(
+        CFG, g2, KEY, market, n_blocks=2, boundaries=dp.boundaries,
+        c_grid=dp.c_grid, plain_mean=dp.plain_price, **skw)
+    assert abs(float(res.price) - dp.price) \
+        < 5 * float(res.std_error) + 4e-4
