@@ -946,6 +946,15 @@ def cmd_exotics(args):
           f"{float(rmc.raw_std_error):.2e})")
     print(f"agreement: z = {z_rt:.2f} ({'PASS' if ok_rt else 'CHECK'})")
     rc |= 0 if ok_rt else 1
+    rrq = ratchet.price_ratchet_cap(cfg, key, market, rqmc=True,
+                                    n_paths=max(cfg.n_paths // 8,
+                                                1 << 12),
+                                    n_blocks=8, **rkw)
+    print(f"RQMC (8 shifts): {float(rrq.price):.8f} "
+          f"+/- {float(rrq.std_error):.2e} (smooth RB integrand: "
+          f"~50x the MC SE at equal paths)")
+    results_rqmc = {"price": float(rrq.price),
+                    "se": float(rrq.std_error)}
     rv = ratchet.vega_ratchet_cap(cfg, key, market,
                                   n_paths=min(cfg.n_paths, 1 << 16), **rkw)
     print(f"ratchet vega: CRN-FD {float(rv.vega):.6f} vs quadrature FD "
@@ -955,6 +964,7 @@ def cmd_exotics(args):
         "mc_price": float(rmc.price), "mc_se": float(rmc.std_error),
         "mc_raw_se": float(rmc.raw_std_error),
         "periods_mc": [float(x) for x in rmc.periods], "z": z_rt,
+        "rqmc": results_rqmc,
         "vega_mc_crn_fd": float(rv.vega),
         "vega_quadrature_fd": rv.oracle_vega,
         "spread": args.ratchet_spread}
@@ -971,10 +981,18 @@ def cmd_exotics(args):
           f"{float(rmc2.raw_std_error):.2e})")
     print(f"agreement: z = {z_rt2:.2f} ({'PASS' if ok_rt2 else 'CHECK'})")
     rc |= 0 if ok_rt2 else 1
+    rrq2 = ratchet.price_ratchet_cap_g2(cfg, g2, key, market, rqmc=True,
+                                        n_paths=max(cfg.n_paths // 8,
+                                                    1 << 12),
+                                        n_blocks=8, **rkw)
+    print(f"RQMC (8 shifts): {float(rrq2.price):.8f} "
+          f"+/- {float(rrq2.std_error):.2e}")
     results["ratchet_cap_g2"] = {
         "quadrature": rq2, "mc_price": float(rmc2.price),
         "mc_se": float(rmc2.std_error),
-        "mc_raw_se": float(rmc2.raw_std_error), "z": z_rt2}
+        "mc_raw_se": float(rmc2.raw_std_error), "z": z_rt2,
+        "rqmc": {"price": float(rrq2.price),
+                 "se": float(rrq2.std_error)}}
 
     print(f"--- up-and-out cap: strike {args.cap_rate*100:.2f}%, "
           f"knock-out at L >= {args.ko_barrier*100:.2f}% (survival-"

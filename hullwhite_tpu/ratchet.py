@@ -209,7 +209,7 @@ class RatchetResult(NamedTuple):
 @lru_cache(maxsize=None)
 def _ratchet_fn(cfg: HWConfig, spread: float, strike0: float, start: float,
                 n: int, tau: float, delta: float, n_paths: int,
-                n_blocks: int, mesh):
+                n_blocks: int, rqmc: bool, mesh):
     from .bermudan import _functional_chol, _functional_det
 
     fixes, pays = _ratchet_dates(start, n, tau)
@@ -242,8 +242,15 @@ def _ratchet_fn(cfg: HWConfig, spread: float, strike0: float, start: float,
         sc = tables.sig_st * scu                      # conditional stds
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * n), jnp.float32)
+            if rqmc:
+                from .ops.sobol import sobol
+
+                shift = jax.random.bits(jax.random.fold_in(key, bi),
+                                        (2 * n,), jnp.uint32)
+                x = jax.scipy.special.ndtri(sobol(n_paths, 2 * n, shift))
+            else:
+                x = jax.random.normal(jax.random.fold_in(key, bi),
+                                      (n_paths, 2 * n), jnp.float32)
             z = tables.sig_st * jnp.dot(x, LT,
                                         preferred_element_type=jnp.float32,
                                         precision=cfg.matmul_precision)
@@ -293,7 +300,8 @@ def _ratchet_fn(cfg: HWConfig, spread: float, strike0: float, start: float,
                            jnp.sum(raw), jnp.sum(raw * raw)]),
                 jnp.sum(pv, axis=0)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my, mr = s[0] / n_tot, s[2] / n_tot, s[5] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -302,10 +310,20 @@ def _ratchet_fn(cfg: HWConfig, spread: float, strike0: float, start: float,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - cv_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mr,
-                jnp.sqrt(bessel * var_r / n_tot), beta, s[7:] / n_tot)
+        if rqmc:
+            # within a block the Sobol points are deterministic given
+            # the digital shift; the shifts are the independent
+            # replicates (requires n_blocks >= 2)
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 5] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_r / n_tot)
+        return price, se, mr, raw_se, beta, s[7:] / n_tot
 
     return jax.jit(compute)
 
@@ -315,11 +333,21 @@ def price_ratchet_cap(cfg: HWConfig, key, market: MarketCurve, *,
                       start: float | None = None, tenor: float = 4.0,
                       freq: float = 1.0, libor_tenor: float | None = None,
                       sigma=None, n_paths: int | None = None,
-                      n_blocks: int = 1, mesh=None) -> RatchetResult:
+                      n_blocks: int = 1, rqmc: bool = False,
+                      mesh=None) -> RatchetResult:
     """Monte Carlo ratchet-cap leg on exactly-sampled multi-date (r, I)
     functionals, floating-leg control variate with its exact
-    discrete-law mean.  Blocks key on their global index; optionally
-    sharded over ``mesh``.  fp64 oracle: ratchet_cap_quadrature."""
+    discrete-law mean.  ``rqmc=True`` draws each block from a
+    digitally-shifted Sobol sequence mapped through ndtri — the
+    Rao-Blackwell payoff is SMOOTH in the sampled (r, I) draws (the
+    kink is integrated out in closed form), the ideal RQMC regime; the
+    shifts are the independent replicates (n_blocks >= 2) and the SE
+    is computed across blocks.  Blocks key on their global index;
+    optionally sharded over ``mesh``.  fp64 oracle:
+    ratchet_cap_quadrature."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     if sigma is None:
         sigma = cfg.sigma
     if n_paths is None:
@@ -335,7 +363,7 @@ def price_ratchet_cap(cfg: HWConfig, key, market: MarketCurve, *,
                                 float(libor_tenor)) + spread
     out = _ratchet_fn(cfg, float(spread), float(strike0), float(start), n,
                       float(tau), float(libor_tenor), int(n_paths),
-                      int(n_blocks), mesh)(
+                      int(n_blocks), bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market)
     return RatchetResult(price=out[0], std_error=out[1], raw_price=out[2],
                          raw_std_error=out[3], beta=out[4], periods=out[5],
@@ -527,7 +555,8 @@ def ratchet_cap_quadrature_g2(cfg: HWConfig, g, market: MarketCurve, *,
 @lru_cache(maxsize=None)
 def _ratchet_g2_fn(cfg: HWConfig, g, spread: float, strike0: float,
                    start: float, n: int, tau: float, delta: float,
-                   n_paths: int, n_blocks: int, mesh):
+                   n_paths: int, n_blocks: int,
+                   rqmc: bool, mesh):
     from .models.g2pp import (_B, _g2_functional_chol, _v_integral)
     from .g2_note import _strip_lnA_traced
 
@@ -558,8 +587,15 @@ def _ratchet_g2_fn(cfg: HWConfig, g, spread: float, strike0: float,
             * (jnp.exp(-cov_uI - lnA + 0.5 * var_u) - 1.0) / delta)
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * n), jnp.float32)
+            if rqmc:
+                from .ops.sobol import sobol
+
+                shift = jax.random.bits(jax.random.fold_in(key, bi),
+                                        (2 * n,), jnp.uint32)
+                x = jax.scipy.special.ndtri(sobol(n_paths, 2 * n, shift))
+            else:
+                x = jax.random.normal(jax.random.fold_in(key, bi),
+                                      (n_paths, 2 * n), jnp.float32)
             z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
                         precision=cfg.matmul_precision)
 
@@ -597,7 +633,8 @@ def _ratchet_g2_fn(cfg: HWConfig, g, spread: float, strike0: float,
                            jnp.sum(raw), jnp.sum(raw * raw)]),
                 jnp.sum(pv, axis=0)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my, mr = s[0] / n_tot, s[2] / n_tot, s[5] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -606,10 +643,20 @@ def _ratchet_g2_fn(cfg: HWConfig, g, spread: float, strike0: float,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - cv_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mr,
-                jnp.sqrt(bessel * var_raw / n_tot), beta, s[7:] / n_tot)
+        if rqmc:
+            # within a block the Sobol points are deterministic given
+            # the digital shift; the shifts are the independent
+            # replicates (requires n_blocks >= 2)
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 5] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_raw / n_tot)
+        return price, se, mr, raw_se, beta, s[7:] / n_tot
 
     return jax.jit(compute)
 
@@ -620,10 +667,15 @@ def price_ratchet_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
                          freq: float = 1.0,
                          libor_tenor: float | None = None,
                          n_paths: int | None = None, n_blocks: int = 1,
-                         mesh=None) -> RatchetResult:
+                         rqmc: bool = False, mesh=None) -> RatchetResult:
     """Monte Carlo G2++ ratchet-cap leg (Rao-Blackwell conditional
-    caplets on the strip projection, floating-leg CV).  fp64 oracle:
+    caplets on the strip projection, floating-leg CV).  ``rqmc=True``
+    as in price_ratchet_cap: per-block digitally-shifted Sobol,
+    across-block SEs, n_blocks >= 2.  fp64 oracle:
     ratchet_cap_quadrature_g2."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     if n_paths is None:
         n_paths = cfg.n_paths
     if start is None:
@@ -637,7 +689,8 @@ def price_ratchet_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
                                 float(libor_tenor)) + spread
     out = _ratchet_g2_fn(cfg, g, float(spread), float(strike0),
                          float(start), n, float(tau), float(libor_tenor),
-                         int(n_paths), int(n_blocks), mesh)(key, market)
+                         int(n_paths), int(n_blocks), bool(rqmc),
+                         mesh)(key, market)
     return RatchetResult(price=out[0], std_error=out[1], raw_price=out[2],
                          raw_std_error=out[3], beta=out[4], periods=out[5],
                          n_paths=int(n_paths) * int(n_blocks))

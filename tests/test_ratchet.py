@@ -155,3 +155,36 @@ def test_g2_vega_crn_matches_oracle_fd(market):
     v = ratchet.vega_ratchet_cap_g2(CFG, G2, KEY, market, spread=0.0,
                                     n_paths=1 << 14, n_blocks=2)
     assert abs(float(v.vega) - v.oracle_vega) < 0.02 * abs(v.oracle_vega)
+
+
+# --- RQMC (the Rao-Blackwell payoff is smooth: ideal Sobol regime) ----
+
+
+def test_rqmc_collapses_se(market):
+    q, _ = ratchet.ratchet_cap_quadrature(CFG, market, spread=0.0)
+    kw = dict(spread=0.0, n_paths=1 << 12, n_blocks=8)
+    rq = ratchet.price_ratchet_cap(CFG, KEY, market, rqmc=True, **kw)
+    mc = ratchet.price_ratchet_cap(CFG, KEY, market, **kw)
+    assert abs(float(rq.price) - q) < 6 * float(rq.std_error) + 2e-6
+    # the smooth RB integrand gives RQMC an order of magnitude, not
+    # a constant factor (measured ~50-60x at 2^12 x 16)
+    assert float(rq.std_error) < 0.1 * float(mc.std_error)
+    with pytest.raises(ValueError):
+        ratchet.price_ratchet_cap(CFG, KEY, market, rqmc=True,
+                                  n_blocks=1)
+
+
+def test_g2_rqmc_collapses_se(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    q, _ = ratchet.ratchet_cap_quadrature_g2(CFG, G2, market, spread=0.0)
+    kw = dict(spread=0.0, n_paths=1 << 12, n_blocks=8)
+    rq = ratchet.price_ratchet_cap_g2(CFG, G2, KEY, market, rqmc=True,
+                                      **kw)
+    mc = ratchet.price_ratchet_cap_g2(CFG, G2, KEY, market, **kw)
+    assert abs(float(rq.price) - q) < 6 * float(rq.std_error) + 2e-6
+    assert float(rq.std_error) < 0.1 * float(mc.std_error)
+    # blocks key on the GLOBAL index: sharded RQMC == single-device
+    r8 = ratchet.price_ratchet_cap_g2(CFG, G2, KEY, market, rqmc=True,
+                                      mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(r8.price) - float(rq.price)) < 1e-6
