@@ -188,7 +188,7 @@ class KoCapResult(NamedTuple):
 @lru_cache(maxsize=None)
 def _ko_cap_fn(cfg: HWConfig, rate: float, barrier: float, start: float,
                n: int, tau: float, delta: float, n_paths: int,
-               n_blocks: int, mesh):
+               n_blocks: int, rqmc: bool, mesh):
     from .bermudan import _functional_chol, _functional_det
     from .ratchet import _ratchet_stats
 
@@ -230,8 +230,7 @@ def _ko_cap_fn(cfg: HWConfig, rate: float, barrier: float, start: float,
             - Q * (norm.cdf(d2) - norm.cdf(d2H))))
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 2 * n, rqmc)
             z = tables.sig_st * jnp.dot(x, LT,
                                         preferred_element_type=jnp.float32,
                                         precision=cfg.matmul_precision)
@@ -254,7 +253,8 @@ def _ko_cap_fn(cfg: HWConfig, rate: float, barrier: float, start: float,
                               jnp.sum(Y * Y), jnp.sum(V * Y),
                               jnp.sum(KO)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my = s[0] / n_tot, s[2] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -262,10 +262,18 @@ def _ko_cap_fn(cfg: HWConfig, rate: float, barrier: float, start: float,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - cv_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
-                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+        if rqmc:
+            # the digital shifts are the independent replicates
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 0] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_v / n_tot)
+        return price, se, mv, raw_se, beta, s[5] / n_tot
 
     return jax.jit(compute)
 
@@ -275,7 +283,7 @@ def price_ko_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
                  tenor: float = 4.0, freq: float = 1.0,
                  libor_tenor: float | None = None, sigma=None,
                  n_paths: int | None = None, n_blocks: int = 1,
-                 mesh=None) -> KoCapResult:
+                 rqmc: bool = False, mesh=None) -> KoCapResult:
     """Monte Carlo up-and-out cap on exactly-sampled multi-date (r, I)
     functionals (survival via a cumulative product over fixings), with
     the FULL cap as control variate at its exact discrete-law
@@ -291,9 +299,12 @@ def price_ko_cap(cfg: HWConfig, key, market: MarketCurve, *, rate: float,
     tau = 1.0 / freq
     if libor_tenor is None:
         libor_tenor = tau
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     out = _ko_cap_fn(cfg, float(rate), float(barrier), float(start), n,
                      float(tau), float(libor_tenor), int(n_paths),
-                     int(n_blocks), mesh)(
+                     int(n_blocks), bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market)
     return KoCapResult(price=out[0], std_error=out[1], raw_price=out[2],
                        raw_std_error=out[3], beta=out[4],
@@ -536,7 +547,8 @@ def _ko_cap_g2_stats(g, start: float, n: int, tau: float, delta: float):
 @lru_cache(maxsize=None)
 def _ko_cap_g2_fn(cfg: HWConfig, g, rate: float, barrier: float,
                   start: float, n: int, tau: float, delta: float,
-                  n_paths: int, n_blocks: int, mesh):
+                  n_paths: int, n_blocks: int,
+                  rqmc: bool, mesh):
     from .g2_note import _strip_lnA_traced
     from .models.g2pp import _B, _g2_functional_chol, _v_integral
 
@@ -575,8 +587,7 @@ def _ko_cap_g2_fn(cfg: HWConfig, g, rate: float, barrier: float,
             - Q * (norm.cdf(d2) - norm.cdf(d2H))))
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 2 * n, rqmc)
             z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
                         precision=cfg.matmul_precision)
 
@@ -598,7 +609,8 @@ def _ko_cap_g2_fn(cfg: HWConfig, g, rate: float, barrier: float,
                               jnp.sum(Y * Y), jnp.sum(V * Y),
                               jnp.sum(KO)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my = s[0] / n_tot, s[2] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -606,10 +618,18 @@ def _ko_cap_g2_fn(cfg: HWConfig, g, rate: float, barrier: float,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - cv_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
-                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+        if rqmc:
+            # the digital shifts are the independent replicates
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 0] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_v / n_tot)
+        return price, se, mv, raw_se, beta, s[5] / n_tot
 
     return jax.jit(compute)
 
@@ -619,7 +639,7 @@ def price_ko_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
                     start: float | None = None, tenor: float = 4.0,
                     freq: float = 1.0, libor_tenor: float | None = None,
                     n_paths: int | None = None, n_blocks: int = 1,
-                    mesh=None) -> KoCapResult:
+                    rqmc: bool = False, mesh=None) -> KoCapResult:
     """Monte Carlo G2++ up-and-out cap on exactly-sampled (u, I)
     functionals (survival via a cumulative product over fixings), with
     the single-date truncated caplets as control variate at their exact
@@ -632,9 +652,12 @@ def price_ko_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
     tau = 1.0 / freq
     if libor_tenor is None:
         libor_tenor = tau
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     out = _ko_cap_g2_fn(cfg, g, float(rate), float(barrier), float(start),
                         n, float(tau), float(libor_tenor), int(n_paths),
-                        int(n_blocks), mesh)(key, market)
+                        int(n_blocks), bool(rqmc), mesh)(key, market)
     return KoCapResult(price=out[0], std_error=out[1], raw_price=out[2],
                        raw_std_error=out[3], beta=out[4],
                        ko_fraction=out[5],

@@ -217,7 +217,8 @@ class ChooserResult(NamedTuple):
 @lru_cache(maxsize=None)
 def _chooser_fn(cfg: HWConfig, rate: float, start: float, n: int,
                 tau: float, k: int, auto: bool, boundaries: tuple,
-                cap_mean: float, n_paths: int, n_blocks: int, mesh):
+                cap_mean: float, n_paths: int, n_blocks: int,
+                rqmc: bool, mesh):
     from .bermudan import _functional_chol, _functional_det
 
     obs, bounds, dates = _note_dates(start, n, tau, 1)
@@ -242,8 +243,7 @@ def _chooser_fn(cfg: HWConfig, rate: float, start: float, n: int,
               for t in fixings]))
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 2 * n, rqmc)
             z = tables.sig_st * jnp.dot(x, LT,
                                         preferred_element_type=jnp.float32,
                                         precision=cfg.matmul_precision)
@@ -277,7 +277,8 @@ def _chooser_fn(cfg: HWConfig, rate: float, start: float, n: int,
                               jnp.sum(Y * Y), jnp.sum(V * Y),
                               jnp.sum(Uc)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my = s[0] / n_tot, s[2] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -285,10 +286,18 @@ def _chooser_fn(cfg: HWConfig, rate: float, start: float, n: int,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - cap_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
-                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+        if rqmc:
+            # the digital shifts are the independent replicates
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 0] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_v / n_tot)
+        return price, se, mv, raw_se, beta, s[5] / n_tot
 
     return jax.jit(compute)
 
@@ -300,7 +309,7 @@ def price_chooser_cap(cfg: HWConfig, key, market: MarketCurve, *,
                       boundaries: tuple | None = None,
                       cap_mean: float | None = None,
                       n_paths: int | None = None, n_blocks: int = 1,
-                      mesh=None) -> ChooserResult:
+                      rqmc: bool = False, mesh=None) -> ChooserResult:
     """Monte Carlo chooser cap (or auto-cap) under the fixed DP threshold
     policy (default: read both the policy and the CV's exact full-cap
     mean off the fp64 DP oracle — the discrete-law mean, matching the
@@ -324,12 +333,15 @@ def price_chooser_cap(cfg: HWConfig, key, market: MarketCurve, *,
             boundaries = dp.boundaries
         if cap_mean is None:
             cap_mean = dp.cap_price
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     out = _chooser_fn(cfg, float(rate), float(start), n, float(tau),
                       int(k), bool(auto),
                       tuple(tuple(float(b) for b in row)
                             for row in boundaries),
                       float(cap_mean), int(n_paths), int(n_blocks),
-                      mesh)(key, jnp.asarray(sigma, jnp.float32), market)
+                      bool(rqmc), mesh)(key, jnp.asarray(sigma, jnp.float32), market)
     return ChooserResult(price=out[0], std_error=out[1], raw_price=out[2],
                          raw_std_error=out[3], beta=out[4],
                          used_mean=out[5],
@@ -525,7 +537,8 @@ def dp_oracle_chooser_cap_g2(cfg: HWConfig, g, market: MarketCurve, *,
 @lru_cache(maxsize=None)
 def _chooser_g2_fn(cfg: HWConfig, g, rate: float, start: float, n: int,
                    tau: float, k: int, auto: bool, boundaries: tuple,
-                   cap_mean: float, n_paths: int, n_blocks: int, mesh):
+                   cap_mean: float, n_paths: int, n_blocks: int,
+                   rqmc: bool, mesh):
     from .g2_note import _strip_lnA_traced
     from .models.g2pp import _B, _g2_functional_chol, _v_integral
 
@@ -558,8 +571,7 @@ def _chooser_g2_fn(cfg: HWConfig, g, rate: float, start: float, n: int,
              for p in pays]) * jnp.exp(-v_half)
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 3 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 3 * n, rqmc)
             z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
                         precision=cfg.matmul_precision)
 
@@ -594,7 +606,8 @@ def _chooser_g2_fn(cfg: HWConfig, g, rate: float, start: float, n: int,
                               jnp.sum(Y * Y), jnp.sum(V * Y),
                               jnp.sum(Uc)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my = s[0] / n_tot, s[2] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -602,10 +615,18 @@ def _chooser_g2_fn(cfg: HWConfig, g, rate: float, start: float, n: int,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - cap_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
-                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+        if rqmc:
+            # the digital shifts are the independent replicates
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 0] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_v / n_tot)
+        return price, se, mv, raw_se, beta, s[5] / n_tot
 
     return jax.jit(compute)
 
@@ -617,7 +638,7 @@ def price_chooser_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
                          boundaries: tuple | None = None,
                          cap_mean: float | None = None,
                          n_paths: int | None = None, n_blocks: int = 1,
-                         mesh=None) -> ChooserResult:
+                         rqmc: bool = False, mesh=None) -> ChooserResult:
     """Monte Carlo G2++ chooser cap (or auto-cap) under the fixed DP
     boundary-curve policy (exercise right c at T_j when
     u_j > u*_{j,c}(w_j); default: curves and the CV's exact full-cap
@@ -642,11 +663,14 @@ def price_chooser_cap_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
         cap_mean, _ = cap_closed_form_g2(cfg, g, market, rate=rate,
                                          start=start, tenor=tenor,
                                          freq=freq)
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     out = _chooser_g2_fn(cfg, g, float(rate), float(start), n,
                          float(tau), int(k), bool(auto),
                          boundaries if auto else tuple(boundaries),
                          float(cap_mean), int(n_paths), int(n_blocks),
-                         mesh)(key, market)
+                         bool(rqmc), mesh)(key, market)
     return ChooserResult(price=out[0], std_error=out[1], raw_price=out[2],
                          raw_std_error=out[3], beta=out[4],
                          used_mean=out[5],

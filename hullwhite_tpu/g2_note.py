@@ -1402,7 +1402,8 @@ class G2SnowballResult(NamedTuple):
 def _g2_snowball_fn(cfg: HWConfig, g: G2Params, initial: float,
                     spread: float, cap: float, floor: float, start: float,
                     n: int, tau: float, delta: float, linear_mean: float,
-                    n_paths: int, n_blocks: int, mesh):
+                    n_paths: int, n_blocks: int,
+                    rqmc: bool, mesh):
     obs, bounds, dates = _note_dates(start, n, tau, 1)
     del dates
     Ba, Bb = _B(g.a, delta), _B(g.b, delta)
@@ -1422,8 +1423,8 @@ def _g2_snowball_fn(cfg: HWConfig, g: G2Params, initial: float,
              for j, p in enumerate(bounds[1:])])
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 2 * n,
+                                    rqmc)
             z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
                         precision=cfg.matmul_precision)
 
@@ -1450,7 +1451,8 @@ def _g2_snowball_fn(cfg: HWConfig, g: G2Params, initial: float,
             return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
                               jnp.sum(Y * Y), jnp.sum(V * Y), jnp.sum(Cc)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my = s[0] / n_tot, s[2] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -1458,10 +1460,18 @@ def _g2_snowball_fn(cfg: HWConfig, g: G2Params, initial: float,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - linear_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
-                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+        if rqmc:
+            # the digital shifts are the independent replicates
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 0] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_v / n_tot)
+        return price, se, mv, raw_se, beta, s[5] / n_tot
 
     return jax.jit(compute)
 
@@ -1472,7 +1482,7 @@ def price_snowball_g2(cfg: HWConfig, g: G2Params, key,
                       start: float | None = None, tenor: float = 4.0,
                       freq: float = 1.0, libor_tenor: float | None = None,
                       n_paths: int | None = None, n_blocks: int = 1,
-                      mesh=None) -> G2SnowballResult:
+                      rqmc: bool = False, mesh=None) -> G2SnowballResult:
     """Monte Carlo G2++ snowball from exactly-sampled (u, I) functionals
     (antithetic), UNBIASED (no policy), with the unclipped linear
     snowball as control variate against its exact closed-form mean;
@@ -1489,11 +1499,14 @@ def price_snowball_g2(cfg: HWConfig, g: G2Params, key,
     linear_mean, _ = snowball_linear_closed_form_g2(
         cfg, g, market, initial=initial, spread=spread, start=start,
         tenor=tenor, freq=freq, libor_tenor=libor_tenor)
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     out = _g2_snowball_fn(cfg, g, float(initial), float(spread),
                           float(cap), float(floor), float(start), n,
                           float(tau), float(libor_tenor),
                           float(linear_mean), int(n_paths), int(n_blocks),
-                          mesh)(key, market)
+                          bool(rqmc), mesh)(key, market)
     return G2SnowballResult(price=out[0], std_error=out[1],
                             raw_price=out[2], raw_std_error=out[3],
                             beta=out[4], mean_final_coupon=out[5],

@@ -110,3 +110,22 @@ def shard_blocks(local_fn, mesh: Mesh | None):
         return body(key)
 
     return run_sharded
+
+
+def block_normals(key, bi, n_paths: int, dim: int, rqmc: bool):
+    """(n_paths, dim) fp32 standard normals for global block ``bi``.
+
+    rqmc=False: iid (threefry keyed on the GLOBAL block index — the
+    library-wide deterministic scale-out invariant).  rqmc=True: the
+    first n_paths points of a ``dim``-dimensional Sobol sequence under
+    a per-block random digital shift, mapped through ndtri — each shift
+    is an independent unbiased replicate, so callers must report SEs
+    ACROSS blocks (n_blocks >= 2), not pooled within them.  Both modes
+    key on ``bi`` alone, so sharded == single-device exactly."""
+    sub = jax.random.fold_in(key, bi)
+    if rqmc:
+        from ..ops.sobol import sobol
+
+        shift = jax.random.bits(sub, (dim,), jnp.uint32)
+        return jax.scipy.special.ndtri(sobol(n_paths, dim, shift))
+    return jax.random.normal(sub, (n_paths, dim), jnp.float32)

@@ -242,15 +242,7 @@ def _ratchet_fn(cfg: HWConfig, spread: float, strike0: float, start: float,
         sc = tables.sig_st * scu                      # conditional stds
 
         def block(bi):
-            if rqmc:
-                from .ops.sobol import sobol
-
-                shift = jax.random.bits(jax.random.fold_in(key, bi),
-                                        (2 * n,), jnp.uint32)
-                x = jax.scipy.special.ndtri(sobol(n_paths, 2 * n, shift))
-            else:
-                x = jax.random.normal(jax.random.fold_in(key, bi),
-                                      (n_paths, 2 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 2 * n, rqmc)
             z = tables.sig_st * jnp.dot(x, LT,
                                         preferred_element_type=jnp.float32,
                                         precision=cfg.matmul_precision)
@@ -587,15 +579,7 @@ def _ratchet_g2_fn(cfg: HWConfig, g, spread: float, strike0: float,
             * (jnp.exp(-cov_uI - lnA + 0.5 * var_u) - 1.0) / delta)
 
         def block(bi):
-            if rqmc:
-                from .ops.sobol import sobol
-
-                shift = jax.random.bits(jax.random.fold_in(key, bi),
-                                        (2 * n,), jnp.uint32)
-                x = jax.scipy.special.ndtri(sobol(n_paths, 2 * n, shift))
-            else:
-                x = jax.random.normal(jax.random.fold_in(key, bi),
-                                      (n_paths, 2 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 2 * n, rqmc)
             z = jnp.dot(x, LT, preferred_element_type=jnp.float32,
                         precision=cfg.matmul_precision)
 

@@ -335,7 +335,7 @@ class SnowballResult(NamedTuple):
 def _snowball_fn(cfg: HWConfig, initial: float, spread: float, cap: float,
                  floor: float, start: float, n: int, tau: float,
                  delta: float, linear_mean: float, n_paths: int,
-                 n_blocks: int, mesh):
+                 n_blocks: int, rqmc: bool, mesh):
     from .bermudan import _functional_chol, _functional_det
 
     obs, bounds, dates = _note_dates(start, n, tau, 1)
@@ -353,8 +353,7 @@ def _snowball_fn(cfg: HWConfig, initial: float, spread: float, cap: float,
             *[_libor_terms(cfg, sigma, market, o[0], delta) for o in obs]))
 
         def block(bi):
-            x = jax.random.normal(jax.random.fold_in(key, bi),
-                                  (n_paths, 2 * n), jnp.float32)
+            x = pmesh.block_normals(key, bi, n_paths, 2 * n, rqmc)
             z = tables.sig_st * jnp.dot(x, LT,
                                         preferred_element_type=jnp.float32,
                                         precision=cfg.matmul_precision)
@@ -382,7 +381,8 @@ def _snowball_fn(cfg: HWConfig, initial: float, spread: float, cap: float,
             return jnp.stack([jnp.sum(V), jnp.sum(V * V), jnp.sum(Y),
                               jnp.sum(Y * Y), jnp.sum(V * Y), jnp.sum(C)])
 
-        s = jnp.sum(pmesh.map_blocks(block, n_blocks, mesh), axis=0)
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        s = jnp.sum(per_block, axis=0)
         n_tot = 1.0 * n_paths * n_blocks
         mv, my = s[0] / n_tot, s[2] / n_tot
         var_v = jnp.maximum(s[1] / n_tot - mv * mv, 0.0)
@@ -390,10 +390,18 @@ def _snowball_fn(cfg: HWConfig, initial: float, spread: float, cap: float,
         cov = s[4] / n_tot - mv * my
         beta = cov / var_y
         price = mv - beta * (my - linear_mean)
-        var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
-        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
-        return (price, jnp.sqrt(bessel * var_cv / n_tot), mv,
-                jnp.sqrt(bessel * var_v / n_tot), beta, s[5] / n_tot)
+        if rqmc:
+            # the digital shifts are the independent replicates
+            cv_b = (per_block[:, 0] - beta * per_block[:, 2]) / n_paths
+            se = jnp.std(cv_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se = jnp.std(per_block[:, 0] / n_paths, ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            var_cv = jnp.maximum(var_v - cov * cov / var_y, 0.0)
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se = jnp.sqrt(bessel * var_v / n_tot)
+        return price, se, mv, raw_se, beta, s[5] / n_tot
 
     return jax.jit(compute)
 
@@ -404,7 +412,7 @@ def price_snowball(cfg: HWConfig, key, market: MarketCurve, *,
                    tenor: float = 4.0, freq: float = 1.0,
                    libor_tenor: float | None = None, sigma=None,
                    n_paths: int | None = None, n_blocks: int = 1,
-                   mesh=None) -> SnowballResult:
+                   rqmc: bool = False, mesh=None) -> SnowballResult:
     """Monte Carlo snowball note from exactly-sampled multi-date (r, I)
     states (antithetic), with the UNCLIPPED linear snowball as control
     variate (exact closed-form mean: ``snowball_linear_closed_form``).
@@ -425,10 +433,13 @@ def price_snowball(cfg: HWConfig, key, market: MarketCurve, *,
         cfg, market, initial=initial, spread=spread, start=start,
         tenor=tenor, freq=freq, libor_tenor=libor_tenor,
         sigma=float(sigma))
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
     out = _snowball_fn(cfg, float(initial), float(spread), float(cap),
                        float(floor), float(start), n, float(tau),
                        float(libor_tenor), float(linear_mean),
-                       int(n_paths), int(n_blocks), mesh)(
+                       int(n_paths), int(n_blocks), bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market)
     return SnowballResult(price=out[0], std_error=out[1], raw_price=out[2],
                           raw_std_error=out[3], beta=out[4],

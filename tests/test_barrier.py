@@ -141,3 +141,16 @@ def test_g2_vega_crn_envelope(market):
                                n_blocks=4, **KW)
     assert abs(float(v.vega) - v.dp_vega) < max(0.25 * abs(v.dp_vega),
                                                 0.03)
+
+
+def test_rqmc_agrees_and_tightens(market, dp):
+    kw = dict(n_paths=1 << 12, n_blocks=8, **KW)
+    rq = barrier.price_ko_cap(CFG, KEY, market, rqmc=True, **kw)
+    mc = barrier.price_ko_cap(CFG, KEY, market, **kw)
+    assert abs(float(rq.price) - dp.price) < 6 * float(rq.std_error) + 1e-5
+    # the survival indicator caps the gain (~2-3x measured) but RQMC
+    # must never be worse
+    assert float(rq.std_error) < float(mc.std_error)
+    with pytest.raises(ValueError):
+        barrier.price_ko_cap(CFG, KEY, market, rqmc=True, n_blocks=1,
+                             **KW)

@@ -265,3 +265,13 @@ def test_g2_mesh_matches_single(analytic_market):
     shard = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market,
                                          mesh=pmesh.path_mesh(), **kw)
     assert abs(float(single.price) - float(shard.price)) < 1e-6
+
+
+def test_rqmc_agrees_and_tightens(analytic_market, dp2):
+    kw = dict(k=2, n_paths=1 << 12, n_blocks=8, **KW)
+    rq = chooser.price_chooser_cap(CFG, KEY, analytic_market, rqmc=True,
+                                   **kw)
+    mc = chooser.price_chooser_cap(CFG, KEY, analytic_market, **kw)
+    assert abs(float(rq.price) - dp2.price) \
+        < 6 * float(rq.std_error) + 1e-5
+    assert float(rq.std_error) < 0.5 * float(mc.std_error)

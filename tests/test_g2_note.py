@@ -422,3 +422,13 @@ def test_callable_snowball_sharded_matches_single(analytic_market,
                                             analytic_market,
                                             mesh=pmesh.path_mesh(), **kw)
     assert abs(float(r1.price) - float(r8.price)) < 1e-6
+
+
+def test_snowball_rqmc_agrees_and_tightens(analytic_market, snow_dp):
+    kw = dict(n_paths=1 << 12, n_blocks=8, **SKW)
+    rq = g2_note.price_snowball_g2(CFG, G2, KEY, analytic_market,
+                                   rqmc=True, **kw)
+    mc = g2_note.price_snowball_g2(CFG, G2, KEY, analytic_market, **kw)
+    assert abs(float(rq.price) - snow_dp.price) \
+        < 6 * float(rq.std_error) + 1e-4
+    assert float(rq.std_error) < 0.25 * float(mc.std_error)

@@ -159,3 +159,14 @@ def test_callable_sharded_matches_single(analytic_market, cdp):
     r8 = snowball.price_callable_snowball(CFG, KEY, analytic_market,
                                           mesh=pmesh.path_mesh(), **kw)
     assert abs(float(r1.price) - float(r8.price)) < 1e-6
+
+
+def test_rqmc_agrees_and_tightens(analytic_market, dp):
+    kw = dict(n_paths=1 << 12, n_blocks=8, **KW)
+    rq = snowball.price_snowball(CFG, KEY, analytic_market, rqmc=True,
+                                 **kw)
+    mc = snowball.price_snowball(CFG, KEY, analytic_market, **kw)
+    assert abs(float(rq.price) - dp.price) \
+        < 6 * float(rq.std_error) + 1e-5
+    # piecewise-linear coupon recursion: measured ~15x
+    assert float(rq.std_error) < 0.25 * float(mc.std_error)
