@@ -249,6 +249,35 @@ def plot_exotics(data_dir: Path, plots_dir: Path):
     return out
 
 
+def plot_exposure(data_dir: Path, plots_dir: Path):
+    """XVA artifact (beyond-reference): the swap's expected-exposure
+    profile (MC with error bars vs the closed-form oracle strip) and the
+    PFE quantile envelope, with the CVA headline in the title."""
+    p = data_dir / "xva_results.json"
+    if not p.exists():
+        return None
+    r = json.loads(p.read_text())["results"]
+    dates = np.array(r["dates"])
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(dates, r["pfe"], "s--", color="#c05621",
+            label=f"PFE$_{{{r['quantile']}}}$ (closed form)")
+    ax.plot(dates, r["ee_oracle"], "-", color="#2f855a",
+            label="EE oracle (discrete-law swaption strip)")
+    ax.errorbar(dates, r["ee_mc"], yerr=5 * np.array(r["ee_se"]),
+                fmt="o", color="#2b6cb0", capsize=4,
+                label="EE Monte Carlo (±5 SE)")
+    ax.set_xlabel("exposure date (years)")
+    ax.set_ylabel("exposure (unit notional)")
+    ax.set_title(f"{r['side']} swap exposure profile — CVA "
+                 f"{r['cva_mc']:.6f} ± {r['cva_se']:.1e} "
+                 f"(oracle {r['cva_oracle']:.6f}, z = {r['cva_z']:+.2f})")
+    ax.legend()
+    out = plots_dir / "exposure_profile.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
 def print_summary(data_dir: Path):
     """Consolidated run report (reference analyze.py:249-344)."""
     print("=" * 72)
@@ -260,7 +289,7 @@ def print_summary(data_dir: Path):
                  "bermudan_sweep.json", "cap_results.json", "floor_results.json",
                  "g2pp_results.json", "grid_results.json",
                  "cms_results.json", "exotics_results.json",
-                 "notes_results.json"]:
+                 "notes_results.json", "xva_results.json"]:
         p = data_dir / name
         if not p.exists():
             continue
@@ -297,7 +326,7 @@ def main(argv=None):
     made = []
     for fn in [plot_paths_static, plot_p_and_f, plot_theta_recovery,
                plot_sensitivity_comparison, plot_engine_benchmark,
-               plot_bermudan_bracket, plot_exotics]:
+               plot_bermudan_bracket, plot_exotics, plot_exposure]:
         out = fn(data_dir, plots_dir)
         if out:
             made.append(out)

@@ -630,6 +630,97 @@ def cmd_cms(args):
     return 0 if ok else 1
 
 
+def cmd_xva(args):
+    """Counterparty exposure profile (EE / PFE) + CVA on a vanilla swap,
+    MC vs the per-date closed-form oracle, plus the jvp/CRN-FD/oracle
+    CVA vega triple (beyond-reference XVA layer on the sensitivity
+    machinery of src/3_sensitivity_analysis.cu)."""
+    from . import xva
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 9292)
+    market = hwio.load_market(cfg)
+    kw = dict(rate=args.rate, tenor=args.tenor, freq=args.freq,
+              payer=args.payer, quantile=args.quantile,
+              hazard=args.hazard, recovery=args.recovery)
+    side = "payer" if args.payer else "receiver"
+    print(f"--- XVA: {side} swap @ {args.rate*100:.2f}%, start {cfg.s1}y, "
+          f"tenor {args.tenor}y; hazard {args.hazard*100:.1f}%, "
+          f"recovery {args.recovery*100:.0f}%, PFE q={args.quantile} ---")
+    o = xva.exposure_oracle(cfg, market, **kw)
+    res = xva.price_exposure(cfg, key, market, n_blocks=args.n_blocks,
+                             rqmc=bool(args.rqmc), **kw)
+    prof = res.profile
+    ee, se = np.asarray(prof.ee), np.asarray(prof.ee_std_error)
+    exceed = np.asarray(prof.exceed)
+    ok = True
+    print("  date    EE (MC)        +/-SE      EE (oracle)     z   "
+          "PFE        exceed")
+    for j, t in enumerate(prof.dates):
+        z = (ee[j] - o.ee[j]) / max(se[j], 1e-12)
+        ok = ok and (abs(z) < 5 or abs(ee[j] - o.ee[j]) < 1e-5)
+        print(f"  {t:5.2f}  {ee[j]:.8f}  {se[j]:.2e}  {o.ee[j]:.8f}  "
+              f"{z:+5.2f}  {o.pfe[j]:.6f}  {exceed[j]:.4f}")
+    zc = (float(res.cva) - o.cva) / max(float(res.std_error), 1e-12)
+    ok = ok and abs(zc) < 5
+    print(f"CVA:  MC {float(res.cva):.8f} +/- {float(res.std_error):.2e}"
+          f"  oracle {o.cva:.8f}  z = {zc:+.2f}"
+          f"  (raw SE {float(res.raw_std_error):.2e}, CV "
+          f"{float(res.raw_std_error)/max(float(res.std_error),1e-30):.1f}x)")
+    print(f"dCVA/dhazard:  MC {float(res.hazard_delta):.6f}  "
+          f"oracle {o.hazard_delta:.6f}")
+    v = xva.vega_cva(cfg, key, market, n_blocks=max(args.n_blocks, 2),
+                     **kw)
+    dv = abs(float(v.vega) - v.oracle_vega) / max(abs(v.oracle_vega),
+                                                  1e-12)
+    ok = ok and dv < 0.05
+    print(f"CVA vega:  jvp {float(v.vega):.6f}  CRN-FD "
+          f"{float(v.fd_vega):.6f}  oracle-FD {v.oracle_vega:.6f}  "
+          f"(rel diff {dv:.1e})")
+    g2res = {}
+    if args.g2:
+        from .models import g2pp
+
+        g2 = g2pp.G2Params()
+        o2 = xva.exposure_oracle_g2(cfg, g2, market, **kw)
+        r2 = xva.price_exposure_g2(cfg, g2, key, market,
+                                   n_blocks=args.n_blocks,
+                                   rqmc=bool(args.rqmc), **kw)
+        ee2 = np.asarray(r2.profile.ee)
+        se2 = np.asarray(r2.profile.ee_std_error)
+        z2 = (float(r2.cva) - o2.cva) / max(float(r2.std_error), 1e-12)
+        ok = ok and abs(z2) < 5
+        print(f"G2++ twin: CVA MC {float(r2.cva):.8f} +/- "
+              f"{float(r2.std_error):.2e}  oracle {o2.cva:.8f}  "
+              f"z = {z2:+.2f}  max|EE z| = "
+              f"{np.max(np.abs((ee2 - np.array(o2.ee)) / se2)):.2f}  "
+              f"exceed {np.asarray(r2.profile.exceed).mean():.4f}")
+        g2res = {"g2": {"cva_mc": float(r2.cva),
+                        "cva_se": float(r2.std_error),
+                        "cva_oracle": o2.cva, "cva_z": z2,
+                        "ee_mc": ee2.tolist(), "ee_se": se2.tolist(),
+                        "ee_oracle": [float(x) for x in o2.ee],
+                        "pfe": [float(x) for x in o2.pfe],
+                        "exceed": np.asarray(r2.profile.exceed).tolist()}}
+    print("validation:", "PASS" if ok else "CHECK")
+    hwio.write_json(
+        hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,
+        results={**g2res,
+            "side": side, "dates": [float(t) for t in prof.dates],
+            "ee_mc": ee.tolist(), "ee_se": se.tolist(),
+            "ee_oracle": [float(x) for x in o.ee],
+            "pfe": [float(x) for x in o.pfe],
+            "exceed": exceed.tolist(), "epe": float(prof.epe),
+            "cva_mc": float(res.cva), "cva_se": float(res.std_error),
+            "cva_oracle": o.cva, "cva_z": zc,
+            "hazard_delta_mc": float(res.hazard_delta),
+            "hazard_delta_oracle": o.hazard_delta,
+            "vega_jvp": float(v.vega), "vega_fd": float(v.fd_vega),
+            "vega_oracle": v.oracle_vega,
+            "quantile": args.quantile, "n_paths": prof.n_paths})
+    return 0 if ok else 1
+
+
 def cmd_exotics(args):
     """Exotic payoff layer on the exact multi-date states (round 3):
     CMS spread caplets (S_long - S_short - K)^+ vs the root-located
@@ -1665,6 +1756,22 @@ def main(argv=None):
                      help="fine G2 DP oracle grids (241, 91, 20) — "
                           "artifact runs; shrinks the exercise-kink "
                           "bilinear bias ~5x")
+    pxv = sub.add_parser("xva", parents=[common])
+    pxv.add_argument("--rate", type=float, default=0.02)
+    pxv.add_argument("--tenor", type=float, default=4.0)
+    pxv.add_argument("--freq", type=float, default=1.0)
+    pxv.add_argument("--payer", action="store_true",
+                     help="payer swap (default receiver)")
+    pxv.add_argument("--quantile", type=float, default=0.95,
+                     help="PFE quantile")
+    pxv.add_argument("--hazard", type=float, default=0.02,
+                     help="flat default intensity")
+    pxv.add_argument("--recovery", type=float, default=0.4)
+    pxv.add_argument("--n-blocks", type=int, default=4, dest="n_blocks")
+    pxv.add_argument("--rqmc", action="store_true",
+                     help="digitally-shifted Sobol blocks")
+    pxv.add_argument("--g2", action="store_true",
+                     help="also run the G2++ twin vs its oracle")
     pnt = sub.add_parser("notes", parents=[common])
     pnt.add_argument("--sb-initial", type=float, default=0.02,
                      help="snowball initial coupon c_0")
@@ -1714,6 +1821,8 @@ def main(argv=None):
         return cmd_exotics(args)
     if args.cmd == "notes":
         return cmd_notes(args)
+    if args.cmd == "xva":
+        return cmd_xva(args)
     if args.cmd == "calibrate":
         return cmd_calibrate(args)
     if args.cmd == "all":

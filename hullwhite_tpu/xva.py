@@ -1,0 +1,816 @@
+"""Counterparty exposure profiles and CVA on a vanilla swap (beyond-
+reference XVA layer).
+
+The reference computes one European option price and its vega
+(src/2_option_pricing.cu:14-35, src/3_sensitivity_analysis.cu:22-96);
+the production use of exactly that machinery is counterparty credit:
+expected exposure EE(t) = E[e^{-I(t)} (V_swap(t))^+] per future date, the
+potential future exposure quantile PFE_q(t), and the credit valuation
+adjustment CVA = (1-R) sum_j EE(t_j) dPD(t_j).  Under one-factor
+Hull-White all of it rides the exact functional engine:
+
+* the swap's value at a reset date T_j is a DETERMINISTIC function of
+  r(T_j): for unit notional the floating leg has just reset to par, so
+  receiver value = CB_j(r) - 1 with CB_j(r) = sum_{T_i > T_j} c_i
+  A(T_j,T_i) e^{-B_i r} the remaining coupon bond (instruments
+  ``_bond_value_terms``).  Exposure therefore needs only the functionals
+  (r(T_0), I(T_0), ..., r(T_{m-1}), I(T_{m-1})) — sampled EXACTLY with
+  2m normals per path through ``bermudan._functional_chol``, no time
+  stepping;
+
+* the fp64 oracle is CLOSED FORM per date on the same discrete trapezoid
+  law the sampler draws from: tilting by e^{-I} shifts the Gaussian
+  r-mean by -cov(r, I) and multiplies by w0 = E[e^{-I}], and the one
+  strike root r* of CB_j(r) = 1 (CB_j is strictly decreasing) turns
+  E[(CB - 1)^+] into Phi terms per cashflow — the Jamshidian
+  decomposition evaluated date by date, so the whole EE profile is a
+  strip of discrete-law swaption prices (instruments.jamshidian_price
+  is the continuous-law pin for the first date);
+
+* PFE_q(t) is exact by monotonicity: the q-quantile of the swap value is
+  the value at the (1-q)- (receiver) or q- (payer) quantile of the
+  GAUSSIAN r(t) — no simulation, no sorting; the MC validates it by
+  measuring the exceedance fraction per date (must be ~ 1-q);
+
+* the per-date control variate is the DISCOUNTED SWAP VALUE
+  e^{-I_j} (CB_j - 1) whose exact discrete-law mean is a lognormal
+  expectation per cashflow (computed inside the kernel as a function of
+  sigma, so CRN-FD and jvp vega differentiate through it); the same CV
+  aggregated with the default-probability weights collapses the CVA
+  noise.
+
+Engine invariants kept: blocks key on the GLOBAL block index
+(``parallel.mesh.block_normals`` — rqmc draws digitally-shifted Sobol,
+SEs across blocks), sigma enters only through ``tables.sig_st`` and the
+affine drift, and the pricer takes n_blocks/mesh like every MC product.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from statistics import NormalDist
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from .models import hull_white as hw
+from .models.hull_white import MarketCurve
+from .instruments import CouponSchedule, _bond_value_terms, _np_AB
+from .parallel import mesh as pmesh
+from .range_note import _nphi
+
+_NDTRI = NormalDist().inv_cdf
+
+
+def swap_schedule(cfg: HWConfig, rate: float, tenor: float,
+                  freq: float = 1.0, start: float | None = None
+                  ) -> CouponSchedule:
+    """Fixed leg plus notional of a swap whose first reset is ``start``
+    (default cfg.s1): payments rate/freq at start + k/freq,
+    k = 1..tenor*freq, notional 1 at the end."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    times = tuple(start + (k + 1) / freq for k in range(n))
+    coupons = tuple(rate / freq + (1.0 if k == n - 1 else 0.0)
+                    for k in range(n))
+    return CouponSchedule(times=times, coupons=coupons)
+
+
+def exposure_dates(cfg: HWConfig, tenor: float, freq: float = 1.0,
+                   start: float | None = None) -> tuple:
+    """Reset dates T_0..T_{m-1} (T_0 = swap start): the dates where the
+    floating leg is at par and the swap value is exactly CB_j(r) - 1."""
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    return tuple(start + j / freq for j in range(n))
+
+
+def _pd_weights(dates: tuple, hazard: float):
+    """Default-probability increments pd_j = S(t_{j-1}) - S(t_j) with
+    S(t) = e^{-hazard t}, t_{-1} = 0 (EE evaluated at the right endpoint
+    of each bucket), and their hazard derivatives d pd_j / d hazard."""
+    prev = 0.0
+    pd, dpd = [], []
+    for t in dates:
+        pd.append(math.exp(-hazard * prev) - math.exp(-hazard * t))
+        dpd.append(t * math.exp(-hazard * t)
+                   - prev * math.exp(-hazard * prev))
+        prev = t
+    return tuple(pd), tuple(dpd)
+
+
+@lru_cache(maxsize=None)
+def _date_stats(cfg: HWConfig, dates: tuple):
+    """fp64 per-date second moments of (r(t), I(t)) per unit sig_st:
+    (u.u, w.w, u.w) from the shock shapes — the same dot products every
+    discrete-law closed form in the repo is built from."""
+    from .bermudan import _step_index
+    from .ops.engine_linear import _shock_shapes
+
+    out = []
+    for t in dates:
+        n = _step_index(cfg, t)
+        u, w = (np.asarray(a, np.float64) for a in _shock_shapes(cfg, n))
+        out.append((float(u @ u), float(w @ w), float(u @ w)))
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def _det_rI(cfg: HWConfig, dates: tuple):
+    """fp64 deterministic (r, I) affine pieces at ``dates``:
+    r = rA + c rB, I = iA + c iB with c = 0.5 (sigma^2 - sigma0^2)."""
+    from .bermudan import _det_affine, _step_index
+
+    rA, rB, iA, iB = _det_affine(cfg)
+    idx = [_step_index(cfg, t) - 1 for t in dates]
+    return (tuple(float(rA[i]) for i in idx),
+            tuple(float(rB[i]) for i in idx),
+            tuple(float(iA[i]) for i in idx),
+            tuple(float(iB[i]) for i in idx))
+
+
+def _np_terms(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
+              t: float, sigma: float):
+    """fp64 (lam_i, B_i) with cashflows at or before t zeroed, so the
+    remaining coupon bond at ``t`` is CB(r) = sum_i lam_i e^{-B_i r}."""
+    A, B, _, _ = _np_AB(cfg, market, t, np.asarray(sched.times), sigma)
+    cs = np.asarray(sched.coupons, np.float64)
+    alive = (np.asarray(sched.times, np.float64) > t + 1e-9)
+    return alive * cs * A, B
+
+
+def _cb_root(lams, Bs, strike: float) -> float:
+    """Newton root r* of CB(r) = strike (CB strictly decreasing)."""
+    r = 0.02
+    for _ in range(80):
+        v = float(np.sum(lams * np.exp(-Bs * r)))
+        dv = float(-np.sum(lams * Bs * np.exp(-Bs * r)))
+        step = (v - strike) / dv
+        r -= step
+        if abs(step) < 1e-15:
+            break
+    return r
+
+
+def _ee_closed(lams, Bs, strike: float, mu: float, s: float,
+               sg: float) -> float:
+    """E[(sg (CB(r) - strike))^+] for r ~ N(mu, s^2), closed form via the
+    strike root (the per-date Jamshidian decomposition)."""
+    rstar = _cb_root(lams, Bs, strike)
+    d = (rstar - mu) / s
+    emom = lams * np.exp(-Bs * mu + 0.5 * Bs * Bs * s * s)
+    if sg > 0:       # receiver pays when r < r*
+        val = float(np.sum(emom * _nphi(d + Bs * s))) - strike * _nphi(d)
+    else:            # payer pays when r > r*
+        val = strike * _nphi(-d) - float(
+            np.sum(emom * _nphi(-d - Bs * s)))
+    return max(val, 0.0)
+
+
+class OracleXVA(NamedTuple):
+    dates: tuple
+    ee: tuple            # discounted expected exposure per date
+    pfe: tuple           # undiscounted PFE_q level per date
+    disc_swap: tuple     # E[e^{-I_j} V_j] per date (CV exact means)
+    epe: float           # average of ee over the dates
+    cva: float
+    hazard_delta: float  # dCVA / dhazard
+
+
+def exposure_oracle(cfg: HWConfig, market: MarketCurve, *,
+                    rate: float = 0.02, tenor: float = 4.0,
+                    freq: float = 1.0, start: float | None = None,
+                    payer: bool = False, quantile: float = 0.95,
+                    hazard: float = 0.02, recovery: float = 0.4,
+                    sigma: float | None = None) -> OracleXVA:
+    """float64 closed-form exposure profile + CVA on the discrete
+    trapezoid law (see module docstring).  EE(t_j) is exact (strike-root
+    decomposition), PFE is exact (monotone quantile map), CVA is the
+    pd-weighted EE sum — all pinned against the MC in tests and against
+    ``instruments.jamshidian_price`` at the first date."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    sched = swap_schedule(cfg, rate, tenor, freq, start)
+    dates = exposure_dates(cfg, tenor, freq, start)
+    sg = -1.0 if payer else 1.0
+    tables = hw.step_tables(cfg, float(sigma), cfg.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    c = 0.5 * (float(sigma) ** 2 - cfg.sigma ** 2)
+    rA, rB, iA, iB = _det_rI(cfg, dates)
+    stats = _date_stats(cfg, dates)
+    zq = _NDTRI(quantile if payer else 1.0 - quantile)
+    ee, pfe, dm = [], [], []
+    for j, t in enumerate(dates):
+        lams, Bs = _np_terms(cfg, market, sched, t, float(sigma))
+        uu, ww, uw = stats[j]
+        v_r, v_I, c_rI = sig * sig * uu, sig * sig * ww, sig * sig * uw
+        r_det = rA[j] + c * rB[j]
+        i_det = iA[j] + c * iB[j]
+        s_r = math.sqrt(v_r)
+        w0 = math.exp(-i_det + 0.5 * v_I)
+        ee.append(w0 * _ee_closed(lams, Bs, 1.0, r_det - c_rI, s_r, sg))
+        r_q = r_det + s_r * zq
+        pfe.append(max(sg * (float(np.sum(lams * np.exp(-Bs * r_q))) - 1.0),
+                       0.0))
+        # E[e^{-I} (CB - 1)]: lognormal mean per cashflow
+        emean = float(np.sum(lams * np.exp(
+            -i_det - Bs * r_det + 0.5 * (v_I + Bs * Bs * v_r
+                                         + 2.0 * Bs * c_rI))))
+        dm.append(sg * (emean - w0))
+    pd, dpd = _pd_weights(dates, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    hdelta = lgd * sum(p * e for p, e in zip(dpd, ee))
+    return OracleXVA(dates=dates, ee=tuple(ee), pfe=tuple(pfe),
+                     disc_swap=tuple(dm), epe=sum(ee) / len(ee),
+                     cva=cva, hazard_delta=hdelta)
+
+
+def ee_quadrature(cfg: HWConfig, market: MarketCurve, t: float, *,
+                  rate: float = 0.02, tenor: float = 4.0,
+                  freq: float = 1.0, start: float | None = None,
+                  payer: bool = False, sigma: float | None = None,
+                  n_quad: int = 96) -> float:
+    """fp64 quadrature EE(t) — the independent cross-check of the
+    strike-root closed form.  The positive part has a kink at the strike
+    root, so plain Gauss-Hermite stalls at ~1e-4 (the same indicator
+    failure documented for the range-accrual note, docs/MATH.md §19);
+    instead the integral runs Gauss-Legendre over the PAYING side only
+    ([mu - 12 s, r*] receiver, [r*, mu + 12 s] payer), where the
+    integrand is analytic and the rule converges spectrally."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    sched = swap_schedule(cfg, rate, tenor, freq, start)
+    sg = -1.0 if payer else 1.0
+    tables = hw.step_tables(cfg, float(sigma), cfg.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    c = 0.5 * (float(sigma) ** 2 - cfg.sigma ** 2)
+    dates = (float(t),)
+    rA, rB, iA, iB = _det_rI(cfg, dates)
+    (uu, ww, uw), = _date_stats(cfg, dates)
+    v_r, v_I, c_rI = sig * sig * uu, sig * sig * ww, sig * sig * uw
+    r_det, i_det = rA[0] + c * rB[0], iA[0] + c * iB[0]
+    w0 = math.exp(-i_det + 0.5 * v_I)
+    lams, Bs = _np_terms(cfg, market, sched, float(t), float(sigma))
+    mu, s = r_det - c_rI, math.sqrt(v_r)
+    rstar = _cb_root(lams, Bs, 1.0)
+    lo, hi = (mu - 12.0 * s, rstar) if sg > 0 else (rstar, mu + 12.0 * s)
+    nodes, wq = np.polynomial.legendre.leggauss(n_quad)
+    r = 0.5 * (hi + lo) + 0.5 * (hi - lo) * nodes
+    dens = np.exp(-0.5 * ((r - mu) / s) ** 2) / (s * math.sqrt(2 * math.pi))
+    V = sg * (np.exp(-np.outer(r, Bs)) @ lams - 1.0)
+    return w0 * 0.5 * (hi - lo) * float(wq @ (np.maximum(V, 0.0) * dens))
+
+
+class ExposureProfile(NamedTuple):
+    dates: tuple
+    ee: jax.Array           # (m,) CV'd discounted EE per date
+    ee_std_error: jax.Array
+    ee_raw: jax.Array       # plain MC per date (no CV)
+    beta: jax.Array         # per-date CV coefficients
+    pfe: jax.Array          # (m,) closed-form quantile levels
+    exceed: jax.Array       # measured P(V_j > pfe_j), ~ 1 - quantile
+    epe: jax.Array
+    n_paths: int
+
+
+class CVAResult(NamedTuple):
+    cva: jax.Array
+    std_error: jax.Array
+    raw_cva: jax.Array
+    raw_std_error: jax.Array
+    beta: jax.Array
+    hazard_delta: jax.Array  # dCVA/dhazard off the CV'd EE profile
+    profile: ExposureProfile
+
+
+@lru_cache(maxsize=None)
+def _xva_fn(cfg: HWConfig, rate: float, start: float, n: int, tau: float,
+            payer: bool, quantile: float, hazard: float, recovery: float,
+            n_paths: int, n_blocks: int, rqmc: bool, mesh):
+    from .bermudan import _functional_chol, _functional_det
+
+    sched = swap_schedule(cfg, rate, n * tau, 1.0 / tau, start)
+    dates = exposure_dates(cfg, n * tau, 1.0 / tau, start)
+    m = len(dates)
+    sg = -1.0 if payer else 1.0
+    specs = tuple([("r", t) for t in dates] + [("I", t) for t in dates])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    stats = jnp.asarray(_date_stats(cfg, dates), jnp.float32)  # (m, 3)
+    pd, dpd = _pd_weights(dates, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+    zq = jnp.float32(_NDTRI(quantile if payer else 1.0 - quantile))
+
+    def compute(key, sigma, market):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det, i_det = det[:m], det[m:]
+        lam, B = (jnp.stack(v) for v in zip(
+            *[_bond_value_terms(cfg, sigma, market, sched, t)
+              for t in dates]))                              # (m, ncf)
+        sig2 = tables.sig_st * tables.sig_st
+        v_r, v_I, c_rI = (sig2 * stats[:, q] for q in range(3))
+        s_r = jnp.sqrt(v_r)
+        w0 = jnp.exp(-i_det + 0.5 * v_I)
+        # exact discrete-law CV means E[e^{-I_j} (CB_j - 1)], a function
+        # of sigma so CRN-FD and jvp vega differentiate through them
+        emean = jnp.sum(lam * jnp.exp(
+            -i_det[:, None] - B * r_det[:, None]
+            + 0.5 * (v_I[:, None] + B * B * v_r[:, None]
+                     + 2.0 * B * c_rI[:, None])), axis=1)
+        cv_mean = sg * (emean - w0)                          # (m,)
+        # closed-form PFE levels (monotone quantile map; exceedance
+        # counts below validate them against the sampled paths)
+        r_q = r_det + s_r * zq
+        pfe = jnp.maximum(
+            sg * (jnp.sum(lam * jnp.exp(-B * r_q[:, None]), axis=1) - 1.0),
+            0.0)
+
+        def block(bi):
+            x = pmesh.block_normals(key, bi, n_paths, 2 * m, rqmc)
+            z = tables.sig_st * jnp.dot(
+                x, LT, preferred_element_type=jnp.float32,
+                precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :m]         # (paths, m)
+                disc = jnp.exp(-(i_det[None, :] + sgn * z[:, m:]))
+                cb = jnp.sum(lam[None, :, :]
+                             * jnp.exp(-B[None, :, :] * ro[:, :, None]),
+                             axis=2)
+                V = sg * (cb - 1.0)
+                X = disc * jnp.maximum(V, 0.0)               # EE samples
+                Y = disc * V                                 # CV samples
+                E = (V > pfe[None, :]).astype(jnp.float32)
+                return X, Y, E
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)                             # (paths,)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cv_mean, pdw, dpdw, lgd) + (pfe,)
+
+    return jax.jit(compute)
+
+
+def _profile_reduce(per_block, m: int, n_paths: int, n_blocks: int,
+                    rqmc: bool, cv_mean, pdw, dpdw, lgd: float):
+    """Shared EE-profile / CVA reduction: per-date and pd-aggregated
+    beta* control variates from the stacked block moments
+    [sum X, sum X^2, sum Y, sum Y^2, sum XY, exceed] x m + the 5
+    aggregate moments; rqmc reports SEs across the digital shifts."""
+    s = jnp.sum(per_block, axis=0)
+    n_tot = 1.0 * n_paths * n_blocks
+    D = [s[q * m:(q + 1) * m] / n_tot for q in range(6)]
+    mx, my = D[0], D[2]
+    var_x = jnp.maximum(D[1] - mx * mx, 0.0)
+    var_y = jnp.maximum(D[3] - my * my, 1e-30)
+    cov = D[4] - mx * my
+    beta = cov / var_y
+    ee = mx - beta * (my - cv_mean)
+    A = s[6 * m:] / n_tot
+    mxc, myc = A[0], A[2]
+    var_xc = jnp.maximum(A[1] - mxc * mxc, 0.0)
+    var_yc = jnp.maximum(A[3] - myc * myc, 1e-30)
+    cov_c = A[4] - mxc * myc
+    beta_c = cov_c / var_yc
+    cv_mean_c = jnp.dot(pdw, cv_mean)
+    cva = lgd * (mxc - beta_c * (myc - cv_mean_c))
+    raw_cva = lgd * mxc
+    if rqmc:
+        # the digital shifts are the independent replicates: SEs come
+        # from the across-block spread of the CV'd estimates
+        pb = per_block / n_paths
+        ee_b = pb[:, :m] - beta[None, :] * pb[:, 2 * m:3 * m]
+        ee_se = jnp.std(ee_b, axis=0, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+        cva_b = lgd * (pb[:, 6 * m] - beta_c * pb[:, 6 * m + 2])
+        cva_se = jnp.std(cva_b, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+        raw_se = lgd * jnp.std(pb[:, 6 * m], ddof=1) \
+            / jnp.sqrt(1.0 * n_blocks)
+    else:
+        bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+        var_cv = jnp.maximum(var_x - cov * cov / var_y, 0.0)
+        ee_se = jnp.sqrt(bessel * var_cv / n_tot)
+        var_cva = jnp.maximum(var_xc - cov_c * cov_c / var_yc, 0.0)
+        cva_se = lgd * jnp.sqrt(bessel * var_cva / n_tot)
+        raw_se = lgd * jnp.sqrt(bessel * var_xc / n_tot)
+    hdelta = lgd * jnp.dot(dpdw, ee)
+    return (ee, ee_se, mx, beta, D[5], jnp.mean(ee),
+            cva, cva_se, raw_cva, raw_se, beta_c, hdelta)
+
+
+def price_exposure(cfg: HWConfig, key, market: MarketCurve, *,
+                   rate: float = 0.02, tenor: float = 4.0,
+                   freq: float = 1.0, start: float | None = None,
+                   payer: bool = False, quantile: float = 0.95,
+                   hazard: float = 0.02, recovery: float = 0.4,
+                   sigma=None, n_paths: int | None = None,
+                   n_blocks: int = 1, rqmc: bool = False,
+                   mesh=None) -> CVAResult:
+    """Monte Carlo exposure profile + CVA on exactly-sampled multi-date
+    (r, I) functionals, with the discounted swap value as per-date (and
+    pd-weighted) control variate at its exact discrete-law mean.  fp64
+    oracle: ``exposure_oracle``.  rqmc=True needs n_blocks >= 2 (SEs
+    across digital shifts); blocks key on their global index, optionally
+    sharded over ``mesh``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    out = _xva_fn(cfg, float(rate), float(start), n, 1.0 / freq,
+                  bool(payer), float(quantile), float(hazard),
+                  float(recovery), int(n_paths), int(n_blocks),
+                  bool(rqmc), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=out[12],
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)
+
+
+class CVAVega(NamedTuple):
+    vega: jax.Array          # jvp tangent of the CV'd CVA
+    fd_vega: jax.Array       # CRN central difference (same kernel)
+    oracle_vega: float       # fp64 closed-form central difference
+    epsilon: float
+
+
+def vega_cva(cfg: HWConfig, key, market: MarketCurve, *,
+             rate: float = 0.02, tenor: float = 4.0, freq: float = 1.0,
+             start: float | None = None, payer: bool = False,
+             quantile: float = 0.95, hazard: float = 0.02,
+             recovery: float = 0.4, eps: float = 1e-3,
+             n_paths: int | None = None, n_blocks: int = 1,
+             rqmc: bool = False, mesh=None) -> CVAVega:
+    """dCVA/dsigma three ways on one kernel: forward-mode jvp (the
+    positive part is a.s. differentiable and the CV mean is computed
+    inside the trace), CRN central difference, and the fp64 closed-form
+    oracle's central difference.  The jvp flows through the SAME
+    sigma-multiplier parameterization every engine uses (dz/dsigma =
+    z/sigma), reference vega protocol src/3_sensitivity_analysis.cu."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    fn = _xva_fn(cfg, float(rate), float(start), n, 1.0 / freq,
+                 bool(payer), float(quantile), float(hazard),
+                 float(recovery), int(n_paths), int(n_blocks),
+                 bool(rqmc), mesh)
+
+    def cva_of(s):
+        return fn(key, s, market)[6]
+
+    sig0 = jnp.asarray(cfg.sigma, jnp.float32)
+    _, tangent = jax.jvp(cva_of, (sig0,), (jnp.ones_like(sig0),))
+    up = cva_of(jnp.asarray(cfg.sigma + eps, jnp.float32))
+    dn = cva_of(jnp.asarray(cfg.sigma - eps, jnp.float32))
+    kw = dict(rate=rate, tenor=tenor, freq=freq, start=start, payer=payer,
+              quantile=quantile, hazard=hazard, recovery=recovery)
+    o_up = exposure_oracle(cfg, market, sigma=cfg.sigma + eps, **kw).cva
+    o_dn = exposure_oracle(cfg, market, sigma=cfg.sigma - eps, **kw).cva
+    return CVAVega(vega=tangent, fd_vega=(up - dn) / (2.0 * eps),
+                   oracle_vega=(o_up - o_dn) / (2.0 * eps), epsilon=eps)
+
+
+# ---------------------------------------------------------------------------
+# G2++ twin: the same exposure metrics on the two-factor model.  The swap
+# value at a reset date is CB_j(x, y) = sum_i lam_{j,i} e^{-Ba_i x - Bb_i y}
+# - a function of BOTH factors, so the EE oracle generalizes
+# swaption_g2_analytic date by date (outer x-quadrature, inner closed-form
+# y-decomposition at the conditional root), the PFE quantile comes from
+# bisecting the exact conditional-CDF mixture, and the CV mean is the
+# martingale identity E[D_j P(T_j, T_i)] = P(0, T_i).
+# ---------------------------------------------------------------------------
+
+
+def _g2_date_terms(cfg: HWConfig, g, market: MarketCurve,
+                   sched: CouponSchedule, t: float):
+    """fp64 (lam0_i, Ba_i, Bb_i) with P(t, T_i) = lam0_i e^{-Ba x - Bb y}
+    reconstructed from the market curve with the G2++ variance
+    adjustment at expiry ``t`` (models.g2pp._bond_terms_g2 generalized
+    off the fixed cfg.s1 expiry), cashflows at or before t zeroed."""
+    from .models.g2pp import _B, _v_integral
+
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    Pt = float(np.interp(t, Ts_grid, P))
+    lam, Ba, Bb = [], [], []
+    for T_i, c_i in zip(sched.times, sched.coupons):
+        if T_i <= t + 1e-9:
+            lam.append(0.0)
+            Ba.append(0.0)
+            Bb.append(0.0)
+            continue
+        tau = T_i - t
+        vadj = 0.5 * (_v_integral(g, tau) - _v_integral(g, T_i)
+                      + _v_integral(g, t))
+        lam.append(c_i * float(np.interp(T_i, Ts_grid, P)) / Pt
+                   * math.exp(vadj))
+        Ba.append(_B(g.a, tau))
+        Bb.append(_B(g.b, tau))
+    return np.asarray(lam), np.asarray(Ba), np.asarray(Bb), Pt
+
+
+def _g2_y_root(lam, Ba, Bb, xs, strike: float):
+    """Newton root ybar(x) of V(x, ybar) = strike per x node (V strictly
+    decreasing in y)."""
+    lx = lam[None, :] * np.exp(-Ba[None, :] * xs[:, None])
+    yb = np.zeros_like(xs)
+    for _ in range(80):
+        E = np.exp(-Bb[None, :] * yb[:, None])
+        V = np.sum(lx * E, axis=1)
+        dV = -np.sum(lx * Bb[None, :] * E, axis=1)
+        step = (V - strike) / dV
+        yb = yb - step
+        if np.max(np.abs(step)) < 1e-14:
+            break
+    return yb, lx
+
+
+def _ee_g2_closed(lam, Ba, Bb, strike: float, mx: float, my: float,
+                  sx: float, sy: float, rxy: float, sg: float,
+                  n_quad: int = 2001, width: float = 8.0) -> float:
+    """E[(sg (V(x, y) - strike))^+], (x, y) bivariate normal: outer
+    trapezoid in x, inner closed form in y at the conditional root
+    (the swaption_g2_analytic decomposition, per exposure date)."""
+    xs = mx + sx * np.linspace(-width, width, n_quad)
+    wpdf = np.exp(-0.5 * ((xs - mx) / sx) ** 2) \
+        / (sx * math.sqrt(2 * math.pi))
+    m_c = my + rxy * sy / sx * (xs - mx)
+    s_c = sy * math.sqrt(max(1.0 - rxy * rxy, 1e-16))
+    yb, lx = _g2_y_root(lam, Ba, Bb, xs, strike)
+    d = (m_c - yb) / s_c
+    e_full = np.sum(lx * np.exp(-Bb[None, :] * m_c[:, None]
+                                + 0.5 * (Bb[None, :] * s_c) ** 2), axis=1)
+    e_low = np.sum(lx * np.exp(-Bb[None, :] * m_c[:, None]
+                               + 0.5 * (Bb[None, :] * s_c) ** 2)
+                   * _nphi(d[:, None] - Bb[None, :] * s_c), axis=1)
+    payer_inner = strike * _nphi(d) - e_low    # E[(K - V) 1{y > ybar}]
+    inner = payer_inner if sg < 0 else payer_inner + e_full - strike
+    return float(np.trapezoid(wpdf * np.maximum(inner, 0.0), xs))
+
+
+def _pfe_g2(lam, Ba, Bb, sx: float, sy: float, rxy: float, sg: float,
+            quantile: float, n_quad: int = 801,
+            width: float = 8.0) -> float:
+    """q-quantile of (sg (V(x, y) - 1))^+ under the RISK-NEUTRAL law
+    ((x, y) centered; the covariance is measure-independent): bisect the
+    level v in the exact conditional-CDF mixture
+    P(V <= K) = E_x[P(y >= ybar(x, K) | x)] (V decreasing in y)."""
+    xs = sx * np.linspace(-width, width, n_quad)
+    wpdf = np.exp(-0.5 * (xs / sx) ** 2) / (sx * math.sqrt(2 * math.pi))
+    wpdf = wpdf / np.trapezoid(wpdf, xs)       # renormalize the tails
+    m_c = rxy * sy / sx * xs
+    s_c = sy * math.sqrt(max(1.0 - rxy * rxy, 1e-16))
+
+    def cdf(v):
+        # P(sg (V - 1) <= v)
+        K = 1.0 + sg * v
+        yb, _ = _g2_y_root(lam, Ba, Bb, xs, K)
+        p_le = np.trapezoid(wpdf * _nphi(-(yb - m_c) / s_c), xs)
+        return p_le if sg > 0 else 1.0 - p_le
+
+    lo, hi = -0.5, 0.5
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if cdf(mid) < quantile:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-12:
+            break
+    return max(0.5 * (lo + hi), 0.0)
+
+
+def exposure_oracle_g2(cfg: HWConfig, g, market: MarketCurve, *,
+                       rate: float = 0.02, tenor: float = 4.0,
+                       freq: float = 1.0, start: float | None = None,
+                       payer: bool = False, quantile: float = 0.95,
+                       hazard: float = 0.02,
+                       recovery: float = 0.4) -> OracleXVA:
+    """fp64 G2++ exposure profile + CVA: EE(t_j) = P(0,t_j) x the
+    t_j-forward-measure positive part (outer-quadrature / closed-inner,
+    exact to the 2001-node trapezoid like swaption_g2_analytic, which
+    pins the first date); PFE by conditional-CDF bisection; the
+    discounted-swap means are the exact martingale identities
+    sg (sum_i c_i P(0,T_i) - P(0,t_j))."""
+    from .models.g2pp import _fwd_means, _xy_cov
+
+    if start is None:
+        start = cfg.s1
+    sched = swap_schedule(cfg, rate, tenor, freq, start)
+    dates = exposure_dates(cfg, tenor, freq, start)
+    sg = -1.0 if payer else 1.0
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    ee, pfe, dm = [], [], []
+    for t in dates:
+        lam, Ba, Bb, Pt = _g2_date_terms(cfg, g, market, sched, t)
+        mx, my = _fwd_means(g, t)
+        sx, sy, rxy = _xy_cov(g, t)
+        ee.append(Pt * _ee_g2_closed(lam, Ba, Bb, 1.0, mx, my, sx, sy,
+                                     rxy, sg))
+        pfe.append(_pfe_g2(lam, Ba, Bb, sx, sy, rxy, sg, quantile))
+        alive = np.asarray(sched.times, np.float64) > t + 1e-9
+        cs = np.asarray(sched.coupons, np.float64)
+        P0i = np.interp(np.asarray(sched.times), Ts_grid, P)
+        dm.append(sg * (float(np.sum(alive * cs * P0i)) - Pt))
+    pd, dpd = _pd_weights(dates, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    hdelta = lgd * sum(p * e for p, e in zip(dpd, ee))
+    return OracleXVA(dates=dates, ee=tuple(ee), pfe=tuple(pfe),
+                     disc_swap=tuple(dm), epe=sum(ee) / len(ee),
+                     cva=cva, hazard_delta=hdelta)
+
+
+@lru_cache(maxsize=None)
+def _xva_g2_fn(cfg: HWConfig, g, rate: float, start: float, n: int,
+               tau: float, payer: bool, hazard: float, recovery: float,
+               n_paths: int, n_blocks: int, rqmc: bool, mesh):
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    sched = swap_schedule(cfg, rate, n * tau, 1.0 / tau, start)
+    dates = exposure_dates(cfg, n * tau, 1.0 / tau, start)
+    m = len(dates)
+    sg = -1.0 if payer else 1.0
+    # sample exactly the payoff's functionals: x, y at each reset (unit
+    # projections of the strip machinery) and I at each reset
+    specs = tuple([s for t in dates
+                   for s in (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0))]
+                  + [("I", t) for t in dates])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    d0 = jnp.asarray([-0.5 * _v_integral(g, t) for t in dates],
+                     jnp.float32)
+    # per-date bond terms: static exponents, curve-traced lam built in
+    # compute (cashflows at or before each date are zeroed)
+    BaM = np.zeros((m, len(sched.times)))
+    BbM = np.zeros((m, len(sched.times)))
+    vadjM = np.zeros((m, len(sched.times)))
+    aliveM = np.zeros((m, len(sched.times)))
+    for j, t in enumerate(dates):
+        for i, T_i in enumerate(sched.times):
+            if T_i <= t + 1e-9:
+                continue
+            aliveM[j, i] = 1.0
+            BaM[j, i] = _B(g.a, T_i - t)
+            BbM[j, i] = _B(g.b, T_i - t)
+            vadjM[j, i] = 0.5 * (_v_integral(g, T_i - t)
+                                 - _v_integral(g, T_i) + _v_integral(g, t))
+    BaM, BbM = jnp.asarray(BaM, jnp.float32), jnp.asarray(BbM, jnp.float32)
+    fac = jnp.asarray(aliveM * np.exp(vadjM)
+                      * np.asarray(sched.coupons)[None, :], jnp.float32)
+    aliveM = jnp.asarray(aliveM, jnp.float32)
+    pd, dpd = _pd_weights(dates, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+
+    def compute(key, market, pfe):
+        Pt = hw.interp_curve(market.P, jnp.asarray(dates, jnp.float32),
+                             cfg)                               # (m,)
+        P0i = hw.interp_curve(market.P,
+                              jnp.asarray(sched.times, jnp.float32), cfg)
+        lam = fac * (P0i[None, :] / Pt[:, None])                # (m, ncf)
+        disc0 = Pt * jnp.exp(d0)
+        # exact martingale CV means E[D_j V_j] = sg (sum c_i P0i - P0t)
+        cv_mean = sg * (jnp.sum(aliveM * jnp.asarray(
+            sched.coupons, jnp.float32)[None, :] * P0i[None, :], axis=1)
+            - Pt)
+
+        def block(bi):
+            xn = pmesh.block_normals(key, bi, n_paths, 3 * m, rqmc)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x = sgn * z[:, 0:2 * m:2]                   # (paths, m)
+                y = sgn * z[:, 1:2 * m:2]
+                I = sgn * z[:, 2 * m:]
+                cb = jnp.sum(lam[None, :, :]
+                             * jnp.exp(-BaM[None, :, :] * x[:, :, None]
+                                       - BbM[None, :, :] * y[:, :, None]),
+                             axis=2)
+                V = sg * (cb - 1.0)
+                D = disc0[None, :] * jnp.exp(-I)
+                X = D * jnp.maximum(V, 0.0)
+                Y = D * V
+                E = (V > pfe[None, :]).astype(jnp.float32)
+                return X, Y, E
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cv_mean, pdw, dpdw, lgd)
+
+    return jax.jit(compute)
+
+
+def price_exposure_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                      rate: float = 0.02, tenor: float = 4.0,
+                      freq: float = 1.0, start: float | None = None,
+                      payer: bool = False, quantile: float = 0.95,
+                      hazard: float = 0.02, recovery: float = 0.4,
+                      n_paths: int | None = None, n_blocks: int = 1,
+                      rqmc: bool = False, mesh=None) -> CVAResult:
+    """G2++ twin of ``price_exposure``: 3m exactly-sampled functionals
+    (x, y, I per reset date), discounted-swap CV at its exact martingale
+    mean, PFE levels from the fp64 conditional-CDF bisection (validated
+    by the measured exceedance fractions).  fp64 oracle:
+    ``exposure_oracle_g2``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    n = int(round(tenor * freq))
+    o = exposure_oracle_g2(cfg, g, market, rate=rate, tenor=tenor,
+                           freq=freq, start=start, payer=payer,
+                           quantile=quantile, hazard=hazard,
+                           recovery=recovery)
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _xva_g2_fn(cfg, g, float(rate), float(start), n, 1.0 / freq,
+                     bool(payer), float(hazard), float(recovery),
+                     int(n_paths), int(n_blocks), bool(rqmc), mesh)(
+        key, market, pfe)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)
+
+
+def vega_cva_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
+                eps: float = 1e-3, **kw) -> CVAVega:
+    """dCVA/dsigma_x on the G2++ twin by CRN central difference (the
+    G2Params are static in the kernel, so FD with a shared key is the
+    repo's G2 vega protocol, cf. models.g2pp.vega_zbc_g2) vs the fp64
+    oracle's central difference."""
+    from dataclasses import replace
+
+    up_g = replace(g, sigma=g.sigma + eps)
+    dn_g = replace(g, sigma=g.sigma - eps)
+    up = price_exposure_g2(cfg, up_g, key, market, **kw).cva
+    dn = price_exposure_g2(cfg, dn_g, key, market, **kw).cva
+    okw = {k: v for k, v in kw.items()
+           if k in ("rate", "tenor", "freq", "start", "payer", "quantile",
+                    "hazard", "recovery")}
+    o_up = exposure_oracle_g2(cfg, up_g, market, **okw).cva
+    o_dn = exposure_oracle_g2(cfg, dn_g, market, **okw).cva
+    fd = (up - dn) / (2.0 * eps)
+    return CVAVega(vega=fd, fd_vega=fd,
+                   oracle_vega=(o_up - o_dn) / (2.0 * eps), epsilon=eps)
