@@ -677,6 +677,42 @@ def cmd_xva(args):
     print(f"CVA vega:  jvp {float(v.vega):.6f}  CRN-FD "
           f"{float(v.fd_vega):.6f}  oracle-FD {v.oracle_vega:.6f}  "
           f"(rel diff {dv:.1e})")
+    net_res = {}
+    if args.netting:
+        legs = ((args.rate, args.tenor, args.payer),
+                (args.rate * 0.6, max(args.tenor - 1.0, 1.0),
+                 not args.payer),
+                (args.rate * 1.5, max(args.tenor - 2.0, 1.0), args.payer))
+        on = xva.netting_oracle(cfg, market, legs, freq=args.freq,
+                                quantile=args.quantile,
+                                hazard=args.hazard,
+                                recovery=args.recovery)
+        rn = xva.price_netting(cfg, key, market, legs, freq=args.freq,
+                               quantile=args.quantile, hazard=args.hazard,
+                               recovery=args.recovery,
+                               n_blocks=args.n_blocks,
+                               rqmc=bool(args.rqmc))
+        stand = [xva.exposure_oracle(cfg, market, rate=rr, tenor=tt,
+                                     payer=pp, freq=args.freq,
+                                     hazard=args.hazard,
+                                     recovery=args.recovery)
+                 for (rr, tt, pp) in legs]
+        zn = (float(rn.cva) - on.cva) / max(float(rn.std_error), 1e-12)
+        ok = ok and abs(zn) < 5
+        benefit = sum(o.cva for o in stand) - on.cva
+        print(f"netting set ({len(legs)} swaps): CVA MC "
+              f"{float(rn.cva):.8f} +/- {float(rn.std_error):.2e}  "
+              f"oracle {on.cva:.8f}  z = {zn:+.2f}  netting benefit "
+              f"{benefit:.6f} ({benefit/sum(o.cva for o in stand)*100:.1f}"
+              f"% of standalone)")
+        net_res = {"netting": {
+            "legs": [list(l) for l in legs], "cva_mc": float(rn.cva),
+            "cva_se": float(rn.std_error), "cva_oracle": on.cva,
+            "cva_z": zn, "benefit": benefit,
+            "ee_oracle": [float(x) for x in on.ee],
+            "ee_mc": np.asarray(rn.profile.ee).tolist(),
+            "pfe": [float(x) for x in on.pfe],
+            "exceed": np.asarray(rn.profile.exceed).tolist()}}
     g2res = {}
     if args.g2:
         from .models import g2pp
@@ -705,7 +741,7 @@ def cmd_xva(args):
     print("validation:", "PASS" if ok else "CHECK")
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,
-        results={**g2res,
+        results={**g2res, **net_res,
             "side": side, "dates": [float(t) for t in prof.dates],
             "ee_mc": ee.tolist(), "ee_se": se.tolist(),
             "ee_oracle": [float(x) for x in o.ee],
@@ -1772,6 +1808,9 @@ def main(argv=None):
                      help="digitally-shifted Sobol blocks")
     pxv.add_argument("--g2", action="store_true",
                      help="also run the G2++ twin vs its oracle")
+    pxv.add_argument("--netting", action="store_true",
+                     help="also run a 3-swap netting set vs its "
+                          "segment-decomposed oracle")
     pnt = sub.add_parser("notes", parents=[common])
     pnt.add_argument("--sb-initial", type=float, default=0.02,
                      help="snowball initial coupon c_0")

@@ -378,11 +378,17 @@ def _xva_fn(cfg: HWConfig, rate: float, start: float, n: int, tau: float,
 
 
 def _profile_reduce(per_block, m: int, n_paths: int, n_blocks: int,
-                    rqmc: bool, cv_mean, pdw, dpdw, lgd: float):
+                    rqmc: bool, cv_mean, pdw, dpdw, lgd: float,
+                    extra_means=()):
     """Shared EE-profile / CVA reduction: per-date and pd-aggregated
     beta* control variates from the stacked block moments
     [sum X, sum X^2, sum Y, sum Y^2, sum XY, exceed] x m + the 5
-    aggregate moments; rqmc reports SEs across the digital shifts."""
+    aggregate moments; rqmc reports SEs across the digital shifts.
+    ``extra_means`` adds one generic CV'd aggregate channel per entry
+    (exact CV mean): the block rows carry 5 more moments
+    [sum Z, sum Z^2, sum W, sum W^2, sum ZW] per channel after the CVA
+    aggregate, and the return gains one (est, se, raw, raw_se, beta)
+    tuple per channel — the bilateral BCVA / FVA headline quotes."""
     s = jnp.sum(per_block, axis=0)
     n_tot = 1.0 * n_paths * n_blocks
     D = [s[q * m:(q + 1) * m] / n_tot for q in range(6)]
@@ -419,8 +425,30 @@ def _profile_reduce(per_block, m: int, n_paths: int, n_blocks: int,
         cva_se = lgd * jnp.sqrt(bessel * var_cva / n_tot)
         raw_se = lgd * jnp.sqrt(bessel * var_xc / n_tot)
     hdelta = lgd * jnp.dot(dpdw, ee)
-    return (ee, ee_se, mx, beta, D[5], jnp.mean(ee),
+    base = (ee, ee_se, mx, beta, D[5], jnp.mean(ee),
             cva, cva_se, raw_cva, raw_se, beta_c, hdelta)
+    extras = []
+    for q, zmean in enumerate(extra_means):
+        off = 6 * m + 5 + 5 * q
+        Zs, Z2, Ws, W2, ZW = (s[off + i] / n_tot for i in range(5))
+        var_w = jnp.maximum(W2 - Ws * Ws, 1e-30)
+        cov_zw = ZW - Zs * Ws
+        bq = cov_zw / var_w
+        est = Zs - bq * (Ws - zmean)
+        if rqmc:
+            pb = per_block / n_paths
+            zb = pb[:, off] - bq * pb[:, off + 2]
+            se = jnp.std(zb, ddof=1) / jnp.sqrt(1.0 * n_blocks)
+            raw_se_q = jnp.std(pb[:, off], ddof=1) \
+                / jnp.sqrt(1.0 * n_blocks)
+        else:
+            bessel = n_tot / jnp.maximum(n_tot - 1.0, 1.0)
+            var_z = jnp.maximum(Z2 - Zs * Zs, 0.0)
+            var_cv = jnp.maximum(var_z - cov_zw * cov_zw / var_w, 0.0)
+            se = jnp.sqrt(bessel * var_cv / n_tot)
+            raw_se_q = jnp.sqrt(bessel * var_z / n_tot)
+        extras.append((est, se, Zs, raw_se_q, bq))
+    return base + tuple(extras)
 
 
 def price_exposure(cfg: HWConfig, key, market: MarketCurve, *,
@@ -814,3 +842,795 @@ def vega_cva_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
     fd = (up - dn) / (2.0 * eps)
     return CVAVega(vega=fd, fd_vega=fd,
                    oracle_vega=(o_up - o_dn) / (2.0 * eps), epsilon=eps)
+
+
+# ---------------------------------------------------------------------------
+# Netting sets: a portfolio of swaps (mixed payer/receiver, different
+# rates/tenors, shared reset grid) nets to ONE exposure per date:
+# V_j(r) = sum_i lam_{j,i} e^{-B_i r} - K_j with SIGNED lam (payer legs
+# enter negatively) and K_j the net par-float count.  V_j is no longer
+# monotone in r, so the oracle decomposes the positive set into segments
+# between the (bisected) roots of V_j and applies the lognormal partial
+# means per segment; PFE bisects the exact piecewise CDF the same way.
+# ---------------------------------------------------------------------------
+
+
+class SwapLeg(NamedTuple):
+    rate: float
+    tenor: float
+    payer: bool = False
+
+
+def _portfolio_terms(cfg: HWConfig, market: MarketCurve, legs: tuple,
+                     t: float, sigma: float, freq: float, start: float):
+    """fp64 signed (lam_i, B_i, K) of the netted portfolio value at
+    reset date t: V(r) = sum lam_i e^{-B_i r} - K."""
+    lams, Bs, K = [], [], 0.0
+    for leg in legs:
+        sg = -1.0 if leg.payer else 1.0
+        if t >= start + leg.tenor - 1e-9:
+            continue                       # this swap has matured
+        sched = swap_schedule(cfg, leg.rate, leg.tenor, freq, start)
+        la, B = _np_terms(cfg, market, sched, t, sigma)
+        lams.append(sg * la)
+        Bs.append(B)
+        K += sg
+    return np.concatenate(lams), np.concatenate(Bs), K
+
+
+def _v_segments(lams, Bs, K: float, mu: float, s: float,
+                width: float = 10.0, n_scan: int = 4001):
+    """Positive segments of V(r) = sum lam_i e^{-B_i r} - K on
+    [mu - width s, mu + width s]: scan for sign changes, bisect each
+    root to ~1e-14, return ((a, b), ...) with V > 0 on each."""
+    def V(r):
+        return np.exp(-np.outer(np.atleast_1d(r), Bs)) @ lams - K
+
+    rs = mu + s * np.linspace(-width, width, n_scan)
+    vs = V(rs)
+    roots = []
+    for i in range(n_scan - 1):
+        if vs[i] == 0.0 or vs[i] * vs[i + 1] < 0.0:
+            lo, hi = rs[i], rs[i + 1]
+            flo = vs[i]
+            for _ in range(100):
+                mid = 0.5 * (lo + hi)
+                fm = float(V(mid)[0])
+                if flo * fm <= 0.0:
+                    hi = mid
+                else:
+                    lo, flo = mid, fm
+                if hi - lo < 1e-15 * max(1.0, abs(mid)):
+                    break
+            roots.append(0.5 * (lo + hi))
+    edges = [rs[0]] + roots + [rs[-1]]
+    segs = []
+    for a, b in zip(edges[:-1], edges[1:]):
+        if float(V(0.5 * (a + b))[0]) > 0.0:
+            segs.append((a, b))
+    return tuple(segs)
+
+
+def _ee_segments(lams, Bs, K: float, mu: float, s: float, segs) -> float:
+    """E[V(r)^+], r ~ N(mu, s^2): closed-form lognormal partial means
+    over each positive segment (the multi-root generalization of
+    _ee_closed)."""
+    total = 0.0
+    emom = lams * np.exp(-Bs * mu + 0.5 * Bs * Bs * s * s)
+    for a, b in segs:
+        za, zb = (a - mu) / s, (b - mu) / s
+        total += float(np.sum(emom * (_nphi(zb + Bs * s)
+                                      - _nphi(za + Bs * s))))
+        total -= K * float(_nphi(zb) - _nphi(za))
+    return max(total, 0.0)
+
+
+def netting_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
+                   freq: float = 1.0, start: float | None = None,
+                   quantile: float = 0.95, hazard: float = 0.02,
+                   recovery: float = 0.4,
+                   sigma: float | None = None) -> OracleXVA:
+    """fp64 netted exposure profile + CVA of a swap portfolio
+    (``legs`` = iterable of SwapLeg).  EE per date is exact via the
+    segment decomposition; PFE bisects the piecewise-monotone CDF
+    P(V <= v) = sum of Gaussian masses of {V <= v} intervals.  A
+    one-leg portfolio reproduces ``exposure_oracle`` exactly (tested)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    tables = hw.step_tables(cfg, float(sigma), cfg.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    c = 0.5 * (float(sigma) ** 2 - cfg.sigma ** 2)
+    rA, rB, iA, iB = _det_rI(cfg, dates)
+    stats = _date_stats(cfg, dates)
+    ee, pfe, dm = [], [], []
+    for j, t in enumerate(dates):
+        lams, Bs, K = _portfolio_terms(cfg, market, legs, t, float(sigma),
+                                       freq, start)
+        uu, ww, uw = stats[j]
+        v_r, v_I, c_rI = sig * sig * uu, sig * sig * ww, sig * sig * uw
+        r_det = rA[j] + c * rB[j]
+        i_det = iA[j] + c * iB[j]
+        s_r = math.sqrt(v_r)
+        w0 = math.exp(-i_det + 0.5 * v_I)
+        mu_t = r_det - c_rI
+        segs = _v_segments(lams, Bs, K, mu_t, s_r)
+        ee.append(w0 * _ee_segments(lams, Bs, K, mu_t, s_r, segs))
+        # PFE: bisect the exact piecewise CDF of V under the
+        # (undiscounted) risk-neutral law r ~ N(r_det, v_r)
+        def cdf(v):
+            pos = _v_segments(lams - 0.0, Bs, K + v, r_det, s_r)
+            mass = sum(_nphi((b - r_det) / s_r) - _nphi((a - r_det) / s_r)
+                       for a, b in pos)
+            return 1.0 - mass            # P(V <= v)
+        lo, hi = -2.0, 2.0
+        for _ in range(100):
+            mid = 0.5 * (lo + hi)
+            if cdf(mid) < quantile:
+                lo = mid
+            else:
+                hi = mid
+        pfe.append(max(0.5 * (lo + hi), 0.0))
+        emean = float(np.sum(lams * np.exp(
+            -i_det - Bs * r_det + 0.5 * (v_I + Bs * Bs * v_r
+                                         + 2.0 * Bs * c_rI))))
+        dm.append(emean - K * w0)
+    pd, dpd = _pd_weights(dates, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    hdelta = lgd * sum(p * e for p, e in zip(dpd, ee))
+    return OracleXVA(dates=dates, ee=tuple(ee), pfe=tuple(pfe),
+                     disc_swap=tuple(dm), epe=sum(ee) / len(ee),
+                     cva=cva, hazard_delta=hdelta)
+
+
+@lru_cache(maxsize=None)
+def _netting_fn(cfg: HWConfig, legs: tuple, freq: float, start: float,
+                hazard: float, recovery: float, n_paths: int,
+                n_blocks: int, rqmc: bool, mesh, bil=None):
+    """``bil`` (optional, static): two extra headline aggregate channels
+    Z = X wx + Y wy with CV W = Y wv, as ((wx, wy, wv), (wx, wy, wv)) of
+    m-tuples — the bilateral BCVA and asymmetric-FVA samples (X_j is the
+    discounted positive part at date j, Y_j the discounted value, so
+    the discounted NEGATIVE part is X_j - Y_j pathwise)."""
+    from .bermudan import _functional_chol, _functional_det
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([("r", t) for t in dates] + [("I", t) for t in dates])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    stats = jnp.asarray(_date_stats(cfg, dates), jnp.float32)
+    pd, dpd = _pd_weights(dates, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+    # static netting layout: signs, per-leg schedules, par-float counts
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    Kv = np.zeros(m)
+    for j, t in enumerate(dates):
+        Kv[j] = sum(sg for l, sg in zip(legs, sgs)
+                    if t < start + l.tenor - 1e-9)
+    Kv = jnp.asarray(Kv, jnp.float32)
+    bilw = None if bil is None else [
+        tuple(jnp.asarray(w, jnp.float32) for w in ch) for ch in bil]
+
+    def compute(key, sigma, market, pfe):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det, i_det = det[:m], det[m:]
+        # signed per-date terms, concatenated over legs (dead legs of a
+        # date contribute zeroed columns via _bond_value_terms' alive
+        # mask plus the explicit maturity cutoff)
+        lam_rows, B_rows = [], []
+        for j, t in enumerate(dates):
+            ls, bs = [], []
+            for leg, sched, sg in zip(legs, scheds, sgs):
+                la, B = _bond_value_terms(cfg, sigma, market, sched, t)
+                alive = 1.0 if t < start + leg.tenor - 1e-9 else 0.0
+                ls.append(sg * alive * la)
+                bs.append(B)
+            lam_rows.append(jnp.concatenate(ls))
+            B_rows.append(jnp.concatenate(bs))
+        lam = jnp.stack(lam_rows)                        # (m, ncf_tot)
+        B = jnp.stack(B_rows)
+        sig2 = tables.sig_st * tables.sig_st
+        v_r, v_I, c_rI = (sig2 * stats[:, q] for q in range(3))
+        w0 = jnp.exp(-i_det + 0.5 * v_I)
+        emean = jnp.sum(lam * jnp.exp(
+            -i_det[:, None] - B * r_det[:, None]
+            + 0.5 * (v_I[:, None] + B * B * v_r[:, None]
+                     + 2.0 * B * c_rI[:, None])), axis=1)
+        cv_mean = emean - Kv * w0
+
+        def block(bi):
+            x = pmesh.block_normals(key, bi, n_paths, 2 * m, rqmc)
+            z = tables.sig_st * jnp.dot(
+                x, LT, preferred_element_type=jnp.float32,
+                precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :m]
+                disc = jnp.exp(-(i_det[None, :] + sgn * z[:, m:]))
+                V = jnp.sum(lam[None, :, :]
+                            * jnp.exp(-B[None, :, :] * ro[:, :, None]),
+                            axis=2) - Kv[None, :]
+                X = disc * jnp.maximum(V, 0.0)
+                Y = disc * V
+                E = (V > pfe[None, :]).astype(jnp.float32)
+                return X, Y, E
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = [jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                   jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)]
+            if bilw is not None:
+                for wx, wy, wv in bilw:
+                    Z = jnp.dot(X, wx) + jnp.dot(Y, wy)
+                    W = jnp.dot(Y, wv)
+                    agg += [jnp.sum(Z), jnp.sum(Z * Z), jnp.sum(W),
+                            jnp.sum(W * W), jnp.sum(Z * W)]
+            return jnp.concatenate([per_date, jnp.stack(agg)])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        extra_means = () if bilw is None else tuple(
+            jnp.dot(wv, cv_mean) for _, _, wv in bilw)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cv_mean, pdw, dpdw, lgd,
+                               extra_means=extra_means)
+
+    return jax.jit(compute)
+
+
+def price_netting(cfg: HWConfig, key, market: MarketCurve, legs, *,
+                  freq: float = 1.0, start: float | None = None,
+                  quantile: float = 0.95, hazard: float = 0.02,
+                  recovery: float = 0.4, sigma=None,
+                  n_paths: int | None = None, n_blocks: int = 1,
+                  rqmc: bool = False, mesh=None) -> CVAResult:
+    """Monte Carlo netted exposure + CVA of a swap portfolio on the same
+    exact multi-date states; the netted discounted portfolio value is
+    the CV at its exact mean.  fp64 oracle: ``netting_oracle``.  The
+    netting benefit (sum of standalone CVAs minus the netted CVA) is
+    non-negative by |sum| <= sum|.|; tests pin both."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                       quantile=quantile, hazard=hazard,
+                       recovery=recovery, sigma=float(sigma))
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _netting_fn(cfg, legs, float(freq), float(start), float(hazard),
+                      float(recovery), int(n_paths), int(n_blocks),
+                      bool(rqmc), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market, pfe)
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)
+
+
+# ---------------------------------------------------------------------------
+# Collateralized exposure: CSA with threshold H and a margin period of
+# risk of ``lag`` reset periods.  Collateral held over (t_{j-1}, t_j] is
+# set at the margin call date t_{j-lag}: C_j = (V(t_{j-lag}) - H)^+
+# (one-way CSA, zero MTA), and the residual exposure is
+# (V(t_j) - C_j)^+ — the discrete Pykhtin-Zhu margin model with the
+# MPoR equal to ``lag`` reset periods (lag=0 is continuous margining,
+# where the exposure collapses to min(V, H)^+ and stays closed form).
+# The first ``lag`` dates are uncollateralized (no call before the
+# first reset).  Oracles:
+#   lag=0: segments of {0 < V <= H} + H x P(V > H) — one extra
+#          _v_segments call per date, exact;
+#   lag>=1: (r_s, r_t) is bivariate Gaussian (s = t_{j-lag}), so
+#          EE_c = E[e^{-I_t} (V_t - C(r_s))^+]
+#               = w0 integral phi(x) E[(V_t - K - C(x))^+ | r_s = x] dx
+#          with the inner expectation the SAME segment closed form on
+#          the conditional law; the outer integral runs panel-split
+#          Gauss-Legendre with panel edges at the roots of V_s = H
+#          (C is analytic inside each panel, so the rule converges
+#          spectrally).  The e^{-I_t} tilt shifts BOTH means by their
+#          covariances with I_t; PFE bisects the same mixture CDF under
+#          the untilted law.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _pair_stats(cfg: HWConfig, s: float, t: float):
+    """fp64 second moments per unit sig_st of (r(s), r(t), I(t)):
+    (var_rs, cov_rs_rt, cov_rs_It) — the cross-date quantities the
+    collateral oracle needs beyond _date_stats (s <= t; the per-step
+    shocks are shared, so covariances are prefix dot products of the
+    shock shapes)."""
+    from .bermudan import _step_index
+    from .ops.engine_linear import _shock_shapes
+
+    ns, nt = _step_index(cfg, s), _step_index(cfg, t)
+    u_s, _ = (np.asarray(a, np.float64) for a in _shock_shapes(cfg, ns))
+    u_t, w_t = (np.asarray(a, np.float64) for a in _shock_shapes(cfg, nt))
+    return (float(u_s @ u_s), float(u_s @ u_t[:ns]),
+            float(u_s @ w_t[:ns]))
+
+
+def _panel_nodes(edges, mu: float, sd: float, n_per: int = 48,
+                 width: float = 10.0):
+    """Gauss-Legendre nodes/weights (already including the Gaussian
+    density) over [mu - width sd, mu + width sd] split at ``edges``."""
+    gl_x, gl_w = np.polynomial.legendre.leggauss(n_per)
+    cuts = [mu - width * sd] + [e for e in sorted(edges)
+                                if mu - width * sd < e < mu + width * sd] \
+        + [mu + width * sd]
+    xs, ws = [], []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        x = 0.5 * (a + b) + 0.5 * (b - a) * gl_x
+        dens = np.exp(-0.5 * ((x - mu) / sd) ** 2) \
+            / (sd * math.sqrt(2.0 * math.pi))
+        xs.append(x)
+        ws.append(0.5 * (b - a) * gl_w * dens)
+    return np.concatenate(xs), np.concatenate(ws)
+
+
+def collateral_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
+                      threshold: float = 0.01, lag: int = 1,
+                      freq: float = 1.0, start: float | None = None,
+                      quantile: float = 0.95, hazard: float = 0.02,
+                      recovery: float = 0.4,
+                      sigma: float | None = None) -> OracleXVA:
+    """fp64 collateralized exposure profile + CVA of a netted swap
+    portfolio under the threshold-H, lag-period-MPoR CSA (module
+    comment above).  lag=0 is exact closed form; lag>=1 is exact up to
+    the panel Gauss-Legendre outer rule (pinned against an independent
+    brute-force 2-d trapezoid to its ~5e-7 resolution in tests)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    if lag < 0:
+        raise ValueError("lag must be >= 0 reset periods")
+    legs = tuple(SwapLeg(*l) for l in legs)
+    H = float(threshold)
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    tables = hw.step_tables(cfg, float(sigma), cfg.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    c = 0.5 * (float(sigma) ** 2 - cfg.sigma ** 2)
+    rA, rB, iA, iB = _det_rI(cfg, dates)
+    stats = _date_stats(cfg, dates)
+    ee, pfe, dm = [], [], []
+    for j, t in enumerate(dates):
+        lams, Bs, K = _portfolio_terms(cfg, market, legs, t, float(sigma),
+                                       freq, start)
+        uu, ww, uw = stats[j]
+        v_r, v_I, c_rI = sig * sig * uu, sig * sig * ww, sig * sig * uw
+        r_det = rA[j] + c * rB[j]
+        i_det = iA[j] + c * iB[j]
+        s_r = math.sqrt(v_r)
+        w0 = math.exp(-i_det + 0.5 * v_I)
+        mu_t = r_det - c_rI            # tilted mean of r_t
+        emean = float(np.sum(lams * np.exp(
+            -i_det - Bs * r_det + 0.5 * (v_I + Bs * Bs * v_r
+                                         + 2.0 * Bs * c_rI))))
+        dm.append(emean - K * w0)
+        if j < lag:                    # uncollateralized head
+            segs = _v_segments(lams, Bs, K, mu_t, s_r)
+            ee.append(w0 * _ee_segments(lams, Bs, K, mu_t, s_r, segs))
+            pfe.append(_pfe_bisect(
+                lambda v: 1.0 - _seg_mass(lams, Bs, K + v, r_det, s_r),
+                quantile))
+            continue
+        if lag == 0:
+            # min(V, H)^+ = V 1{0 < V <= H} + H 1{V > H}
+            s0 = _v_segments(lams, Bs, K, mu_t, s_r)
+            sH = _v_segments(lams, Bs, K + H, mu_t, s_r)
+            band = _seg_diff(s0, sH)
+            ee.append(w0 * (_ee_segments(lams, Bs, K, mu_t, s_r, band)
+                            + H * _seg_gauss_mass(sH, mu_t, s_r)))
+            pfe.append(_pfe_bisect(
+                lambda v: 1.0 - _seg_mass(lams, Bs, K + min(v, H) + (
+                    max(v - H, 0.0) * 1e18), r_det, s_r)
+                if v < H else 1.0, quantile))
+            continue
+        # lag >= 1: margin call at s = dates[j - lag]
+        s_date = dates[j - lag]
+        lams_s, Bs_s, K_s = _portfolio_terms(cfg, market, legs, s_date,
+                                             float(sigma), freq, start)
+        uu_s, cov_st, cov_sI = _pair_stats(cfg, s_date, t)
+        v_s = sig * sig * uu_s
+        c_st = sig * sig * cov_st
+        c_sI = sig * sig * cov_sI
+        js = j - lag
+        mu_s = (rA[js] + c * rB[js]) - c_sI      # tilted mean of r_s
+        sd_s = math.sqrt(v_s)
+        rho_sl = c_st / v_s                      # regression slope
+        s_cond = math.sqrt(max(v_r - c_st * c_st / v_s, 1e-30))
+        segs_H = _v_segments(lams_s, Bs_s, K_s + H, mu_s, sd_s)
+        edges = [e for ab in segs_H for e in ab]
+        xs, wq = _panel_nodes(edges, mu_s, sd_s)
+        Vs = np.exp(-np.outer(xs, Bs_s)) @ lams_s - K_s
+        C = np.maximum(Vs - H, 0.0)
+        mu_c = mu_t + rho_sl * (xs - mu_s)
+        total = 0.0
+        for x_w, Cx, mx in zip(wq, C, mu_c):
+            sg2 = _v_segments(lams, Bs, K + Cx, mx, s_cond)
+            total += x_w * _ee_segments(lams, Bs, K + Cx, mx, s_cond, sg2)
+        ee.append(w0 * total)
+        # PFE under the untilted law: same mixture, means unshifted
+        mu_s0 = rA[js] + c * rB[js]
+        segs_H0 = _v_segments(lams_s, Bs_s, K_s + H, mu_s0, sd_s)
+        xs0, wq0 = _panel_nodes([e for ab in segs_H0 for e in ab],
+                                mu_s0, sd_s)
+        Vs0 = np.exp(-np.outer(xs0, Bs_s)) @ lams_s - K_s
+        C0 = np.maximum(Vs0 - H, 0.0)
+        mu_c0 = r_det + rho_sl * (xs0 - mu_s0)
+
+        def cdf(v):
+            mass = sum(w * _seg_mass(lams, Bs, K + cx + v, mx, s_cond)
+                       for w, cx, mx in zip(wq0, C0, mu_c0))
+            return 1.0 - mass
+        pfe.append(_pfe_bisect(cdf, quantile))
+    pd, dpd = _pd_weights(dates, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    hdelta = lgd * sum(p * e for p, e in zip(dpd, ee))
+    return OracleXVA(dates=dates, ee=tuple(ee), pfe=tuple(pfe),
+                     disc_swap=tuple(dm), epe=sum(ee) / len(ee),
+                     cva=cva, hazard_delta=hdelta)
+
+
+def _seg_mass(lams, Bs, K: float, mu: float, s: float) -> float:
+    """P(V > 0) for V = sum lam e^{-B r} - K, r ~ N(mu, s^2)."""
+    return _seg_gauss_mass(_v_segments(lams, Bs, K, mu, s), mu, s)
+
+
+def _seg_gauss_mass(segs, mu: float, s: float) -> float:
+    return sum(_nphi((b - mu) / s) - _nphi((a - mu) / s)
+               for a, b in segs)
+
+
+def _seg_diff(s0, sH):
+    """Segments of {V > 0} minus {V > H} = {0 < V <= H} (H >= 0, so
+    each sH segment is contained in an s0 segment)."""
+    out = []
+    for a, b in s0:
+        cuts = [a]
+        for c_, d in sH:
+            if c_ >= a - 1e-300 and d <= b + 1e-300:
+                cuts += [c_, d]
+        cuts.append(b)
+        for lo, hi in zip(cuts[::2], cuts[1::2]):
+            if hi > lo:
+                out.append((lo, hi))
+    return tuple(out)
+
+
+def _pfe_bisect(cdf, quantile: float, lo: float = 0.0,
+                hi: float = 2.0) -> float:
+    """Smallest v >= 0 with P(exposure <= v) >= quantile."""
+    if cdf(lo) >= quantile:
+        return 0.0
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if cdf(mid) < quantile:
+            lo = mid
+        else:
+            hi = mid
+    return max(0.5 * (lo + hi), 0.0)
+
+
+@lru_cache(maxsize=None)
+def _collateral_fn(cfg: HWConfig, legs: tuple, H: float, lag: int,
+                   freq: float, start: float, hazard: float,
+                   recovery: float, n_paths: int, n_blocks: int,
+                   rqmc: bool, mesh):
+    """Netting kernel with the CSA overlay: per path, C_j is the lagged
+    thresholded value and the exposure sample is (V_j - C_j)^+.  The CV
+    stays the discounted UNcollateralized value at its exact lognormal
+    mean (same correlation machinery; beta* adapts)."""
+    from .bermudan import _functional_chol, _functional_det
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([("r", t) for t in dates] + [("I", t) for t in dates])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    stats = jnp.asarray(_date_stats(cfg, dates), jnp.float32)
+    pd, dpd = _pd_weights(dates, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    Kv = np.zeros(m)
+    for j, t in enumerate(dates):
+        Kv[j] = sum(sg for l, sg in zip(legs, sgs)
+                    if t < start + l.tenor - 1e-9)
+    Kv = jnp.asarray(Kv, jnp.float32)
+
+    def compute(key, sigma, market, pfe):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det, i_det = det[:m], det[m:]
+        lam_rows, B_rows = [], []
+        for j, t in enumerate(dates):
+            ls, bs = [], []
+            for leg, sched, sg in zip(legs, scheds, sgs):
+                la, B = _bond_value_terms(cfg, sigma, market, sched, t)
+                alive = 1.0 if t < start + leg.tenor - 1e-9 else 0.0
+                ls.append(sg * alive * la)
+                bs.append(B)
+            lam_rows.append(jnp.concatenate(ls))
+            B_rows.append(jnp.concatenate(bs))
+        lam = jnp.stack(lam_rows)
+        B = jnp.stack(B_rows)
+        sig2 = tables.sig_st * tables.sig_st
+        v_r, v_I, c_rI = (sig2 * stats[:, q] for q in range(3))
+        w0 = jnp.exp(-i_det + 0.5 * v_I)
+        emean = jnp.sum(lam * jnp.exp(
+            -i_det[:, None] - B * r_det[:, None]
+            + 0.5 * (v_I[:, None] + B * B * v_r[:, None]
+                     + 2.0 * B * c_rI[:, None])), axis=1)
+        cv_mean = emean - Kv * w0
+
+        def block(bi):
+            x = pmesh.block_normals(key, bi, n_paths, 2 * m, rqmc)
+            z = tables.sig_st * jnp.dot(
+                x, LT, preferred_element_type=jnp.float32,
+                precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :m]
+                disc = jnp.exp(-(i_det[None, :] + sgn * z[:, m:]))
+                V = jnp.sum(lam[None, :, :]
+                            * jnp.exp(-B[None, :, :] * ro[:, :, None]),
+                            axis=2) - Kv[None, :]
+                posted = jnp.maximum(V - H, 0.0)
+                if lag == 0:
+                    C = posted
+                else:
+                    C = jnp.concatenate(
+                        [jnp.zeros_like(V[:, :lag]), posted[:, :m - lag]],
+                        axis=1)
+                Ex = V - C
+                X = disc * jnp.maximum(Ex, 0.0)
+                Y = disc * V
+                E = (Ex > pfe[None, :]).astype(jnp.float32)
+                return X, Y, E
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cv_mean, pdw, dpdw, lgd)
+
+    return jax.jit(compute)
+
+
+def price_collateral(cfg: HWConfig, key, market: MarketCurve, legs, *,
+                     threshold: float = 0.01, lag: int = 1,
+                     freq: float = 1.0, start: float | None = None,
+                     quantile: float = 0.95, hazard: float = 0.02,
+                     recovery: float = 0.4, sigma=None,
+                     n_paths: int | None = None, n_blocks: int = 1,
+                     rqmc: bool = False, mesh=None) -> CVAResult:
+    """Monte Carlo collateralized exposure + CVA under the threshold-H,
+    lag-period-MPoR CSA; fp64 oracle ``collateral_oracle``.  Same exact
+    multi-date states as ``price_netting`` — the collateral is a lagged
+    thresholded readout of the value path the kernel already has."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = collateral_oracle(cfg, market, legs, threshold=threshold,
+                          lag=lag, freq=freq, start=start,
+                          quantile=quantile, hazard=hazard,
+                          recovery=recovery, sigma=float(sigma))
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _collateral_fn(cfg, legs, float(threshold), int(lag),
+                         float(freq), float(start), float(hazard),
+                         float(recovery), int(n_paths), int(n_blocks),
+                         bool(rqmc), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market, pfe)
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)
+
+
+# ---------------------------------------------------------------------------
+# Bilateral XVA: DVA and funding off the SAME kernel.  The pathwise
+# identity (-V)^+ = V^+ - V means the discounted negative exposure is
+# X_j - Y_j with X, Y the samples the netting kernel already carries, so
+# ENE_j = EE_j - E[D_j V_j] is exact given the profile and the CV means
+# — no new sampling.  Default times are independent exponentials
+# (hazards h_c, h_o); the discrete bucket weights follow the same
+# right-endpoint convention as _pd_weights:
+#
+#   CVA  = (1-R_c) sum_j S_o(t_j) [S_c(t_{j-1}) - S_c(t_j)] EE_j
+#   DVA  = (1-R_o) sum_j S_c(t_j) [S_o(t_{j-1}) - S_o(t_j)] ENE_j
+#   BCVA = CVA - DVA
+#   FCA/FBA = s_b/s_l sum_j S_c S_o (t_j - t_{j-1}) EE_j/ENE_j,
+#   FVA = FCA - FBA   (with s_b = s_l, FVA = s sum w_j E[D_j V_j]
+#                      exactly — the MC channel's CV collapses its
+#                      variance to zero, tested)
+#
+# The MC headline quotes (BCVA, FVA) are single per-path samples with
+# their own optimal-beta CV (``bil`` channels of _netting_fn), so each
+# quoted SE is the SE of the quoted number — per-date SEs never get
+# summed across correlated dates.
+# ---------------------------------------------------------------------------
+
+
+def _surv_weights(dates: tuple, hazard_c: float, hazard_o: float):
+    """(wc, wo, wf): CVA, DVA and funding bucket weights under
+    independent exponential default times."""
+    prev = 0.0
+    wc, wo, wf = [], [], []
+    for t in dates:
+        sc_p, sc = math.exp(-hazard_c * prev), math.exp(-hazard_c * t)
+        so_p, so = math.exp(-hazard_o * prev), math.exp(-hazard_o * t)
+        wc.append(so * (sc_p - sc))
+        wo.append(sc * (so_p - so))
+        wf.append(sc * so * (t - prev))
+        prev = t
+    return tuple(wc), tuple(wo), tuple(wf)
+
+
+class BilateralOracle(NamedTuple):
+    dates: tuple
+    ee: tuple
+    ene: tuple           # discounted expected NEGATIVE exposure
+    cva: float           # survival-adjusted counterparty leg
+    dva: float
+    bcva: float
+    fca: float
+    fba: float
+    fva: float
+
+
+def bilateral_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
+                     freq: float = 1.0, start: float | None = None,
+                     hazard: float = 0.02, recovery: float = 0.4,
+                     hazard_own: float = 0.01,
+                     recovery_own: float = 0.4,
+                     spread_borrow: float = 0.005,
+                     spread_lend: float = 0.005,
+                     sigma: float | None = None) -> BilateralOracle:
+    """fp64 bilateral CVA/DVA/FVA of a netted swap portfolio: EE from
+    the segment decomposition (``netting_oracle``), ENE from the exact
+    identity ENE_j = EE_j - E[D_j V_j] (tested against an independent
+    direct segment integration of the negative part)."""
+    o = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                       hazard=hazard, recovery=recovery, sigma=sigma)
+    ene = tuple(e - d for e, d in zip(o.ee, o.disc_swap))
+    wc, wo, wf = _surv_weights(o.dates, hazard, hazard_own)
+    lgd_c, lgd_o = 1.0 - recovery, 1.0 - recovery_own
+    cva = lgd_c * sum(w * e for w, e in zip(wc, o.ee))
+    dva = lgd_o * sum(w * e for w, e in zip(wo, ene))
+    fca = spread_borrow * sum(w * e for w, e in zip(wf, o.ee))
+    fba = spread_lend * sum(w * e for w, e in zip(wf, ene))
+    return BilateralOracle(dates=o.dates, ee=o.ee, ene=ene, cva=cva,
+                           dva=dva, bcva=cva - dva, fca=fca, fba=fba,
+                           fva=fca - fba)
+
+
+class BilateralResult(NamedTuple):
+    bcva: jax.Array
+    bcva_se: jax.Array
+    fva: jax.Array
+    fva_se: jax.Array
+    cva: jax.Array       # per-date-profile point estimates (CV'd)
+    dva: jax.Array
+    fca: jax.Array
+    fba: jax.Array
+    ene: jax.Array       # (m,) CV'd ENE profile, se == profile ee se
+    base: CVAResult      # the underlying netted profile/CVA result
+
+
+def price_bilateral(cfg: HWConfig, key, market: MarketCurve, legs, *,
+                    freq: float = 1.0, start: float | None = None,
+                    quantile: float = 0.95, hazard: float = 0.02,
+                    recovery: float = 0.4, hazard_own: float = 0.01,
+                    recovery_own: float = 0.4,
+                    spread_borrow: float = 0.005,
+                    spread_lend: float = 0.005, sigma=None,
+                    n_paths: int | None = None, n_blocks: int = 1,
+                    rqmc: bool = False, mesh=None) -> BilateralResult:
+    """Monte Carlo bilateral XVA on the netted portfolio: the BCVA and
+    asymmetric-FVA headline numbers are dedicated per-path aggregate
+    channels with their own optimal-beta CVs (exact means from the
+    lognormal identities), so the quoted SEs are exact for the quoted
+    quantities.  fp64 oracle: ``bilateral_oracle``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                       quantile=quantile, hazard=hazard,
+                       recovery=recovery, sigma=float(sigma))
+    wc, wo, wf = _surv_weights(o.dates, hazard, hazard_own)
+    lgd_c, lgd_o = 1.0 - recovery, 1.0 - recovery_own
+    # BCVA sample: sum_j [lgd_c wc_j X_j - lgd_o wo_j (X_j - Y_j)]
+    bx = tuple(lgd_c * c - lgd_o * w for c, w in zip(wc, wo))
+    by = tuple(lgd_o * w for w in wo)
+    # FVA sample: sum_j [s_b wf_j X_j - s_l wf_j (X_j - Y_j)]
+    fx = tuple((spread_borrow - spread_lend) * w for w in wf)
+    fy = tuple(spread_lend * w for w in wf)
+    bil = ((bx, by, bx), (fx, fy, wf))
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _netting_fn(cfg, legs, float(freq), float(start), float(hazard),
+                      float(recovery), int(n_paths), int(n_blocks),
+                      bool(rqmc), mesh, bil)(
+        key, jnp.asarray(sigma, jnp.float32), market, pfe)
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    base = CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)
+    (bcva, bcva_se, _, _, _), (fva, fva_se, _, _, _) = out[12], out[13]
+    dm = jnp.asarray(o.disc_swap, jnp.float32)
+    ene = out[0] - dm
+    wcj = jnp.asarray(wc, jnp.float32)
+    woj = jnp.asarray(wo, jnp.float32)
+    wfj = jnp.asarray(wf, jnp.float32)
+    return BilateralResult(
+        bcva=bcva, bcva_se=bcva_se, fva=fva, fva_se=fva_se,
+        cva=lgd_c * jnp.dot(wcj, out[0]), dva=lgd_o * jnp.dot(woj, ene),
+        fca=spread_borrow * jnp.dot(wfj, out[0]),
+        fba=spread_lend * jnp.dot(wfj, ene), ene=ene, base=base)

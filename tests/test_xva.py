@@ -186,3 +186,256 @@ def test_g2_sharded_matches_single(market):
 def test_g2_vega_matches_oracle(market):
     v = xva.vega_cva_g2(CFG, G2, KEY, market, n_blocks=2)
     assert abs(float(v.vega) - v.oracle_vega) < 0.05 * abs(v.oracle_vega)
+
+
+# ---------------------------------------------------------------------------
+# Netting sets
+# ---------------------------------------------------------------------------
+
+LEGS = ((0.02, 4.0, False), (0.012, 3.0, True), (0.03, 2.0, False))
+
+
+def test_netting_one_leg_reduces_to_single(market):
+    o1 = xva.netting_oracle(CFG, market, ((0.02, 4.0, False),))
+    os = xva.exposure_oracle(CFG, market)
+    assert max(abs(a - b) for a, b in zip(o1.ee, os.ee)) < 1e-14
+    assert max(abs(a - b) for a, b in zip(o1.pfe, os.pfe)) < 1e-12
+    o1p = xva.netting_oracle(CFG, market, ((0.02, 4.0, True),))
+    osp = xva.exposure_oracle(CFG, market, payer=True)
+    assert max(abs(a - b) for a, b in zip(o1p.ee, osp.ee)) < 1e-14
+
+
+def test_netting_benefit_nonnegative(market):
+    """|sum V_l|^+ <= sum |V_l|^+ pathwise, so the netted EE (and CVA)
+    can never exceed the standalone sum."""
+    on = xva.netting_oracle(CFG, market, LEGS)
+    stand = [xva.exposure_oracle(CFG, market, rate=r, tenor=tn, payer=p)
+             for (r, tn, p) in LEGS]
+    for j in range(len(on.dates)):
+        ssum = sum(o.ee[j] for o in stand if j < len(o.ee))
+        assert on.ee[j] <= ssum + 1e-12
+    assert on.cva < sum(o.cva for o in stand)
+
+
+def test_netting_mc_matches_oracle(market):
+    on = xva.netting_oracle(CFG, market, LEGS)
+    r = xva.price_netting(CFG, KEY, market, LEGS, n_blocks=4)
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    for j in range(len(on.dates)):
+        assert abs(ee[j] - on.ee[j]) < 5.0 * se[j] + 1e-7
+    assert abs(float(r.cva) - on.cva) < 5.0 * float(r.std_error) + 1e-9
+    assert float(r.std_error) < float(r.raw_std_error)
+    n = r.profile.n_paths
+    tol = 5.0 * math.sqrt(0.05 * 0.95 / n) + 2e-3
+    assert np.all(np.abs(np.asarray(r.profile.exceed) - 0.05) < tol)
+
+
+def test_netting_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8)
+    single = xva.price_netting(CFG, KEY, market, LEGS, **kw)
+    shard = xva.price_netting(CFG, KEY, market, LEGS,
+                              mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.cva) - float(shard.cva)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Bilateral XVA
+# ---------------------------------------------------------------------------
+
+
+def test_bilateral_ene_identity(market):
+    """ENE_j = EE_j - E[D_j V_j] (the oracle's route) must equal the
+    DIRECT segment integration of the discounted negative part."""
+    b = xva.bilateral_oracle(CFG, market, LEGS)
+    tables = hw.step_tables(CFG, CFG.sigma, CFG.sigma, jnp.float32)
+    sig = float(tables.sig_st)
+    rA, rB, iA, iB = xva._det_rI(CFG, b.dates)
+    stats = xva._date_stats(CFG, b.dates)
+    for j, t in enumerate(b.dates):
+        lams, Bs, K = xva._portfolio_terms(CFG, market, 
+            tuple(xva.SwapLeg(*l) for l in LEGS), t, CFG.sigma, 1.0, CFG.s1)
+        uu, ww, uw = stats[j]
+        v_r, v_I, c_rI = sig * sig * uu, sig * sig * ww, sig * sig * uw
+        mu_t = rA[j] - c_rI
+        s_r = math.sqrt(v_r)
+        w0 = math.exp(-iA[j] + 0.5 * v_I)
+        segs = xva._v_segments(-lams, Bs, -K, mu_t, s_r)
+        ene_direct = w0 * xva._ee_segments(-lams, Bs, -K, mu_t, s_r, segs)
+        assert abs(b.ene[j] - ene_direct) < 1e-12
+
+
+def test_bilateral_degenerates_to_unilateral(market):
+    """hazard_own -> 0 kills DVA and the own-survival weights, so BCVA
+    collapses to the unilateral netted CVA; zero spreads kill FVA."""
+    b = xva.bilateral_oracle(CFG, market, LEGS, hazard_own=0.0,
+                             spread_borrow=0.0, spread_lend=0.0)
+    on = xva.netting_oracle(CFG, market, LEGS)
+    assert abs(b.bcva - on.cva) < 1e-15
+    assert b.dva == 0.0 and b.fva == 0.0 and b.fca == 0.0
+
+
+def test_bilateral_mirror_antisymmetry(market):
+    """Flipping every leg payer<->receiver negates V pathwise, so with
+    (hazard, recovery, borrow/lend) roles swapped the oracle BCVA and
+    FVA change sign exactly."""
+    kw = dict(hazard=0.02, recovery=0.4, hazard_own=0.035,
+              recovery_own=0.25, spread_borrow=0.004, spread_lend=0.007)
+    b = xva.bilateral_oracle(CFG, market, LEGS, **kw)
+    mirror = tuple((r, tn, not p) for (r, tn, p) in LEGS)
+    bm = xva.bilateral_oracle(CFG, market, mirror, hazard=0.035,
+                              recovery=0.25, hazard_own=0.02,
+                              recovery_own=0.4, spread_borrow=0.007,
+                              spread_lend=0.004)
+    assert abs(bm.bcva + b.bcva) < 1e-14
+    assert abs(bm.fva + b.fva) < 1e-14
+    assert abs(bm.cva - b.dva) < 1e-14 and abs(bm.dva - b.cva) < 1e-14
+
+
+def test_bilateral_mc_matches_oracle(market):
+    kw = dict(hazard_own=0.03, recovery_own=0.3, spread_borrow=0.006,
+              spread_lend=0.002)
+    b = xva.bilateral_oracle(CFG, market, LEGS, **kw)
+    r = xva.price_bilateral(CFG, KEY, market, LEGS, n_blocks=4, **kw)
+    assert abs(float(r.bcva) - b.bcva) < 5.0 * float(r.bcva_se) + 1e-9
+    assert abs(float(r.fva) - b.fva) < 5.0 * float(r.fva_se) + 1e-9
+    ene = np.asarray(r.ene)
+    se = np.asarray(r.base.profile.ee_std_error)
+    for j in range(len(b.dates)):
+        assert abs(ene[j] - b.ene[j]) < 5.0 * se[j] + 1e-6
+    assert abs(float(r.cva) - b.cva) < 5e-5
+    assert abs(float(r.dva) - b.dva) < 5e-5
+
+
+def test_bilateral_symmetric_funding_collapses(market):
+    """With s_b == s_l the FVA sample is LINEAR in the discounted value,
+    so the channel CV is exact: FVA == oracle to fp32, SE ~ 0."""
+    r = xva.price_bilateral(CFG, KEY, market, LEGS, spread_borrow=0.005,
+                            spread_lend=0.005, n_blocks=2)
+    b = xva.bilateral_oracle(CFG, market, LEGS, spread_borrow=0.005,
+                             spread_lend=0.005)
+    assert abs(float(r.fva) - b.fva) < 1e-7
+    assert float(r.fva_se) < 1e-7
+
+
+def test_bilateral_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8, hazard_own=0.03)
+    single = xva.price_bilateral(CFG, KEY, market, LEGS, **kw)
+    shard = xva.price_bilateral(CFG, KEY, market, LEGS,
+                                mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.bcva) - float(shard.bcva)) < 1e-9
+    assert abs(float(single.fva) - float(shard.fva)) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Collateral (CSA: threshold H, margin-period-of-risk lag)
+# ---------------------------------------------------------------------------
+
+
+def test_collateral_huge_threshold_is_uncollateralized(market):
+    """H above any reachable value posts nothing: the CSA profile must
+    reproduce the uncollateralized netting oracle exactly."""
+    oc = xva.collateral_oracle(CFG, market, LEGS, threshold=10.0, lag=1)
+    on = xva.netting_oracle(CFG, market, LEGS)
+    assert max(abs(a - b) for a, b in zip(oc.ee, on.ee)) < 1e-13
+    assert abs(oc.cva - on.cva) < 1e-14
+    assert max(abs(a - b) for a, b in zip(oc.pfe, on.pfe)) < 1e-10
+
+
+def test_collateral_lag0_zero_threshold_kills_exposure(market):
+    """H = 0, lag = 0 is perfect instantaneous collateralization:
+    exposure min(V, 0)^+ = 0 at every date."""
+    oc = xva.collateral_oracle(CFG, market, LEGS, threshold=0.0, lag=0)
+    assert all(abs(e) < 1e-15 for e in oc.ee)
+    assert abs(oc.cva) < 1e-15
+    assert all(p == 0.0 for p in oc.pfe)
+
+
+def test_collateral_monotone_and_dominated(market):
+    """Pathwise (V - (V_s - H)^+)^+ is nondecreasing in H and never
+    exceeds V^+, so EE is monotone in the threshold and the CSA CVA is
+    bounded by the uncollateralized one, per date and in aggregate."""
+    on = xva.netting_oracle(CFG, market, LEGS)
+    prev = None
+    for H in (0.002, 0.01, 0.05):
+        oc = xva.collateral_oracle(CFG, market, LEGS, threshold=H, lag=1)
+        for j in range(len(on.dates)):
+            assert oc.ee[j] <= on.ee[j] + 1e-12
+            if prev is not None:
+                assert prev.ee[j] <= oc.ee[j] + 1e-12
+        assert oc.cva <= on.cva + 1e-14
+        prev = oc
+
+
+def test_collateral_oracle_vs_bruteforce_trapezoid(market):
+    """The lag>=1 EE (panel Gauss-Legendre outer x segment closed-form
+    inner) is pinned against a dense 2-d trapezoid over the tilted
+    joint law of (r_s, r_t) — a fully independent integration route
+    (no segment decomposition, no conditioning tricks)."""
+    H, lag, j = 0.01, 1, 2
+    legs = tuple(xva.SwapLeg(*l) for l in LEGS)
+    oc = xva.collateral_oracle(CFG, market, LEGS, threshold=H, lag=lag)
+    t, s = oc.dates[j], oc.dates[j - lag]
+    sig = float(hw.step_tables(CFG, CFG.sigma, CFG.sigma,
+                               jnp.float32).sig_st)
+    rA, rB, iA, iB = xva._det_rI(CFG, oc.dates)
+    uu, ww, uw = xva._date_stats(CFG, oc.dates)[j]
+    v_r, v_I, c_rI = sig * sig * uu, sig * sig * ww, sig * sig * uw
+    uu_s, cov_st, cov_sI = xva._pair_stats(CFG, s, t)
+    v_s = sig * sig * uu_s
+    c_st, c_sI = sig * sig * cov_st, sig * sig * cov_sI
+    mu_s, mu_t = rA[j - lag] - c_sI, rA[j] - c_rI
+    sd_s = math.sqrt(v_s)
+    rho = c_st / v_s
+    s_cond = math.sqrt(v_r - c_st * c_st / v_s)
+    w0 = math.exp(-iA[j] + 0.5 * v_I)
+    lams_t, Bs_t, K_t = xva._portfolio_terms(CFG, market, legs, t,
+                                             CFG.sigma, 1.0, CFG.s1)
+    lams_s, Bs_s, K_s = xva._portfolio_terms(CFG, market, legs, s,
+                                             CFG.sigma, 1.0, CFG.s1)
+    nx = 2401
+    gx = np.linspace(-8.0, 8.0, nx)
+    wx = np.full(nx, gx[1] - gx[0])
+    wx[0] = wx[-1] = 0.5 * (gx[1] - gx[0])
+    dens = np.exp(-0.5 * gx * gx) / math.sqrt(2.0 * math.pi)
+    rs = mu_s + sd_s * gx
+    Vs = np.exp(-np.outer(rs, Bs_s)) @ lams_s - K_s
+    C = np.maximum(Vs - H, 0.0)
+    total = 0.0
+    for x, wq, cx in zip(rs, wx * dens, C):
+        rt = (mu_t + rho * (x - mu_s)) + s_cond * gx
+        Vt = np.exp(-np.outer(rt, Bs_t)) @ lams_t - K_t
+        total += wq * float((wx * dens) @ np.maximum(Vt - cx, 0.0))
+    assert abs(w0 * total - oc.ee[j]) < 5e-7
+
+
+@pytest.mark.parametrize("lag", [0, 1, 2])
+def test_collateral_mc_matches_oracle(market, lag):
+    oc = xva.collateral_oracle(CFG, market, LEGS, lag=lag)
+    r = xva.price_collateral(CFG, KEY, market, LEGS, lag=lag, n_blocks=4)
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    for j in range(len(oc.dates)):
+        assert abs(ee[j] - oc.ee[j]) < 5.0 * se[j] + 1e-7
+    assert abs(float(r.cva) - oc.cva) < 5.0 * float(r.std_error) + 1e-9
+    if lag == 1:
+        n = r.profile.n_paths
+        tol = 5.0 * math.sqrt(0.05 * 0.95 / n) + 2e-3
+        exceed = np.asarray(r.profile.exceed)[lag:]
+        assert np.all(np.abs(exceed - 0.05) < tol)
+
+
+def test_collateral_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8)
+    single = xva.price_collateral(CFG, KEY, market, LEGS, **kw)
+    shard = xva.price_collateral(CFG, KEY, market, LEGS,
+                                 mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.cva) - float(shard.cva)) < 1e-9
+    assert np.allclose(np.asarray(single.profile.ee),
+                       np.asarray(shard.profile.ee), atol=1e-7)
