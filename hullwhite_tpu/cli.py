@@ -713,6 +713,72 @@ def cmd_xva(args):
             "ee_mc": np.asarray(rn.profile.ee).tolist(),
             "pfe": [float(x) for x in on.pfe],
             "exceed": np.asarray(rn.profile.exceed).tolist()}}
+    csa_res = {}
+    if args.csa:
+        legs1 = ((args.rate, args.tenor, args.payer),)
+        oc = xva.collateral_oracle(cfg, market, legs1,
+                                   threshold=args.threshold, lag=args.lag,
+                                   freq=args.freq, quantile=args.quantile,
+                                   hazard=args.hazard,
+                                   recovery=args.recovery)
+        rc = xva.price_collateral(cfg, key, market, legs1,
+                                  threshold=args.threshold, lag=args.lag,
+                                  freq=args.freq, quantile=args.quantile,
+                                  hazard=args.hazard,
+                                  recovery=args.recovery,
+                                  n_blocks=args.n_blocks,
+                                  rqmc=bool(args.rqmc))
+        zcsa = (float(rc.cva) - oc.cva) / max(float(rc.std_error), 1e-12)
+        ok = ok and abs(zcsa) < 5
+        red = 1.0 - oc.cva / o.cva
+        print(f"CSA (H={args.threshold}, MPoR {args.lag} periods): "
+              f"CVA MC {float(rc.cva):.8f} +/- {float(rc.std_error):.2e}"
+              f"  oracle {oc.cva:.8f}  z = {zcsa:+.2f}  "
+              f"collateral cuts CVA {red*100:.1f}%")
+        csa_res = {"csa": {
+            "threshold": args.threshold, "lag": args.lag,
+            "cva_mc": float(rc.cva), "cva_se": float(rc.std_error),
+            "cva_oracle": oc.cva, "cva_z": zcsa,
+            "cva_reduction": red,
+            "ee_oracle": [float(x) for x in oc.ee],
+            "ee_mc": np.asarray(rc.profile.ee).tolist(),
+            "ee_se": np.asarray(rc.profile.ee_std_error).tolist(),
+            "pfe": [float(x) for x in oc.pfe],
+            "exceed": np.asarray(rc.profile.exceed).tolist()}}
+    bil_res = {}
+    if args.bilateral:
+        legs1 = ((args.rate, args.tenor, args.payer),)
+        bkw = dict(freq=args.freq, hazard=args.hazard,
+                   recovery=args.recovery, hazard_own=args.hazard_own,
+                   recovery_own=args.recovery_own,
+                   spread_borrow=args.spread_borrow,
+                   spread_lend=args.spread_lend)
+        ob = xva.bilateral_oracle(cfg, market, legs1, **bkw)
+        rb = xva.price_bilateral(cfg, key, market, legs1,
+                                 quantile=args.quantile,
+                                 n_blocks=args.n_blocks,
+                                 rqmc=bool(args.rqmc), **bkw)
+        zb = (float(rb.bcva) - ob.bcva) / max(float(rb.bcva_se), 1e-12)
+        zf = (float(rb.fva) - ob.fva) / max(float(rb.fva_se), 1e-12)
+        ok = ok and abs(zb) < 5 and abs(zf) < 5
+        print(f"bilateral: BCVA MC {float(rb.bcva):.8f} +/- "
+              f"{float(rb.bcva_se):.2e}  oracle {ob.bcva:.8f}  "
+              f"z = {zb:+.2f}  (CVA {float(rb.cva):.6f} - DVA "
+              f"{float(rb.dva):.6f})")
+        print(f"           FVA  MC {float(rb.fva):.8f} +/- "
+              f"{float(rb.fva_se):.2e}  oracle {ob.fva:.8f}  "
+              f"z = {zf:+.2f}  (FCA {float(rb.fca):.6f} - FBA "
+              f"{float(rb.fba):.6f})")
+        bil_res = {"bilateral": {
+            **{k: float(v) for k, v in bkw.items()},
+            "bcva_mc": float(rb.bcva), "bcva_se": float(rb.bcva_se),
+            "bcva_oracle": ob.bcva, "bcva_z": zb,
+            "fva_mc": float(rb.fva), "fva_se": float(rb.fva_se),
+            "fva_oracle": ob.fva, "fva_z": zf,
+            "cva": float(rb.cva), "dva": float(rb.dva),
+            "fca": float(rb.fca), "fba": float(rb.fba),
+            "ene_mc": np.asarray(rb.ene).tolist(),
+            "ene_oracle": [float(x) for x in ob.ene]}}
     g2res = {}
     if args.g2:
         from .models import g2pp
@@ -741,7 +807,7 @@ def cmd_xva(args):
     print("validation:", "PASS" if ok else "CHECK")
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,
-        results={**g2res, **net_res,
+        results={**g2res, **net_res, **csa_res, **bil_res,
             "side": side, "dates": [float(t) for t in prof.dates],
             "ee_mc": ee.tolist(), "ee_se": se.tolist(),
             "ee_oracle": [float(x) for x in o.ee],
@@ -1811,6 +1877,24 @@ def main(argv=None):
     pxv.add_argument("--netting", action="store_true",
                      help="also run a 3-swap netting set vs its "
                           "segment-decomposed oracle")
+    pxv.add_argument("--csa", action="store_true",
+                     help="also run the collateralized (threshold CSA, "
+                          "lagged MPoR) profile vs its oracle")
+    pxv.add_argument("--threshold", type=float, default=0.005,
+                     help="CSA threshold H (posts (V-H)^+)")
+    pxv.add_argument("--lag", type=int, default=1,
+                     help="margin period of risk in reset periods "
+                          "(0 = continuous margining)")
+    pxv.add_argument("--bilateral", action="store_true",
+                     help="also quote BCVA = CVA - DVA and asymmetric "
+                          "FVA vs the bilateral oracle")
+    pxv.add_argument("--hazard-own", type=float, default=0.01,
+                     help="own default intensity (DVA leg)")
+    pxv.add_argument("--recovery-own", type=float, default=0.4)
+    pxv.add_argument("--spread-borrow", type=float, default=0.005,
+                     help="funding borrow spread (FCA)")
+    pxv.add_argument("--spread-lend", type=float, default=0.002,
+                     help="funding lend spread (FBA)")
     pnt = sub.add_parser("notes", parents=[common])
     pnt.add_argument("--sb-initial", type=float, default=0.02,
                      help="snowball initial coupon c_0")
