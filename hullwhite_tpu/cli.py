@@ -804,6 +804,96 @@ def cmd_xva(args):
                         "ee_oracle": [float(x) for x in o2.ee],
                         "pfe": [float(x) for x in o2.pfe],
                         "exceed": np.asarray(r2.profile.exceed).tolist()}}
+        if args.netting:
+            legs = ((args.rate, args.tenor, args.payer),
+                    (args.rate * 0.6, max(args.tenor - 1.0, 1.0),
+                     not args.payer),
+                    (args.rate * 1.5, max(args.tenor - 2.0, 1.0),
+                     args.payer))
+            on2 = xva.netting_oracle_g2(cfg, g2, market, legs,
+                                        freq=args.freq,
+                                        quantile=args.quantile,
+                                        hazard=args.hazard,
+                                        recovery=args.recovery)
+            rn2 = xva.price_netting_g2(cfg, g2, key, market, legs,
+                                       freq=args.freq,
+                                       quantile=args.quantile,
+                                       hazard=args.hazard,
+                                       recovery=args.recovery,
+                                       n_blocks=args.n_blocks,
+                                       rqmc=bool(args.rqmc))
+            zn2 = (float(rn2.cva) - on2.cva) / max(float(rn2.std_error),
+                                                   1e-12)
+            ok = ok and abs(zn2) < 5
+            print(f"G2++ netting set ({len(legs)} swaps): CVA MC "
+                  f"{float(rn2.cva):.8f} +/- {float(rn2.std_error):.2e}"
+                  f"  oracle {on2.cva:.8f}  z = {zn2:+.2f}")
+            g2res["g2"]["netting"] = {
+                "legs": [list(l) for l in legs],
+                "cva_mc": float(rn2.cva), "cva_se": float(rn2.std_error),
+                "cva_oracle": on2.cva, "cva_z": zn2,
+                "ee_oracle": [float(x) for x in on2.ee],
+                "ee_mc": np.asarray(rn2.profile.ee).tolist(),
+                "pfe": [float(x) for x in on2.pfe],
+                "exceed": np.asarray(rn2.profile.exceed).tolist()}
+        if args.csa:
+            legs1 = ((args.rate, args.tenor, args.payer),)
+            oc2 = xva.collateral_oracle_g2(
+                cfg, g2, market, legs1, threshold=args.threshold,
+                lag=args.lag, freq=args.freq, quantile=args.quantile,
+                hazard=args.hazard, recovery=args.recovery)
+            rc2 = xva.price_collateral_g2(
+                cfg, g2, key, market, legs1, threshold=args.threshold,
+                lag=args.lag, freq=args.freq, quantile=args.quantile,
+                hazard=args.hazard, recovery=args.recovery,
+                n_blocks=args.n_blocks, rqmc=bool(args.rqmc))
+            zc2 = (float(rc2.cva) - oc2.cva) / max(float(rc2.std_error),
+                                                   1e-12)
+            ok = ok and abs(zc2) < 5
+            red2 = 1.0 - oc2.cva / o2.cva
+            print(f"G2++ CSA (H={args.threshold}, MPoR {args.lag} "
+                  f"periods): CVA MC {float(rc2.cva):.8f} +/- "
+                  f"{float(rc2.std_error):.2e}  oracle {oc2.cva:.8f}  "
+                  f"z = {zc2:+.2f}  collateral cuts CVA {red2*100:.1f}%")
+            g2res["g2"]["csa"] = {
+                "threshold": args.threshold, "lag": args.lag,
+                "cva_mc": float(rc2.cva), "cva_se": float(rc2.std_error),
+                "cva_oracle": oc2.cva, "cva_z": zc2,
+                "cva_reduction": red2,
+                "ee_oracle": [float(x) for x in oc2.ee],
+                "ee_mc": np.asarray(rc2.profile.ee).tolist(),
+                "pfe": [float(x) for x in oc2.pfe],
+                "exceed": np.asarray(rc2.profile.exceed).tolist()}
+        if args.bilateral:
+            legs1 = ((args.rate, args.tenor, args.payer),)
+            bkw = dict(freq=args.freq, hazard=args.hazard,
+                       recovery=args.recovery,
+                       hazard_own=args.hazard_own,
+                       recovery_own=args.recovery_own,
+                       spread_borrow=args.spread_borrow,
+                       spread_lend=args.spread_lend)
+            ob2 = xva.bilateral_oracle_g2(cfg, g2, market, legs1, **bkw)
+            rb2 = xva.price_bilateral_g2(cfg, g2, key, market, legs1,
+                                         quantile=args.quantile,
+                                         n_blocks=args.n_blocks,
+                                         rqmc=bool(args.rqmc), **bkw)
+            zb2 = (float(rb2.bcva) - ob2.bcva) / max(float(rb2.bcva_se),
+                                                     1e-12)
+            zf2 = (float(rb2.fva) - ob2.fva) / max(float(rb2.fva_se),
+                                                   1e-12)
+            ok = ok and abs(zb2) < 5 and abs(zf2) < 5
+            print(f"G2++ bilateral: BCVA MC {float(rb2.bcva):.8f} +/- "
+                  f"{float(rb2.bcva_se):.2e}  oracle {ob2.bcva:.8f}  "
+                  f"z = {zb2:+.2f}")
+            print(f"                FVA  MC {float(rb2.fva):.8f} +/- "
+                  f"{float(rb2.fva_se):.2e}  oracle {ob2.fva:.8f}  "
+                  f"z = {zf2:+.2f}")
+            g2res["g2"]["bilateral"] = {
+                "bcva_mc": float(rb2.bcva), "bcva_se": float(rb2.bcva_se),
+                "bcva_oracle": ob2.bcva, "bcva_z": zb2,
+                "fva_mc": float(rb2.fva), "fva_se": float(rb2.fva_se),
+                "fva_oracle": ob2.fva, "fva_z": zf2,
+                "cva": float(rb2.cva), "dva": float(rb2.dva)}
     print("validation:", "PASS" if ok else "CHECK")
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,

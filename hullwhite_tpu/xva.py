@@ -1634,3 +1634,832 @@ def price_bilateral(cfg: HWConfig, key, market: MarketCurve, legs, *,
         cva=lgd_c * jnp.dot(wcj, out[0]), dva=lgd_o * jnp.dot(woj, ene),
         fca=spread_borrow * jnp.dot(wfj, out[0]),
         fba=spread_lend * jnp.dot(wfj, ene), ene=ene, base=base)
+
+
+# ---------------------------------------------------------------------------
+# G2++ netting twin: the netted portfolio value at a reset date is
+# V(x, y) = sum_i lam_i e^{-Ba_i x - Bb_i y} - K with SIGNED lam across
+# the legs' cashflows.  Conditional on x it is AGAIN a signed sum of
+# exponentials in y — exactly the one-factor form — so the oracle is the
+# outer x-quadrature of the HW segment machinery applied row by row:
+# EE_j = P(0,t_j) integral phi(x) E[(V | x)^+] dx with the inner
+# expectation the lognormal partial means over the (vectorized, padded)
+# positive y-segments per x node, and the PFE CDF the same mixture of
+# per-row Gaussian segment masses.  A one-leg portfolio reproduces
+# exposure_oracle_g2 (Newton single-root inner) to quadrature precision.
+# ---------------------------------------------------------------------------
+
+try:
+    from scipy.special import ndtr as _vphi      # fast vectorized Phi
+except Exception:                                # pragma: no cover
+    _vphi = _nphi
+
+
+def _g2_portfolio_terms(cfg: HWConfig, g, market: MarketCurve,
+                        legs: tuple, t: float, freq: float, start: float):
+    """fp64 signed (lam_i, Ba_i, Bb_i, K) of the netted G2++ portfolio
+    at reset date t: V(x, y) = sum lam_i e^{-Ba_i x - Bb_i y} - K."""
+    lams, Bas, Bbs, K = [], [], [], 0.0
+    for leg in legs:
+        sg = -1.0 if leg.payer else 1.0
+        if t >= start + leg.tenor - 1e-9:
+            continue
+        sched = swap_schedule(cfg, leg.rate, leg.tenor, freq, start)
+        lam, Ba, Bb, _ = _g2_date_terms(cfg, g, market, sched, t)
+        lams.append(sg * lam)
+        Bas.append(Ba)
+        Bbs.append(Bb)
+        K += sg
+    return (np.concatenate(lams), np.concatenate(Bas),
+            np.concatenate(Bbs), K)
+
+
+def _v_grid_rows(lx, Bs, mu, s: float, width: float = 10.0,
+                 res: float = 150.0):
+    """Shared scan grid for _v_segments_rows: (ys, V0) with
+    V0[k, j] = sum_i lx[k,i] e^{-Bs_i ys_j} — K-independent, so a PFE
+    bisection over the level v reuses one grid for every probe."""
+    n = lx.shape[0]
+    mu = np.broadcast_to(np.asarray(mu, np.float64), (n,))
+    lo = float(np.min(mu)) - width * s
+    hi = float(np.max(mu)) + width * s
+    n_scan = min(int((hi - lo) / (s / res)) + 2, 20001)
+    ys = np.linspace(lo, hi, n_scan)
+    return ys, lx @ np.exp(-np.outer(Bs, ys))
+
+
+def _v_segments_rows(lx, Bs, K, mu, s: float, width: float = 10.0,
+                     res: float = 150.0, iters: int = 80, grid=None):
+    """Vectorized multi-row _v_segments: positive segments of
+    V_k(y) = sum_i lx[k,i] e^{-Bs_i y} - K_k per row k (K scalar or
+    per-row), scanned on a SHARED grid covering every row's
+    [mu_k - width s, mu_k + width s] window at resolution s/res, every
+    sign-change cell bisected in lockstep.  Returns (A, B, mask) of
+    shape (n_rows, S): segment [A, B] is a positive interval of row k
+    where mask is True."""
+    n = lx.shape[0]
+    if grid is None:
+        grid = _v_grid_rows(lx, Bs, mu, s, width, res)
+    ys, V0 = grid
+    lo, hi = float(ys[0]), float(ys[-1])
+    Kv = np.broadcast_to(np.asarray(K, np.float64), (n,))
+    V = V0 - Kv[:, None]                                # (n, n_scan)
+    flip = (V[:, :-1] == 0.0) | (V[:, :-1] * V[:, 1:] < 0.0)
+    rows, cols = np.nonzero(flip)
+    a_, b_ = ys[cols], ys[cols + 1]
+    fa = V[rows, cols]
+    lxr = lx[rows]
+    Kr = Kv[rows]
+    for _ in range(iters):
+        m_ = 0.5 * (a_ + b_)
+        fm = np.sum(lxr * np.exp(-np.outer(m_, Bs)), axis=1) - Kr
+        take = fa * fm <= 0.0
+        b_ = np.where(take, m_, b_)
+        a_ = np.where(take, a_, m_)
+        fa = np.where(take, fa, fm)
+    counts = np.bincount(rows, minlength=n)
+    r_max = int(counts.max()) if len(rows) else 0
+    roots = np.full((n, r_max), hi)
+    if len(rows):
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        roots[rows, np.arange(len(rows)) - starts[rows]] = 0.5 * (a_ + b_)
+    edges = np.concatenate([np.full((n, 1), lo), roots,
+                            np.full((n, 1), hi)], axis=1)
+    A, B = edges[:, :-1], edges[:, 1:]
+    mids = 0.5 * (A + B)
+    Vm = np.sum(lx[:, None, :]
+                * np.exp(-Bs[None, None, :] * mids[:, :, None]),
+                axis=2) - Kv[:, None]
+    mask = (Vm > 0.0) & (B > A)
+    return A, B, mask
+
+
+def _ee_rows(lx, Bs, K, mu, s: float, A, B, mask):
+    """(n,) E[V_k(y)^+], y ~ N(mu_k, s^2): the _ee_segments lognormal
+    partial means, vectorized over the padded row segments (K scalar
+    or per-row)."""
+    n = lx.shape[0]
+    mu = np.broadcast_to(np.asarray(mu, np.float64), (n,))
+    Kv = np.broadcast_to(np.asarray(K, np.float64), (n,))
+    emom = lx * np.exp(-Bs[None, :] * mu[:, None]
+                       + 0.5 * (Bs * s) ** 2)           # (n, ncf)
+    za = (A - mu[:, None]) / s                          # (n, S)
+    zb = (B - mu[:, None]) / s
+    dphi = _vphi(zb[:, :, None] + Bs[None, None, :] * s) \
+        - _vphi(za[:, :, None] + Bs[None, None, :] * s)
+    t1 = np.sum(emom[:, None, :] * dphi, axis=2)        # (n, S)
+    t2 = Kv[:, None] * (_vphi(zb) - _vphi(za))
+    return np.maximum(np.sum(np.where(mask, t1 - t2, 0.0), axis=1), 0.0)
+
+
+def _mass_rows(mu, s: float, A, B, mask):
+    """(n,) P(y in positive segments), y ~ N(mu_k, s^2)."""
+    n = A.shape[0]
+    mu = np.broadcast_to(np.asarray(mu, np.float64), (n,))
+    d = _vphi((B - mu[:, None]) / s) - _vphi((A - mu[:, None]) / s)
+    return np.sum(np.where(mask, d, 0.0), axis=1)
+
+
+def _pfe_root(cdf, quantile: float, hi: float = 0.5) -> float:
+    """``_pfe_bisect`` semantics via Brent: the cdf here is a smooth
+    Gaussian-mixture mass, so superlinear root-finding cuts the ~100
+    grid-scan probes per date to ~10-15."""
+    if cdf(0.0) >= quantile:
+        return 0.0
+    while cdf(hi) < quantile:
+        hi *= 2.0
+    try:
+        from scipy.optimize import brentq
+        return float(brentq(lambda v: cdf(v) - quantile, 0.0, hi,
+                            xtol=1e-13, rtol=8.9e-16))
+    except Exception:                               # pragma: no cover
+        return _pfe_bisect(cdf, quantile, hi=hi)
+
+
+def _g2_net_ee(g, lam, Ba, Bb, K: float, t: float) -> float:
+    """E^{T_t}[(sum_i lam_i e^{-Ba_i x - Bb_i y} - K)^+] under the
+    t-forward means (no P(0,t) factor): outer 2001-node +-8 sigma
+    trapezoid in x (same grid as _ee_g2_closed so the one-leg pin is
+    quadrature-exact) x exact row-segment closed form in y."""
+    from .models.g2pp import _fwd_means, _xy_cov
+
+    mx, my = _fwd_means(g, t)
+    sx, sy, rxy = _xy_cov(g, t)
+    s_c = sy * math.sqrt(max(1.0 - rxy * rxy, 1e-16))
+    xs = mx + sx * np.linspace(-8.0, 8.0, 2001)
+    wpdf = np.exp(-0.5 * ((xs - mx) / sx) ** 2) \
+        / (sx * math.sqrt(2.0 * math.pi))
+    m_c = my + rxy * sy / sx * (xs - mx)
+    lxs = lam[None, :] * np.exp(-Ba[None, :] * xs[:, None])
+    Asg, Bsg, msk = _v_segments_rows(lxs, Bb, K, m_c, s_c)
+    inner = _ee_rows(lxs, Bb, K, m_c, s_c, Asg, Bsg, msk)
+    return float(np.trapezoid(wpdf * inner, xs))
+
+
+def _g2_net_pfe(g, lam, Ba, Bb, K: float, t: float,
+                quantile: float) -> float:
+    """q-quantile of (sum lam e^{-Ba x - Bb y} - K)^+ under the CENTERED
+    risk-neutral law at t: Brent on the Gaussian-mixture segment-mass
+    CDF over an 801-node outer x grid (cf. _pfe_g2)."""
+    from .models.g2pp import _xy_cov
+
+    sx, sy, rxy = _xy_cov(g, t)
+    s_c = sy * math.sqrt(max(1.0 - rxy * rxy, 1e-16))
+    xs0 = sx * np.linspace(-8.0, 8.0, 801)
+    w0 = np.exp(-0.5 * (xs0 / sx) ** 2) / (sx * math.sqrt(2 * math.pi))
+    w0 = w0 / np.trapezoid(w0, xs0)
+    m_c0 = rxy * sy / sx * xs0
+    lxs0 = lam[None, :] * np.exp(-Ba[None, :] * xs0[:, None])
+    grid0 = _v_grid_rows(lxs0, Bb, m_c0, s_c, res=100.0)
+
+    def cdf(v):
+        Av, Bv, mv = _v_segments_rows(lxs0, Bb, K + v, m_c0, s_c,
+                                      res=100.0, iters=60, grid=grid0)
+        return 1.0 - float(np.trapezoid(
+            w0 * _mass_rows(m_c0, s_c, Av, Bv, mv), xs0))
+
+    return _pfe_root(cdf, quantile)
+
+
+_G2_ORACLE_CACHE: dict = {}
+
+
+def _g2_oracle_memo(name: str, market: MarketCurve, key_tail: tuple):
+    """Memo key for the fp64 G2++ XVA oracles (the profiles are pure
+    functions of the market curve bytes + scalar parameters; the MC
+    pricers re-call the oracle for the PFE levels, so memoizing keeps
+    tests and oracle+MC CLI paths from paying the quadrature twice)."""
+    return (name, np.asarray(market.P, np.float32).tobytes()) + key_tail
+
+
+def netting_oracle_g2(cfg: HWConfig, g, market: MarketCurve, legs, *,
+                      freq: float = 1.0, start: float | None = None,
+                      quantile: float = 0.95, hazard: float = 0.02,
+                      recovery: float = 0.4) -> OracleXVA:
+    """fp64 netted G2++ exposure profile + CVA (module comment above):
+    per date, outer 2001-node trapezoid in x under the t_j-forward
+    measure x the exact segment decomposition of the conditional
+    one-factor law in y; PFE bisects the mixture CDF under the centered
+    risk-neutral law.  One leg reproduces ``exposure_oracle_g2``; the
+    netting benefit is non-negative pathwise (both tested)."""
+    if start is None:
+        start = cfg.s1
+    mk = _g2_oracle_memo("net", market, (cfg, g, tuple(map(tuple, legs)),
+                                         freq, start, quantile, hazard,
+                                         recovery))
+    if mk in _G2_ORACLE_CACHE:
+        return _G2_ORACLE_CACHE[mk]
+    legs = tuple(SwapLeg(*l) for l in legs)
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    ee, pfe, dm = [], [], []
+    for t in dates:
+        lam, Ba, Bb, K = _g2_portfolio_terms(cfg, g, market, legs, t,
+                                             freq, start)
+        Pt = float(np.interp(t, Ts_grid, P))
+        ee.append(Pt * _g2_net_ee(g, lam, Ba, Bb, K, t))
+        pfe.append(_g2_net_pfe(g, lam, Ba, Bb, K, t, quantile))
+        # exact martingale CV mean per leg
+        total = 0.0
+        for leg in legs:
+            if t >= start + leg.tenor - 1e-9:
+                continue
+            sg = -1.0 if leg.payer else 1.0
+            sched = swap_schedule(cfg, leg.rate, leg.tenor, freq, start)
+            alive = np.asarray(sched.times, np.float64) > t + 1e-9
+            cs = np.asarray(sched.coupons, np.float64)
+            P0i = np.interp(np.asarray(sched.times), Ts_grid, P)
+            total += sg * (float(np.sum(alive * cs * P0i)) - Pt)
+        dm.append(total)
+    pd, dpd = _pd_weights(dates, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    hdelta = lgd * sum(p * e for p, e in zip(dpd, ee))
+    out = OracleXVA(dates=dates, ee=tuple(ee), pfe=tuple(pfe),
+                    disc_swap=tuple(dm), epe=sum(ee) / len(ee),
+                    cva=cva, hazard_delta=hdelta)
+    _G2_ORACLE_CACHE[mk] = out
+    return out
+
+
+@lru_cache(maxsize=None)
+def _netting_g2_fn(cfg: HWConfig, g, legs: tuple, freq: float,
+                   start: float, hazard: float, recovery: float,
+                   n_paths: int, n_blocks: int, rqmc: bool, mesh,
+                   bil=None):
+    """G2++ twin of ``_netting_fn``: the exactly-sampled functionals
+    (x, y, I per reset date, 3m normals/path) are LEG-independent, so
+    the netted kernel is ``_xva_g2_fn`` with the per-leg bond terms
+    concatenated (signed, alive-masked) along the cashflow axis and the
+    par-float constant summed into the per-date Kv.  ``bil`` as in
+    ``_netting_fn``."""
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([s for t in dates
+                   for s in (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0))]
+                  + [("I", t) for t in dates])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    d0 = jnp.asarray([-0.5 * _v_integral(g, t) for t in dates],
+                     jnp.float32)
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    ncf = sum(len(s.times) for s in scheds)
+    BaM = np.zeros((m, ncf))
+    BbM = np.zeros((m, ncf))
+    facM = np.zeros((m, ncf))       # sg * alive * c_i * exp(vadj)
+    cpM = np.zeros((m, ncf))        # sg * alive * c_i  (CV means)
+    timesC = np.concatenate([np.asarray(s.times) for s in scheds])
+    Kv = np.zeros(m)
+    col0 = 0
+    for leg, sched, sg in zip(legs, scheds, sgs):
+        nl = len(sched.times)
+        for j, t in enumerate(dates):
+            if t >= start + leg.tenor - 1e-9:
+                continue
+            Kv[j] += sg
+            for i, T_i in enumerate(sched.times):
+                if T_i <= t + 1e-9:
+                    continue
+                c = col0 + i
+                BaM[j, c] = _B(g.a, T_i - t)
+                BbM[j, c] = _B(g.b, T_i - t)
+                vadj = 0.5 * (_v_integral(g, T_i - t)
+                              - _v_integral(g, T_i) + _v_integral(g, t))
+                facM[j, c] = sg * sched.coupons[i] * math.exp(vadj)
+                cpM[j, c] = sg * sched.coupons[i]
+        col0 += nl
+    BaJ, BbJ = jnp.asarray(BaM, jnp.float32), jnp.asarray(BbM, jnp.float32)
+    facJ = jnp.asarray(facM, jnp.float32)
+    cpJ = jnp.asarray(cpM, jnp.float32)
+    KvJ = jnp.asarray(Kv, jnp.float32)
+    timesJ = jnp.asarray(timesC, jnp.float32)
+    pd, dpd = _pd_weights(dates, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+    bilw = None if bil is None else [
+        tuple(jnp.asarray(w, jnp.float32) for w in ch) for ch in bil]
+
+    def compute(key, market, pfe):
+        Pt = hw.interp_curve(market.P, jnp.asarray(dates, jnp.float32),
+                             cfg)                                # (m,)
+        P0i = hw.interp_curve(market.P, timesJ, cfg)             # (ncf,)
+        lam = facJ * (P0i[None, :] / Pt[:, None])                # (m, ncf)
+        disc0 = Pt * jnp.exp(d0)
+        # exact martingale CV means E[D_j V_j] = sum sg (sum c P0i - P0t)
+        cv_mean = jnp.sum(cpJ * P0i[None, :], axis=1) - KvJ * Pt
+
+        def block(bi):
+            xn = pmesh.block_normals(key, bi, n_paths, 3 * m, rqmc)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x = sgn * z[:, 0:2 * m:2]                   # (paths, m)
+                y = sgn * z[:, 1:2 * m:2]
+                I = sgn * z[:, 2 * m:]
+                V = jnp.sum(lam[None, :, :]
+                            * jnp.exp(-BaJ[None, :, :] * x[:, :, None]
+                                      - BbJ[None, :, :] * y[:, :, None]),
+                            axis=2) - KvJ[None, :]
+                D = disc0[None, :] * jnp.exp(-I)
+                X = D * jnp.maximum(V, 0.0)
+                Y = D * V
+                E = (V > pfe[None, :]).astype(jnp.float32)
+                return X, Y, E
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = [jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                   jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)]
+            if bilw is not None:
+                for wx, wy, wv in bilw:
+                    Z = jnp.dot(X, wx) + jnp.dot(Y, wy)
+                    W = jnp.dot(Y, wv)
+                    agg += [jnp.sum(Z), jnp.sum(Z * Z), jnp.sum(W),
+                            jnp.sum(W * W), jnp.sum(Z * W)]
+            return jnp.concatenate([per_date, jnp.stack(agg)])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        extra_means = () if bilw is None else tuple(
+            jnp.dot(wv, cv_mean) for _, _, wv in bilw)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cv_mean, pdw, dpdw, lgd,
+                               extra_means=extra_means)
+
+    return jax.jit(compute)
+
+
+def price_netting_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
+                     freq: float = 1.0, start: float | None = None,
+                     quantile: float = 0.95, hazard: float = 0.02,
+                     recovery: float = 0.4, n_paths: int | None = None,
+                     n_blocks: int = 1, rqmc: bool = False,
+                     mesh=None) -> CVAResult:
+    """G2++ twin of ``price_netting``: netted exposure profile + CVA of
+    a swap portfolio on the exactly-sampled (x, y, I) states; the netted
+    discounted portfolio value is the CV at its exact martingale mean.
+    fp64 oracle: ``netting_oracle_g2``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle_g2(cfg, g, market, legs, freq=freq, start=start,
+                          quantile=quantile, hazard=hazard,
+                          recovery=recovery)
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _netting_g2_fn(cfg, g, legs, float(freq), float(start),
+                         float(hazard), float(recovery), int(n_paths),
+                         int(n_blocks), bool(rqmc), mesh)(
+        key, market, pfe)
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)
+
+
+def bilateral_oracle_g2(cfg: HWConfig, g, market: MarketCurve, legs, *,
+                        freq: float = 1.0, start: float | None = None,
+                        hazard: float = 0.02, recovery: float = 0.4,
+                        hazard_own: float = 0.01,
+                        recovery_own: float = 0.4,
+                        spread_borrow: float = 0.005,
+                        spread_lend: float = 0.005) -> BilateralOracle:
+    """fp64 bilateral CVA/DVA/FVA of a netted G2++ portfolio: EE from
+    ``netting_oracle_g2``, ENE by ENE_j = EE_j - E[D_j V_j] (the exact
+    pathwise identity (-V)^+ = V^+ - V)."""
+    o = netting_oracle_g2(cfg, g, market, legs, freq=freq, start=start,
+                          hazard=hazard, recovery=recovery)
+    ene = tuple(e - d for e, d in zip(o.ee, o.disc_swap))
+    wc, wo, wf = _surv_weights(o.dates, hazard, hazard_own)
+    lgd_c, lgd_o = 1.0 - recovery, 1.0 - recovery_own
+    cva = lgd_c * sum(w * e for w, e in zip(wc, o.ee))
+    dva = lgd_o * sum(w * e for w, e in zip(wo, ene))
+    fca = spread_borrow * sum(w * e for w, e in zip(wf, o.ee))
+    fba = spread_lend * sum(w * e for w, e in zip(wf, ene))
+    return BilateralOracle(dates=o.dates, ee=o.ee, ene=ene, cva=cva,
+                           dva=dva, bcva=cva - dva, fca=fca, fba=fba,
+                           fva=fca - fba)
+
+
+def price_bilateral_g2(cfg: HWConfig, g, key, market: MarketCurve,
+                       legs, *, freq: float = 1.0,
+                       start: float | None = None, quantile: float = 0.95,
+                       hazard: float = 0.02, recovery: float = 0.4,
+                       hazard_own: float = 0.01,
+                       recovery_own: float = 0.4,
+                       spread_borrow: float = 0.005,
+                       spread_lend: float = 0.005,
+                       n_paths: int | None = None, n_blocks: int = 1,
+                       rqmc: bool = False, mesh=None) -> BilateralResult:
+    """G2++ twin of ``price_bilateral``: BCVA and asymmetric-FVA headline
+    channels with their own optimal-beta CVs on the netted G2++ kernel.
+    fp64 oracle: ``bilateral_oracle_g2``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle_g2(cfg, g, market, legs, freq=freq, start=start,
+                          quantile=quantile, hazard=hazard,
+                          recovery=recovery)
+    wc, wo, wf = _surv_weights(o.dates, hazard, hazard_own)
+    lgd_c, lgd_o = 1.0 - recovery, 1.0 - recovery_own
+    bx = tuple(lgd_c * c - lgd_o * w for c, w in zip(wc, wo))
+    by = tuple(lgd_o * w for w in wo)
+    fx = tuple((spread_borrow - spread_lend) * w for w in wf)
+    fy = tuple(spread_lend * w for w in wf)
+    bil = ((bx, by, bx), (fx, fy, wf))
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _netting_g2_fn(cfg, g, legs, float(freq), float(start),
+                         float(hazard), float(recovery), int(n_paths),
+                         int(n_blocks), bool(rqmc), mesh, bil)(
+        key, market, pfe)
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    base = CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)
+    (bcva, bcva_se, _, _, _), (fva, fva_se, _, _, _) = out[12], out[13]
+    dm = jnp.asarray(o.disc_swap, jnp.float32)
+    ene = out[0] - dm
+    wcj = jnp.asarray(wc, jnp.float32)
+    woj = jnp.asarray(wo, jnp.float32)
+    wfj = jnp.asarray(wf, jnp.float32)
+    return BilateralResult(
+        bcva=bcva, bcva_se=bcva_se, fva=fva, fva_se=fva_se,
+        cva=lgd_c * jnp.dot(wcj, out[0]), dva=lgd_o * jnp.dot(woj, ene),
+        fca=spread_borrow * jnp.dot(wfj, out[0]),
+        fba=spread_lend * jnp.dot(wfj, ene), ene=ene, base=base)
+
+
+# ---------------------------------------------------------------------------
+# G2++ collateral twin (threshold-H CSA, MPoR = lag reset periods).
+# The margin-call value V_s and the exposure value V_t live on the
+# 4-d Gaussian (x_s, y_s, x_t, y_t); tilting by e^{-I_t} (the t-forward
+# measure) shifts every mean by -cov(., I_t), all five covariances from
+# _g2_functional_cov — the sampler's own matrix.  lag=0 collapses by the
+# pathwise identity min(V, H)^+ = V^+ - (V - H)^+ to two uncollateralized
+# EE calls; lag>=1 is the triple quadrature
+#   EE_c = P(0,t) int phi(z1) [ sum_panels GL(y_s) int phi(z3)
+#                                E[(V_t - K - C)^+ | x_s, y_s, x_t] ]
+# with y_s panel edges at the roots of V_s = H (the kink of
+# C = (V_s - H)^+, so each panel integrand is analytic) and the
+# innermost expectation the exact row-segment closed form in
+# STANDARDIZED y_t coordinates: the conditional variance of y_t given
+# (x_s, y_s, x_t) is homoskedastic, so folding e^{-Bb mu4} into each
+# row's lam puts every row on one shared [-10, 10] unit scan grid.
+# ---------------------------------------------------------------------------
+
+
+def _g2_csa_cov(g, s: float, t: float):
+    """Tilted means m4 = -cov(., I_t) and covariance S of
+    (x_s, y_s, x_t, y_t), plus the conditioning chain
+    (sd1, b2, sd2, b3, sd3, b4, sd4) for the sequential quadrature."""
+    from .models.g2pp import _g2_functional_cov
+
+    C5 = _g2_functional_cov(g, (("u", s, 1.0, 0.0), ("u", s, 0.0, 1.0),
+                                ("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0),
+                                ("I", t)))
+    m4 = -C5[:4, 4]
+    S = C5[:4, :4]
+    sd1 = math.sqrt(S[0, 0])
+    b2 = S[0, 1] / S[0, 0]
+    sd2 = math.sqrt(S[1, 1] - S[0, 1] ** 2 / S[0, 0])
+    b3 = np.linalg.solve(S[:2, :2], S[:2, 2])
+    sd3 = math.sqrt(S[2, 2] - S[2, :2] @ b3)
+    b4 = np.linalg.solve(S[:3, :3], S[:3, 3])
+    sd4 = math.sqrt(S[3, 3] - S[3, :3] @ b4)
+    return m4, S, (sd1, b2, sd2, b3, sd3, b4, sd4)
+
+
+def _g2_csa_rows(g, lam_s, Ba_s, Bb_s, K_s: float, lam, Ba, Bb,
+                 H: float, s: float, t: float, *, tilted: bool,
+                 n_outer: int, n_per: int, n_mid: int):
+    """Flattened (row_lx, row_K_minus_Kt, row_weight) of the lag>=1
+    triple quadrature: rows are (x_s, y_s panel node, x_t node) triples
+    in STANDARDIZED y_t coordinates (mu=0, s=1 after folding the
+    conditional mean into lam), K column holds C = (V_s - H)^+ (add
+    K_t + level before the segment call), weights include all three
+    quadrature layers.  tilted=False zeroes the means (risk-neutral
+    law, for the PFE CDF)."""
+    m4, _, (sd1, b2, sd2, b3, sd3, b4, sd4) = _g2_csa_cov(g, s, t)
+    if not tilted:
+        m4 = np.zeros(4)
+    z1 = np.linspace(-8.0, 8.0, n_outer)
+    w1 = np.full(n_outer, z1[1] - z1[0])
+    w1[0] = w1[-1] = 0.5 * (z1[1] - z1[0])
+    w1 *= np.exp(-0.5 * z1 * z1) / math.sqrt(2.0 * math.pi)
+    z3 = np.linspace(-8.0, 8.0, n_mid)
+    w3 = np.full(n_mid, z3[1] - z3[0])
+    w3[0] = w3[-1] = 0.5 * (z3[1] - z3[0])
+    w3 *= np.exp(-0.5 * z3 * z3) / math.sqrt(2.0 * math.pi)
+    Bb_u = Bb * sd4
+    rows_lx, rows_C, rows_w = [], [], []
+    for x1, wx1 in zip(m4[0] + sd1 * z1, w1):
+        mu2 = m4[1] + b2 * (x1 - m4[0])
+        lx_s = lam_s * np.exp(-Ba_s * x1)
+        segs = _v_segments(lx_s, Bb_s, K_s + H, mu2, sd2)
+        # fixed +-{2,4,6} sigma cuts bound every GL panel to <= 2 sigma:
+        # n_per nodes on a 16-sigma panel (the no-root case) would be
+        # the dominant quadrature error otherwise
+        cuts = [mu2 + k * sd2 for k in (-6.0, -4.0, -2.0, 0.0,
+                                        2.0, 4.0, 6.0)]
+        ys, wy = _panel_nodes([e for ab in segs for e in ab] + cuts,
+                              mu2, sd2, n_per=n_per, width=8.0)
+        n2 = len(ys)
+        C = np.maximum(np.exp(-np.outer(ys, Bb_s)) @ lx_s - K_s - H, 0.0)
+        mu3 = m4[2] + b3[0] * (x1 - m4[0]) + b3[1] * (ys - m4[1])
+        xt = mu3[:, None] + sd3 * z3[None, :]               # (n2, n_mid)
+        mu4 = (m4[3] + b4[0] * (x1 - m4[0])
+               + b4[1] * (ys[:, None] - m4[1])
+               + b4[2] * (xt - m4[2]))                      # (n2, n_mid)
+        lx = lam[None, :] * np.exp(
+            -Ba[None, :] * xt.reshape(-1, 1)
+            - Bb[None, :] * mu4.reshape(-1, 1))             # (n2*n_mid, ncf)
+        rows_lx.append(lx)
+        rows_C.append(np.repeat(C, n_mid))
+        rows_w.append((wx1 * np.outer(wy, w3)).ravel())
+    return (np.concatenate(rows_lx), np.concatenate(rows_C),
+            np.concatenate(rows_w), Bb_u)
+
+
+def collateral_oracle_g2(cfg: HWConfig, g, market: MarketCurve, legs, *,
+                         threshold: float = 0.01, lag: int = 1,
+                         freq: float = 1.0, start: float | None = None,
+                         quantile: float = 0.95, hazard: float = 0.02,
+                         recovery: float = 0.4) -> OracleXVA:
+    """fp64 collateralized G2++ exposure profile + CVA under the
+    threshold-H, lag-period-MPoR CSA (module comment above).  lag=0 is
+    two uncollateralized segment EEs (exact); lag>=1 is the triple
+    quadrature (61 x panel-GL x 61 for EE; pinned against an
+    independent dense 4-d tensor-grid trapezoid in tests).  PFE roots
+    the mixture CDF on precomputed quadrature rows with a reused unit
+    scan grid, bracketed above by the uncollateralized PFE."""
+    if start is None:
+        start = cfg.s1
+    if lag < 0:
+        raise ValueError("lag must be >= 0 reset periods")
+    legs = tuple(SwapLeg(*l) for l in legs)
+    H = float(threshold)
+    mk = _g2_oracle_memo("csa", market, (cfg, g, legs, H, lag, freq,
+                                         start, quantile, hazard,
+                                         recovery))
+    if mk in _G2_ORACLE_CACHE:
+        return _G2_ORACLE_CACHE[mk]
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    ee, pfe, dm = [], [], []
+    for j, t in enumerate(dates):
+        lam, Ba, Bb, K = _g2_portfolio_terms(cfg, g, market, legs, t,
+                                             freq, start)
+        Pt = float(np.interp(t, Ts_grid, P))
+        # exact martingale CV mean (uncollateralized discounted value)
+        total = 0.0
+        for leg in legs:
+            if t >= start + leg.tenor - 1e-9:
+                continue
+            sg = -1.0 if leg.payer else 1.0
+            sched = swap_schedule(cfg, leg.rate, leg.tenor, freq, start)
+            alive = np.asarray(sched.times, np.float64) > t + 1e-9
+            cs = np.asarray(sched.coupons, np.float64)
+            P0i = np.interp(np.asarray(sched.times), Ts_grid, P)
+            total += sg * (float(np.sum(alive * cs * P0i)) - Pt)
+        dm.append(total)
+        if j < lag:                       # uncollateralized head
+            ee.append(Pt * _g2_net_ee(g, lam, Ba, Bb, K, t))
+            pfe.append(_g2_net_pfe(g, lam, Ba, Bb, K, t, quantile))
+            continue
+        if lag == 0:
+            # min(V, H)^+ = V^+ - (V - H)^+, and the PFE caps at H
+            ee.append(Pt * (_g2_net_ee(g, lam, Ba, Bb, K, t)
+                            - _g2_net_ee(g, lam, Ba, Bb, K + H, t)))
+            pfe.append(min(_g2_net_pfe(g, lam, Ba, Bb, K, t, quantile),
+                           H))
+            continue
+        s_date = dates[j - lag]
+        lam_s, Ba_s, Bb_s, K_s = _g2_portfolio_terms(cfg, g, market,
+                                                     legs, s_date, freq,
+                                                     start)
+        lx, Cr, wr, Bb_u = _g2_csa_rows(
+            g, lam_s, Ba_s, Bb_s, K_s, lam, Ba, Bb, H, s_date, t,
+            tilted=True, n_outer=61, n_per=10, n_mid=61)
+        # coarse scan is safe: |Bb sd4| << 1 so V is slowly varying in
+        # the unit coordinate; chunk rows to bound the scan temporaries
+        total_ee = 0.0
+        for c0 in range(0, lx.shape[0], 32768):
+            sl = slice(c0, c0 + 32768)
+            Kr = K + Cr[sl]
+            A, Bseg, msk = _v_segments_rows(lx[sl], Bb_u, Kr, 0.0, 1.0,
+                                            width=8.0, res=25.0,
+                                            iters=60)
+            inner = _ee_rows(lx[sl], Bb_u, Kr, 0.0, 1.0, A, Bseg, msk)
+            total_ee += float(wr[sl] @ inner)
+        ee.append(Pt * total_ee)
+        # PFE on the untilted rows: reuse one reduced-res unit grid
+        # (accuracy gate is the MC exceedance tolerance ~6e-3, so the
+        # probe quadrature runs at reduced node counts)
+        lx0, Cr0, wr0, _ = _g2_csa_rows(
+            g, lam_s, Ba_s, Bb_s, K_s, lam, Ba, Bb, H, s_date, t,
+            tilted=False, n_outer=25, n_per=8, n_mid=25)
+        grid0 = _v_grid_rows(lx0, Bb_u, 0.0, 1.0, width=6.0, res=25.0)
+
+        def cdf(v):
+            Av, Bv, mv = _v_segments_rows(lx0, Bb_u, K + Cr0 + v, 0.0,
+                                          1.0, width=6.0, res=25.0,
+                                          iters=45, grid=grid0)
+            return 1.0 - float(wr0 @ _mass_rows(0.0, 1.0, Av, Bv, mv))
+
+        hi0 = _g2_net_pfe(g, lam, Ba, Bb, K, t, quantile)  # dominance
+        pfe.append(_pfe_root(cdf, quantile, hi=max(hi0, 1e-9)))
+    pd, dpd = _pd_weights(dates, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    hdelta = lgd * sum(p * e for p, e in zip(dpd, ee))
+    out = OracleXVA(dates=dates, ee=tuple(ee), pfe=tuple(pfe),
+                    disc_swap=tuple(dm), epe=sum(ee) / len(ee),
+                    cva=cva, hazard_delta=hdelta)
+    _G2_ORACLE_CACHE[mk] = out
+    return out
+
+
+@lru_cache(maxsize=None)
+def _collateral_g2_fn(cfg: HWConfig, g, legs: tuple, H: float, lag: int,
+                      freq: float, start: float, hazard: float,
+                      recovery: float, n_paths: int, n_blocks: int,
+                      rqmc: bool, mesh):
+    """G2++ netting kernel with the CSA overlay: per path, C_j is the
+    lagged thresholded value readout of the value path the kernel
+    already carries and the exposure sample is (V_j - C_j)^+; the CV
+    stays the discounted UNcollateralized value at its exact martingale
+    mean (collateral only truncates, the correlation survives)."""
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([s for t in dates
+                   for s in (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0))]
+                  + [("I", t) for t in dates])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    d0 = jnp.asarray([-0.5 * _v_integral(g, t) for t in dates],
+                     jnp.float32)
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    ncf = sum(len(s.times) for s in scheds)
+    BaM = np.zeros((m, ncf))
+    BbM = np.zeros((m, ncf))
+    facM = np.zeros((m, ncf))
+    cpM = np.zeros((m, ncf))
+    timesC = np.concatenate([np.asarray(s.times) for s in scheds])
+    Kv = np.zeros(m)
+    col0 = 0
+    for leg, sched, sg in zip(legs, scheds, sgs):
+        nl = len(sched.times)
+        for j, t in enumerate(dates):
+            if t >= start + leg.tenor - 1e-9:
+                continue
+            Kv[j] += sg
+            for i, T_i in enumerate(sched.times):
+                if T_i <= t + 1e-9:
+                    continue
+                c = col0 + i
+                BaM[j, c] = _B(g.a, T_i - t)
+                BbM[j, c] = _B(g.b, T_i - t)
+                vadj = 0.5 * (_v_integral(g, T_i - t)
+                              - _v_integral(g, T_i) + _v_integral(g, t))
+                facM[j, c] = sg * sched.coupons[i] * math.exp(vadj)
+                cpM[j, c] = sg * sched.coupons[i]
+        col0 += nl
+    BaJ, BbJ = jnp.asarray(BaM, jnp.float32), jnp.asarray(BbM, jnp.float32)
+    facJ = jnp.asarray(facM, jnp.float32)
+    cpJ = jnp.asarray(cpM, jnp.float32)
+    KvJ = jnp.asarray(Kv, jnp.float32)
+    timesJ = jnp.asarray(timesC, jnp.float32)
+    pd, dpd = _pd_weights(dates, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+
+    def compute(key, market, pfe):
+        Pt = hw.interp_curve(market.P, jnp.asarray(dates, jnp.float32),
+                             cfg)
+        P0i = hw.interp_curve(market.P, timesJ, cfg)
+        lam = facJ * (P0i[None, :] / Pt[:, None])
+        disc0 = Pt * jnp.exp(d0)
+        cv_mean = jnp.sum(cpJ * P0i[None, :], axis=1) - KvJ * Pt
+
+        def block(bi):
+            xn = pmesh.block_normals(key, bi, n_paths, 3 * m, rqmc)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x = sgn * z[:, 0:2 * m:2]
+                y = sgn * z[:, 1:2 * m:2]
+                I = sgn * z[:, 2 * m:]
+                V = jnp.sum(lam[None, :, :]
+                            * jnp.exp(-BaJ[None, :, :] * x[:, :, None]
+                                      - BbJ[None, :, :] * y[:, :, None]),
+                            axis=2) - KvJ[None, :]
+                posted = jnp.maximum(V - H, 0.0)
+                if lag == 0:
+                    C = posted
+                else:
+                    C = jnp.concatenate(
+                        [jnp.zeros_like(V[:, :lag]), posted[:, :m - lag]],
+                        axis=1)
+                Ex = V - C
+                D = disc0[None, :] * jnp.exp(-I)
+                X = D * jnp.maximum(Ex, 0.0)
+                Y = D * V
+                E = (Ex > pfe[None, :]).astype(jnp.float32)
+                return X, Y, E
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cv_mean, pdw, dpdw, lgd)
+
+    return jax.jit(compute)
+
+
+def price_collateral_g2(cfg: HWConfig, g, key, market: MarketCurve,
+                        legs, *, threshold: float = 0.01, lag: int = 1,
+                        freq: float = 1.0, start: float | None = None,
+                        quantile: float = 0.95, hazard: float = 0.02,
+                        recovery: float = 0.4,
+                        n_paths: int | None = None, n_blocks: int = 1,
+                        rqmc: bool = False, mesh=None) -> CVAResult:
+    """G2++ twin of ``price_collateral``: collateralized exposure + CVA
+    under the threshold-H, lag-period-MPoR CSA on the exactly-sampled
+    (x, y, I) states.  fp64 oracle: ``collateral_oracle_g2``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = collateral_oracle_g2(cfg, g, market, legs, threshold=threshold,
+                             lag=lag, freq=freq, start=start,
+                             quantile=quantile, hazard=hazard,
+                             recovery=recovery)
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _collateral_g2_fn(cfg, g, legs, float(threshold), int(lag),
+                            float(freq), float(start), float(hazard),
+                            float(recovery), int(n_paths), int(n_blocks),
+                            bool(rqmc), mesh)(key, market, pfe)
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof)

@@ -439,3 +439,214 @@ def test_collateral_sharded_matches_single(market):
     assert abs(float(single.cva) - float(shard.cva)) < 1e-9
     assert np.allclose(np.asarray(single.profile.ee),
                        np.asarray(shard.profile.ee), atol=1e-7)
+
+# ---------------------------------------------------------------------------
+# G2++ netting + bilateral twins
+# ---------------------------------------------------------------------------
+
+
+def test_g2_netting_one_leg_reduces_to_single(market):
+    """A one-leg 'portfolio' must reproduce exposure_oracle_g2 (Newton
+    single-root inner) to quadrature precision, both sides."""
+    o1 = xva.netting_oracle_g2(CFG, G2, market, ((0.02, 4.0, False),))
+    os = xva.exposure_oracle_g2(CFG, G2, market)
+    assert max(abs(a - b) for a, b in zip(o1.ee, os.ee)) < 1e-12
+    assert max(abs(a - b) for a, b in zip(o1.pfe, os.pfe)) < 1e-10
+    o1p = xva.netting_oracle_g2(CFG, G2, market, ((0.02, 4.0, True),))
+    osp = xva.exposure_oracle_g2(CFG, G2, market, payer=True)
+    assert max(abs(a - b) for a, b in zip(o1p.ee, osp.ee)) < 1e-12
+
+
+def test_g2_netting_benefit_nonnegative(market):
+    on = xva.netting_oracle_g2(CFG, G2, market, LEGS)
+    stand = [xva.exposure_oracle_g2(CFG, G2, market, rate=r, tenor=tn,
+                                    payer=p) for (r, tn, p) in LEGS]
+    for j in range(len(on.dates)):
+        ssum = sum(o.ee[j] for o in stand if j < len(o.ee))
+        assert on.ee[j] <= ssum + 1e-10
+    assert on.cva < sum(o.cva for o in stand)
+
+
+def test_g2_netting_mc_matches_oracle(market):
+    on = xva.netting_oracle_g2(CFG, G2, market, LEGS)
+    r = xva.price_netting_g2(CFG, G2, KEY, market, LEGS, n_blocks=4)
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    for j in range(len(on.dates)):
+        assert abs(ee[j] - on.ee[j]) < 5.0 * se[j] + 1e-7
+    assert abs(float(r.cva) - on.cva) < 5.0 * float(r.std_error) + 1e-9
+    assert float(r.std_error) < float(r.raw_std_error)
+    n = r.profile.n_paths
+    tol = 5.0 * math.sqrt(0.05 * 0.95 / n) + 2e-3
+    assert np.all(np.abs(np.asarray(r.profile.exceed) - 0.05) < tol)
+
+
+def test_g2_netting_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8)
+    single = xva.price_netting_g2(CFG, G2, KEY, market, LEGS, **kw)
+    shard = xva.price_netting_g2(CFG, G2, KEY, market, LEGS,
+                                 mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.cva) - float(shard.cva)) < 1e-9
+    assert np.allclose(np.asarray(single.profile.ee),
+                       np.asarray(shard.profile.ee), atol=1e-7)
+
+
+def test_g2_bilateral_degenerates_to_unilateral(market):
+    b = xva.bilateral_oracle_g2(CFG, G2, market, LEGS, hazard_own=0.0,
+                                spread_borrow=0.0, spread_lend=0.0)
+    on = xva.netting_oracle_g2(CFG, G2, market, LEGS)
+    assert abs(b.bcva - on.cva) < 1e-15
+    assert b.dva == 0.0 and b.fva == 0.0 and b.fca == 0.0
+
+
+def test_g2_bilateral_mirror_antisymmetry(market):
+    kw = dict(hazard=0.02, recovery=0.4, hazard_own=0.035,
+              recovery_own=0.25, spread_borrow=0.004, spread_lend=0.007)
+    b = xva.bilateral_oracle_g2(CFG, G2, market, LEGS, **kw)
+    mirror = tuple((r, tn, not p) for (r, tn, p) in LEGS)
+    bm = xva.bilateral_oracle_g2(CFG, G2, market, mirror, hazard=0.035,
+                                 recovery=0.25, hazard_own=0.02,
+                                 recovery_own=0.4, spread_borrow=0.007,
+                                 spread_lend=0.004)
+    assert abs(bm.bcva + b.bcva) < 1e-12
+    assert abs(bm.fva + b.fva) < 1e-12
+    assert abs(bm.cva - b.dva) < 1e-12 and abs(bm.dva - b.cva) < 1e-12
+
+
+def test_g2_bilateral_mc_matches_oracle(market):
+    kw = dict(hazard_own=0.03, recovery_own=0.3, spread_borrow=0.006,
+              spread_lend=0.002)
+    b = xva.bilateral_oracle_g2(CFG, G2, market, LEGS, **kw)
+    r = xva.price_bilateral_g2(CFG, G2, KEY, market, LEGS, n_blocks=4,
+                               **kw)
+    assert abs(float(r.bcva) - b.bcva) < 5.0 * float(r.bcva_se) + 1e-9
+    assert abs(float(r.fva) - b.fva) < 5.0 * float(r.fva_se) + 1e-9
+    ene = np.asarray(r.ene)
+    se = np.asarray(r.base.profile.ee_std_error)
+    for j in range(len(b.dates)):
+        assert abs(ene[j] - b.ene[j]) < 5.0 * se[j] + 1e-6
+    assert abs(float(r.cva) - b.cva) < 5e-5
+    assert abs(float(r.dva) - b.dva) < 5e-5
+
+
+def test_g2_bilateral_symmetric_funding_collapses(market):
+    r = xva.price_bilateral_g2(CFG, G2, KEY, market, LEGS,
+                               spread_borrow=0.005, spread_lend=0.005,
+                               n_blocks=2)
+    b = xva.bilateral_oracle_g2(CFG, G2, market, LEGS,
+                                spread_borrow=0.005, spread_lend=0.005)
+    assert abs(float(r.fva) - b.fva) < 1e-7
+    assert float(r.fva_se) < 1e-7
+
+
+def test_g2_bilateral_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8, hazard_own=0.03)
+    single = xva.price_bilateral_g2(CFG, G2, KEY, market, LEGS, **kw)
+    shard = xva.price_bilateral_g2(CFG, G2, KEY, market, LEGS,
+                                   mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.bcva) - float(shard.bcva)) < 1e-9
+    assert abs(float(single.fva) - float(shard.fva)) < 1e-10
+
+# ---------------------------------------------------------------------------
+# G2++ collateral (CSA) twin
+# ---------------------------------------------------------------------------
+
+
+def test_g2_collateral_huge_threshold_is_uncollateralized(market):
+    oc = xva.collateral_oracle_g2(CFG, G2, market, LEGS, threshold=10.0,
+                                  lag=1)
+    on = xva.netting_oracle_g2(CFG, G2, market, LEGS)
+    assert max(abs(a - b) for a, b in zip(oc.ee, on.ee)) < 1e-12
+    assert abs(oc.cva - on.cva) < 1e-14
+    assert max(abs(a - b) for a, b in zip(oc.pfe, on.pfe)) < 1e-8
+
+
+def test_g2_collateral_lag0_zero_threshold_kills_exposure(market):
+    oc = xva.collateral_oracle_g2(CFG, G2, market, LEGS, threshold=0.0,
+                                  lag=0)
+    assert all(abs(e) < 1e-12 for e in oc.ee)
+    assert abs(oc.cva) < 1e-12
+    assert all(p < 1e-12 for p in oc.pfe)
+
+
+def test_g2_collateral_dominated(market):
+    """(V_t - C)^+ <= V_t^+ pathwise, so the CSA profile never exceeds
+    the uncollateralized netted one, per date and in aggregate."""
+    oc = xva.collateral_oracle_g2(CFG, G2, market, LEGS, threshold=0.01,
+                                  lag=1)
+    on = xva.netting_oracle_g2(CFG, G2, market, LEGS)
+    for j in range(len(on.dates)):
+        assert oc.ee[j] <= on.ee[j] + 1e-10
+        assert oc.pfe[j] <= on.pfe[j] + 1e-8
+    assert oc.cva <= on.cva + 1e-12
+
+
+def test_g2_collateral_oracle_vs_bruteforce_tensor_grid(market):
+    """The triple-quadrature lag>=1 EE (outer x_s x y_s panels x x_t,
+    exact row segments in y_t) is pinned against a dense 4-d
+    tensor-grid trapezoid over the tilted joint law — an independent
+    integration route (no conditioning chain, no segments)."""
+    H, j = 0.01, 1
+    legs = tuple(xva.SwapLeg(*l) for l in LEGS)
+    oc = xva.collateral_oracle_g2(CFG, G2, market, LEGS, threshold=H,
+                                  lag=1)
+    t, s = oc.dates[j], oc.dates[j - 1]
+    lam, Ba, Bb, K = xva._g2_portfolio_terms(CFG, G2, market, legs, t,
+                                             1.0, CFG.s1)
+    lam_s, Ba_s, Bb_s, K_s = xva._g2_portfolio_terms(CFG, G2, market,
+                                                     legs, s, 1.0,
+                                                     CFG.s1)
+    m4, S, _ = xva._g2_csa_cov(G2, s, t)
+    L = np.linalg.cholesky(S)
+    Ts = np.linspace(0.0, CFG.t_final, CFG.n_mat)
+    Pt = float(np.interp(t, Ts, np.asarray(market.P, np.float64)))
+    n = 41
+    z = np.linspace(-6.0, 6.0, n)
+    w = np.full(n, z[1] - z[0])
+    w[0] = w[-1] = 0.5 * (z[1] - z[0])
+    w = w * np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+    Z = np.stack(np.meshgrid(z, z, z, z, indexing="ij"),
+                 axis=-1).reshape(-1, 4)
+    w2 = (w[:, None] * w[None, :]).reshape(-1)
+    W = (w2[:, None] * w2[None, :]).reshape(-1)
+    X = m4[None, :] + Z @ L.T
+    Vs = np.exp(-X[:, 0:1] * Ba_s[None, :]
+                - X[:, 1:2] * Bb_s[None, :]) @ lam_s - K_s
+    Vt = np.exp(-X[:, 2:3] * Ba[None, :]
+                - X[:, 3:4] * Bb[None, :]) @ lam - K
+    brute = Pt * float(W @ np.maximum(Vt - np.maximum(Vs - H, 0.0), 0.0))
+    assert abs(brute - oc.ee[j]) < 3e-6     # measured h^2 floor of the
+    # 41-node grid through the two relu kinks (n=41 vs 49 move < 1e-6)
+
+
+@pytest.mark.parametrize("lag", [0, 1])
+def test_g2_collateral_mc_matches_oracle(market, lag):
+    oc = xva.collateral_oracle_g2(CFG, G2, market, LEGS, lag=lag)
+    r = xva.price_collateral_g2(CFG, G2, KEY, market, LEGS, lag=lag,
+                                n_blocks=4)
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    for j in range(len(oc.dates)):
+        assert abs(ee[j] - oc.ee[j]) < 5.0 * se[j] + 1e-7
+    assert abs(float(r.cva) - oc.cva) < 5.0 * float(r.std_error) + 1e-9
+    if lag == 1:
+        n = r.profile.n_paths
+        tol = 5.0 * math.sqrt(0.05 * 0.95 / n) + 2e-3
+        exceed = np.asarray(r.profile.exceed)[lag:]
+        assert np.all(np.abs(exceed - 0.05) < tol)
+
+
+def test_g2_collateral_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8)
+    single = xva.price_collateral_g2(CFG, G2, KEY, market, LEGS, **kw)
+    shard = xva.price_collateral_g2(CFG, G2, KEY, market, LEGS,
+                                    mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(single.cva) - float(shard.cva)) < 1e-9
+    assert np.allclose(np.asarray(single.profile.ee),
+                       np.asarray(shard.profile.ee), atol=1e-7)
