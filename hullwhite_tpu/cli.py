@@ -779,6 +779,69 @@ def cmd_xva(args):
             "fca": float(rb.fca), "fba": float(rb.fba),
             "ene_mc": np.asarray(rb.ene).tolist(),
             "ene_oracle": [float(x) for x in ob.ene]}}
+    wwr_res = {}
+    if args.wwr:
+        legsw = ((args.rate, args.tenor, args.payer),)
+        wkw = dict(lambda0=args.hazard, gamma=args.gamma, freq=args.freq,
+                   recovery=args.recovery)
+        ow = xva.wwr_oracle(cfg, market, legsw, **wkw)
+        rw = xva.price_wwr(cfg, key, market, legsw,
+                           quantile=args.quantile,
+                           n_blocks=args.n_blocks,
+                           rqmc=bool(args.rqmc), **wkw)
+        zw = (float(rw.cva) - ow.cva) / max(float(rw.std_error), 1e-12)
+        zg = (float(rw.gamma_delta) - ow.gamma_delta) \
+            / max(float(rw.gamma_delta_se), 1e-12)
+        zl = (float(rw.lambda0_delta) - ow.lambda0_delta) \
+            / max(float(rw.lambda0_delta_se), 1e-12)
+        ok = ok and abs(zw) < 5 and abs(zg) < 5 and abs(zl) < 5
+        print(f"WWR (lambda = {args.hazard} + {args.gamma} r): CVA MC "
+              f"{float(rw.cva):.8f} +/- {float(rw.std_error):.2e}  "
+              f"oracle {ow.cva:.8f}  z = {zw:+.2f}  WWR multiplier "
+              f"{ow.wwr_ratio:.3f}x")
+        print(f"     dCVA/dgamma MC {float(rw.gamma_delta):.6f} "
+              f"(z {zg:+.2f})  dCVA/dlambda0 MC "
+              f"{float(rw.lambda0_delta):.6f} (z {zl:+.2f}), both "
+              f"pathwise vs oracle FD")
+        wwr_res = {"wwr": {
+            "gamma": args.gamma, "lambda0": args.hazard,
+            "cva_mc": float(rw.cva), "cva_se": float(rw.std_error),
+            "cva_oracle": ow.cva, "cva_z": zw,
+            "cva_indep": ow.cva_indep, "wwr_ratio": ow.wwr_ratio,
+            "gamma_delta_mc": float(rw.gamma_delta),
+            "gamma_delta_oracle": ow.gamma_delta, "gamma_delta_z": zg,
+            "lambda0_delta_mc": float(rw.lambda0_delta),
+            "lambda0_delta_oracle": ow.lambda0_delta,
+            "lambda0_delta_z": zl,
+            "contrib_oracle": [float(x) for x in ow.contrib],
+            "contrib_mc": np.asarray(rw.profile.ee).tolist()}}
+    mva_res = {}
+    if args.mva:
+        legsm = ((args.rate, args.tenor, args.payer),
+                 (args.rate, max(args.tenor - 2.0, 1.0), args.payer),
+                 (args.rate * 0.0, args.tenor, not args.payer))
+        mkw = dict(mpor=args.mpor, quantile_im=args.quantile_im,
+                   spread_im=args.spread_im, freq=args.freq,
+                   hazard=args.hazard, hazard_own=args.hazard_own)
+        om = xva.mva_oracle(cfg, market, legsm, **mkw)
+        rm = xva.price_mva(cfg, key, market, legsm,
+                           n_blocks=args.n_blocks, rqmc=bool(args.rqmc),
+                           **mkw)
+        zm = (float(rm.mva) - om.mva) / max(float(rm.std_error), 1e-15)
+        ok = ok and (abs(zm) < 5 or abs(float(rm.mva) - om.mva) < 1e-9)
+        tag = (f"z = {zm:+.2f}" if float(rm.std_error) > 1e-12
+               else "CV exact (one-signed gradient)")
+        print(f"MVA (delta-normal IM, q={args.quantile_im}, MPoR "
+              f"{om.delta:.2f}y, spread {args.spread_im*1e4:.0f}bp): "
+              f"MC {float(rm.mva):.8f} +/- {float(rm.std_error):.2e}  "
+              f"oracle {om.mva:.8f}  {tag}")
+        mva_res = {"mva": {
+            "mpor": om.delta, "quantile_im": args.quantile_im,
+            "spread_im": args.spread_im, "legs": [list(l) for l in legsm],
+            "mva_mc": float(rm.mva), "mva_se": float(rm.std_error),
+            "mva_oracle": om.mva, "mva_z": zm,
+            "im_oracle": [float(x) for x in om.im],
+            "im_mc": np.asarray(rm.im).tolist()}}
     g2res = {}
     if args.g2:
         from .models import g2pp
@@ -894,10 +957,62 @@ def cmd_xva(args):
                 "fva_mc": float(rb2.fva), "fva_se": float(rb2.fva_se),
                 "fva_oracle": ob2.fva, "fva_z": zf2,
                 "cva": float(rb2.cva), "dva": float(rb2.dva)}
+        if args.wwr:
+            legsw = ((args.rate, args.tenor, args.payer),)
+            wkw = dict(lambda0=args.hazard, gamma=args.gamma,
+                       freq=args.freq, recovery=args.recovery)
+            ow2 = xva.wwr_oracle_g2(cfg, g2, market, legsw, **wkw)
+            rw2 = xva.price_wwr_g2(cfg, g2, key, market, legsw,
+                                   quantile=args.quantile,
+                                   n_blocks=args.n_blocks,
+                                   rqmc=bool(args.rqmc), **wkw)
+            zw2 = (float(rw2.cva) - ow2.cva) / max(float(rw2.std_error),
+                                                   1e-12)
+            zg2 = (float(rw2.gamma_delta) - ow2.gamma_delta) \
+                / max(float(rw2.gamma_delta_se), 1e-12)
+            ok = ok and abs(zw2) < 5 and abs(zg2) < 5
+            print(f"G2++ WWR: CVA MC {float(rw2.cva):.8f} +/- "
+                  f"{float(rw2.std_error):.2e}  oracle {ow2.cva:.8f}  "
+                  f"z = {zw2:+.2f}  multiplier {ow2.wwr_ratio:.3f}x  "
+                  f"dCVA/dgamma z {zg2:+.2f}")
+            g2res["g2"]["wwr"] = {
+                "gamma": args.gamma, "lambda0": args.hazard,
+                "cva_mc": float(rw2.cva), "cva_se": float(rw2.std_error),
+                "cva_oracle": ow2.cva, "cva_z": zw2,
+                "wwr_ratio": ow2.wwr_ratio,
+                "gamma_delta_mc": float(rw2.gamma_delta),
+                "gamma_delta_oracle": ow2.gamma_delta,
+                "gamma_delta_z": zg2}
+        if args.mva:
+            legsm = ((args.rate, args.tenor, args.payer),
+                     (args.rate, max(args.tenor - 2.0, 1.0), args.payer),
+                     (args.rate * 0.0, args.tenor, not args.payer))
+            mkw = dict(mpor=args.mpor, quantile_im=args.quantile_im,
+                       spread_im=args.spread_im, freq=args.freq,
+                       hazard=args.hazard, hazard_own=args.hazard_own)
+            om2 = xva.mva_oracle_g2(cfg, g2, market, legsm, **mkw)
+            rm2 = xva.price_mva_g2(cfg, g2, key, market, legsm,
+                                   n_blocks=args.n_blocks,
+                                   rqmc=bool(args.rqmc), **mkw)
+            zm2 = (float(rm2.mva) - om2.mva) / max(float(rm2.std_error),
+                                                   1e-15)
+            ok = ok and (abs(zm2) < 5
+                         or abs(float(rm2.mva) - om2.mva) < 1e-9)
+            tag2 = (f"z = {zm2:+.2f}" if float(rm2.std_error) > 1e-12
+                    else "CV exact")
+            print(f"G2++ MVA: MC {float(rm2.mva):.8f} +/- "
+                  f"{float(rm2.std_error):.2e}  oracle {om2.mva:.8f}  "
+                  f"{tag2}")
+            g2res["g2"]["mva"] = {
+                "mva_mc": float(rm2.mva), "mva_se": float(rm2.std_error),
+                "mva_oracle": om2.mva, "mva_z": zm2,
+                "im_oracle": [float(x) for x in om2.im],
+                "im_mc": np.asarray(rm2.im).tolist()}
     print("validation:", "PASS" if ok else "CHECK")
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,
-        results={**g2res, **net_res, **csa_res, **bil_res,
+        results={**g2res, **net_res, **csa_res, **bil_res, **wwr_res,
+                 **mva_res,
             "side": side, "dates": [float(t) for t in prof.dates],
             "ee_mc": ee.tolist(), "ee_se": se.tolist(),
             "ee_oracle": [float(x) for x in o.ee],
@@ -1978,6 +2093,23 @@ def main(argv=None):
     pxv.add_argument("--bilateral", action="store_true",
                      help="also quote BCVA = CVA - DVA and asymmetric "
                           "FVA vs the bilateral oracle")
+    pxv.add_argument("--wwr", action="store_true",
+                     help="also quote the wrong-way-risk CVA under "
+                          "lambda_t = hazard + gamma r_t vs its "
+                          "two-tilt closed-form oracle")
+    pxv.add_argument("--gamma", type=float, default=0.5,
+                     help="intensity-rate slope (wrong-way for a payer, "
+                          "right-way for a receiver)")
+    pxv.add_argument("--mva", action="store_true",
+                     help="also quote the MVA of delta-normal dynamic "
+                          "initial margin vs its closed-form oracle")
+    pxv.add_argument("--mpor", type=float, default=0.1,
+                     help="margin period of risk in years (snapped to "
+                          "the step grid)")
+    pxv.add_argument("--spread-im", type=float, default=0.005,
+                     help="IM funding spread")
+    pxv.add_argument("--quantile-im", type=float, default=0.99,
+                     help="IM quantile (z_q scale)")
     pxv.add_argument("--hazard-own", type=float, default=0.01,
                      help="own default intensity (DVA leg)")
     pxv.add_argument("--recovery-own", type=float, default=0.4)

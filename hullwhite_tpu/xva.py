@@ -1776,14 +1776,17 @@ def _pfe_root(cdf, quantile: float, hi: float = 0.5) -> float:
         return _pfe_bisect(cdf, quantile, hi=hi)
 
 
-def _g2_net_ee(g, lam, Ba, Bb, K: float, t: float) -> float:
+def _g2_net_ee(g, lam, Ba, Bb, K: float, t: float,
+               means=None) -> float:
     """E^{T_t}[(sum_i lam_i e^{-Ba_i x - Bb_i y} - K)^+] under the
     t-forward means (no P(0,t) factor): outer 2001-node +-8 sigma
     trapezoid in x (same grid as _ee_g2_closed so the one-leg pin is
-    quadrature-exact) x exact row-segment closed form in y."""
+    quadrature-exact) x exact row-segment closed form in y.  ``means``
+    overrides the (mx, my) tilt — the WWR oracle passes its own
+    two-date tilted means; the centered covariance is tilt-invariant."""
     from .models.g2pp import _fwd_means, _xy_cov
 
-    mx, my = _fwd_means(g, t)
+    mx, my = _fwd_means(g, t) if means is None else means
     sx, sy, rxy = _xy_cov(g, t)
     s_c = sy * math.sqrt(max(1.0 - rxy * rxy, 1e-16))
     xs = mx + sx * np.linspace(-8.0, 8.0, 2001)
@@ -2463,3 +2466,1095 @@ def price_collateral_g2(cfg: HWConfig, g, key, market: MarketCurve,
     return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
                      raw_std_error=out[9], beta=out[10],
                      hazard_delta=out[11], profile=prof)
+
+
+# ---------------------------------------------------------------------------
+# Wrong-way risk: stochastic default intensity lambda_t = lambda0 + gamma r_t
+# (the Hull-White WWR model: default arrives as the first jump of a Cox
+# process whose intensity is AFFINE in the short rate, so the integrated
+# hazard Lambda_t = lambda0 t + gamma int_0^t r ds = lambda0 t + gamma I_t
+# is a linear functional the engine already samples exactly).  Discrete
+# CVA with default bucketed between reset dates, exposure at the right
+# endpoint (same convention as _pd_weights):
+#
+#   CVA = LGD sum_j E[(e^{-Lambda_{t_{j-1}}} - e^{-Lambda_{t_j}})
+#                     e^{-I_{t_j}} V_j^+]
+#
+# Each term is TWO Gaussian exponential tilts of the same netted payoff:
+# e^{-Lambda_s - I_t} (s = t_{j-1}) shifts the r_t mean by
+# -(gamma cov(r_t, I_s) + cov(r_t, I_t)) with constant
+# exp(-lambda0 s - gamma i_s - i_t + Var(gamma I_s + I_t)/2), and
+# e^{-Lambda_t - I_t} = e^{-lambda0 t - (1+gamma) I_t - gamma-det} shifts
+# by -(1+gamma) cov(r_t, I_t) — so the oracle is closed form via the
+# SAME segment decomposition as the netting oracle, and gamma = 0
+# reduces it to pd_j x EE_j exactly (tested).  gamma > 0 makes default
+# likely when rates are high: wrong-way for a payer swap, right-way for
+# a receiver (sign pinned in tests).
+#
+# The MC kernel reuses the netted (r_j, I_j) states: per path
+# S_j = e^{-lambda0 t_j - gamma Itot_j} and the CVA sample is
+# sum_j (S_{j-1} - S_j) D_j V_j^+ with the SAME weighting of the signed
+# value as CV at its exact two-tilt mean; dCVA/dgamma and dCVA/dlambda0
+# are PATHWISE (differentiate the smooth S weights, the positive part
+# is untouched), each CV'd against the matching derivative of the value
+# channel at its exact fp64 mean.  Note the per-path bucket weight
+# S_{j-1} - S_j can go negative when gamma Itot decreases faster than
+# lambda0 t grows — the usual Gaussian-rates affine-intensity artifact;
+# expectations (and the oracle) are exact for the discrete model as
+# stated.  Reference anchor: this is the production extension of the
+# reference's CVA-style option machinery (src/2_option_pricing.cu:14-35).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _wwr_pair_stats(cfg: HWConfig, s: float, t: float):
+    """fp64 per-unit-sig_st^2 cross-date moments (Var I_s, cov(I_s, I_t),
+    cov(r_t, I_s)) for 0 <= s <= t (zeros at s = 0; per-step shocks are
+    shared so covariances are prefix dot products of the shapes)."""
+    if s <= 1e-12:
+        return (0.0, 0.0, 0.0)
+    from .bermudan import _step_index
+    from .ops.engine_linear import _shock_shapes
+
+    ns, nt = _step_index(cfg, s), _step_index(cfg, t)
+    _, w_s = (np.asarray(a, np.float64) for a in _shock_shapes(cfg, ns))
+    u_t, w_t = (np.asarray(a, np.float64) for a in _shock_shapes(cfg, nt))
+    return (float(w_s @ w_s), float(w_s @ w_t[:ns]),
+            float(w_s @ u_t[:ns]))
+
+
+def _wwr_terms_closed(cfg: HWConfig, market: MarketCurve, legs: tuple,
+                      freq: float, start: float, lambda0: float,
+                      gamma: float, sigma: float):
+    """fp64 per-date (contrib_j, cv_mean_j): the WWR CVA bucket terms
+    E[(S_{j-1} - S_j) D_j V_j^+] (closed form, module comment) and the
+    matching signed-value means E[(S_{j-1} - S_j) D_j V_j] (the MC CV
+    targets — lognormal means under each tilt)."""
+    legs = tuple(SwapLeg(*l) for l in legs)
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    tables = hw.step_tables(cfg, float(sigma), cfg.sigma, jnp.float32)
+    sig2 = float(tables.sig_st) ** 2
+    c = 0.5 * (float(sigma) ** 2 - cfg.sigma ** 2)
+    rA, rB, iA, iB = _det_rI(cfg, dates)
+    stats = _date_stats(cfg, dates)
+    contribs, cvm = [], []
+    for j, t in enumerate(dates):
+        lams, Bs, K = _portfolio_terms(cfg, market, legs, t, float(sigma),
+                                       freq, start)
+        uu, ww, uw = stats[j]
+        v_r, v_I, c_rI = sig2 * uu, sig2 * ww, sig2 * uw
+        r_det = rA[j] + c * rB[j]
+        i_det = iA[j] + c * iB[j]
+        s_r = math.sqrt(v_r)
+        s_date = dates[j - 1] if j else 0.0
+        i_det_s = (iA[j - 1] + c * iB[j - 1]) if j else 0.0
+        wws, c_II, c_rIs = _wwr_pair_stats(cfg, s_date, t)
+        wws, c_II, c_rIs = sig2 * wws, sig2 * c_II, sig2 * c_rIs
+        gm = gamma
+        # tilt A: e^{-Lambda_s - I_t}
+        varA = gm * gm * wws + 2.0 * gm * c_II + v_I
+        w0A = math.exp(-lambda0 * s_date - gm * i_det_s - i_det
+                       + 0.5 * varA)
+        muA = r_det - (gm * c_rIs + c_rI)
+        # tilt B: e^{-Lambda_t - I_t}
+        w0B = math.exp(-lambda0 * t - (1.0 + gm) * i_det
+                       + 0.5 * (1.0 + gm) ** 2 * v_I)
+        muB = r_det - (1.0 + gm) * c_rI
+
+        def ee(mu):
+            return _ee_segments(lams, Bs, K, mu, s_r,
+                                _v_segments(lams, Bs, K, mu, s_r))
+
+        def val(mu):
+            return float(np.sum(
+                lams * np.exp(-Bs * mu + 0.5 * Bs * Bs * v_r))) - K
+
+        contribs.append(w0A * ee(muA) - w0B * ee(muB))
+        cvm.append(w0A * val(muA) - w0B * val(muB))
+    return dates, tuple(contribs), tuple(cvm)
+
+
+class WWROracle(NamedTuple):
+    dates: tuple
+    contrib: tuple       # E[(S_{j-1} - S_j) D_j V_j^+] per date
+    cv_mean: tuple       # E[(S_{j-1} - S_j) D_j V_j] per date
+    cva: float
+    cva_indep: float     # gamma = 0 CVA at the same lambda0
+    wwr_ratio: float     # cva / cva_indep — the WWR multiplier
+    gamma_delta: float   # dCVA/dgamma (fp64 central FD of closed form)
+    lambda0_delta: float
+
+
+def wwr_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
+               lambda0: float = 0.02, gamma: float = 0.5,
+               freq: float = 1.0, start: float | None = None,
+               recovery: float = 0.4,
+               sigma: float | None = None) -> WWROracle:
+    """fp64 closed-form wrong-way-risk CVA of a netted swap portfolio
+    under lambda_t = lambda0 + gamma r_t (module comment above).  Exact
+    on the discrete law: two segment-decomposition tilts per date.
+    gamma = 0 reproduces ``netting_oracle(...).cva`` with
+    hazard = lambda0 exactly; deltas are fp64 central differences of
+    the closed form (h = 1e-6)."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    lgd = 1.0 - recovery
+
+    def cva_at(l0, gm):
+        _, con, _ = _wwr_terms_closed(cfg, market, legs, freq, start,
+                                      l0, gm, float(sigma))
+        return lgd * sum(con)
+
+    dates, contribs, cvm = _wwr_terms_closed(
+        cfg, market, legs, freq, start, float(lambda0), float(gamma),
+        float(sigma))
+    cva = lgd * sum(contribs)
+    cva0 = cva_at(float(lambda0), 0.0)
+    h = 1e-6
+    gd = (cva_at(float(lambda0), gamma + h)
+          - cva_at(float(lambda0), gamma - h)) / (2.0 * h)
+    ld = (cva_at(lambda0 + h, float(gamma))
+          - cva_at(lambda0 - h, float(gamma))) / (2.0 * h)
+    return WWROracle(dates=dates, contrib=contribs, cv_mean=cvm,
+                     cva=cva, cva_indep=cva0, wwr_ratio=cva / cva0,
+                     gamma_delta=gd, lambda0_delta=ld)
+
+
+@lru_cache(maxsize=None)
+def _wwr_fn(cfg: HWConfig, legs: tuple, freq: float, start: float,
+            lambda0: float, gamma: float, recovery: float, n_paths: int,
+            n_blocks: int, rqmc: bool, mesh):
+    """Netted kernel with stochastic-intensity default weights: per path
+    S_j = e^{-lambda0 t_j - gamma Itot_j} and the per-date exposure
+    sample is (S_{j-1} - S_j) D_j V_j^+, CV = the same weighting of the
+    signed value at its exact two-tilt mean.  Two extra aggregate
+    channels carry the PATHWISE dCVA/dgamma and dCVA/dlambda0 (smooth
+    weights differentiate; the positive part is untouched), each CV'd
+    against its own derivative value channel."""
+    from .bermudan import _functional_chol, _functional_det
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([("r", t) for t in dates] + [("I", t) for t in dates])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    Kv = np.zeros(m)
+    for j, t in enumerate(dates):
+        Kv[j] = sum(sg for l, sg in zip(legs, sgs)
+                    if t < start + l.tenor - 1e-9)
+    Kv = jnp.asarray(Kv, jnp.float32)
+    tj = jnp.asarray(dates, jnp.float32)
+    tprev = jnp.concatenate([jnp.zeros(1, jnp.float32), tj[:-1]])
+    ones = jnp.ones(m, jnp.float32)
+    zeros = jnp.zeros(m, jnp.float32)
+    lgd = 1.0 - recovery
+    l0 = jnp.float32(lambda0)
+    gm = jnp.float32(gamma)
+
+    def compute(key, sigma, market, pfe, cvm, mg, ml):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det, i_det = det[:m], det[m:]
+        lam_rows, B_rows = [], []
+        for j, t in enumerate(dates):
+            ls, bs = [], []
+            for leg, sched, sg in zip(legs, scheds, sgs):
+                la, B = _bond_value_terms(cfg, sigma, market, sched, t)
+                alive = 1.0 if t < start + leg.tenor - 1e-9 else 0.0
+                ls.append(sg * alive * la)
+                bs.append(B)
+            lam_rows.append(jnp.concatenate(ls))
+            B_rows.append(jnp.concatenate(bs))
+        lam = jnp.stack(lam_rows)
+        B = jnp.stack(B_rows)
+
+        def block(bi):
+            x = pmesh.block_normals(key, bi, n_paths, 2 * m, rqmc)
+            z = tables.sig_st * jnp.dot(
+                x, LT, preferred_element_type=jnp.float32,
+                precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :m]
+                Itot = i_det[None, :] + sgn * z[:, m:]
+                D = jnp.exp(-Itot)
+                V = jnp.sum(lam[None, :, :]
+                            * jnp.exp(-B[None, :, :] * ro[:, :, None]),
+                            axis=2) - Kv[None, :]
+                S = jnp.exp(-l0 * tj[None, :] - gm * Itot)
+                Sprev = jnp.concatenate(
+                    [jnp.ones_like(S[:, :1]), S[:, :-1]], axis=1)
+                Iprev = jnp.concatenate(
+                    [jnp.zeros_like(Itot[:, :1]), Itot[:, :-1]], axis=1)
+                w = Sprev - S
+                Vp = jnp.maximum(V, 0.0)
+                X = w * D * Vp
+                Y = w * D * V
+                E = (V > pfe[None, :]).astype(jnp.float32)
+                dg = -Iprev * Sprev + Itot * S      # dw/dgamma
+                dl = -tprev[None, :] * Sprev + tj[None, :] * S
+                DV = D * Vp
+                DY = D * V
+                Zg = jnp.sum(dg * DV, axis=1)
+                Wg = jnp.sum(dg * DY, axis=1)
+                Zl = jnp.sum(dl * DV, axis=1)
+                Wl = jnp.sum(dl * DY, axis=1)
+                return X, Y, E, Zg, Wg, Zl, Wl
+
+            p = leg(1.0)
+            q = leg(-1.0)
+            X, Y, E, Zg, Wg, Zl, Wl = (0.5 * (a + b)
+                                       for a, b in zip(p, q))
+            Xc = jnp.sum(X, axis=1)
+            Yc = jnp.sum(Y, axis=1)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([
+                jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                jnp.sum(Yc * Yc), jnp.sum(Xc * Yc),
+                jnp.sum(Zg), jnp.sum(Zg * Zg), jnp.sum(Wg),
+                jnp.sum(Wg * Wg), jnp.sum(Zg * Wg),
+                jnp.sum(Zl), jnp.sum(Zl * Zl), jnp.sum(Wl),
+                jnp.sum(Wl * Wl), jnp.sum(Zl * Wl)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cvm, ones, zeros, lgd,
+                               extra_means=(mg, ml))
+
+    return jax.jit(compute)
+
+
+class WWRResult(NamedTuple):
+    cva: jax.Array
+    std_error: jax.Array
+    raw_cva: jax.Array
+    raw_std_error: jax.Array
+    beta: jax.Array
+    gamma_delta: jax.Array       # pathwise dCVA/dgamma, CV'd
+    gamma_delta_se: jax.Array
+    lambda0_delta: jax.Array     # pathwise dCVA/dlambda0, CV'd
+    lambda0_delta_se: jax.Array
+    profile: ExposureProfile     # per-date WWR bucket contributions
+
+
+def price_wwr(cfg: HWConfig, key, market: MarketCurve, legs, *,
+              lambda0: float = 0.02, gamma: float = 0.5,
+              freq: float = 1.0, start: float | None = None,
+              quantile: float = 0.95, recovery: float = 0.4,
+              sigma=None, n_paths: int | None = None, n_blocks: int = 1,
+              rqmc: bool = False, mesh=None) -> WWRResult:
+    """Monte Carlo wrong-way-risk CVA of a netted swap portfolio under
+    lambda_t = lambda0 + gamma r_t, with pathwise gamma / lambda0
+    deltas.  fp64 oracle: ``wwr_oracle`` (closed form; deltas pinned
+    against its central differences).  The profile's PFE/exceed channel
+    is the default-free netted quantile (default weighting does not
+    change the market-value distribution)."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    on = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                        quantile=quantile, hazard=lambda0,
+                        recovery=recovery, sigma=float(sigma))
+    _, _, cvm = _wwr_terms_closed(cfg, market, legs, float(freq),
+                                  float(start), float(lambda0),
+                                  float(gamma), float(sigma))
+    h = 1e-6
+
+    def cv_sum(l0, gmv):
+        _, _, c = _wwr_terms_closed(cfg, market, legs, float(freq),
+                                    float(start), l0, gmv, float(sigma))
+        return sum(c)
+
+    mg = (cv_sum(float(lambda0), gamma + h)
+          - cv_sum(float(lambda0), gamma - h)) / (2.0 * h)
+    ml = (cv_sum(lambda0 + h, float(gamma))
+          - cv_sum(lambda0 - h, float(gamma))) / (2.0 * h)
+    pfe = jnp.asarray(on.pfe, jnp.float32)
+    out = _wwr_fn(cfg, legs, float(freq), float(start), float(lambda0),
+                  float(gamma), float(recovery), int(n_paths),
+                  int(n_blocks), bool(rqmc), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market, pfe,
+        jnp.asarray(cvm, jnp.float32), jnp.float32(mg), jnp.float32(ml))
+    lgd = 1.0 - recovery
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    (gd, gd_se, _, _, _), (ld, ld_se, _, _, _) = out[12], out[13]
+    return WWRResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     gamma_delta=lgd * gd, gamma_delta_se=lgd * gd_se,
+                     lambda0_delta=lgd * ld,
+                     lambda0_delta_se=lgd * ld_se, profile=prof)
+
+
+# ---------------------------------------------------------------------------
+# G2++ WWR twin: lambda_t = lambda0 + gamma r_t with r = x + y + phi(t),
+# so Lambda_t = lambda0 t + gamma (phi_det(t) + I_t) with
+# phi_det(t) = -ln P(0,t) + V(t)/2 (so that E[e^{-int r}] = P(0,t)) and
+# I_t the centered Gaussian integral the sampler already draws.  The
+# two tilts shift the (x_t, y_t) means by -cov(., gamma I_s + I_t) and
+# -(1+gamma) cov(., I_t); the inner EE is the netted row-segment
+# machinery at the shifted means (the centered covariance is
+# tilt-invariant).  gamma = 0 reduces to pd_j x the netted G2 EE.
+# ---------------------------------------------------------------------------
+
+
+def _g2_phi_det(g, market: MarketCurve, cfg: HWConfig, t: float) -> float:
+    """Deterministic part of int_0^t r ds in G2++ fitted to the curve."""
+    from .models.g2pp import _v_integral
+
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    Pt = float(np.interp(t, Ts, np.asarray(market.P, np.float64)))
+    return -math.log(Pt) + 0.5 * _v_integral(g, t)
+
+
+@lru_cache(maxsize=None)
+def _g2_wwr_stats(g, s: float, t: float):
+    """fp64 (cxIs, cyIs, cxIt, cyIt, VIs, cIsIt, VIt): covariances of
+    (x_t, y_t) with the integrals at the bucket edges (zeros at s=0)."""
+    from .models.g2pp import _g2_functional_cov
+
+    if s <= 1e-12:
+        C = _g2_functional_cov(g, (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0),
+                                   ("I", t)))
+        return (0.0, 0.0, float(C[0, 2]), float(C[1, 2]), 0.0, 0.0,
+                float(C[2, 2]))
+    C = _g2_functional_cov(g, (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0),
+                               ("I", s), ("I", t)))
+    return (float(C[0, 2]), float(C[1, 2]), float(C[0, 3]),
+            float(C[1, 3]), float(C[2, 2]), float(C[2, 3]),
+            float(C[3, 3]))
+
+
+def _g2_wwr_terms_closed(cfg: HWConfig, g, market: MarketCurve,
+                         legs: tuple, freq: float, start: float,
+                         lambda0: float, gamma: float):
+    """fp64 per-date (contrib_j, cv_mean_j) of the G2++ WWR CVA sum
+    (module comment above)."""
+    from .models.g2pp import _xy_cov
+
+    legs = tuple(SwapLeg(*l) for l in legs)
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    contribs, cvm = [], []
+    for j, t in enumerate(dates):
+        lam, Ba, Bb, K = _g2_portfolio_terms(cfg, g, market, legs, t,
+                                             freq, start)
+        s_date = dates[j - 1] if j else 0.0
+        cxIs, cyIs, cxIt, cyIt, VIs, cIsIt, VIt = _g2_wwr_stats(
+            g, s_date, t)
+        sx, sy, rxy = _xy_cov(g, t)
+        phs = _g2_phi_det(g, market, cfg, s_date) if j else 0.0
+        pht = _g2_phi_det(g, market, cfg, t)
+        gm = gamma
+        varA = gm * gm * VIs + 2.0 * gm * cIsIt + VIt
+        w0A = math.exp(-lambda0 * s_date - gm * phs - pht + 0.5 * varA)
+        mA = (-(gm * cxIs + cxIt), -(gm * cyIs + cyIt))
+        w0B = math.exp(-lambda0 * t - (1.0 + gm) * pht
+                       + 0.5 * (1.0 + gm) ** 2 * VIt)
+        mB = (-(1.0 + gm) * cxIt, -(1.0 + gm) * cyIt)
+
+        def val(m):
+            mx, my = m
+            return float(np.sum(lam * np.exp(
+                -Ba * mx - Bb * my
+                + 0.5 * (Ba * Ba * sx * sx + 2.0 * Ba * Bb * rxy * sx * sy
+                         + Bb * Bb * sy * sy)))) - K
+
+        contribs.append(w0A * _g2_net_ee(g, lam, Ba, Bb, K, t, means=mA)
+                        - w0B * _g2_net_ee(g, lam, Ba, Bb, K, t,
+                                           means=mB))
+        cvm.append(w0A * val(mA) - w0B * val(mB))
+    return dates, tuple(contribs), tuple(cvm)
+
+
+def wwr_oracle_g2(cfg: HWConfig, g, market: MarketCurve, legs, *,
+                  lambda0: float = 0.02, gamma: float = 0.5,
+                  freq: float = 1.0, start: float | None = None,
+                  recovery: float = 0.4) -> WWROracle:
+    """fp64 G2++ wrong-way-risk CVA of a netted portfolio under
+    lambda_t = lambda0 + gamma r_t: two tilted netted-EE quadratures
+    per date.  gamma = 0 reproduces ``netting_oracle_g2(...).cva`` with
+    hazard = lambda0 to quadrature precision; deltas are fp64 central
+    differences (h = 1e-6)."""
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    mk = _g2_oracle_memo("wwr", market, (cfg, g, legs, lambda0, gamma,
+                                         freq, start, recovery))
+    if mk in _G2_ORACLE_CACHE:
+        return _G2_ORACLE_CACHE[mk]
+    lgd = 1.0 - recovery
+
+    def cva_at(l0, gm):
+        _, con, _ = _g2_wwr_terms_closed(cfg, g, market, legs, freq,
+                                         start, l0, gm)
+        return lgd * sum(con)
+
+    dates, contribs, cvm = _g2_wwr_terms_closed(
+        cfg, g, market, legs, freq, start, float(lambda0), float(gamma))
+    cva = lgd * sum(contribs)
+    cva0 = cva_at(float(lambda0), 0.0)
+    h = 1e-6
+    gd = (cva_at(float(lambda0), gamma + h)
+          - cva_at(float(lambda0), gamma - h)) / (2.0 * h)
+    ld = (cva_at(lambda0 + h, float(gamma))
+          - cva_at(lambda0 - h, float(gamma))) / (2.0 * h)
+    out = WWROracle(dates=dates, contrib=contribs, cv_mean=cvm,
+                    cva=cva, cva_indep=cva0, wwr_ratio=cva / cva0,
+                    gamma_delta=gd, lambda0_delta=ld)
+    _G2_ORACLE_CACHE[mk] = out
+    return out
+
+
+@lru_cache(maxsize=None)
+def _wwr_g2_fn(cfg: HWConfig, g, legs: tuple, freq: float, start: float,
+               lambda0: float, gamma: float, recovery: float,
+               n_paths: int, n_blocks: int, rqmc: bool, mesh):
+    """G2++ twin of ``_wwr_fn``: the netted G2 kernel with
+    stochastic-intensity default weights S_j = e^{-lambda0 t_j
+    - gamma (phi_det_j + I_j)} and pathwise gamma / lambda0 delta
+    channels (Itot = phi_det + I is the full integrated short rate)."""
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([s for t in dates
+                   for s in (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0))]
+                  + [("I", t) for t in dates])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    d0 = jnp.asarray([-0.5 * _v_integral(g, t) for t in dates],
+                     jnp.float32)
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    ncf = sum(len(s.times) for s in scheds)
+    BaM = np.zeros((m, ncf))
+    BbM = np.zeros((m, ncf))
+    facM = np.zeros((m, ncf))
+    timesC = np.concatenate([np.asarray(s.times) for s in scheds])
+    Kv = np.zeros(m)
+    col0 = 0
+    for leg, sched, sg in zip(legs, scheds, sgs):
+        nl = len(sched.times)
+        for j, t in enumerate(dates):
+            if t >= start + leg.tenor - 1e-9:
+                continue
+            Kv[j] += sg
+            for i, T_i in enumerate(sched.times):
+                if T_i <= t + 1e-9:
+                    continue
+                c = col0 + i
+                BaM[j, c] = _B(g.a, T_i - t)
+                BbM[j, c] = _B(g.b, T_i - t)
+                vadj = 0.5 * (_v_integral(g, T_i - t)
+                              - _v_integral(g, T_i) + _v_integral(g, t))
+                facM[j, c] = sg * sched.coupons[i] * math.exp(vadj)
+        col0 += nl
+    BaJ, BbJ = jnp.asarray(BaM, jnp.float32), jnp.asarray(BbM, jnp.float32)
+    facJ = jnp.asarray(facM, jnp.float32)
+    KvJ = jnp.asarray(Kv, jnp.float32)
+    timesJ = jnp.asarray(timesC, jnp.float32)
+    tj = jnp.asarray(dates, jnp.float32)
+    tprev = jnp.concatenate([jnp.zeros(1, jnp.float32), tj[:-1]])
+    ones = jnp.ones(m, jnp.float32)
+    zeros = jnp.zeros(m, jnp.float32)
+    lgd = 1.0 - recovery
+    l0 = jnp.float32(lambda0)
+    gm = jnp.float32(gamma)
+
+    def compute(key, market, pfe, cvm, mg, ml):
+        Pt = hw.interp_curve(market.P, tj, cfg)
+        P0i = hw.interp_curve(market.P, timesJ, cfg)
+        lam = facJ * (P0i[None, :] / Pt[:, None])
+        disc0 = Pt * jnp.exp(d0)
+        phi = -jnp.log(Pt) - d0                       # phi_det per date
+
+        def block(bi):
+            xn = pmesh.block_normals(key, bi, n_paths, 3 * m, rqmc)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x = sgn * z[:, 0:2 * m:2]
+                y = sgn * z[:, 1:2 * m:2]
+                I = sgn * z[:, 2 * m:]
+                V = jnp.sum(lam[None, :, :]
+                            * jnp.exp(-BaJ[None, :, :] * x[:, :, None]
+                                      - BbJ[None, :, :] * y[:, :, None]),
+                            axis=2) - KvJ[None, :]
+                D = disc0[None, :] * jnp.exp(-I)
+                Itot = phi[None, :] + I
+                S = jnp.exp(-l0 * tj[None, :] - gm * Itot)
+                Sprev = jnp.concatenate(
+                    [jnp.ones_like(S[:, :1]), S[:, :-1]], axis=1)
+                Iprev = jnp.concatenate(
+                    [jnp.zeros_like(Itot[:, :1]), Itot[:, :-1]], axis=1)
+                w = Sprev - S
+                Vp = jnp.maximum(V, 0.0)
+                X = w * D * Vp
+                Y = w * D * V
+                E = (V > pfe[None, :]).astype(jnp.float32)
+                dg = -Iprev * Sprev + Itot * S
+                dl = -tprev[None, :] * Sprev + tj[None, :] * S
+                DV = D * Vp
+                DY = D * V
+                return (X, Y, E, jnp.sum(dg * DV, axis=1),
+                        jnp.sum(dg * DY, axis=1),
+                        jnp.sum(dl * DV, axis=1),
+                        jnp.sum(dl * DY, axis=1))
+
+            p = leg(1.0)
+            q = leg(-1.0)
+            X, Y, E, Zg, Wg, Zl, Wl = (0.5 * (a + b)
+                                       for a, b in zip(p, q))
+            Xc = jnp.sum(X, axis=1)
+            Yc = jnp.sum(Y, axis=1)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([
+                jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                jnp.sum(Yc * Yc), jnp.sum(Xc * Yc),
+                jnp.sum(Zg), jnp.sum(Zg * Zg), jnp.sum(Wg),
+                jnp.sum(Wg * Wg), jnp.sum(Zg * Wg),
+                jnp.sum(Zl), jnp.sum(Zl * Zl), jnp.sum(Wl),
+                jnp.sum(Wl * Wl), jnp.sum(Zl * Wl)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cvm, ones, zeros, lgd,
+                               extra_means=(mg, ml))
+
+    return jax.jit(compute)
+
+
+def price_wwr_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
+                 lambda0: float = 0.02, gamma: float = 0.5,
+                 freq: float = 1.0, start: float | None = None,
+                 quantile: float = 0.95, recovery: float = 0.4,
+                 n_paths: int | None = None, n_blocks: int = 1,
+                 rqmc: bool = False, mesh=None) -> WWRResult:
+    """G2++ twin of ``price_wwr``: wrong-way-risk CVA + pathwise
+    gamma / lambda0 deltas on the exactly-sampled netted (x, y, I)
+    states.  fp64 oracle: ``wwr_oracle_g2``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    on = netting_oracle_g2(cfg, g, market, legs, freq=freq, start=start,
+                           quantile=quantile, hazard=lambda0,
+                           recovery=recovery)
+    _, _, cvm = _g2_wwr_terms_closed(cfg, g, market, legs, float(freq),
+                                     float(start), float(lambda0),
+                                     float(gamma))
+    h = 1e-6
+
+    def cv_sum(l0v, gmv):
+        _, _, c = _g2_wwr_terms_closed(cfg, g, market, legs, float(freq),
+                                       float(start), l0v, gmv)
+        return sum(c)
+
+    mg = (cv_sum(float(lambda0), gamma + h)
+          - cv_sum(float(lambda0), gamma - h)) / (2.0 * h)
+    ml = (cv_sum(lambda0 + h, float(gamma))
+          - cv_sum(lambda0 - h, float(gamma))) / (2.0 * h)
+    pfe = jnp.asarray(on.pfe, jnp.float32)
+    out = _wwr_g2_fn(cfg, g, legs, float(freq), float(start),
+                     float(lambda0), float(gamma), float(recovery),
+                     int(n_paths), int(n_blocks), bool(rqmc), mesh)(
+        key, market, pfe, jnp.asarray(cvm, jnp.float32),
+        jnp.float32(mg), jnp.float32(ml))
+    lgd = 1.0 - recovery
+    tenor_max = max(l.tenor for l in legs)
+    prof = ExposureProfile(
+        dates=exposure_dates(cfg, tenor_max, freq, start), ee=out[0],
+        ee_std_error=out[1], ee_raw=out[2], beta=out[3], pfe=pfe,
+        exceed=out[4], epe=out[5], n_paths=int(n_paths) * int(n_blocks))
+    (gd, gd_se, _, _, _), (ld, ld_se, _, _, _) = out[12], out[13]
+    return WWRResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     gamma_delta=lgd * gd, gamma_delta_se=lgd * gd_se,
+                     lambda0_delta=lgd * ld,
+                     lambda0_delta_se=lgd * ld_se, profile=prof)
+
+
+# ---------------------------------------------------------------------------
+# MVA: margin valuation adjustment for a dynamically posted initial
+# margin.  IM is the SIMM-style delta-normal dynamic margin: at state
+# s_t the loss over the margin period of risk delta is approximated by
+# the portfolio gradient times the state increment, so
+#
+#   IM_t = z_q sqrt(g(s_t)^T Sigma_delta g(s_t)),    z_q = Phi^{-1}(q),
+#
+# with Sigma_delta the CONDITIONAL covariance of the state over
+# [t, t + delta] (state-independent in a Gaussian model) and g the
+# portfolio value gradient.  In Hull-White g = dV/dr = -W(r) with
+# W(r) = sum_i lam_i B_i e^{-B_i r}, so IM_t = z_q s_delta |W(r_t)| and
+#
+#   MVA = spread_im sum_j Delta_j e^{-(h_c + h_o) t_j} E[e^{-I_j} IM_j]
+#
+# (IM funded until the earlier default, flat hazards).  E[e^{-I} |W|]
+# is CLOSED FORM: the e^{-I} tilt shifts the r-mean, |W| = 2 W^+ - W,
+# and W^+ is the segment decomposition of one more exponential sum —
+# so the oracle is exact and the MC CV is the SIGNED gradient channel
+# D_j W_j at its exact lognormal mean.  The G2++ twin has
+# g = (-sum lam Ba e^{.}, -sum lam Bb e^{.}) and
+# IM = z_q sqrt(g' Sigma_delta g); the oracle is a 2-d tilted
+# quadrature of the smooth integrand (no kinks: sqrt of a positive
+# quadratic form), the CV is the QUADRATIC channel D Q,
+# Q = g' Sigma_delta g, whose tilted mean is a double sum of lognormal
+# moments.  delta is snapped to the step grid (HW) / used exactly (G2).
+# ---------------------------------------------------------------------------
+
+
+class MVAOracle(NamedTuple):
+    dates: tuple
+    delta: float        # margin period of risk actually used (snapped)
+    im: tuple           # E[e^{-I_j} IM_j] per date (discounted margin)
+    cv_mean: tuple      # E[e^{-I_j} W_j] (HW) / E[e^{-I_j} Q_j] (G2)
+    s_cond: tuple       # conditional state std (HW) per date
+    mva: float
+
+
+class MVAResult(NamedTuple):
+    mva: jax.Array
+    std_error: jax.Array
+    raw_mva: jax.Array
+    raw_std_error: jax.Array
+    beta: jax.Array
+    im: jax.Array           # per-date E[D IM] estimates (CV'd)
+    im_std_error: jax.Array
+    dates: tuple
+    delta: float
+
+
+def _mva_weights(dates: tuple, freq: float, spread_im: float,
+                 hazard: float, hazard_own: float):
+    """Funding weights spread * Delta_j * e^{-(h_c + h_o) t_j}."""
+    return tuple(spread_im * (1.0 / freq)
+                 * math.exp(-(hazard + hazard_own) * t) for t in dates)
+
+
+def mva_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
+               mpor: float = 0.1, quantile_im: float = 0.99,
+               spread_im: float = 0.005, freq: float = 1.0,
+               start: float | None = None, hazard: float = 0.02,
+               hazard_own: float = 0.01,
+               sigma: float | None = None) -> MVAOracle:
+    """fp64 closed-form MVA of a netted portfolio under delta-normal
+    dynamic IM (module comment above).  ``mpor`` is snapped to the step
+    grid; E[D IM] per date is exact via the tilted segment
+    decomposition of the gradient sum W."""
+    if sigma is None:
+        sigma = cfg.sigma
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    delta = max(1, round(float(mpor) / cfg.dt)) * cfg.dt
+    tables = hw.step_tables(cfg, float(sigma), cfg.sigma, jnp.float32)
+    sig2 = float(tables.sig_st) ** 2
+    c = 0.5 * (float(sigma) ** 2 - cfg.sigma ** 2)
+    rA, rB, iA, iB = _det_rI(cfg, dates)
+    stats = _date_stats(cfg, dates)
+    zq = _NDTRI(quantile_im)
+    im, cvm, s_cond = [], [], []
+    for j, t in enumerate(dates):
+        lams, Bs, K = _portfolio_terms(cfg, market, legs, t, float(sigma),
+                                       freq, start)
+        lamW = lams * Bs                      # W(r) = sum lamW e^{-B r}
+        uu, ww, uw = stats[j]
+        v_r, v_I, c_rI = sig2 * uu, sig2 * ww, sig2 * uw
+        r_det = rA[j] + c * rB[j]
+        i_det = iA[j] + c * iB[j]
+        s_r = math.sqrt(v_r)
+        # conditional std of r over [t, t + delta]
+        uu_t, c_tu, _ = _pair_stats(cfg, t, t + delta)
+        (uu_u, _, _), = _date_stats(cfg, (t + delta,))
+        s_d = math.sqrt(sig2 * max(uu_u - c_tu * c_tu / uu_t, 0.0))
+        s_cond.append(s_d)
+        w0 = math.exp(-i_det + 0.5 * v_I)
+        mu_t = r_det - c_rI
+        # E_tilt[W] (lognormal) and E_tilt[W^+] (segments, K = 0)
+        ew = float(np.sum(lamW * np.exp(-Bs * mu_t
+                                        + 0.5 * Bs * Bs * v_r)))
+        ewp = _ee_segments(lamW, Bs, 0.0, mu_t, s_r,
+                           _v_segments(lamW, Bs, 0.0, mu_t, s_r))
+        im.append(w0 * zq * s_d * (2.0 * ewp - ew))
+        cvm.append(w0 * zq * s_d * ew)
+    w = _mva_weights(dates, freq, spread_im, hazard, hazard_own)
+    return MVAOracle(dates=dates, delta=delta, im=tuple(im),
+                     cv_mean=tuple(cvm), s_cond=tuple(s_cond),
+                     mva=sum(a * b for a, b in zip(w, im)))
+
+
+@lru_cache(maxsize=None)
+def _mva_fn(cfg: HWConfig, legs: tuple, freq: float, start: float,
+            delta: float, quantile_im: float, spread_im: float,
+            hazard: float, hazard_own: float, n_paths: int,
+            n_blocks: int, rqmc: bool, mesh):
+    """Netted kernel sampling the delta-normal IM: per path
+    IM_j = z_q s_d_j |W_j(r_j)|, CV = the SIGNED gradient channel
+    D_j z_q s_d_j W_j at its exact lognormal mean."""
+    from .bermudan import _functional_chol, _functional_det
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([("r", t) for t in dates] + [("I", t) for t in dates])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    wj = jnp.asarray(_mva_weights(dates, freq, spread_im, hazard,
+                                  hazard_own), jnp.float32)
+    zeros = jnp.zeros(m, jnp.float32)
+    zq = jnp.float32(_NDTRI(quantile_im))
+
+    def compute(key, sigma, market, s_cond, cvm):
+        tables = hw.step_tables(cfg, sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, sigma, specs)
+        r_det, i_det = det[:m], det[m:]
+        lam_rows, B_rows = [], []
+        for j, t in enumerate(dates):
+            ls, bs = [], []
+            for leg, sched, sg in zip(legs, scheds, sgs):
+                la, B = _bond_value_terms(cfg, sigma, market, sched, t)
+                alive = 1.0 if t < start + leg.tenor - 1e-9 else 0.0
+                ls.append(sg * alive * la)
+                bs.append(B)
+            lam_rows.append(jnp.concatenate(ls))
+            B_rows.append(jnp.concatenate(bs))
+        lam = jnp.stack(lam_rows)
+        B = jnp.stack(B_rows)
+        lamW = lam * B                      # gradient magnitude terms
+        fac = zq * s_cond                   # (m,)
+
+        def block(bi):
+            x = pmesh.block_normals(key, bi, n_paths, 2 * m, rqmc)
+            z = tables.sig_st * jnp.dot(
+                x, LT, preferred_element_type=jnp.float32,
+                precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :m]
+                disc = jnp.exp(-(i_det[None, :] + sgn * z[:, m:]))
+                W = jnp.sum(lamW[None, :, :]
+                            * jnp.exp(-B[None, :, :] * ro[:, :, None]),
+                            axis=2)
+                X = disc * fac[None, :] * jnp.abs(W)
+                Y = disc * fac[None, :] * W
+                return X, Y
+
+            Xp, Yp = leg(1.0)
+            Xm, Ym = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            Xc = jnp.dot(X, wj)
+            Yc = jnp.dot(Y, wj)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.zeros(m, jnp.float32)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cvm, wj, zeros, 1.0)
+
+    return jax.jit(compute)
+
+
+def price_mva(cfg: HWConfig, key, market: MarketCurve, legs, *,
+              mpor: float = 0.1, quantile_im: float = 0.99,
+              spread_im: float = 0.005, freq: float = 1.0,
+              start: float | None = None, hazard: float = 0.02,
+              hazard_own: float = 0.01, sigma=None,
+              n_paths: int | None = None, n_blocks: int = 1,
+              rqmc: bool = False, mesh=None) -> MVAResult:
+    """Monte Carlo MVA under delta-normal dynamic IM on the netted
+    multi-date states.  fp64 oracle: ``mva_oracle`` (exact tilted
+    segment decomposition of the gradient sum)."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = mva_oracle(cfg, market, legs, mpor=mpor,
+                   quantile_im=quantile_im, spread_im=spread_im,
+                   freq=freq, start=start, hazard=hazard,
+                   hazard_own=hazard_own, sigma=float(sigma))
+    out = _mva_fn(cfg, legs, float(freq), float(start), float(o.delta),
+                  float(quantile_im), float(spread_im), float(hazard),
+                  float(hazard_own), int(n_paths), int(n_blocks),
+                  bool(rqmc), mesh)(
+        key, jnp.asarray(sigma, jnp.float32), market,
+        jnp.asarray(o.s_cond, jnp.float32),
+        jnp.asarray(o.cv_mean, jnp.float32))
+    return MVAResult(mva=out[6], std_error=out[7], raw_mva=out[8],
+                     raw_std_error=out[9], beta=out[10], im=out[0],
+                     im_std_error=out[1], dates=o.dates, delta=o.delta)
+
+
+@lru_cache(maxsize=None)
+def _g2_cond_cov(g, t: float, delta: float):
+    """fp64 conditional covariance of (x, y) over [t, t + delta] given
+    the state at t (state-independent): the Schur complement of the
+    4-d functional covariance."""
+    from .models.g2pp import _g2_functional_cov
+
+    u = t + delta
+    C = _g2_functional_cov(g, (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0),
+                               ("u", u, 1.0, 0.0), ("u", u, 0.0, 1.0)))
+    A, Bx, D = C[:2, :2], C[:2, 2:], C[2:, 2:]
+    S = D - Bx.T @ np.linalg.solve(A, Bx)
+    return (float(S[0, 0]), float(S[0, 1]), float(S[1, 1]))
+
+
+def mva_oracle_g2(cfg: HWConfig, g, market: MarketCurve, legs, *,
+                  mpor: float = 0.1, quantile_im: float = 0.99,
+                  spread_im: float = 0.005, freq: float = 1.0,
+                  start: float | None = None, hazard: float = 0.02,
+                  hazard_own: float = 0.01) -> MVAOracle:
+    """fp64 G2++ MVA under delta-normal dynamic IM:
+    IM = z_q sqrt(g' Sigma_delta g) with g the (x, y) value gradient.
+    E[D IM] per date is a 2-d tilted trapezoid of the SMOOTH integrand
+    (sqrt of a positive quadratic form — no kinks, so the tensor rule
+    converges cleanly); the CV mean E[D Q], Q = g' Sigma_delta g, is a
+    double sum of tilted lognormal moments (exact)."""
+    from .models.g2pp import _fwd_means, _xy_cov
+
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    mk = _g2_oracle_memo("mva", market, (cfg, g, legs, mpor, quantile_im,
+                                         spread_im, freq, start, hazard,
+                                         hazard_own))
+    if mk in _G2_ORACLE_CACHE:
+        return _G2_ORACLE_CACHE[mk]
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    delta = float(mpor)
+    Ts_grid = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.asarray(market.P, np.float64)
+    zq = _NDTRI(quantile_im)
+    nq = 601
+    zs = np.linspace(-8.0, 8.0, nq)
+    wtr = np.full(nq, zs[1] - zs[0])
+    wtr[0] = wtr[-1] = 0.5 * (zs[1] - zs[0])
+    wpdf = wtr * np.exp(-0.5 * zs * zs) / math.sqrt(2.0 * math.pi)
+    im, cvm, s_cond = [], [], []
+    for t in dates:
+        lam, Ba, Bb, K = _g2_portfolio_terms(cfg, g, market, legs, t,
+                                             freq, start)
+        Sxx, Sxy, Syy = _g2_cond_cov(g, t, delta)
+        mx, my = _fwd_means(g, t)
+        sx, sy, rxy = _xy_cov(g, t)
+        s_c = sy * math.sqrt(max(1.0 - rxy * rxy, 1e-16))
+        Pt = float(np.interp(t, Ts_grid, P))
+        xs = mx + sx * zs
+        m_c = my + rxy * sy / sx * (xs - mx)
+        X = xs[:, None, None]                       # (nq, 1, 1)
+        Y = (m_c[:, None] + s_c * zs[None, :])[:, :, None]
+        Eterm = lam[None, None, :] * np.exp(-Ba[None, None, :] * X
+                                            - Bb[None, None, :] * Y)
+        gx = np.sum(Eterm * Ba[None, None, :], axis=2)
+        gy = np.sum(Eterm * Bb[None, None, :], axis=2)
+        del Eterm
+        Q = Sxx * gx * gx + 2.0 * Sxy * gx * gy + Syy * gy * gy
+        inner = np.sqrt(np.maximum(Q, 0.0)) @ wpdf          # (nq,)
+        im.append(Pt * zq * float(wpdf @ inner))
+        # E_tilt[Q]: double lognormal sum under the t-forward means
+        BaP = Ba[:, None] + Ba[None, :]
+        BbP = Bb[:, None] + Bb[None, :]
+        coef = (lam[:, None] * lam[None, :]
+                * (Sxx * Ba[:, None] * Ba[None, :]
+                   + Sxy * (Ba[:, None] * Bb[None, :]
+                            + Bb[:, None] * Ba[None, :])
+                   + Syy * Bb[:, None] * Bb[None, :]))
+        emom = np.exp(-BaP * mx - BbP * my
+                      + 0.5 * (BaP * BaP * sx * sx
+                               + 2.0 * BaP * BbP * rxy * sx * sy
+                               + BbP * BbP * sy * sy))
+        cvm.append(Pt * float(np.sum(coef * emom)))
+        s_cond.append(0.0)
+    w = _mva_weights(dates, freq, spread_im, hazard, hazard_own)
+    out = MVAOracle(dates=dates, delta=delta, im=tuple(im),
+                    cv_mean=tuple(cvm), s_cond=tuple(s_cond),
+                    mva=sum(a * b for a, b in zip(w, im)))
+    _G2_ORACLE_CACHE[mk] = out
+    return out
+
+
+@lru_cache(maxsize=None)
+def _mva_g2_fn(cfg: HWConfig, g, legs: tuple, freq: float, start: float,
+               delta: float, quantile_im: float, spread_im: float,
+               hazard: float, hazard_own: float, n_paths: int,
+               n_blocks: int, rqmc: bool, mesh):
+    """G2++ MVA kernel: per path Q = g' Sigma_delta g on the netted
+    (x, y, I) states, IM = z_q sqrt(Q), CV = the quadratic channel
+    D Q at its exact tilted-lognormal mean."""
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    m = len(dates)
+    specs = tuple([s for t in dates
+                   for s in (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0))]
+                  + [("I", t) for t in dates])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    d0 = jnp.asarray([-0.5 * _v_integral(g, t) for t in dates],
+                     jnp.float32)
+    scheds = [swap_schedule(cfg, l.rate, l.tenor, freq, start)
+              for l in legs]
+    sgs = [(-1.0 if l.payer else 1.0) for l in legs]
+    ncf = sum(len(s.times) for s in scheds)
+    BaM = np.zeros((m, ncf))
+    BbM = np.zeros((m, ncf))
+    facM = np.zeros((m, ncf))
+    timesC = np.concatenate([np.asarray(s.times) for s in scheds])
+    SxxV = np.zeros(m)
+    SxyV = np.zeros(m)
+    SyyV = np.zeros(m)
+    col0 = 0
+    for leg, sched, sg in zip(legs, scheds, sgs):
+        nl = len(sched.times)
+        for j, t in enumerate(dates):
+            if t >= start + leg.tenor - 1e-9:
+                continue
+            for i, T_i in enumerate(sched.times):
+                if T_i <= t + 1e-9:
+                    continue
+                c = col0 + i
+                BaM[j, c] = _B(g.a, T_i - t)
+                BbM[j, c] = _B(g.b, T_i - t)
+                vadj = 0.5 * (_v_integral(g, T_i - t)
+                              - _v_integral(g, T_i) + _v_integral(g, t))
+                facM[j, c] = sg * sched.coupons[i] * math.exp(vadj)
+        col0 += nl
+    for j, t in enumerate(dates):
+        SxxV[j], SxyV[j], SyyV[j] = _g2_cond_cov(g, t, delta)
+    BaJ, BbJ = jnp.asarray(BaM, jnp.float32), jnp.asarray(BbM, jnp.float32)
+    facJ = jnp.asarray(facM, jnp.float32)
+    timesJ = jnp.asarray(timesC, jnp.float32)
+    SxxJ = jnp.asarray(SxxV, jnp.float32)
+    SxyJ = jnp.asarray(SxyV, jnp.float32)
+    SyyJ = jnp.asarray(SyyV, jnp.float32)
+    tj = jnp.asarray(dates, jnp.float32)
+    wj = jnp.asarray(_mva_weights(dates, freq, spread_im, hazard,
+                                  hazard_own), jnp.float32)
+    zeros = jnp.zeros(m, jnp.float32)
+    zq = jnp.float32(_NDTRI(quantile_im))
+
+    def compute(key, market, cvm):
+        Pt = hw.interp_curve(market.P, tj, cfg)
+        P0i = hw.interp_curve(market.P, timesJ, cfg)
+        lam = facJ * (P0i[None, :] / Pt[:, None])
+        disc0 = Pt * jnp.exp(d0)
+
+        def block(bi):
+            xn = pmesh.block_normals(key, bi, n_paths, 3 * m, rqmc)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x = sgn * z[:, 0:2 * m:2]
+                y = sgn * z[:, 1:2 * m:2]
+                I = sgn * z[:, 2 * m:]
+                Eterm = lam[None, :, :] * jnp.exp(
+                    -BaJ[None, :, :] * x[:, :, None]
+                    - BbJ[None, :, :] * y[:, :, None])
+                gx = jnp.sum(Eterm * BaJ[None, :, :], axis=2)
+                gy = jnp.sum(Eterm * BbJ[None, :, :], axis=2)
+                Q = (SxxJ[None, :] * gx * gx
+                     + 2.0 * SxyJ[None, :] * gx * gy
+                     + SyyJ[None, :] * gy * gy)
+                D = disc0[None, :] * jnp.exp(-I)
+                X = D * zq * jnp.sqrt(jnp.maximum(Q, 0.0))
+                Y = D * Q
+                return X, Y
+
+            Xp, Yp = leg(1.0)
+            Xm, Ym = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            Xc = jnp.dot(X, wj)
+            Yc = jnp.dot(Y, wj)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.zeros(m, jnp.float32)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, m, n_paths, n_blocks, rqmc,
+                               cvm, wj, zeros, 1.0)
+
+    return jax.jit(compute)
+
+
+def price_mva_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
+                 mpor: float = 0.1, quantile_im: float = 0.99,
+                 spread_im: float = 0.005, freq: float = 1.0,
+                 start: float | None = None, hazard: float = 0.02,
+                 hazard_own: float = 0.01, n_paths: int | None = None,
+                 n_blocks: int = 1, rqmc: bool = False,
+                 mesh=None) -> MVAResult:
+    """G2++ twin of ``price_mva``: delta-normal dynamic IM funded cost
+    on the netted (x, y, I) states.  fp64 oracle: ``mva_oracle_g2``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = mva_oracle_g2(cfg, g, market, legs, mpor=mpor,
+                      quantile_im=quantile_im, spread_im=spread_im,
+                      freq=freq, start=start, hazard=hazard,
+                      hazard_own=hazard_own)
+    out = _mva_g2_fn(cfg, g, legs, float(freq), float(start),
+                     float(o.delta), float(quantile_im),
+                     float(spread_im), float(hazard), float(hazard_own),
+                     int(n_paths), int(n_blocks), bool(rqmc), mesh)(
+        key, market, jnp.asarray(o.cv_mean, jnp.float32))
+    return MVAResult(mva=out[6], std_error=out[7], raw_mva=out[8],
+                     raw_std_error=out[9], beta=out[10], im=out[0],
+                     im_std_error=out[1], dates=o.dates, delta=o.delta)

@@ -650,3 +650,263 @@ def test_g2_collateral_sharded_matches_single(market):
     assert abs(float(single.cva) - float(shard.cva)) < 1e-9
     assert np.allclose(np.asarray(single.profile.ee),
                        np.asarray(shard.profile.ee), atol=1e-7)
+
+# ---------------------------------------------------------------------------
+# Wrong-way risk: lambda_t = lambda0 + gamma r_t (HW + G2++ twins)
+# ---------------------------------------------------------------------------
+
+
+def test_wwr_gamma0_reduces_to_netting(market):
+    """gamma = 0 must give pd_j x EE_j per date and the netting CVA
+    exactly (the two tilts collapse to e^{-lambda0 s/t} x the e^{-I}
+    tilt), both model families."""
+    o0 = xva.wwr_oracle(CFG, market, LEGS, lambda0=0.02, gamma=0.0)
+    on = xva.netting_oracle(CFG, market, LEGS, hazard=0.02)
+    pd, _ = xva._pd_weights(on.dates, 0.02)
+    assert abs(o0.cva - on.cva) < 1e-16
+    assert max(abs(c - p * e)
+               for c, p, e in zip(o0.contrib, pd, on.ee)) < 1e-16
+    g0 = xva.wwr_oracle_g2(CFG, G2, market, LEGS, lambda0=0.02,
+                           gamma=0.0)
+    gn = xva.netting_oracle_g2(CFG, G2, market, LEGS, hazard=0.02)
+    assert abs(g0.cva - gn.cva) < 1e-15
+    assert max(abs(c - p * e)
+               for c, p, e in zip(g0.contrib, pd, gn.ee)) < 1e-16
+
+
+def test_wwr_sign(market):
+    """gamma > 0 (default likely when rates high) is WRONG-way for a
+    payer (exposure high when rates high) and RIGHT-way for a receiver,
+    in both model families."""
+    pw = xva.wwr_oracle(CFG, market, ((0.02, 4.0, True),), gamma=0.5)
+    rw = xva.wwr_oracle(CFG, market, ((0.02, 4.0, False),), gamma=0.5)
+    assert pw.wwr_ratio > 1.2
+    assert rw.wwr_ratio < 0.8
+    pw2 = xva.wwr_oracle_g2(CFG, G2, market, ((0.02, 4.0, True),),
+                            gamma=0.5)
+    rw2 = xva.wwr_oracle_g2(CFG, G2, market, ((0.02, 4.0, False),),
+                            gamma=0.5)
+    # the G2++ defaults carry less integrated-rate variance, so the
+    # effect is smaller but the signs must match
+    assert pw2.wwr_ratio > 1.05
+    assert rw2.wwr_ratio < 0.95
+
+
+def test_wwr_oracle_vs_bruteforce_trapezoid(market):
+    """One bucket term pinned against a dense 3-d Gaussian tensor-grid
+    trapezoid over (r_t, I_s, I_t) — an independent route with no
+    tilting and no segment decomposition."""
+    legs1 = (xva.SwapLeg(0.02, 4.0, True),)
+    lam0, gm, j = 0.02, 0.5, 2
+    o = xva.wwr_oracle(CFG, market, legs1, lambda0=lam0, gamma=gm)
+    dates = o.dates
+    t, s = dates[j], dates[j - 1]
+    lams, Bs, K = xva._portfolio_terms(CFG, market, legs1, t, CFG.sigma,
+                                       1.0, CFG.s1)
+    tables = hw.step_tables(CFG, CFG.sigma, CFG.sigma, jnp.float32)
+    sig2 = float(tables.sig_st) ** 2
+    uu, ww, uw = xva._date_stats(CFG, dates)[j]
+    wws, cII, crIs = xva._wwr_pair_stats(CFG, s, t)
+    C = sig2 * np.array([[uu, crIs, uw], [crIs, wws, cII],
+                         [uw, cII, ww]])
+    L = np.linalg.cholesky(C)
+    rA, rB, iA, iB = xva._det_rI(CFG, dates)
+    n = 81
+    z = np.linspace(-7.0, 7.0, n)
+    w = np.full(n, z[1] - z[0])
+    w[0] = w[-1] = 0.5 * (z[1] - z[0])
+    w *= np.exp(-0.5 * z * z) / math.sqrt(2.0 * math.pi)
+    Z = np.stack(np.meshgrid(z, z, z, indexing="ij"), -1).reshape(-1, 3)
+    W = (w[:, None, None] * w[None, :, None]
+         * w[None, None, :]).ravel()
+    X = Z @ L.T
+    r = rA[j] + X[:, 0]
+    Is = iA[j - 1] + X[:, 1]
+    It = iA[j] + X[:, 2]
+    V = np.exp(-np.outer(r, Bs)) @ lams - K
+    Sp = np.exp(-lam0 * s - gm * Is)
+    St = np.exp(-lam0 * t - gm * It)
+    brute = float(W @ ((Sp - St) * np.exp(-It) * np.maximum(V, 0.0)))
+    assert abs(brute - o.contrib[j]) < 1e-6   # 81-node trapezoid floor
+    bcv = float(W @ ((Sp - St) * np.exp(-It) * V))
+    assert abs(bcv - o.cv_mean[j]) < 1e-11    # smooth: near machine
+
+
+def test_wwr_mc_matches_oracle(market):
+    o = xva.wwr_oracle(CFG, market, LEGS, gamma=0.5)
+    r = xva.price_wwr(CFG, KEY, market, LEGS, gamma=0.5, n_blocks=4)
+    assert abs(float(r.cva) - o.cva) < 5.0 * float(r.std_error) + 1e-9
+    assert abs(float(r.gamma_delta) - o.gamma_delta) \
+        < 5.0 * float(r.gamma_delta_se) + 1e-8
+    assert abs(float(r.lambda0_delta) - o.lambda0_delta) \
+        < 5.0 * float(r.lambda0_delta_se) + 1e-8
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    for j in range(len(o.dates)):
+        assert abs(ee[j] - o.contrib[j]) < 5.0 * se[j] + 1e-8
+    assert float(r.std_error) < float(r.raw_std_error)
+
+
+def test_g2_wwr_mc_matches_oracle(market):
+    o = xva.wwr_oracle_g2(CFG, G2, market, LEGS, gamma=0.5)
+    r = xva.price_wwr_g2(CFG, G2, KEY, market, LEGS, gamma=0.5,
+                         n_blocks=4)
+    assert abs(float(r.cva) - o.cva) < 5.0 * float(r.std_error) + 1e-9
+    assert abs(float(r.gamma_delta) - o.gamma_delta) \
+        < 5.0 * float(r.gamma_delta_se) + 1e-8
+    assert abs(float(r.lambda0_delta) - o.lambda0_delta) \
+        < 5.0 * float(r.lambda0_delta_se) + 1e-8
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    for j in range(len(o.dates)):
+        assert abs(ee[j] - o.contrib[j]) < 5.0 * se[j] + 1e-8
+
+
+def test_wwr_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8, gamma=0.5)
+    s1 = xva.price_wwr(CFG, KEY, market, LEGS, **kw)
+    s8 = xva.price_wwr(CFG, KEY, market, LEGS, mesh=pmesh.path_mesh(),
+                       **kw)
+    assert abs(float(s1.cva) - float(s8.cva)) < 1e-9
+    assert abs(float(s1.gamma_delta) - float(s8.gamma_delta)) < 1e-8
+    g1 = xva.price_wwr_g2(CFG, G2, KEY, market, LEGS, **kw)
+    g8 = xva.price_wwr_g2(CFG, G2, KEY, market, LEGS,
+                          mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(g1.cva) - float(g8.cva)) < 1e-9
+
+# ---------------------------------------------------------------------------
+# MVA: delta-normal dynamic initial margin (HW + G2++ twins)
+# ---------------------------------------------------------------------------
+
+# short payers + long receiver: the gradient W changes sign inside the
+# sampled bulk, so |W| has a real kink (SE > 0, the CV is not exact)
+MVA_LEGS = ((0.02, 2.0, True), (0.02, 2.0, True), (0.0, 4.0, False))
+
+
+def test_mva_one_leg_cv_is_exact(market):
+    """A one-leg receiver has W > 0 everywhere, so |W| == W, the CV is
+    the estimator itself and the MC reproduces the closed form to fp32
+    roundoff with ~zero SE."""
+    o = xva.mva_oracle(CFG, market, ((0.02, 4.0, False),))
+    r = xva.price_mva(CFG, KEY, market, ((0.02, 4.0, False),),
+                      n_paths=1 << 12, n_blocks=2)
+    assert abs(float(r.mva) - o.mva) < 1e-9
+    assert float(r.std_error) < 1e-9
+
+
+def test_mva_oracle_vs_bruteforce_trapezoid(market):
+    """E[D IM] at one date pinned against a dense 2-d Gaussian
+    tensor-grid trapezoid over (r, I) — independent route, no tilt."""
+    legsT = tuple(xva.SwapLeg(*l) for l in MVA_LEGS)
+    o = xva.mva_oracle(CFG, market, MVA_LEGS)
+    j = 1
+    lams, Bs, _ = xva._portfolio_terms(CFG, market, legsT, o.dates[j],
+                                       CFG.sigma, 1.0, CFG.s1)
+    lamW = lams * Bs
+    tables = hw.step_tables(CFG, CFG.sigma, CFG.sigma, jnp.float32)
+    sig2 = float(tables.sig_st) ** 2
+    uu, ww, uw = xva._date_stats(CFG, o.dates)[j]
+    C = sig2 * np.array([[uu, uw], [uw, ww]])
+    L = np.linalg.cholesky(C)
+    rA, _, iA, _ = xva._det_rI(CFG, o.dates)
+    n = 401
+    z = np.linspace(-8, 8, n)
+    w = np.full(n, z[1] - z[0])
+    w[0] = w[-1] = 0.5 * (z[1] - z[0])
+    w *= np.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
+    Z = np.stack(np.meshgrid(z, z, indexing="ij"), -1).reshape(-1, 2)
+    W2 = (w[:, None] * w[None, :]).ravel()
+    X = Z @ L.T
+    rr = rA[j] + X[:, 0]
+    It = iA[j] + X[:, 1]
+    Wv = np.exp(-np.outer(rr, Bs)) @ lamW
+    zq = xva._NDTRI(0.99)
+    brute = float(W2 @ (np.exp(-It) * zq * o.s_cond[j] * np.abs(Wv)))
+    assert abs(brute - o.im[j]) < 1e-10
+
+
+def test_mva_mc_matches_oracle(market):
+    o = xva.mva_oracle(CFG, market, MVA_LEGS)
+    r = xva.price_mva(CFG, KEY, market, MVA_LEGS, n_blocks=4)
+    assert float(r.std_error) > 0.0          # the kink is exercised
+    assert abs(float(r.mva) - o.mva) < 5.0 * float(r.std_error) + 1e-10
+    im = np.asarray(r.im)
+    se = np.asarray(r.im_std_error)
+    for j in range(len(o.dates)):
+        assert abs(im[j] - o.im[j]) < 5.0 * se[j] + 1e-9
+    assert float(r.std_error) < float(r.raw_std_error)
+
+
+def test_mva_scalings(market):
+    """MVA is linear in spread_im and in z_q (IM = z_q s |W|), and the
+    funding weights decay with both hazards."""
+    o = xva.mva_oracle(CFG, market, MVA_LEGS, spread_im=0.005)
+    o2 = xva.mva_oracle(CFG, market, MVA_LEGS, spread_im=0.010)
+    assert abs(o2.mva - 2.0 * o.mva) < 1e-18
+    oq = xva.mva_oracle(CFG, market, MVA_LEGS, quantile_im=0.975)
+    ratio = xva._NDTRI(0.975) / xva._NDTRI(0.99)
+    assert abs(oq.mva - ratio * o.mva) < 1e-15
+    oh = xva.mva_oracle(CFG, market, MVA_LEGS, hazard=0.05)
+    assert oh.mva < o.mva
+
+
+def test_g2_mva_oracle_vs_bruteforce(market):
+    """E[D IM] at one date pinned against a dense 3-d Gaussian
+    tensor-grid trapezoid over (x, y, I)."""
+    from hullwhite_tpu.models.g2pp import _g2_functional_cov, _v_integral
+
+    legsT = tuple(xva.SwapLeg(*l) for l in MVA_LEGS)
+    o = xva.mva_oracle_g2(CFG, G2, market, MVA_LEGS)
+    j, t = 1, o.dates[1]
+    lam, Ba, Bb, _ = xva._g2_portfolio_terms(CFG, G2, market, legsT, t,
+                                             1.0, CFG.s1)
+    C3 = _g2_functional_cov(G2, (("u", t, 1., 0.), ("u", t, 0., 1.),
+                                 ("I", t)))
+    L3 = np.linalg.cholesky(C3)
+    Sxx, Sxy, Syy = xva._g2_cond_cov(G2, t, o.delta)
+    n = 81
+    z = np.linspace(-7, 7, n)
+    w = np.full(n, z[1] - z[0])
+    w[0] = w[-1] = 0.5 * (z[1] - z[0])
+    w *= np.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
+    Z = np.stack(np.meshgrid(z, z, z, indexing="ij"), -1).reshape(-1, 3)
+    W3 = (w[:, None, None] * w[None, :, None]
+          * w[None, None, :]).ravel()
+    X3 = Z @ L3.T
+    Ts = np.linspace(0, CFG.t_final, CFG.n_mat)
+    Pt = float(np.interp(t, Ts, np.asarray(market.P, np.float64)))
+    Et = lam[None, :] * np.exp(-np.outer(X3[:, 0], Ba)
+                               - np.outer(X3[:, 1], Bb))
+    gx = np.sum(Et * Ba[None, :], axis=1)
+    gy = np.sum(Et * Bb[None, :], axis=1)
+    Q = Sxx * gx * gx + 2 * Sxy * gx * gy + Syy * gy * gy
+    D = Pt * math.exp(-0.5 * _v_integral(G2, t)) * np.exp(-X3[:, 2])
+    zq = xva._NDTRI(0.99)
+    brute = float(W3 @ (D * zq * np.sqrt(Q)))
+    assert abs(brute - o.im[j]) < 1e-9
+
+
+def test_g2_mva_mc_matches_oracle(market):
+    o = xva.mva_oracle_g2(CFG, G2, market, MVA_LEGS)
+    r = xva.price_mva_g2(CFG, G2, KEY, market, MVA_LEGS, n_blocks=4)
+    assert abs(float(r.mva) - o.mva) < 5.0 * float(r.std_error) + 1e-10
+    im = np.asarray(r.im)
+    se = np.asarray(r.im_std_error)
+    for j in range(len(o.dates)):
+        assert abs(im[j] - o.im[j]) < 5.0 * se[j] + 1e-9
+
+
+def test_mva_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8)
+    s1 = xva.price_mva(CFG, KEY, market, MVA_LEGS, **kw)
+    s8 = xva.price_mva(CFG, KEY, market, MVA_LEGS,
+                       mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(s1.mva) - float(s8.mva)) < 1e-12
+    g1 = xva.price_mva_g2(CFG, G2, KEY, market, MVA_LEGS, **kw)
+    g8 = xva.price_mva_g2(CFG, G2, KEY, market, MVA_LEGS,
+                          mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(g1.mva) - float(g8.mva)) < 1e-12
