@@ -278,6 +278,66 @@ def plot_exposure(data_dir: Path, plots_dir: Path):
     return out
 
 
+def plot_xva_adjustments(data_dir: Path, plots_dir: Path):
+    """Valuation-adjustment panel (beyond-reference): every XVA the run
+    produced — CVA, netted CVA, CSA CVA, BCVA/DVA/FVA, WWR CVA, MVA —
+    as MC bars with ±5 SE whiskers and the fp64 oracle as a tick, HW
+    next to its G2++ twin where both were run."""
+    p = data_dir / "xva_results.json"
+    if not p.exists():
+        return None
+    r = json.loads(p.read_text())["results"]
+    g2 = r.get("g2", {})
+
+    def rows(src, tag):
+        out = []
+        if "cva_mc" in src:
+            out.append((f"CVA{tag}", src["cva_mc"], src.get("cva_se"),
+                        src.get("cva_oracle")))
+        for key, label, mc, se, orc in [
+                ("netting", "netted CVA", "cva_mc", "cva_se",
+                 "cva_oracle"),
+                ("csa", "CSA CVA", "cva_mc", "cva_se", "cva_oracle"),
+                ("wwr", "WWR CVA", "cva_mc", "cva_se", "cva_oracle"),
+                ("mva", "MVA", "mva_mc", "mva_se", "mva_oracle"),
+                ("kva", "KVA", "kva_mc", "kva_se", "kva_oracle")]:
+            d = src.get(key)
+            if d:
+                out.append((f"{label}{tag}", d[mc], d.get(se),
+                            d.get(orc)))
+        b = src.get("bilateral")
+        if b:
+            out.append((f"BCVA{tag}", b["bcva_mc"], b.get("bcva_se"),
+                        b.get("bcva_oracle")))
+            out.append((f"FVA{tag}", b["fva_mc"], b.get("fva_se"),
+                        b.get("fva_oracle")))
+        return out
+
+    bars = rows(r, "") + rows(g2, " (G2++)")
+    if not bars:
+        return None
+    fig, ax = plt.subplots(figsize=(9, 0.6 * len(bars) + 1.5))
+    ys = np.arange(len(bars))[::-1]
+    for y, (label, mc, se, orc) in zip(ys, bars):
+        color = "#2b6cb0" if "G2" not in label else "#6b46c1"
+        ax.barh(y, mc, height=0.62, color=color, alpha=0.85)
+        if se:
+            ax.errorbar(mc, y, xerr=5 * se, fmt="none", ecolor="#1a202c",
+                        capsize=3)
+        if orc is not None:
+            ax.plot([orc], [y], marker="|", ms=16, mew=2.2,
+                    color="#c05621")
+    ax.set_yticks(ys)
+    ax.set_yticklabels([b[0] for b in bars])
+    ax.set_xlabel("adjustment (unit notional)")
+    ax.set_title("XVA stack — MC (±5 SE) vs fp64 oracle ticks")
+    ax.axvline(0.0, color="#1a202c", lw=0.8)
+    out = plots_dir / "xva_adjustments.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
 def print_summary(data_dir: Path):
     """Consolidated run report (reference analyze.py:249-344)."""
     print("=" * 72)
@@ -326,7 +386,8 @@ def main(argv=None):
     made = []
     for fn in [plot_paths_static, plot_p_and_f, plot_theta_recovery,
                plot_sensitivity_comparison, plot_engine_benchmark,
-               plot_bermudan_bracket, plot_exotics, plot_exposure]:
+               plot_bermudan_bracket, plot_exotics, plot_exposure,
+               plot_xva_adjustments]:
         out = fn(data_dir, plots_dir)
         if out:
             made.append(out)

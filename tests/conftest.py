@@ -32,3 +32,17 @@ def cfg():
 @pytest.fixture(scope="session")
 def key():
     return jax.random.key(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compile_cache():
+    """Free compiled XLA executables after each test module.
+
+    One pytest process compiles several hundred distinct jitted kernels
+    across the suite; on the CPU backend the accumulated JIT code
+    eventually segfaults inside a later compile (reproducibly at the
+    ~250th test, twice, and never in isolation).  Modules mostly reuse
+    their own kernels, so clearing between modules bounds live code at
+    a small recompile cost."""
+    yield
+    jax.clear_caches()
