@@ -842,6 +842,34 @@ def cmd_xva(args):
             "mva_oracle": om.mva, "mva_z": zm,
             "im_oracle": [float(x) for x in om.im],
             "im_mc": np.asarray(rm.im).tolist()}}
+    kva_res = {}
+    if args.kva:
+        legsk = ((args.rate, args.tenor, args.payer),
+                 (args.rate * 0.6, max(args.tenor - 1.0, 1.0),
+                  not args.payer),
+                 (args.rate * 1.5, max(args.tenor - 2.0, 1.0),
+                  args.payer))
+        kkw = dict(freq=args.freq, cost_of_capital=args.cost_capital,
+                   capital_ratio=args.capital_ratio, hazard=args.hazard,
+                   hazard_own=args.hazard_own)
+        okv = xva.kva_oracle(cfg, market, legsk, **kkw)
+        rk = xva.price_kva(cfg, key, market, legsk,
+                           n_blocks=args.n_blocks, rqmc=bool(args.rqmc),
+                           **kkw)
+        zk = (float(rk.kva) - okv.kva) / max(float(rk.std_error), 1e-15)
+        ok = ok and (abs(zk) < 5 or abs(float(rk.kva) - okv.kva) < 1e-9)
+        print(f"KVA (c_h={args.cost_capital}, kappa="
+              f"{args.capital_ratio}): MC {float(rk.kva):.8f} +/- "
+              f"{float(rk.std_error):.2e}  oracle {okv.kva:.8f}  "
+              f"z = {zk:+.2f}")
+        kva_res = {"kva": {
+            "cost_of_capital": args.cost_capital,
+            "capital_ratio": args.capital_ratio,
+            "legs": [list(l) for l in legsk],
+            "kva_mc": float(rk.kva), "kva_se": float(rk.std_error),
+            "kva_oracle": okv.kva, "kva_z": zk,
+            "capital_oracle": [float(x) for x in okv.capital],
+            "capital_mc": np.asarray(rk.capital).tolist()}}
     g2res = {}
     if args.g2:
         from .models import g2pp
@@ -1008,11 +1036,37 @@ def cmd_xva(args):
                 "mva_oracle": om2.mva, "mva_z": zm2,
                 "im_oracle": [float(x) for x in om2.im],
                 "im_mc": np.asarray(rm2.im).tolist()}
+        if args.kva:
+            legsk = ((args.rate, args.tenor, args.payer),
+                     (args.rate * 0.6, max(args.tenor - 1.0, 1.0),
+                      not args.payer),
+                     (args.rate * 1.5, max(args.tenor - 2.0, 1.0),
+                      args.payer))
+            kkw = dict(freq=args.freq,
+                       cost_of_capital=args.cost_capital,
+                       capital_ratio=args.capital_ratio,
+                       hazard=args.hazard, hazard_own=args.hazard_own)
+            ok2 = xva.kva_oracle_g2(cfg, g2, market, legsk, **kkw)
+            rk2 = xva.price_kva_g2(cfg, g2, key, market, legsk,
+                                   n_blocks=args.n_blocks,
+                                   rqmc=bool(args.rqmc), **kkw)
+            zk2 = (float(rk2.kva) - ok2.kva) / max(float(rk2.std_error),
+                                                   1e-15)
+            ok = ok and (abs(zk2) < 5
+                         or abs(float(rk2.kva) - ok2.kva) < 1e-9)
+            print(f"G2++ KVA: MC {float(rk2.kva):.8f} +/- "
+                  f"{float(rk2.std_error):.2e}  oracle {ok2.kva:.8f}  "
+                  f"z = {zk2:+.2f}")
+            g2res["g2"]["kva"] = {
+                "kva_mc": float(rk2.kva), "kva_se": float(rk2.std_error),
+                "kva_oracle": ok2.kva, "kva_z": zk2,
+                "capital_oracle": [float(x) for x in ok2.capital],
+                "capital_mc": np.asarray(rk2.capital).tolist()}
     print("validation:", "PASS" if ok else "CHECK")
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,
         results={**g2res, **net_res, **csa_res, **bil_res, **wwr_res,
-                 **mva_res,
+                 **mva_res, **kva_res,
             "side": side, "dates": [float(t) for t in prof.dates],
             "ee_mc": ee.tolist(), "ee_se": se.tolist(),
             "ee_oracle": [float(x) for x in o.ee],
@@ -2103,6 +2157,15 @@ def main(argv=None):
     pxv.add_argument("--mva", action="store_true",
                      help="also quote the MVA of delta-normal dynamic "
                           "initial margin vs its closed-form oracle")
+    pxv.add_argument("--kva", action="store_true",
+                     help="also quote the KVA (capital cost of the "
+                          "netted 3-swap book, K = kappa EE) vs its "
+                          "closed-form oracle")
+    pxv.add_argument("--cost-capital", type=float, default=0.10,
+                     help="capital hurdle rate c_h")
+    pxv.add_argument("--capital-ratio", type=float, default=0.08,
+                     help="capital per unit exposure kappa "
+                          "(capital ratio x risk weight)")
     pxv.add_argument("--mpor", type=float, default=0.1,
                      help="margin period of risk in years (snapped to "
                           "the step grid)")

@@ -967,14 +967,7 @@ def netting_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
             mass = sum(_nphi((b - r_det) / s_r) - _nphi((a - r_det) / s_r)
                        for a, b in pos)
             return 1.0 - mass            # P(V <= v)
-        lo, hi = -2.0, 2.0
-        for _ in range(100):
-            mid = 0.5 * (lo + hi)
-            if cdf(mid) < quantile:
-                lo = mid
-            else:
-                hi = mid
-        pfe.append(max(0.5 * (lo + hi), 0.0))
+        pfe.append(_pfe_root(cdf, quantile))
         emean = float(np.sum(lams * np.exp(
             -i_det - Bs * r_det + 0.5 * (v_I + Bs * Bs * v_r
                                          + 2.0 * Bs * c_rI))))
@@ -991,8 +984,14 @@ def netting_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
 @lru_cache(maxsize=None)
 def _netting_fn(cfg: HWConfig, legs: tuple, freq: float, start: float,
                 hazard: float, recovery: float, n_paths: int,
-                n_blocks: int, rqmc: bool, mesh, bil=None):
-    """``bil`` (optional, static): two extra headline aggregate channels
+                n_blocks: int, rqmc: bool, mesh, bil=None,
+                agg_weights: tuple | None = None):
+    """``agg_weights`` (static m-tuple) overrides the default-probability
+    aggregate weights — the KVA layer reuses this kernel with its
+    capital weights (the headline slot then returns lgd x sum w_j EE_j
+    with the same optimal-beta CV).
+
+    ``bil`` (optional, static): two extra headline aggregate channels
     Z = X wx + Y wy with CV W = Y wv, as ((wx, wy, wv), (wx, wy, wv)) of
     m-tuples — the bilateral BCVA and asymmetric-FVA samples (X_j is the
     discounted positive part at date j, Y_j the discounted value, so
@@ -1006,6 +1005,8 @@ def _netting_fn(cfg: HWConfig, legs: tuple, freq: float, start: float,
     LT = jnp.asarray(_functional_chol(cfg, specs))
     stats = jnp.asarray(_date_stats(cfg, dates), jnp.float32)
     pd, dpd = _pd_weights(dates, hazard)
+    if agg_weights is not None:
+        pd, dpd = agg_weights, tuple(0.0 for _ in dates)
     pdw = jnp.asarray(pd, jnp.float32)
     dpdw = jnp.asarray(dpd, jnp.float32)
     lgd = 1.0 - recovery
@@ -1239,7 +1240,7 @@ def collateral_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
         if j < lag:                    # uncollateralized head
             segs = _v_segments(lams, Bs, K, mu_t, s_r)
             ee.append(w0 * _ee_segments(lams, Bs, K, mu_t, s_r, segs))
-            pfe.append(_pfe_bisect(
+            pfe.append(_pfe_root(
                 lambda v: 1.0 - _seg_mass(lams, Bs, K + v, r_det, s_r),
                 quantile))
             continue
@@ -1274,11 +1275,13 @@ def collateral_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
         Vs = np.exp(-np.outer(xs, Bs_s)) @ lams_s - K_s
         C = np.maximum(Vs - H, 0.0)
         mu_c = mu_t + rho_sl * (xs - mu_s)
-        total = 0.0
-        for x_w, Cx, mx in zip(wq, C, mu_c):
-            sg2 = _v_segments(lams, Bs, K + Cx, mx, s_cond)
-            total += x_w * _ee_segments(lams, Bs, K + Cx, mx, s_cond, sg2)
-        ee.append(w0 * total)
+        # vectorized over the outer nodes: one shared-grid row-segment
+        # call replaces len(xs) scalar _v_segments calls (same math;
+        # the rows machinery is the G2 netting oracle's)
+        lxr = np.broadcast_to(lams, (len(xs), len(lams)))
+        Asg, Bsg, msk = _v_segments_rows(lxr, Bs, K + C, mu_c, s_cond)
+        inner = _ee_rows(lxr, Bs, K + C, mu_c, s_cond, Asg, Bsg, msk)
+        ee.append(w0 * float(wq @ inner))
         # PFE under the untilted law: same mixture, means unshifted
         mu_s0 = rA[js] + c * rB[js]
         segs_H0 = _v_segments(lams_s, Bs_s, K_s + H, mu_s0, sd_s)
@@ -1287,12 +1290,16 @@ def collateral_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
         Vs0 = np.exp(-np.outer(xs0, Bs_s)) @ lams_s - K_s
         C0 = np.maximum(Vs0 - H, 0.0)
         mu_c0 = r_det + rho_sl * (xs0 - mu_s0)
+        lxr0 = np.broadcast_to(lams, (len(xs0), len(lams)))
+        grid0 = _v_grid_rows(lxr0, Bs, mu_c0, s_cond)
 
         def cdf(v):
-            mass = sum(w * _seg_mass(lams, Bs, K + cx + v, mx, s_cond)
-                       for w, cx, mx in zip(wq0, C0, mu_c0))
-            return 1.0 - mass
-        pfe.append(_pfe_bisect(cdf, quantile))
+            A0, B0, m0 = _v_segments_rows(lxr0, Bs, K + C0 + v, mu_c0,
+                                          s_cond, iters=60, grid=grid0)
+            return 1.0 - float(wq0 @ _mass_rows(mu_c0, s_cond,
+                                                A0, B0, m0))
+
+        pfe.append(_pfe_root(cdf, quantile))
     pd, dpd = _pd_weights(dates, hazard)
     lgd = 1.0 - recovery
     cva = lgd * sum(p * e for p, e in zip(pd, ee))
@@ -1891,13 +1898,13 @@ def netting_oracle_g2(cfg: HWConfig, g, market: MarketCurve, legs, *,
 def _netting_g2_fn(cfg: HWConfig, g, legs: tuple, freq: float,
                    start: float, hazard: float, recovery: float,
                    n_paths: int, n_blocks: int, rqmc: bool, mesh,
-                   bil=None):
+                   bil=None, agg_weights: tuple | None = None):
     """G2++ twin of ``_netting_fn``: the exactly-sampled functionals
     (x, y, I per reset date, 3m normals/path) are LEG-independent, so
     the netted kernel is ``_xva_g2_fn`` with the per-leg bond terms
     concatenated (signed, alive-masked) along the cashflow axis and the
-    par-float constant summed into the per-date Kv.  ``bil`` as in
-    ``_netting_fn``."""
+    par-float constant summed into the per-date Kv.  ``bil`` and
+    ``agg_weights`` as in ``_netting_fn``."""
     from .models.g2pp import _B, _g2_functional_chol, _v_integral
 
     tenor_max = max(l.tenor for l in legs)
@@ -1943,6 +1950,8 @@ def _netting_g2_fn(cfg: HWConfig, g, legs: tuple, freq: float,
     KvJ = jnp.asarray(Kv, jnp.float32)
     timesJ = jnp.asarray(timesC, jnp.float32)
     pd, dpd = _pd_weights(dates, hazard)
+    if agg_weights is not None:
+        pd, dpd = agg_weights, tuple(0.0 for _ in dates)
     pdw = jnp.asarray(pd, jnp.float32)
     dpdw = jnp.asarray(dpd, jnp.float32)
     lgd = 1.0 - recovery
@@ -3558,3 +3567,162 @@ def price_mva_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
     return MVAResult(mva=out[6], std_error=out[7], raw_mva=out[8],
                      raw_std_error=out[9], beta=out[10], im=out[0],
                      im_std_error=out[1], dates=o.dates, delta=o.delta)
+
+
+# ---------------------------------------------------------------------------
+# KVA: capital valuation adjustment.  Regulatory capital held against the
+# netted counterparty exposure is modelled as a fraction of the exposure,
+# K_j = kappa EE*_j with EE*_j = E[e^{-I_j} V_j^+] the DISCOUNTED expected
+# exposure (an EAD proxy; the discount factor the capital-cost integral
+# would otherwise apply is absorbed into the EAD — the same discounted-EE
+# convention every other adjustment in this module quotes).  The capital
+# is remunerated at the hurdle rate c_h while both parties survive:
+#
+#   KVA = c_h kappa sum_j EE*_j e^{-(h_c + h_o) t_j} Delta_j,
+#
+# the discrete analogue of c_h int K(t) S_c(t) S_o(t) dt.  kappa bundles
+# the capital ratio x risk weight of the counterparty-credit-risk charge
+# (8% x 100% = 0.08 by default); swapping in a richer capital model is a
+# reweighting of the same EE profile.  The MC estimator is therefore the
+# netted-exposure kernel (`_netting_fn` / `_netting_g2_fn`) with the
+# default-probability aggregate weights replaced by the KVA weights — the
+# per-date optimal-beta CVs and the aggregated headline CV (the netted
+# discounted portfolio value at its exact martingale mean) carry over
+# unchanged.  Oracle: the exact segment-decomposition EE profile of
+# `netting_oracle` (tilted bivariate quadrature in the G2++ twin) dotted
+# with the same weights.
+#
+# Reference anchor: the exposure/aggregation layer being extended is the
+# reference's discounted-payoff reduction (src/2_option_pricing.cu:14-35);
+# KVA itself is beyond-reference scope on the same machinery.
+# ---------------------------------------------------------------------------
+
+
+class KVAOracle(NamedTuple):
+    dates: tuple
+    capital: tuple        # per-date discounted capital K_j = kappa EE*_j
+    kva: float
+
+
+class KVAResult(NamedTuple):
+    kva: jax.Array
+    std_error: jax.Array
+    raw_kva: jax.Array
+    raw_std_error: jax.Array
+    beta: jax.Array
+    capital: jax.Array        # per-date kappa x EE (CV'd estimates)
+    capital_std_error: jax.Array
+    dates: tuple
+
+
+def _kva_weights(dates: tuple, freq: float, cost_of_capital: float,
+                 capital_ratio: float, hazard: float, hazard_own: float):
+    """Capital-cost weights c_h kappa Delta_j e^{-(h_c + h_o) t_j}."""
+    return tuple(cost_of_capital * capital_ratio * (1.0 / freq)
+                 * math.exp(-(hazard + hazard_own) * t) for t in dates)
+
+
+def kva_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
+               freq: float = 1.0, start: float | None = None,
+               cost_of_capital: float = 0.10, capital_ratio: float = 0.08,
+               hazard: float = 0.02, hazard_own: float = 0.01,
+               sigma: float | None = None) -> KVAOracle:
+    """fp64 closed-form KVA of a netted portfolio (module comment above):
+    the exact segment-decomposition EE profile dotted with the
+    survival-discounted capital-cost weights."""
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                       sigma=sigma)
+    w = _kva_weights(o.dates, freq, cost_of_capital, capital_ratio,
+                     hazard, hazard_own)
+    cap = tuple(capital_ratio * e for e in o.ee)
+    return KVAOracle(dates=o.dates, capital=cap,
+                     kva=sum(a * b for a, b in zip(w, o.ee)))
+
+
+def price_kva(cfg: HWConfig, key, market: MarketCurve, legs, *,
+              freq: float = 1.0, start: float | None = None,
+              cost_of_capital: float = 0.10, capital_ratio: float = 0.08,
+              hazard: float = 0.02, hazard_own: float = 0.01, sigma=None,
+              n_paths: int | None = None, n_blocks: int = 1,
+              rqmc: bool = False, mesh=None) -> KVAResult:
+    """Monte Carlo KVA on the netted multi-date states: the netting
+    kernel with the pd aggregate weights swapped for the KVA weights
+    (recovery pinned to 0 so the kernel's lgd factor is 1).  fp64
+    oracle: ``kva_oracle``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if sigma is None:
+        sigma = cfg.sigma
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                       sigma=float(sigma))
+    w = _kva_weights(o.dates, freq, cost_of_capital, capital_ratio,
+                     hazard, hazard_own)
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _netting_fn(cfg, legs, float(freq), float(start), float(hazard),
+                      0.0, int(n_paths), int(n_blocks), bool(rqmc), mesh,
+                      agg_weights=w)(
+        key, jnp.asarray(sigma, jnp.float32), market, pfe)
+    kr = jnp.float32(capital_ratio)
+    return KVAResult(kva=out[6], std_error=out[7], raw_kva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     capital=kr * out[0], capital_std_error=kr * out[1],
+                     dates=o.dates)
+
+
+def kva_oracle_g2(cfg: HWConfig, g, market: MarketCurve, legs, *,
+                  freq: float = 1.0, start: float | None = None,
+                  cost_of_capital: float = 0.10,
+                  capital_ratio: float = 0.08, hazard: float = 0.02,
+                  hazard_own: float = 0.01) -> KVAOracle:
+    """G2++ twin of ``kva_oracle`` on the tilted bivariate-quadrature EE
+    profile of ``netting_oracle_g2``."""
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle_g2(cfg, g, market, legs, freq=freq, start=start)
+    w = _kva_weights(o.dates, freq, cost_of_capital, capital_ratio,
+                     hazard, hazard_own)
+    cap = tuple(capital_ratio * e for e in o.ee)
+    return KVAOracle(dates=o.dates, capital=cap,
+                     kva=sum(a * b for a, b in zip(w, o.ee)))
+
+
+def price_kva_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
+                 freq: float = 1.0, start: float | None = None,
+                 cost_of_capital: float = 0.10,
+                 capital_ratio: float = 0.08, hazard: float = 0.02,
+                 hazard_own: float = 0.01, n_paths: int | None = None,
+                 n_blocks: int = 1, rqmc: bool = False,
+                 mesh=None) -> KVAResult:
+    """G2++ twin of ``price_kva`` on the netted (x, y, I) states.  fp64
+    oracle: ``kva_oracle_g2``."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle_g2(cfg, g, market, legs, freq=freq, start=start)
+    w = _kva_weights(o.dates, freq, cost_of_capital, capital_ratio,
+                     hazard, hazard_own)
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    out = _netting_g2_fn(cfg, g, legs, float(freq), float(start),
+                         float(hazard), 0.0, int(n_paths), int(n_blocks),
+                         bool(rqmc), mesh, agg_weights=w)(
+        key, market, pfe)
+    kr = jnp.float32(capital_ratio)
+    return KVAResult(kva=out[6], std_error=out[7], raw_kva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     capital=kr * out[0], capital_std_error=kr * out[1],
+                     dates=o.dates)

@@ -910,3 +910,62 @@ def test_mva_sharded_matches_single(market):
     g8 = xva.price_mva_g2(CFG, G2, KEY, market, MVA_LEGS,
                           mesh=pmesh.path_mesh(), **kw)
     assert abs(float(g1.mva) - float(g8.mva)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# KVA
+# ---------------------------------------------------------------------------
+
+
+def test_kva_oracle_is_weighted_ee(market):
+    """KVA = sum w_j EE_j with w the survival-discounted capital-cost
+    weights — pinned against the netting oracle's own EE profile, and
+    the linearity/decay scalings of the weight formula."""
+    o = xva.kva_oracle(CFG, market, LEGS)
+    on = xva.netting_oracle(CFG, market, LEGS)
+    w = xva._kva_weights(on.dates, 1.0, 0.10, 0.08, 0.02, 0.01)
+    assert abs(o.kva - sum(a * b for a, b in zip(w, on.ee))) < 1e-18
+    assert max(abs(c - 0.08 * e)
+               for c, e in zip(o.capital, on.ee)) < 1e-18
+    o2 = xva.kva_oracle(CFG, market, LEGS, cost_of_capital=0.20)
+    assert abs(o2.kva - 2.0 * o.kva) < 1e-18
+    ok = xva.kva_oracle(CFG, market, LEGS, capital_ratio=0.16)
+    assert abs(ok.kva - 2.0 * o.kva) < 1e-18
+    oh = xva.kva_oracle(CFG, market, LEGS, hazard=0.10)
+    assert oh.kva < o.kva
+
+
+def test_kva_mc_matches_oracle(market):
+    o = xva.kva_oracle(CFG, market, LEGS)
+    r = xva.price_kva(CFG, KEY, market, LEGS, n_blocks=4)
+    assert abs(float(r.kva) - o.kva) < 5.0 * float(r.std_error) + 1e-10
+    assert float(r.std_error) < float(r.raw_std_error)   # CV helps
+    cap = np.asarray(r.capital)
+    se = np.asarray(r.capital_std_error)
+    for j in range(len(o.dates)):
+        assert abs(cap[j] - o.capital[j]) < 5.0 * se[j] + 1e-8
+
+
+def test_g2_kva_mc_matches_oracle(market):
+    o = xva.kva_oracle_g2(CFG, G2, market, LEGS)
+    r = xva.price_kva_g2(CFG, G2, KEY, market, LEGS, n_blocks=4)
+    assert abs(float(r.kva) - o.kva) < 5.0 * float(r.std_error) + 1e-10
+    assert float(r.std_error) < float(r.raw_std_error)
+    cap = np.asarray(r.capital)
+    se = np.asarray(r.capital_std_error)
+    for j in range(len(o.dates)):
+        assert abs(cap[j] - o.capital[j]) < 5.0 * se[j] + 1e-8
+
+
+def test_kva_sharded_matches_single(market):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8)
+    s1 = xva.price_kva(CFG, KEY, market, LEGS, **kw)
+    s8 = xva.price_kva(CFG, KEY, market, LEGS,
+                       mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(s1.kva) - float(s8.kva)) < 1e-12
+    g1 = xva.price_kva_g2(CFG, G2, KEY, market, LEGS, **kw)
+    g8 = xva.price_kva_g2(CFG, G2, KEY, market, LEGS,
+                          mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(g1.kva) - float(g8.kva)) < 1e-12
