@@ -637,6 +637,21 @@ def dp_oracle(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
     kinked value functions (~5e-5 residual); the exact-segment form leaves
     only the O(h^2) interpolation error (~1e-6 at the default grid).
     """
+    return dp_solution(cfg, market, sched, exercise_dates, strike=strike,
+                       payer=payer, n_grid=n_grid, width=width)["price"]
+
+
+def dp_solution(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
+                exercise_dates: Sequence[float], *, strike: float = 1.0,
+                payer: bool = False, n_grid: int = 1501,
+                width: float = 8.5) -> dict:
+    """Full ``dp_oracle`` backward-induction solution, keeping the
+    per-date grids for downstream consumers (the Bermudan exposure
+    oracle's forward density propagation, xva.py): returns a dict with
+    the exercise dates ``ex``, per-date r-``grids``, post-decision value
+    ``V``, ``cont``inuation and ``payoff`` arrays, deterministic states
+    ``r_det``/``i_det``, interval params ``ivp``, per-date state sds,
+    ``sig`` and the rolled-back ``price``."""
     from scipy.stats import norm
 
     ex = tuple(sorted(float(t) for t in exercise_dates))
@@ -697,10 +712,17 @@ def dp_oracle(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
 
     grids = [r_det[j] + sds[j] * np.linspace(-width, width, n_grid)
              for j in range(k)]
-    V = payoff_np(k - 1, grids[k - 1])
+    payoffs = [payoff_np(j, grids[j]) for j in range(k)]
+    Vs = [None] * k
+    conts = [None] * k
+    Vs[k - 1] = payoffs[k - 1]
+    conts[k - 1] = np.zeros(n_grid)
     for j in range(k - 2, -1, -1):
-        cont = continuation(grids[j], j + 1, r_det[j], V)
-        V = np.maximum(payoff_np(j, grids[j]), cont)
+        conts[j] = continuation(grids[j], j + 1, r_det[j], Vs[j + 1])
+        Vs[j] = np.maximum(payoffs[j], conts[j])
     # discount from e_1 to 0 (deterministic start r(0) = r0)
-    return float(continuation(np.array([cfg.r0]), 0, cfg.r0, V)[0])
+    price = float(continuation(np.array([cfg.r0]), 0, cfg.r0, Vs[0])[0])
+    return dict(ex=ex, grids=grids, V=Vs, cont=conts, payoff=payoffs,
+                r_det=r_det, i_det=i_det, ivp=ivp, sds=sds, sig=sig,
+                price=price)
 

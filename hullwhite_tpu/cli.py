@@ -870,6 +870,34 @@ def cmd_xva(args):
             "kva_oracle": okv.kva, "kva_z": zk,
             "capital_oracle": [float(x) for x in okv.capital],
             "capital_mc": np.asarray(rk.capital).tolist()}}
+    berm_res = {}
+    if args.bermudan:
+        from .instruments import swap_fixed_leg
+
+        schedb = swap_fixed_leg(cfg, args.rate, args.tenor)
+        exb = tuple(cfg.s1 + float(j) for j in range(int(args.tenor)))
+        rb, ob = xva.price_bermudan_xva(
+            cfg, key, market, schedb, exb, payer=args.payer,
+            quantile=args.quantile, hazard=args.hazard,
+            recovery=args.recovery, n_blocks=args.n_blocks,
+            rqmc=bool(args.rqmc))
+        zb = (float(rb.cva) - ob.cva) / max(float(rb.std_error), 1e-15)
+        ok = ok and (abs(zb) < 5 or abs(float(rb.cva) - ob.cva) < 1e-9)
+        ystop = max(abs(y - ob.price) for y in ob.y_means)
+        print(f"Bermudan exposure ({len(exb)} ex dates, DP price "
+              f"{ob.price:.6f}, stopping identity {ystop:.1e}): CVA MC "
+              f"{float(rb.cva):.8f} +/- {float(rb.std_error):.2e}  "
+              f"oracle {ob.cva:.8f}  z = {zb:+.2f}")
+        berm_res = {"bermudan": {
+            "ex_dates": [float(t) for t in exb], "price": ob.price,
+            "stopping_identity": ystop,
+            "cva_mc": float(rb.cva), "cva_se": float(rb.std_error),
+            "cva_oracle": ob.cva, "cva_z": zb,
+            "ee_oracle": [float(x) for x in ob.ee],
+            "ee_mc": np.asarray(rb.profile.ee).tolist(),
+            "ee_se": np.asarray(rb.profile.ee_std_error).tolist(),
+            "pfe": [float(x) for x in ob.pfe],
+            "exceed": np.asarray(rb.profile.exceed).tolist()}}
     g2res = {}
     if args.g2:
         from .models import g2pp
@@ -1066,7 +1094,7 @@ def cmd_xva(args):
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,
         results={**g2res, **net_res, **csa_res, **bil_res, **wwr_res,
-                 **mva_res, **kva_res,
+                 **mva_res, **kva_res, **berm_res,
             "side": side, "dates": [float(t) for t in prof.dates],
             "ee_mc": ee.tolist(), "ee_se": se.tolist(),
             "ee_oracle": [float(x) for x in o.ee],
@@ -2157,6 +2185,10 @@ def main(argv=None):
     pxv.add_argument("--mva", action="store_true",
                      help="also quote the MVA of delta-normal dynamic "
                           "initial margin vs its closed-form oracle")
+    pxv.add_argument("--bermudan", action="store_true",
+                     help="also quote the Bermudan-swaption exposure "
+                          "profile + CVA (American-MC XVA) vs the "
+                          "forward-DP oracle")
     pxv.add_argument("--kva", action="store_true",
                      help="also quote the KVA (capital cost of the "
                           "netted 3-swap book, K = kappa EE) vs its "

@@ -3726,3 +3726,298 @@ def price_kva_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
                      raw_std_error=out[9], beta=out[10],
                      capital=kr * out[0], capital_std_error=kr * out[1],
                      dates=o.dates)
+
+
+# ---------------------------------------------------------------------------
+# XVA on callable products: Bermudan swaption exposure (the "American
+# Monte Carlo" problem).  The holder of a cash-settled Bermudan receiver
+# is exposed, while the option is unexercised, to the option's own mark
+# V_j(r_j) = max(payoff_j, cont_j) — so the profile needs the value
+# FUNCTION at every date (the DP solution), an exercise policy deciding
+# which paths are still alive, and the discounted alive measure:
+#
+#   EE_j  = E[ e^{-I_j} V_j(r_j) 1{tau >= j} ],       tau = policy stop
+#   flows_j = E[ e^{-I_j} payoff_j(r_j) 1{tau = j} ],
+#   CVA  = lgd sum_j pd_j EE_j.
+#
+# Oracle (fp64): the backward pass is bermudan.dp_solution (exact
+# piecewise-linear x tilted-Gaussian sweeps); the forward pass
+# propagates the DISCOUNTED alive sub-density G_j(r) =
+# E[e^{-I_j} 1{alive} delta(r_j - r)] interval by interval with the
+# SAME tilted kernels (each interval's e^{-dI} tilt is the lognormal
+# prefactor w0(r_s) and a -ctI mean shift — bermudan._interval_params),
+# and a second UNTILTED pass for the PFE quantile.  The policy is the
+# threshold boundary r*_j (the payoff-cont crossing interpolated off
+# the DP grid; receivers exercise at LOW r).  Self-check: the stopped
+# discounted value Y_j = D_tau payoff_tau 1{tau<j} + D_j V_j 1{tau>=j}
+# has E[Y_j] = price for EVERY j by optional stopping (the DP value is
+# the policy's own continuation on the alive set) — the oracle pins
+# y_means_j == price to quadrature error, and Y_j at that exact mean is
+# the MC's per-date control variate (the same optimal-stopping CV idea
+# as the Bermudan lower bound's martingale CV, bermudan.py).
+#
+# MC: exact Gaussian functionals (r, I) at the exercise dates (the
+# netting kernel's sampler), the frozen boundary policy, and the DP
+# value grids interpolated on device (fp32 interp of the fp64 grids;
+# O(h^2) ~ 1e-6, below MC noise).  Reference anchor: the discounted-
+# payoff reduction layer, src/2_option_pricing.cu:14-35; the callable-
+# exposure composition is beyond-reference scope.
+# ---------------------------------------------------------------------------
+
+
+class BermudanXVAOracle(NamedTuple):
+    dates: tuple
+    ee: tuple             # E[D_j V_j 1{alive}]
+    pfe: tuple            # untilted quantile of V_j 1{alive}
+    flows: tuple          # E[D_j payoff_j 1{tau = j}]
+    y_means: tuple        # stopped-value means (== price, pinned)
+    rstars: tuple         # policy boundaries r*_j
+    price: float          # DP price (rolled to 0)
+    cva: float
+
+
+def _berm_solution(cfg: HWConfig, market: MarketCurve,
+                   sched: CouponSchedule, ex: tuple, strike: float,
+                   payer: bool, n_grid: int = 1501, width: float = 8.5):
+    """Memoized ``bermudan.dp_solution`` (the exposure oracle and the
+    MC pricer share one backward pass; same memo idea as
+    ``_g2_oracle_memo``)."""
+    from .bermudan import dp_solution
+
+    mk = _g2_oracle_memo("bxva_sol", market,
+                         (cfg, sched, ex, strike, payer, n_grid, width))
+    if mk not in _G2_ORACLE_CACHE:
+        _G2_ORACLE_CACHE[mk] = dp_solution(
+            cfg, market, sched, ex, strike=strike, payer=payer,
+            n_grid=n_grid, width=width)
+    return _G2_ORACLE_CACHE[mk]
+
+
+def _dp_boundary(grid, payoff, cont, sg: float):
+    """Threshold boundary r* of the DP policy on one date's grid:
+    the crossing of f = payoff - cont inside {payoff > 0}, interpolated
+    linearly; receivers (sg=+1) exercise at r < r*, payers at r > r*.
+    No crossing => the whole ITM side exercises (pure-intrinsic dates)
+    or nothing does (f < 0 everywhere): the boundary collapses to the
+    strike root or to the far OTM end respectively."""
+    f = payoff - cont
+    itm = payoff > 0.0
+    if not np.any(itm & (f > 0.0)):
+        return float(grid[0] - 1.0) if sg > 0 else float(grid[-1] + 1.0)
+    # scan from the OTM side toward ITM: the policy region is the sg
+    # side of the LAST sign change of f restricted to the ITM set
+    idx = np.nonzero((f[:-1] > 0.0) != (f[1:] > 0.0))[0]
+    if len(idx) == 0:
+        # f > 0 on all of ITM: boundary = the ITM edge (strike root)
+        edge = np.nonzero(itm)[0]
+        i = edge[-1] if sg > 0 else edge[0]
+        return float(grid[i])
+    i = idx[-1] if sg > 0 else idx[0]
+    a, b = grid[i], grid[i + 1]
+    fa, fb = f[i], f[i + 1]
+    return float(a + (b - a) * fa / (fa - fb))
+
+
+def bermudan_exposure_oracle(cfg: HWConfig, market: MarketCurve,
+                             sched: CouponSchedule, ex_dates, *,
+                             strike: float = 1.0, payer: bool = False,
+                             quantile: float = 0.95,
+                             hazard: float = 0.02, recovery: float = 0.4,
+                             n_grid: int = 1501,
+                             width: float = 8.5) -> BermudanXVAOracle:
+    """fp64 Bermudan exposure profile + CVA by forward propagation of
+    the discounted alive sub-density through the DP solution (module
+    comment above)."""
+    sol = _berm_solution(cfg, market, sched, tuple(ex_dates), strike,
+                         payer, n_grid, width)
+    ex, grids, Vs, conts, pays = (sol["ex"], sol["grids"], sol["V"],
+                                  sol["cont"], sol["payoff"])
+    r_det, i_det, ivp, sig = (sol["r_det"], sol["i_det"], sol["ivp"],
+                              sol["sig"])
+    k = len(ex)
+    sg = -1.0 if payer else 1.0
+    rstars = [_dp_boundary(grids[j], pays[j], conts[j], sg)
+              for j in range(k)]
+    masks = [(grids[j] < rstars[j]) if sg > 0 else (grids[j] > rstars[j])
+             for j in range(k)]
+    tws = []
+    for j in range(k):
+        tw = np.full(n_grid, grids[j][1] - grids[j][0])
+        tw[0] = tw[-1] = 0.5 * (grids[j][1] - grids[j][0])
+        tws.append(tw)
+
+    def forward(tilted: bool):
+        """Per-date alive densities at the grid nodes under the
+        e^{-I}-tilted (discounted) or plain law."""
+        Gs = []
+        for j in range(k):
+            p = ivp[j]
+            vt = sig * sig * p["vt"]
+            vI = sig * sig * p["vI"]
+            ctI = sig * sig * p["ctI"]
+            didet = i_det[j] - (i_det[j - 1] if j > 0 else 0.0)
+            s_t = math.sqrt(vt)
+            if j == 0:
+                # from the deterministic start r(0) = r0
+                m = r_det[0] - (ctI if tilted else 0.0)
+                w0 = math.exp(-didet + 0.5 * vI) if tilted else 1.0
+                G = w0 * np.exp(-0.5 * ((grids[0] - m) / s_t) ** 2) \
+                    / (s_t * math.sqrt(2.0 * math.pi))
+            else:
+                src = Gs[j - 1] * tws[j - 1] * (~masks[j - 1])
+                m = (r_det[j] + p["bt"] * (grids[j - 1] - r_det[j - 1])
+                     - (ctI if tilted else 0.0))
+                if tilted:
+                    w0 = np.exp(-(didet + p["bI"]
+                                  * (grids[j - 1] - r_det[j - 1]))
+                                + 0.5 * vI)
+                else:
+                    w0 = 1.0
+                ker = np.exp(-0.5 * ((grids[j][None, :] - m[:, None])
+                                     / s_t) ** 2) \
+                    / (s_t * math.sqrt(2.0 * math.pi))
+                G = (src * w0) @ ker
+            Gs.append(G)
+        return Gs
+
+    Gt = forward(True)
+    Gu = forward(False)
+    ee, flows, pfe = [], [], []
+    for j in range(k):
+        w = Gt[j] * tws[j]
+        ee.append(float(w @ Vs[j]))
+        flows.append(float((w * masks[j]) @ pays[j]))
+        wu = Gu[j] * tws[j]
+
+        def cdf(v, wu=wu, Vj=Vs[j]):
+            return 1.0 - float(wu @ (Vj > v))
+        pfe.append(_pfe_root(cdf, quantile))
+    y_means = []
+    acc = 0.0
+    for j in range(k):
+        y_means.append(acc + ee[j])
+        acc += flows[j]
+    pd, dpd = _pd_weights(ex, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    return BermudanXVAOracle(dates=ex, ee=tuple(ee), pfe=tuple(pfe),
+                             flows=tuple(flows), y_means=tuple(y_means),
+                             rstars=tuple(rstars), price=sol["price"],
+                             cva=cva)
+
+
+@lru_cache(maxsize=None)
+def _berm_xva_fn(cfg: HWConfig, sched: CouponSchedule, ex: tuple,
+                 strike: float, payer: bool, hazard: float,
+                 recovery: float, n_paths: int, n_blocks: int,
+                 rqmc: bool, mesh):
+    """Bermudan-exposure kernel: exact (r, I) functionals at the
+    exercise dates, frozen DP boundary policy, on-device interpolation
+    of the DP value grids, per-date stopped-value CVs (exact means from
+    the forward oracle)."""
+    from .bermudan import _functional_chol, _functional_det
+
+    k = len(ex)
+    specs = tuple([("r", t) for t in ex] + [("I", t) for t in ex])
+    LT = jnp.asarray(_functional_chol(cfg, specs))
+    pd, dpd = _pd_weights(ex, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+    sg = -1.0 if payer else 1.0
+
+    def compute(key, market, grids, Vg, rstars, pfe, ym):
+        tables = hw.step_tables(cfg, cfg.sigma, cfg.sigma, jnp.float32)
+        det = _functional_det(cfg, jnp.float32(cfg.sigma), specs)
+        r_det, i_det = det[:k], det[k:]
+        terms = [_bond_value_terms(cfg, cfg.sigma, market, sched, t)
+                 for t in ex]
+
+        def block(bi):
+            x = pmesh.block_normals(key, bi, n_paths, 2 * k, rqmc)
+            z = tables.sig_st * jnp.dot(
+                x, LT, preferred_element_type=jnp.float32,
+                precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                ro = r_det[None, :] + sgn * z[:, :k]
+                D = jnp.exp(-(i_det[None, :] + sgn * z[:, k:]))
+                alive = jnp.ones((ro.shape[0],), jnp.float32)
+                flow = jnp.zeros((ro.shape[0],), jnp.float32)
+                Xs, Ys, Es = [], [], []
+                for j in range(k):
+                    vj = jnp.interp(ro[:, j], grids[j], Vg[j])
+                    Xj = D[:, j] * vj * alive
+                    Xs.append(Xj)
+                    Ys.append(flow + Xj)
+                    Es.append((vj * alive > pfe[j]).astype(jnp.float32))
+                    hit = (sg * (rstars[j] - ro[:, j]) > 0.0)
+                    exe = alive * hit.astype(jnp.float32)
+                    cA, B = terms[j]
+                    pay = jnp.maximum(sg * (jnp.sum(
+                        cA[None, :] * jnp.exp(-B[None, :]
+                                              * ro[:, j][:, None]),
+                        axis=1) - strike), 0.0)
+                    flow = flow + exe * D[:, j] * pay
+                    alive = alive * (1.0 - exe)
+                return (jnp.stack(Xs, 1), jnp.stack(Ys, 1),
+                        jnp.stack(Es, 1))
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, k, n_paths, n_blocks, rqmc,
+                               ym, pdw, dpdw, lgd)
+
+    return jax.jit(compute)
+
+
+def price_bermudan_xva(cfg: HWConfig, key, market: MarketCurve,
+                       sched: CouponSchedule, ex_dates, *,
+                       strike: float = 1.0, payer: bool = False,
+                       quantile: float = 0.95, hazard: float = 0.02,
+                       recovery: float = 0.4, n_paths: int | None = None,
+                       n_blocks: int = 1, rqmc: bool = False,
+                       mesh=None):
+    """Monte Carlo Bermudan-swaption exposure profile + CVA under the
+    frozen DP boundary policy (module comment above).  fp64 oracle:
+    ``bermudan_exposure_oracle``.  Returns (CVAResult, oracle)."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    ex = tuple(sorted(float(t) for t in ex_dates))
+    o = bermudan_exposure_oracle(cfg, market, sched, ex, strike=strike,
+                                 payer=payer, quantile=quantile,
+                                 hazard=hazard, recovery=recovery)
+    sol = _berm_solution(cfg, market, sched, ex, float(strike),
+                         bool(payer))
+    grids = tuple(jnp.asarray(g, jnp.float32) for g in sol["grids"])
+    Vg = tuple(jnp.asarray(v, jnp.float32) for v in sol["V"])
+    rstars = jnp.asarray(o.rstars, jnp.float32)
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    ym = jnp.asarray(o.y_means, jnp.float32)
+    out = _berm_xva_fn(cfg, sched, ex, float(strike), bool(payer),
+                       float(hazard), float(recovery), int(n_paths),
+                       int(n_blocks), bool(rqmc), mesh)(
+        key, market, grids, Vg, rstars, pfe, ym)
+    prof = ExposureProfile(
+        dates=ex, ee=out[0], ee_std_error=out[1], ee_raw=out[2],
+        beta=out[3], pfe=pfe, exceed=out[4], epe=out[5],
+        n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof), o

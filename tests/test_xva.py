@@ -969,3 +969,83 @@ def test_kva_sharded_matches_single(market):
     g8 = xva.price_kva_g2(CFG, G2, KEY, market, LEGS,
                           mesh=pmesh.path_mesh(), **kw)
     assert abs(float(g1.kva) - float(g8.kva)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Bermudan swaption exposure (American Monte Carlo XVA)
+# ---------------------------------------------------------------------------
+
+BERM_EX = (5.0, 6.0, 7.0, 8.0)
+
+
+@pytest.fixture(scope="module")
+def berm_sched():
+    from hullwhite_tpu.instruments import swap_fixed_leg
+
+    return swap_fixed_leg(CFG, 0.025, 4.0)
+
+
+def test_bermudan_exposure_optional_stopping(market, berm_sched):
+    """The stopped discounted value has the same mean at EVERY date
+    (optional stopping under the DP policy): y_means_j == the DP price
+    to forward-quadrature error, and sum flows == price (every path
+    exercises or expires)."""
+    o = xva.bermudan_exposure_oracle(CFG, market, berm_sched, BERM_EX)
+    for y in o.y_means:
+        assert abs(y - o.price) < 5e-6
+    assert abs(sum(o.flows) - o.price) < 5e-6
+    assert o.ee[0] == o.y_means[0]          # nothing stopped before e_0
+    # exposure decays as optionality burns off
+    assert o.ee[-1] < o.ee[0]
+
+
+def test_bermudan_exposure_one_date_is_european(market, berm_sched):
+    """k=1 collapses to the European swaption: EE_0 = the option price
+    (forward trapezoid vs backward exact-segment roll differ by the
+    O(h^2) grid error ~3e-7), and the DP price equals the single-date
+    oracle exactly (same backward code path)."""
+    o = xva.bermudan_exposure_oracle(CFG, market, berm_sched, (5.0,))
+    assert abs(o.ee[0] - o.price) < 5e-6
+    from hullwhite_tpu.bermudan import dp_oracle
+
+    assert abs(o.price - dp_oracle(CFG, market, berm_sched, (5.0,))) \
+        < 1e-12
+
+
+def test_bermudan_exposure_mc_matches_oracle(market, berm_sched):
+    r, o = xva.price_bermudan_xva(CFG, KEY, market, berm_sched, BERM_EX,
+                                  n_blocks=4)
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    assert se[0] < 1e-12                 # Y_0 == X_0: the CV is exact
+    assert abs(ee[0] - o.ee[0]) < 1e-6
+    for j in range(1, len(BERM_EX)):
+        assert abs(ee[j] - o.ee[j]) < 5.0 * se[j] + 1e-7
+    assert abs(float(r.cva) - o.cva) < 5.0 * float(r.std_error) + 1e-9
+    assert float(r.std_error) < float(r.raw_std_error)
+    n = r.profile.n_paths
+    tol = 5.0 * math.sqrt(0.05 * 0.95 / n) + 2e-3
+    assert np.all(np.abs(np.asarray(r.profile.exceed) - 0.05) < tol)
+
+
+def test_bermudan_exposure_payer_twin(market, berm_sched):
+    """Payer policy exercises at HIGH r; the profile still satisfies
+    the stopping identity and the MC still matches."""
+    o = xva.bermudan_exposure_oracle(CFG, market, berm_sched, BERM_EX,
+                                     payer=True)
+    for y in o.y_means:
+        assert abs(y - o.price) < 5e-6
+    r, _ = xva.price_bermudan_xva(CFG, KEY, market, berm_sched, BERM_EX,
+                                  payer=True, n_blocks=4)
+    assert abs(float(r.cva) - o.cva) < 5.0 * float(r.std_error) + 1e-9
+
+
+def test_bermudan_exposure_sharded_matches_single(market, berm_sched):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    kw = dict(n_paths=1 << 12, n_blocks=8)
+    s1, _ = xva.price_bermudan_xva(CFG, KEY, market, berm_sched,
+                                   BERM_EX, **kw)
+    s8, _ = xva.price_bermudan_xva(CFG, KEY, market, berm_sched,
+                                   BERM_EX, mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(s1.cva) - float(s8.cva)) < 1e-9
