@@ -300,7 +300,9 @@ def plot_xva_adjustments(data_dir: Path, plots_dir: Path):
                 ("csa", "CSA CVA", "cva_mc", "cva_se", "cva_oracle"),
                 ("wwr", "WWR CVA", "cva_mc", "cva_se", "cva_oracle"),
                 ("mva", "MVA", "mva_mc", "mva_se", "mva_oracle"),
-                ("kva", "KVA", "kva_mc", "kva_se", "kva_oracle")]:
+                ("kva", "KVA", "kva_mc", "kva_se", "kva_oracle"),
+                ("bermudan", "Bermudan CVA", "cva_mc", "cva_se",
+                 "cva_oracle")]:
             d = src.get(key)
             if d:
                 out.append((f"{label}{tag}", d[mc], d.get(se),

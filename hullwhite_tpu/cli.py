@@ -1090,6 +1090,37 @@ def cmd_xva(args):
                 "kva_oracle": ok2.kva, "kva_z": zk2,
                 "capital_oracle": [float(x) for x in ok2.capital],
                 "capital_mc": np.asarray(rk2.capital).tolist()}
+        if args.bermudan:
+            from .instruments import swap_fixed_leg
+
+            schedb = swap_fixed_leg(cfg, args.rate, args.tenor)
+            exb2 = tuple(cfg.s1 + float(j)
+                         for j in range(min(int(args.tenor), 3)))
+            rb2, ob2 = xva.price_bermudan_xva_g2(
+                cfg, g2, key, market, schedb, exb2, payer=args.payer,
+                quantile=args.quantile, hazard=args.hazard,
+                recovery=args.recovery, n_blocks=args.n_blocks,
+                rqmc=bool(args.rqmc))
+            zb2 = (float(rb2.cva) - ob2.cva) / max(float(rb2.std_error),
+                                                   1e-15)
+            # the 2-d bilinear DP grids carry a measured O(h^2) gap
+            # (~1e-6 at the 121 default); quote z against SE + that
+            ok = ok and (abs(float(rb2.cva) - ob2.cva)
+                         < 5 * float(rb2.std_error) + 3e-6)
+            ystop2 = max(abs(y - ob2.price) for y in ob2.y_means)
+            print(f"G2++ Bermudan exposure ({len(exb2)} ex dates, DP "
+                  f"price {ob2.price:.6f}, stopping identity "
+                  f"{ystop2:.1e}): CVA MC {float(rb2.cva):.8f} +/- "
+                  f"{float(rb2.std_error):.2e}  oracle {ob2.cva:.8f}  "
+                  f"z = {zb2:+.2f}")
+            g2res["g2"]["bermudan"] = {
+                "ex_dates": [float(t) for t in exb2],
+                "price": ob2.price, "stopping_identity": ystop2,
+                "cva_mc": float(rb2.cva),
+                "cva_se": float(rb2.std_error),
+                "cva_oracle": ob2.cva, "cva_z": zb2,
+                "ee_oracle": [float(x) for x in ob2.ee],
+                "ee_mc": np.asarray(rb2.profile.ee).tolist()}
     print("validation:", "PASS" if ok else "CHECK")
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,

@@ -1952,8 +1952,20 @@ def dp_oracle_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, sched,
                  exercise_dates, *, strike: float = 1.0,
                  payer: bool = False, n_grid: int = 121,
                  width: float = 6.5, n_quad: int = 48) -> float:
-    """float64 G2++ Bermudan price by 2-d backward induction on an
-    (x, y) grid.
+    """float64 G2++ Bermudan price (``dp_solution_g2``'s headline)."""
+    return dp_solution_g2(cfg, g, market, sched, exercise_dates,
+                          strike=strike, payer=payer, n_grid=n_grid,
+                          width=width, n_quad=n_quad)["price"]
+
+
+def dp_solution_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
+                   sched, exercise_dates, *, strike: float = 1.0,
+                   payer: bool = False, n_grid: int = 121,
+                   width: float = 6.5, n_quad: int = 48) -> dict:
+    """float64 G2++ Bermudan solution by 2-d backward induction on an
+    (x, y) grid, keeping the per-date grids for the exposure oracle's
+    forward pass (xva.py; the 1-factor analogue is
+    ``bermudan.dp_solution``).
 
     Per interval, conditional on (x, y): x' = x e^{-a d} + xi_x,
     y' = y e^{-b d} + xi_y, dI = x Ba(d) + y Bb(d) + xi_I with
@@ -2059,13 +2071,20 @@ def dp_oracle_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, sched,
         return w0 * cont
 
     X, Y = np.meshgrid(gxs[k - 1], gys[k - 1], indexing="ij")
-    V = payoff_at(k - 1, X, Y)
+    pays = [None] * k
+    conts = [None] * k
+    Vs = [None] * k
+    pays[k - 1] = payoff_at(k - 1, X, Y)
+    conts[k - 1] = np.zeros_like(pays[k - 1])
+    Vs[k - 1] = pays[k - 1]
     for j in range(k - 2, -1, -1):
-        cont = backward_step(j, j + 1, V, gxs[j], gys[j])
+        conts[j] = backward_step(j, j + 1, Vs[j + 1], gxs[j], gys[j])
         Xj, Yj = np.meshgrid(gxs[j], gys[j], indexing="ij")
-        V = np.maximum(payoff_at(j, Xj, Yj), cont)
-    price = backward_step(-1, 0, V, np.array([0.0]), np.array([0.0]))
-    return float(price[0, 0])
+        pays[j] = payoff_at(j, Xj, Yj)
+        Vs[j] = np.maximum(pays[j], conts[j])
+    price = backward_step(-1, 0, Vs[0], np.array([0.0]), np.array([0.0]))
+    return dict(ex=ex, gxs=gxs, gys=gys, V=Vs, cont=conts, payoff=pays,
+                dd=dd, price=float(price[0, 0]))
 
 
 # ---------------------------------------------------------------------------

@@ -4021,3 +4021,288 @@ def price_bermudan_xva(cfg: HWConfig, key, market: MarketCurve,
     return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
                      raw_std_error=out[9], beta=out[10],
                      hazard_delta=out[11], profile=prof), o
+
+
+# ---------------------------------------------------------------------------
+# G2++ twin of the Bermudan exposure layer: the forward pass propagates
+# the 2-d discounted alive sub-density G_j(x, y) through the dp_solution_g2
+# grids.  Per interval of length d, conditional on the source state,
+# (x', y') is bivariate Gaussian with means (x e^{-ad}, y e^{-bd}) and the
+# innovation covariance _state_cov(g, d); tilting by e^{-dI} multiplies by
+# exp(-(x Ba + y Bb) + vI/2) x the deterministic dd ratio and shifts the
+# innovation means by -Cov(., xi_I) — exactly the backward sweep's kernel
+# run forward.  The policy is the node mask {payoff > cont}; the MC
+# thresholds the bilinear interpolant of f = payoff - cont (identical at
+# the nodes; misclassification inside a boundary cell is third order
+# because V = payoff = cont ON the boundary).  Optional stopping pins
+# y_means_j == price to the 2-d quadrature error, and the stopped value
+# is the per-date CV exactly as in the 1-factor layer.
+# ---------------------------------------------------------------------------
+
+
+def _berm_g2_solution(cfg: HWConfig, g, market: MarketCurve, sched,
+                      ex: tuple, strike: float, payer: bool,
+                      n_grid: int, width: float):
+    from .models.g2pp import dp_solution_g2
+
+    mk = _g2_oracle_memo("bxva_g2_sol", market,
+                         (cfg, g, tuple(sched.times), tuple(sched.coupons),
+                          ex, strike, payer, n_grid, width))
+    if mk not in _G2_ORACLE_CACHE:
+        _G2_ORACLE_CACHE[mk] = dp_solution_g2(
+            cfg, g, market, sched, ex, strike=strike, payer=payer,
+            n_grid=n_grid, width=width)
+    return _G2_ORACLE_CACHE[mk]
+
+
+def bermudan_exposure_oracle_g2(cfg: HWConfig, g, market: MarketCurve,
+                                sched: CouponSchedule, ex_dates, *,
+                                strike: float = 1.0, payer: bool = False,
+                                quantile: float = 0.95,
+                                hazard: float = 0.02,
+                                recovery: float = 0.4, n_grid: int = 121,
+                                width: float = 6.5) -> BermudanXVAOracle:
+    """fp64 G2++ Bermudan exposure profile + CVA (module comment
+    above)."""
+    from .models.g2pp import _B, _state_cov
+
+    ex = tuple(sorted(float(t) for t in ex_dates))
+    sol = _berm_g2_solution(cfg, g, market, sched, ex, strike, payer,
+                            n_grid, width)
+    gxs, gys, Vs, conts, pays, dd = (sol["gxs"], sol["gys"], sol["V"],
+                                     sol["cont"], sol["payoff"],
+                                     sol["dd"])
+    k = len(ex)
+    masks = [pays[j] - conts[j] > 0.0 for j in range(k)]
+    tw2 = []
+    for j in range(k):
+        twx = np.full(n_grid, gxs[j][1] - gxs[j][0])
+        twx[0] = twx[-1] = 0.5 * twx[1]
+        twy = np.full(n_grid, gys[j][1] - gys[j][0])
+        twy[0] = twy[-1] = 0.5 * twy[1]
+        tw2.append(np.outer(twx, twy))
+
+    def forward(tilted: bool):
+        Gs = []
+        for j in range(k):
+            d = ex[j] - (ex[j - 1] if j > 0 else 0.0)
+            C = _state_cov(g, d)
+            Ea, Eb = math.exp(-g.a * d), math.exp(-g.b * d)
+            Ba, Bb = _B(g.a, d), _B(g.b, d)
+            sx = math.sqrt(C[0, 0] + 1e-18)
+            sy = math.sqrt(C[1, 1] + 1e-18)
+            rho = C[0, 1] / (sx * sy)
+            shx = C[0, 2] if tilted else 0.0
+            shy = C[1, 2] if tilted else 0.0
+            ddr = (dd[j] / (dd[j - 1] if j > 0 else 1.0)) if tilted \
+                else 1.0
+            norm2 = 1.0 / (2.0 * math.pi * sx * sy
+                           * math.sqrt(1.0 - rho * rho))
+            if j == 0:
+                src_x = np.array([0.0])
+                src_y = np.array([0.0])
+                S = np.array([math.exp(0.5 * C[2, 2]) * ddr
+                              if tilted else 1.0])
+            else:
+                X, Y = np.meshgrid(gxs[j - 1], gys[j - 1], indexing="ij")
+                w0 = (np.exp(-(X * Ba + Y * Bb) + 0.5 * C[2, 2]) * ddr
+                      if tilted else np.ones_like(X))
+                M = Gs[j - 1] * tw2[j - 1] * (~masks[j - 1]) * w0
+                S = M.ravel()
+                src_x = X.ravel()
+                src_y = Y.ravel()
+                keep = np.abs(S) > 1e-18 * np.abs(S).max()
+                S, src_x, src_y = S[keep], src_x[keep], src_y[keep]
+            mx = src_x * Ea - shx
+            my = src_y * Eb - shy
+            G = np.zeros((n_grid, n_grid))
+            q2 = 2.0 * (1.0 - rho * rho)
+            for c0 in range(0, len(S), 256):
+                sl = slice(c0, c0 + 256)
+                dxn = (gxs[j][None, :] - mx[sl, None]) / sx
+                dyn = (gys[j][None, :] - my[sl, None]) / sy
+                E = np.exp(-(dxn[:, :, None] ** 2 + dyn[:, None, :] ** 2
+                             - 2.0 * rho * dxn[:, :, None]
+                             * dyn[:, None, :]) / q2)
+                G += np.einsum("c,cxy->xy", S[sl], E)
+            Gs.append(norm2 * G)
+        return Gs
+
+    Gt = forward(True)
+    Gu = forward(False)
+    ee, flows, pfe = [], [], []
+    for j in range(k):
+        w = Gt[j] * tw2[j]
+        ee.append(float(np.sum(w * Vs[j])))
+        flows.append(float(np.sum(w * masks[j] * pays[j])))
+        wu = Gu[j] * tw2[j]
+
+        def cdf(v, wu=wu, Vj=Vs[j]):
+            return 1.0 - float(np.sum(wu * (Vj > v)))
+        pfe.append(_pfe_root(cdf, quantile))
+    y_means = []
+    acc = 0.0
+    for j in range(k):
+        y_means.append(acc + ee[j])
+        acc += flows[j]
+    pd, dpd = _pd_weights(ex, hazard)
+    lgd = 1.0 - recovery
+    cva = lgd * sum(p * e for p, e in zip(pd, ee))
+    return BermudanXVAOracle(dates=ex, ee=tuple(ee), pfe=tuple(pfe),
+                             flows=tuple(flows), y_means=tuple(y_means),
+                             rstars=(), price=sol["price"], cva=cva)
+
+
+def _interp2(gx, gy, F, x, y):
+    """Vectorized bilinear interpolation of F (nx, ny) at (x, y) points
+    with flat extrapolation (the DP grids cover +/- 6.5 sd; tail mass
+    is negligible and the clip keeps values bounded)."""
+    ix = jnp.clip(jnp.searchsorted(gx, x) - 1, 0, gx.shape[0] - 2)
+    iy = jnp.clip(jnp.searchsorted(gy, y) - 1, 0, gy.shape[0] - 2)
+    fx = jnp.clip((x - gx[ix]) / (gx[ix + 1] - gx[ix]), 0.0, 1.0)
+    fy = jnp.clip((y - gy[iy]) / (gy[iy + 1] - gy[iy]), 0.0, 1.0)
+    return ((1 - fx) * (1 - fy) * F[ix, iy] + fx * (1 - fy) * F[ix + 1, iy]
+            + (1 - fx) * fy * F[ix, iy + 1] + fx * fy * F[ix + 1, iy + 1])
+
+
+@lru_cache(maxsize=None)
+def _berm_xva_g2_fn(cfg: HWConfig, g, sched: CouponSchedule, ex: tuple,
+                    strike: float, payer: bool, hazard: float,
+                    recovery: float, n_paths: int, n_blocks: int,
+                    rqmc: bool, mesh):
+    """G2++ Bermudan-exposure kernel: exact (x, y, I) functionals at the
+    exercise dates, frozen bilinear f = payoff - cont policy, on-device
+    bilinear interpolation of the DP value grids."""
+    from .models.g2pp import _B, _g2_functional_chol, _v_integral
+
+    k = len(ex)
+    specs = tuple([s for t in ex
+                   for s in (("u", t, 1.0, 0.0), ("u", t, 0.0, 1.0))]
+                  + [("I", t) for t in ex])
+    LT = jnp.asarray(_g2_functional_chol(g, specs))
+    d0 = jnp.asarray([-0.5 * _v_integral(g, t) for t in ex], jnp.float32)
+    # per-date payoff terms lam_i = c_i (P0(T_i)/P0(t)) e^{vadj}
+    BaM, BbM, facM = [], [], []
+    for t in ex:
+        Ba_r, Bb_r, fac_r = [], [], []
+        for T_i, c_i in zip(sched.times, sched.coupons):
+            if T_i <= t + 1e-9:
+                continue
+            tau = T_i - t
+            vadj = 0.5 * (_v_integral(g, tau) - _v_integral(g, T_i)
+                          + _v_integral(g, t))
+            Ba_r.append(_B(g.a, tau))
+            Bb_r.append(_B(g.b, tau))
+            fac_r.append(c_i * math.exp(vadj))
+        BaM.append((tuple(Ba_r), tuple(Bb_r), tuple(fac_r)))
+    pd, dpd = _pd_weights(ex, hazard)
+    pdw = jnp.asarray(pd, jnp.float32)
+    dpdw = jnp.asarray(dpd, jnp.float32)
+    lgd = 1.0 - recovery
+    sg = -1.0 if payer else 1.0
+    tj = jnp.asarray(ex, jnp.float32)
+    timesJ = jnp.asarray(sched.times, jnp.float32)
+
+    def compute(key, market, gx, gy, Vg, Fg, pfe, ym):
+        Pt = hw.interp_curve(market.P, tj, cfg)
+        P0i = hw.interp_curve(market.P, timesJ, cfg)
+        disc0 = Pt * jnp.exp(d0)
+
+        def block(bi):
+            xn = pmesh.block_normals(key, bi, n_paths, 3 * k, rqmc)
+            z = jnp.dot(xn, LT, preferred_element_type=jnp.float32,
+                        precision=cfg.matmul_precision)
+
+            def leg(sgn):
+                x = sgn * z[:, 0:2 * k:2]
+                y = sgn * z[:, 1:2 * k:2]
+                I = sgn * z[:, 2 * k:]
+                alive = jnp.ones((x.shape[0],), jnp.float32)
+                flow = jnp.zeros((x.shape[0],), jnp.float32)
+                Xs, Ys, Es = [], [], []
+                for j in range(k):
+                    Dj = disc0[j] * jnp.exp(-I[:, j])
+                    vj = _interp2(gx[j], gy[j], Vg[j], x[:, j], y[:, j])
+                    Xj = Dj * vj * alive
+                    Xs.append(Xj)
+                    Ys.append(flow + Xj)
+                    Es.append((vj * alive > pfe[j]).astype(jnp.float32))
+                    fj = _interp2(gx[j], gy[j], Fg[j], x[:, j], y[:, j])
+                    exe = alive * (fj > 0.0).astype(jnp.float32)
+                    Ba_r, Bb_r, fac_r = BaM[j]
+                    lam = (jnp.asarray(fac_r, jnp.float32)[None, :]
+                           * P0i[None, len(sched.times) - len(fac_r):]
+                           / Pt[j])
+                    Vb = jnp.sum(lam * jnp.exp(
+                        -jnp.asarray(Ba_r, jnp.float32)[None, :]
+                        * x[:, j][:, None]
+                        - jnp.asarray(Bb_r, jnp.float32)[None, :]
+                        * y[:, j][:, None]), axis=1)
+                    pay = jnp.maximum(sg * (Vb - strike), 0.0)
+                    flow = flow + exe * Dj * pay
+                    alive = alive * (1.0 - exe)
+                return (jnp.stack(Xs, 1), jnp.stack(Ys, 1),
+                        jnp.stack(Es, 1))
+
+            Xp, Yp, Ep = leg(1.0)
+            Xm, Ym, Em = leg(-1.0)
+            X, Y = 0.5 * (Xp + Xm), 0.5 * (Yp + Ym)
+            E = 0.5 * (Ep + Em)
+            Xc = jnp.dot(X, pdw)
+            Yc = jnp.dot(Y, pdw)
+            per_date = jnp.concatenate([
+                jnp.sum(X, axis=0), jnp.sum(X * X, axis=0),
+                jnp.sum(Y, axis=0), jnp.sum(Y * Y, axis=0),
+                jnp.sum(X * Y, axis=0), jnp.sum(E, axis=0)])
+            agg = jnp.stack([jnp.sum(Xc), jnp.sum(Xc * Xc), jnp.sum(Yc),
+                             jnp.sum(Yc * Yc), jnp.sum(Xc * Yc)])
+            return jnp.concatenate([per_date, agg])
+
+        per_block = pmesh.map_blocks(block, n_blocks, mesh)
+        return _profile_reduce(per_block, k, n_paths, n_blocks, rqmc,
+                               ym, pdw, dpdw, lgd)
+
+    return jax.jit(compute)
+
+
+def price_bermudan_xva_g2(cfg: HWConfig, g, key, market: MarketCurve,
+                          sched: CouponSchedule, ex_dates, *,
+                          strike: float = 1.0, payer: bool = False,
+                          quantile: float = 0.95, hazard: float = 0.02,
+                          recovery: float = 0.4,
+                          n_paths: int | None = None, n_blocks: int = 1,
+                          rqmc: bool = False, mesh=None,
+                          n_grid: int = 121, width: float = 6.5):
+    """G2++ twin of ``price_bermudan_xva``.  fp64 oracle:
+    ``bermudan_exposure_oracle_g2``.  Returns (CVAResult, oracle)."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    ex = tuple(sorted(float(t) for t in ex_dates))
+    o = bermudan_exposure_oracle_g2(cfg, g, market, sched, ex,
+                                    strike=strike, payer=payer,
+                                    quantile=quantile, hazard=hazard,
+                                    recovery=recovery, n_grid=n_grid,
+                                    width=width)
+    sol = _berm_g2_solution(cfg, g, market, sched, ex, float(strike),
+                            bool(payer), n_grid, width)
+    gx = tuple(jnp.asarray(a, jnp.float32) for a in sol["gxs"])
+    gy = tuple(jnp.asarray(a, jnp.float32) for a in sol["gys"])
+    Vg = tuple(jnp.asarray(v, jnp.float32) for v in sol["V"])
+    Fg = tuple(jnp.asarray(p - c, jnp.float32)
+               for p, c in zip(sol["payoff"], sol["cont"]))
+    pfe = jnp.asarray(o.pfe, jnp.float32)
+    ym = jnp.asarray(o.y_means, jnp.float32)
+    out = _berm_xva_g2_fn(cfg, g, sched, ex, float(strike), bool(payer),
+                          float(hazard), float(recovery), int(n_paths),
+                          int(n_blocks), bool(rqmc), mesh)(
+        key, market, gx, gy, Vg, Fg, pfe, ym)
+    prof = ExposureProfile(
+        dates=ex, ee=out[0], ee_std_error=out[1], ee_raw=out[2],
+        beta=out[3], pfe=pfe, exceed=out[4], epe=out[5],
+        n_paths=int(n_paths) * int(n_blocks))
+    return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
+                     raw_std_error=out[9], beta=out[10],
+                     hazard_delta=out[11], profile=prof), o

@@ -1049,3 +1049,39 @@ def test_bermudan_exposure_sharded_matches_single(market, berm_sched):
     s8, _ = xva.price_bermudan_xva(CFG, KEY, market, berm_sched,
                                    BERM_EX, mesh=pmesh.path_mesh(), **kw)
     assert abs(float(s1.cva) - float(s8.cva)) < 1e-9
+
+
+def test_g2_bermudan_exposure_mc_matches_oracle(market, berm_sched):
+    """G2++ twin: optional-stopping identity at the 2-d quadrature
+    error, MC vs oracle within 5 SE + the measured O(h^2) bilinear-grid
+    gap (CVA MC-oracle diff 2.3e-6 at n_grid=81, 1.1e-6 at 121, 0.7e-6
+    at 161 — same convexity-bias family as the G2 notes DP,
+    tests/test_g2_note.py)."""
+    ex = (5.0, 6.0, 7.0)
+    r, o = xva.price_bermudan_xva_g2(CFG, G2, KEY, market, berm_sched,
+                                     ex, n_blocks=4, n_grid=81)
+    for y in o.y_means:
+        assert abs(y - o.price) < 1e-3
+    assert abs(sum(o.flows) - o.price) < 1e-3
+    ee = np.asarray(r.profile.ee)
+    se = np.asarray(r.profile.ee_std_error)
+    assert se[0] < 1e-12
+    for j in range(len(ex)):
+        assert abs(ee[j] - o.ee[j]) < 5.0 * se[j] + 2e-6
+    assert abs(float(r.cva) - o.cva) < 5.0 * float(r.std_error) + 3e-6
+    assert float(r.std_error) < float(r.raw_std_error)
+    n = r.profile.n_paths
+    tol = 5.0 * math.sqrt(0.05 * 0.95 / n) + 3e-3
+    assert np.all(np.abs(np.asarray(r.profile.exceed) - 0.05) < tol)
+
+
+def test_g2_bermudan_exposure_sharded_matches_single(market, berm_sched):
+    from hullwhite_tpu.parallel import mesh as pmesh
+
+    ex = (5.0, 6.0)
+    kw = dict(n_paths=1 << 12, n_blocks=8, n_grid=61)
+    s1, _ = xva.price_bermudan_xva_g2(CFG, G2, KEY, market, berm_sched,
+                                      ex, **kw)
+    s8, _ = xva.price_bermudan_xva_g2(CFG, G2, KEY, market, berm_sched,
+                                      ex, mesh=pmesh.path_mesh(), **kw)
+    assert abs(float(s1.cva) - float(s8.cva)) < 1e-9
