@@ -268,6 +268,16 @@ def plot_exposure(data_dir: Path, plots_dir: Path):
                 label="EE Monte Carlo (±5 SE)")
     ax.set_xlabel("exposure date (years)")
     ax.set_ylabel("exposure (unit notional)")
+    b = r.get("bermudan")
+    if b:
+        bd = np.array(b["ex_dates"])
+        ax.plot(bd, b["ee_oracle"], "-", color="#6b46c1",
+                label="Bermudan EE oracle (forward DP)")
+        ax.errorbar(bd, b["ee_mc"], yerr=5 * np.array(b["ee_se"]),
+                    fmt="^", color="#6b46c1", capsize=4,
+                    label="Bermudan EE MC (±5 SE)")
+        ax.plot(bd, b["pfe"], "^--", color="#6b46c1", alpha=0.5,
+                label="Bermudan PFE")
     ax.set_title(f"{r['side']} swap exposure profile — CVA "
                  f"{r['cva_mc']:.6f} ± {r['cva_se']:.1e} "
                  f"(oracle {r['cva_oracle']:.6f}, z = {r['cva_z']:+.2f})")

@@ -705,10 +705,24 @@ def cmd_xva(args):
               f"oracle {on.cva:.8f}  z = {zn:+.2f}  netting benefit "
               f"{benefit:.6f} ({benefit/sum(o.cva for o in stand)*100:.1f}"
               f"% of standalone)")
+        vn = xva.vega_cva_netting(cfg, key, market, legs, freq=args.freq,
+                                  quantile=args.quantile,
+                                  hazard=args.hazard,
+                                  recovery=args.recovery,
+                                  n_blocks=args.n_blocks,
+                                  rqmc=bool(args.rqmc))
+        dvn = abs(float(vn.vega) - vn.oracle_vega) / max(
+            abs(vn.oracle_vega), 1e-12)
+        ok = ok and dvn < 0.05
+        print(f"netted CVA vega:  jvp {float(vn.vega):.6f}  CRN-FD "
+              f"{float(vn.fd_vega):.6f}  oracle-FD {vn.oracle_vega:.6f} "
+              f" (rel diff {dvn:.1e})")
         net_res = {"netting": {
             "legs": [list(l) for l in legs], "cva_mc": float(rn.cva),
             "cva_se": float(rn.std_error), "cva_oracle": on.cva,
             "cva_z": zn, "benefit": benefit,
+            "vega_jvp": float(vn.vega), "vega_fd": float(vn.fd_vega),
+            "vega_oracle": vn.oracle_vega,
             "ee_oracle": [float(x) for x in on.ee],
             "ee_mc": np.asarray(rn.profile.ee).tolist(),
             "pfe": [float(x) for x in on.pfe],
@@ -870,6 +884,43 @@ def cmd_xva(args):
             "kva_oracle": okv.kva, "kva_z": zk,
             "capital_oracle": [float(x) for x in okv.capital],
             "capital_mc": np.asarray(rk.capital).tolist()}}
+    cds_res = {}
+    if args.cds:
+        from . import credit
+
+        quotes = tuple((float(q.split(":")[0]), float(q.split(":")[1]))
+                       for q in args.cds.split(","))
+        df = credit.market_df(cfg, market)
+        curve = credit.bootstrap_cds(df, quotes,
+                                     recovery=args.recovery)
+        rt = max(abs(credit.par_spread(df, curve, m) - s)
+                 for m, s in quotes)
+        legsc = ((args.rate, args.tenor, args.payer),
+                 (args.rate * 0.6, max(args.tenor - 1.0, 1.0),
+                  not args.payer),
+                 (args.rate * 1.5, max(args.tenor - 2.0, 1.0),
+                  args.payer))
+        oc = xva.netting_oracle(cfg, market, legsc, freq=args.freq,
+                                hazard=curve, recovery=args.recovery)
+        rc2 = xva.price_netting(cfg, key, market, legsc, freq=args.freq,
+                                hazard=curve, recovery=args.recovery,
+                                n_blocks=args.n_blocks,
+                                rqmc=bool(args.rqmc))
+        zc2 = (float(rc2.cva) - oc.cva) / max(float(rc2.std_error),
+                                              1e-15)
+        ok = ok and abs(zc2) < 5
+        hz = " ".join(f"{k:g}y:{h*1e4:.1f}bp"
+                      for k, h in zip(curve.knots, curve.hazards))
+        print(f"CDS curve (roundtrip {rt:.1e}): hazards {hz}")
+        print(f"netted CVA under the curve: MC {float(rc2.cva):.8f} "
+              f"+/- {float(rc2.std_error):.2e}  oracle {oc.cva:.8f}  "
+              f"z = {zc2:+.2f}")
+        cds_res = {"cds": {
+            "quotes": [list(q) for q in quotes],
+            "knots": list(curve.knots), "hazards": list(curve.hazards),
+            "roundtrip": rt, "cva_mc": float(rc2.cva),
+            "cva_se": float(rc2.std_error), "cva_oracle": oc.cva,
+            "cva_z": zc2}}
     berm_res = {}
     if args.bermudan:
         from .instruments import swap_fixed_leg
@@ -1101,18 +1152,22 @@ def cmd_xva(args):
                 quantile=args.quantile, hazard=args.hazard,
                 recovery=args.recovery, n_blocks=args.n_blocks,
                 rqmc=bool(args.rqmc))
-            zb2 = (float(rb2.cva) - ob2.cva) / max(float(rb2.std_error),
-                                                   1e-15)
+            diff2 = float(rb2.cva) - ob2.cva
+            zb2 = diff2 / max(float(rb2.std_error), 1e-15)
             # the 2-d bilinear DP grids carry a measured O(h^2) gap
-            # (~1e-6 at the 121 default); quote z against SE + that
-            ok = ok and (abs(float(rb2.cva) - ob2.cva)
-                         < 5 * float(rb2.std_error) + 3e-6)
+            # (2.3e-6 at n_grid=81 -> 1.1e-6 at 121 -> 0.7e-6 at 161,
+            # tests/test_xva.py): the gate and the printed line quote
+            # the absolute gap against SE + that allowance (at full
+            # paths the SE is tiny and a bare z only restates the bias)
+            gate2 = 5 * float(rb2.std_error) + 3e-6
+            ok = ok and abs(diff2) < gate2
             ystop2 = max(abs(y - ob2.price) for y in ob2.y_means)
             print(f"G2++ Bermudan exposure ({len(exb2)} ex dates, DP "
                   f"price {ob2.price:.6f}, stopping identity "
                   f"{ystop2:.1e}): CVA MC {float(rb2.cva):.8f} +/- "
                   f"{float(rb2.std_error):.2e}  oracle {ob2.cva:.8f}  "
-                  f"z = {zb2:+.2f}")
+                  f"diff {diff2:+.1e} vs 5SE+3e-6 O(h^2) allowance "
+                  f"{gate2:.1e}: {'ok' if abs(diff2) < gate2 else 'FAIL'}")
             g2res["g2"]["bermudan"] = {
                 "ex_dates": [float(t) for t in exb2],
                 "price": ob2.price, "stopping_identity": ystop2,
@@ -1125,7 +1180,7 @@ def cmd_xva(args):
     hwio.write_json(
         hwio.DATA_DIR / "xva_results.json", "XVA exposure + CVA", cfg,
         results={**g2res, **net_res, **csa_res, **bil_res, **wwr_res,
-                 **mva_res, **kva_res, **berm_res,
+                 **mva_res, **kva_res, **cds_res, **berm_res,
             "side": side, "dates": [float(t) for t in prof.dates],
             "ee_mc": ee.tolist(), "ee_se": se.tolist(),
             "ee_oracle": [float(x) for x in o.ee],
@@ -2216,6 +2271,11 @@ def main(argv=None):
     pxv.add_argument("--mva", action="store_true",
                      help="also quote the MVA of delta-normal dynamic "
                           "initial margin vs its closed-form oracle")
+    pxv.add_argument("--cds", metavar="QUOTES", default=None,
+                     help="bootstrap a piecewise-constant hazard curve "
+                          "from par CDS quotes 'mat:spread,...' (e.g. "
+                          "'1:0.006,3:0.009,5:0.013') and price the "
+                          "netted CVA under the term structure")
     pxv.add_argument("--bermudan", action="store_true",
                      help="also quote the Bermudan-swaption exposure "
                           "profile + CVA (American-MC XVA) vs the "

@@ -91,18 +91,32 @@ def exposure_dates(cfg: HWConfig, tenor: float, freq: float = 1.0,
     return tuple(start + j / freq for j in range(n))
 
 
-def _pd_weights(dates: tuple, hazard: float):
-    """Default-probability increments pd_j = S(t_{j-1}) - S(t_j) with
-    S(t) = e^{-hazard t}, t_{-1} = 0 (EE evaluated at the right endpoint
-    of each bucket), and their hazard derivatives d pd_j / d hazard."""
+def _pd_weights(dates: tuple, hazard):
+    """Default-probability increments pd_j = S(t_{j-1}) - S(t_j), t_{-1}
+    = 0 (EE evaluated at the right endpoint of each bucket), and their
+    parallel-shift derivatives d pd_j / d eps for h(t) -> h(t) + eps.
+    ``hazard`` is a flat float or a ``credit.CreditCurve`` (the shift
+    derivative -t S(t) has the same form either way)."""
+    from .credit import survival
+
     prev = 0.0
     pd, dpd = [], []
     for t in dates:
-        pd.append(math.exp(-hazard * prev) - math.exp(-hazard * t))
-        dpd.append(t * math.exp(-hazard * t)
-                   - prev * math.exp(-hazard * prev))
+        sp, st = survival(hazard, prev), survival(hazard, t)
+        pd.append(sp - st)
+        dpd.append(t * st - prev * sp)
         prev = t
     return tuple(pd), tuple(dpd)
+
+
+def _haz(hazard):
+    """Static cache key for a hazard argument: flat floats normalize
+    through float(); ``CreditCurve``s are hashable NamedTuples and pass
+    through unchanged.  (The WWR layer models a STOCHASTIC intensity
+    and keeps flat-float lambda0 only.)"""
+    from .credit import CreditCurve
+
+    return hazard if isinstance(hazard, CreditCurve) else float(hazard)
 
 
 @lru_cache(maxsize=None)
@@ -476,7 +490,7 @@ def price_exposure(cfg: HWConfig, key, market: MarketCurve, *,
         start = cfg.s1
     n = int(round(tenor * freq))
     out = _xva_fn(cfg, float(rate), float(start), n, 1.0 / freq,
-                  bool(payer), float(quantile), float(hazard),
+                  bool(payer), float(quantile), _haz(hazard),
                   float(recovery), int(n_paths), int(n_blocks),
                   bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market)
@@ -518,7 +532,7 @@ def vega_cva(cfg: HWConfig, key, market: MarketCurve, *,
         start = cfg.s1
     n = int(round(tenor * freq))
     fn = _xva_fn(cfg, float(rate), float(start), n, 1.0 / freq,
-                 bool(payer), float(quantile), float(hazard),
+                 bool(payer), float(quantile), _haz(hazard),
                  float(recovery), int(n_paths), int(n_blocks),
                  bool(rqmc), mesh)
 
@@ -810,7 +824,7 @@ def price_exposure_g2(cfg: HWConfig, g, key, market: MarketCurve, *,
                            recovery=recovery)
     pfe = jnp.asarray(o.pfe, jnp.float32)
     out = _xva_g2_fn(cfg, g, float(rate), float(start), n, 1.0 / freq,
-                     bool(payer), float(hazard), float(recovery),
+                     bool(payer), _haz(hazard), float(recovery),
                      int(n_paths), int(n_blocks), bool(rqmc), mesh)(
         key, market, pfe)
     prof = ExposureProfile(
@@ -1122,7 +1136,7 @@ def price_netting(cfg: HWConfig, key, market: MarketCurve, legs, *,
                        quantile=quantile, hazard=hazard,
                        recovery=recovery, sigma=float(sigma))
     pfe = jnp.asarray(o.pfe, jnp.float32)
-    out = _netting_fn(cfg, legs, float(freq), float(start), float(hazard),
+    out = _netting_fn(cfg, legs, float(freq), float(start), _haz(hazard),
                       float(recovery), int(n_paths), int(n_blocks),
                       bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market, pfe)
@@ -1134,6 +1148,51 @@ def price_netting(cfg: HWConfig, key, market: MarketCurve, legs, *,
     return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
                      raw_std_error=out[9], beta=out[10],
                      hazard_delta=out[11], profile=prof)
+
+
+def vega_cva_netting(cfg: HWConfig, key, market: MarketCurve, legs, *,
+                     freq: float = 1.0, start: float | None = None,
+                     quantile: float = 0.95, hazard: float = 0.02,
+                     recovery: float = 0.4, eps: float = 1e-3,
+                     n_paths: int | None = None, n_blocks: int = 1,
+                     rqmc: bool = False, mesh=None) -> CVAVega:
+    """dCVA/dsigma of the NETTED book, three ways on the netting kernel
+    (the same jvp/CRN-FD/oracle-FD protocol as ``vega_cva``; sigma flows
+    through the one multiplier parameterization, and the CV mean is
+    sigma-dependent inside the trace so the tangent differentiates the
+    CV'd estimator, not just the raw mean)."""
+    if rqmc and n_blocks < 2:
+        raise ValueError("rqmc needs n_blocks >= 2 (the digital shifts "
+                         "are the independent replicates)")
+    if n_paths is None:
+        n_paths = cfg.n_paths
+    if start is None:
+        start = cfg.s1
+    legs = tuple(SwapLeg(*l) for l in legs)
+    o = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                       quantile=quantile, hazard=hazard,
+                       recovery=recovery)
+    pfe = jnp.asarray(o.pfe, jnp.float32)   # exceed channel only; the
+    # CVA output is pfe-independent, so the base-sigma levels are fine
+    fn = _netting_fn(cfg, legs, float(freq), float(start), _haz(hazard),
+                     float(recovery), int(n_paths), int(n_blocks),
+                     bool(rqmc), mesh)
+
+    def cva_of(s):
+        return fn(key, s, market, pfe)[6]
+
+    sig0 = jnp.asarray(cfg.sigma, jnp.float32)
+    _, tangent = jax.jvp(cva_of, (sig0,), (jnp.ones_like(sig0),))
+    up = cva_of(jnp.asarray(cfg.sigma + eps, jnp.float32))
+    dn = cva_of(jnp.asarray(cfg.sigma - eps, jnp.float32))
+    kw = dict(freq=freq, start=start, quantile=quantile, hazard=hazard,
+              recovery=recovery)
+    o_up = netting_oracle(cfg, market, legs, sigma=cfg.sigma + eps,
+                          **kw).cva
+    o_dn = netting_oracle(cfg, market, legs, sigma=cfg.sigma - eps,
+                          **kw).cva
+    return CVAVega(vega=tangent, fd_vega=(up - dn) / (2.0 * eps),
+                   oracle_vega=(o_up - o_dn) / (2.0 * eps), epsilon=eps)
 
 
 # ---------------------------------------------------------------------------
@@ -1477,7 +1536,7 @@ def price_collateral(cfg: HWConfig, key, market: MarketCurve, legs, *,
                           recovery=recovery, sigma=float(sigma))
     pfe = jnp.asarray(o.pfe, jnp.float32)
     out = _collateral_fn(cfg, legs, float(threshold), int(lag),
-                         float(freq), float(start), float(hazard),
+                         float(freq), float(start), _haz(hazard),
                          float(recovery), int(n_paths), int(n_blocks),
                          bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market, pfe)
@@ -1517,12 +1576,14 @@ def price_collateral(cfg: HWConfig, key, market: MarketCurve, legs, *,
 
 def _surv_weights(dates: tuple, hazard_c: float, hazard_o: float):
     """(wc, wo, wf): CVA, DVA and funding bucket weights under
-    independent exponential default times."""
+    independent default times (flat hazards or ``CreditCurve``s)."""
+    from .credit import survival
+
     prev = 0.0
     wc, wo, wf = [], [], []
     for t in dates:
-        sc_p, sc = math.exp(-hazard_c * prev), math.exp(-hazard_c * t)
-        so_p, so = math.exp(-hazard_o * prev), math.exp(-hazard_o * t)
+        sc_p, sc = survival(hazard_c, prev), survival(hazard_c, t)
+        so_p, so = survival(hazard_o, prev), survival(hazard_o, t)
         wc.append(so * (sc_p - sc))
         wo.append(sc * (so_p - so))
         wf.append(sc * so * (t - prev))
@@ -1618,7 +1679,7 @@ def price_bilateral(cfg: HWConfig, key, market: MarketCurve, legs, *,
     fy = tuple(spread_lend * w for w in wf)
     bil = ((bx, by, bx), (fx, fy, wf))
     pfe = jnp.asarray(o.pfe, jnp.float32)
-    out = _netting_fn(cfg, legs, float(freq), float(start), float(hazard),
+    out = _netting_fn(cfg, legs, float(freq), float(start), _haz(hazard),
                       float(recovery), int(n_paths), int(n_blocks),
                       bool(rqmc), mesh, bil)(
         key, jnp.asarray(sigma, jnp.float32), market, pfe)
@@ -2039,7 +2100,7 @@ def price_netting_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
                           recovery=recovery)
     pfe = jnp.asarray(o.pfe, jnp.float32)
     out = _netting_g2_fn(cfg, g, legs, float(freq), float(start),
-                         float(hazard), float(recovery), int(n_paths),
+                         _haz(hazard), float(recovery), int(n_paths),
                          int(n_blocks), bool(rqmc), mesh)(
         key, market, pfe)
     tenor_max = max(l.tenor for l in legs)
@@ -2109,7 +2170,7 @@ def price_bilateral_g2(cfg: HWConfig, g, key, market: MarketCurve,
     bil = ((bx, by, bx), (fx, fy, wf))
     pfe = jnp.asarray(o.pfe, jnp.float32)
     out = _netting_g2_fn(cfg, g, legs, float(freq), float(start),
-                         float(hazard), float(recovery), int(n_paths),
+                         _haz(hazard), float(recovery), int(n_paths),
                          int(n_blocks), bool(rqmc), mesh, bil)(
         key, market, pfe)
     tenor_max = max(l.tenor for l in legs)
@@ -2464,7 +2525,7 @@ def price_collateral_g2(cfg: HWConfig, g, key, market: MarketCurve,
                              recovery=recovery)
     pfe = jnp.asarray(o.pfe, jnp.float32)
     out = _collateral_g2_fn(cfg, g, legs, float(threshold), int(lag),
-                            float(freq), float(start), float(hazard),
+                            float(freq), float(start), _haz(hazard),
                             float(recovery), int(n_paths), int(n_blocks),
                             bool(rqmc), mesh)(key, market, pfe)
     tenor_max = max(l.tenor for l in legs)
@@ -3166,10 +3227,14 @@ class MVAResult(NamedTuple):
 
 
 def _mva_weights(dates: tuple, freq: float, spread_im: float,
-                 hazard: float, hazard_own: float):
-    """Funding weights spread * Delta_j * e^{-(h_c + h_o) t_j}."""
+                 hazard, hazard_own):
+    """Funding weights spread * Delta_j * S_c(t_j) S_o(t_j) (flat
+    hazards or ``CreditCurve``s)."""
+    from .credit import survival
+
     return tuple(spread_im * (1.0 / freq)
-                 * math.exp(-(hazard + hazard_own) * t) for t in dates)
+                 * survival(hazard, t) * survival(hazard_own, t)
+                 for t in dates)
 
 
 def mva_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
@@ -3329,8 +3394,8 @@ def price_mva(cfg: HWConfig, key, market: MarketCurve, legs, *,
                    freq=freq, start=start, hazard=hazard,
                    hazard_own=hazard_own, sigma=float(sigma))
     out = _mva_fn(cfg, legs, float(freq), float(start), float(o.delta),
-                  float(quantile_im), float(spread_im), float(hazard),
-                  float(hazard_own), int(n_paths), int(n_blocks),
+                  float(quantile_im), float(spread_im), _haz(hazard),
+                  _haz(hazard_own), int(n_paths), int(n_blocks),
                   bool(rqmc), mesh)(
         key, jnp.asarray(sigma, jnp.float32), market,
         jnp.asarray(o.s_cond, jnp.float32),
@@ -3561,7 +3626,7 @@ def price_mva_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
                       hazard_own=hazard_own)
     out = _mva_g2_fn(cfg, g, legs, float(freq), float(start),
                      float(o.delta), float(quantile_im),
-                     float(spread_im), float(hazard), float(hazard_own),
+                     float(spread_im), _haz(hazard), _haz(hazard_own),
                      int(n_paths), int(n_blocks), bool(rqmc), mesh)(
         key, market, jnp.asarray(o.cv_mean, jnp.float32))
     return MVAResult(mva=out[6], std_error=out[7], raw_mva=out[8],
@@ -3616,10 +3681,14 @@ class KVAResult(NamedTuple):
 
 
 def _kva_weights(dates: tuple, freq: float, cost_of_capital: float,
-                 capital_ratio: float, hazard: float, hazard_own: float):
-    """Capital-cost weights c_h kappa Delta_j e^{-(h_c + h_o) t_j}."""
+                 capital_ratio: float, hazard, hazard_own):
+    """Capital-cost weights c_h kappa Delta_j S_c(t_j) S_o(t_j) (flat
+    hazards or ``CreditCurve``s)."""
+    from .credit import survival
+
     return tuple(cost_of_capital * capital_ratio * (1.0 / freq)
-                 * math.exp(-(hazard + hazard_own) * t) for t in dates)
+                 * survival(hazard, t) * survival(hazard_own, t)
+                 for t in dates)
 
 
 def kva_oracle(cfg: HWConfig, market: MarketCurve, legs, *,
@@ -3667,7 +3736,7 @@ def price_kva(cfg: HWConfig, key, market: MarketCurve, legs, *,
     w = _kva_weights(o.dates, freq, cost_of_capital, capital_ratio,
                      hazard, hazard_own)
     pfe = jnp.asarray(o.pfe, jnp.float32)
-    out = _netting_fn(cfg, legs, float(freq), float(start), float(hazard),
+    out = _netting_fn(cfg, legs, float(freq), float(start), _haz(hazard),
                       0.0, int(n_paths), int(n_blocks), bool(rqmc), mesh,
                       agg_weights=w)(
         key, jnp.asarray(sigma, jnp.float32), market, pfe)
@@ -3718,7 +3787,7 @@ def price_kva_g2(cfg: HWConfig, g, key, market: MarketCurve, legs, *,
                      hazard, hazard_own)
     pfe = jnp.asarray(o.pfe, jnp.float32)
     out = _netting_g2_fn(cfg, g, legs, float(freq), float(start),
-                         float(hazard), 0.0, int(n_paths), int(n_blocks),
+                         _haz(hazard), 0.0, int(n_paths), int(n_blocks),
                          bool(rqmc), mesh, agg_weights=w)(
         key, market, pfe)
     kr = jnp.float32(capital_ratio)
@@ -4011,7 +4080,7 @@ def price_bermudan_xva(cfg: HWConfig, key, market: MarketCurve,
     pfe = jnp.asarray(o.pfe, jnp.float32)
     ym = jnp.asarray(o.y_means, jnp.float32)
     out = _berm_xva_fn(cfg, sched, ex, float(strike), bool(payer),
-                       float(hazard), float(recovery), int(n_paths),
+                       _haz(hazard), float(recovery), int(n_paths),
                        int(n_blocks), bool(rqmc), mesh)(
         key, market, grids, Vg, rstars, pfe, ym)
     prof = ExposureProfile(
@@ -4296,7 +4365,7 @@ def price_bermudan_xva_g2(cfg: HWConfig, g, key, market: MarketCurve,
     pfe = jnp.asarray(o.pfe, jnp.float32)
     ym = jnp.asarray(o.y_means, jnp.float32)
     out = _berm_xva_g2_fn(cfg, g, sched, ex, float(strike), bool(payer),
-                          float(hazard), float(recovery), int(n_paths),
+                          _haz(hazard), float(recovery), int(n_paths),
                           int(n_blocks), bool(rqmc), mesh)(
         key, market, gx, gy, Vg, Fg, pfe, ym)
     prof = ExposureProfile(

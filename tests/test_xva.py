@@ -1085,3 +1085,12 @@ def test_g2_bermudan_exposure_sharded_matches_single(market, berm_sched):
     s8, _ = xva.price_bermudan_xva_g2(CFG, G2, KEY, market, berm_sched,
                                       ex, mesh=pmesh.path_mesh(), **kw)
     assert abs(float(s1.cva) - float(s8.cva)) < 1e-9
+
+
+def test_netting_vega_three_ways(market):
+    """Netted-book dCVA/dsigma: jvp == CRN-FD on the same kernel, both
+    on the fp64 oracle FD within MC noise."""
+    v = xva.vega_cva_netting(CFG, KEY, market, LEGS, n_blocks=2)
+    assert abs(float(v.vega) - float(v.fd_vega)) \
+        < 1e-3 * abs(v.oracle_vega) + 1e-7
+    assert abs(float(v.vega) - v.oracle_vega) < 0.02 * abs(v.oracle_vega)
