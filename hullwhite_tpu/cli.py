@@ -915,12 +915,25 @@ def cmd_xva(args):
         print(f"netted CVA under the curve: MC {float(rc2.cva):.8f} "
               f"+/- {float(rc2.std_error):.2e}  oracle {oc.cva:.8f}  "
               f"z = {zc2:+.2f}")
+        cs = xva.cva_cs01(cfg, key, market, legsc, quotes=quotes,
+                          recovery=args.recovery, freq=args.freq,
+                          n_blocks=args.n_blocks, rqmc=bool(args.rqmc))
+        csok = all(abs(m - d) < 5 * b + 1e-12 for m, d, b in
+                   zip(cs.deltas_mc, cs.deltas, cs.delta_bounds))
+        ok = ok and csok
+        print("bucketed CS01 (1bp, MC re-dot vs oracle): "
+              + "  ".join(f"{m:g}y {dm:+.2e}/{d:+.2e}"
+                          for (m, _), dm, d in
+                          zip(quotes, cs.deltas_mc, cs.deltas))
+              + ("  [agree]" if csok else "  [CHECK]"))
         cds_res = {"cds": {
             "quotes": [list(q) for q in quotes],
             "knots": list(curve.knots), "hazards": list(curve.hazards),
             "roundtrip": rt, "cva_mc": float(rc2.cva),
             "cva_se": float(rc2.std_error), "cva_oracle": oc.cva,
-            "cva_z": zc2}}
+            "cva_z": zc2, "cs01_oracle": list(cs.deltas),
+            "cs01_mc": list(cs.deltas_mc),
+            "cs01_bounds": list(cs.delta_bounds)}}
     berm_res = {}
     if args.bermudan:
         from .instruments import swap_fixed_leg

@@ -38,7 +38,8 @@ from typing import NamedTuple
 import numpy as np
 
 __all__ = ["CreditCurve", "survival", "cum_hazard", "par_spread",
-           "bootstrap_cds", "market_df"]
+           "bootstrap_cds", "market_df", "pd_increments",
+           "cs01_weights"]
 
 
 class CreditCurve(NamedTuple):
@@ -129,3 +130,39 @@ def bootstrap_cds(df, quotes, *, recovery: float = 0.4,
         hazards.append(h)
     return CreditCurve(knots=tuple(knots), hazards=tuple(hazards),
                        recovery=recovery)
+
+
+def pd_increments(hazard, dates) -> tuple:
+    """Default-probability increments S(t_{j-1}) - S(t_j) over the
+    right-endpoint buckets of ``dates`` (flat float or curve) — the pd
+    weights CVA dots with the EE profile."""
+    prev = 0.0
+    out = []
+    for t in dates:
+        out.append(survival(hazard, prev) - survival(hazard, t))
+        prev = t
+    return tuple(out)
+
+
+def cs01_weights(df, quotes, dates, *, recovery: float = 0.4,
+                 bump: float = 1e-4, freq: int = 4):
+    """Bucketed CS01 reweighting: for each CDS quote k, the pd-weight
+    increment (pd^{(k)} - pd) per exposure bucket from rebootstrapping
+    with that quote bumped by ``bump`` (1bp default).
+
+    CVA is lgd x (pd weights) . (EE profile) and the EE profile does
+    not depend on the credit side at all, so the bucketed credit
+    deltas of ANY exposure run — fp64 oracle or Monte Carlo — are one
+    host-side re-dot per bucket with exact common-random-numbers
+    (the weights are deterministic; no resampling, no extra kernels).
+
+    Returns (base_curve, [(pd_bumped - pd_base) per quote])."""
+    base = bootstrap_cds(df, quotes, recovery=recovery, freq=freq)
+    pd0 = np.asarray(pd_increments(base, dates))
+    rows = []
+    for k in range(len(quotes)):
+        q2 = [(m, s + (bump if i == k else 0.0))
+              for i, (m, s) in enumerate(quotes)]
+        c2 = bootstrap_cds(df, q2, recovery=recovery, freq=freq)
+        rows.append(tuple(np.asarray(pd_increments(c2, dates)) - pd0))
+    return base, rows

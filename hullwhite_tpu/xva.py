@@ -4375,3 +4375,59 @@ def price_bermudan_xva_g2(cfg: HWConfig, g, key, market: MarketCurve,
     return CVAResult(cva=out[6], std_error=out[7], raw_cva=out[8],
                      raw_std_error=out[9], beta=out[10],
                      hazard_delta=out[11], profile=prof), o
+
+
+class CS01Result(NamedTuple):
+    cva: float                 # base oracle CVA under the curve
+    cva_mc: jax.Array
+    cva_se: jax.Array
+    deltas: tuple              # oracle CS01 per quote (per `bump`)
+    deltas_mc: tuple           # MC CS01 per quote (exact-CRN re-dot)
+    delta_bounds: tuple        # SE upper bounds sum_j |w_jk| se_j
+    quotes: tuple
+    bump: float
+
+
+def cva_cs01(cfg: HWConfig, key, market: MarketCurve, legs, *, quotes,
+             recovery: float = 0.4, bump: float = 1e-4,
+             freq: float = 1.0, start: float | None = None,
+             quantile: float = 0.95, n_paths: int | None = None,
+             n_blocks: int = 1, rqmc: bool = False,
+             mesh=None) -> CS01Result:
+    """Bucketed credit deltas (CS01) of the netted CVA under a
+    CDS-bootstrapped hazard curve.  The EE profile is independent of
+    the credit side, so each bucket's delta is a host-side re-dot of
+    the SAME exposure run with the rebootstrapped pd weights
+    (``credit.cs01_weights``) — exact common random numbers, no
+    resampling; the fp64 oracle deltas re-dot the closed-form EE
+    profile identically.  ``delta_bounds`` are conservative per-bucket
+    SE bounds sum_j |w_jk| se_j (the per-date EE errors are
+    positively correlated, so the true SEs are smaller)."""
+    from . import credit
+
+    if start is None:
+        start = cfg.s1
+    quotes = tuple((float(m), float(s)) for m, s in quotes)
+    legs = tuple(SwapLeg(*l) for l in legs)
+    tenor_max = max(l.tenor for l in legs)
+    dates = exposure_dates(cfg, tenor_max, freq, start)
+    df = credit.market_df(cfg, market)
+    curve, rows = credit.cs01_weights(df, quotes, dates,
+                                      recovery=recovery, bump=bump)
+    lgd = 1.0 - recovery
+    o = netting_oracle(cfg, market, legs, freq=freq, start=start,
+                       quantile=quantile, hazard=curve,
+                       recovery=recovery)
+    r = price_netting(cfg, key, market, legs, freq=freq, start=start,
+                      quantile=quantile, hazard=curve, recovery=recovery,
+                      n_paths=n_paths, n_blocks=n_blocks, rqmc=rqmc,
+                      mesh=mesh)
+    ee_mc = np.asarray(r.profile.ee, np.float64)
+    ee_se = np.asarray(r.profile.ee_std_error, np.float64)
+    ee_o = np.asarray(o.ee)
+    deltas = tuple(float(lgd * np.dot(w, ee_o)) for w in rows)
+    deltas_mc = tuple(float(lgd * np.dot(w, ee_mc)) for w in rows)
+    bounds = tuple(float(lgd * np.dot(np.abs(w), ee_se)) for w in rows)
+    return CS01Result(cva=o.cva, cva_mc=r.cva, cva_se=r.std_error,
+                      deltas=deltas, deltas_mc=deltas_mc,
+                      delta_bounds=bounds, quotes=quotes, bump=bump)

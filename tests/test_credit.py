@@ -125,3 +125,37 @@ def test_mva_kva_curve_weights(market, curve):
     rk = xva.price_kva(CFG, KEY, market, legs, hazard=curve, n_blocks=2)
     assert abs(float(rk.kva) - ok.kva) \
         < 5.0 * float(rk.std_error) + 1e-9
+
+
+def test_cs01_oracle_is_exact_recompute(market, curve):
+    """The re-dot CS01 equals the brute recompute (bootstrap with the
+    bumped quote, full netting_oracle) EXACTLY — the EE profile is
+    hazard-independent, so the two routes are the same fp64 sum."""
+    df = credit.market_df(CFG, market)
+    r = xva.cva_cs01(CFG, KEY, market, LEGS, quotes=QUOTES,
+                     n_paths=1 << 12)
+    for k, (mat, spr) in enumerate(QUOTES):
+        q2 = [(m, s + (1e-4 if i == k else 0.0))
+              for i, (m, s) in enumerate(QUOTES)]
+        c2 = credit.bootstrap_cds(df, q2)
+        brute = (xva.netting_oracle(CFG, market, LEGS, hazard=c2).cva
+                 - r.cva)
+        assert abs(r.deltas[k] - brute) < 1e-15
+
+
+def test_cs01_mc_matches_oracle(market):
+    r = xva.cva_cs01(CFG, KEY, market, LEGS, quotes=QUOTES, n_blocks=4)
+    assert abs(float(r.cva_mc) - r.cva) < 5.0 * float(r.cva_se) + 1e-9
+    for k in range(len(QUOTES)):
+        assert abs(r.deltas_mc[k] - r.deltas[k]) \
+            < 5.0 * r.delta_bounds[k] + 1e-12
+    # a parallel 1bp bump raises the default leg: the bucket deltas
+    # sum to a positive total for this positive-EE book
+    assert sum(r.deltas) > 0.0
+    # the exposure window (5-8y) sits beyond the early knots: bumping
+    # the 1y/3y spreads front-loads default probability BEFORE the
+    # window (negative delta), while the 5y/7y quotes — whose hazards
+    # cover the window and its flat extrapolation — carry the risk
+    assert r.deltas[0] < 0.0 and r.deltas[1] < 0.0
+    assert r.deltas[2] > 0.0 and r.deltas[3] > 0.0
+    assert r.deltas[3] == max(r.deltas)
