@@ -350,6 +350,43 @@ def plot_xva_adjustments(data_dir: Path, plots_dir: Path):
     return out
 
 
+def plot_cs01_ladder(data_dir: Path, plots_dir: Path):
+    """Bucketed CS01 ladder (beyond-reference): per-CDS-quote credit
+    deltas of the netted CVA, MC re-dot vs fp64 oracle ticks, with the
+    bootstrapped hazard curve inset."""
+    p = data_dir / "xva_results.json"
+    if not p.exists():
+        return None
+    r = json.loads(p.read_text())["results"]
+    c = r.get("cds")
+    if not c or "cs01_oracle" not in c:
+        return None
+    mats = [q[0] for q in c["quotes"]]
+    fig, (ax, ax2) = plt.subplots(
+        1, 2, figsize=(10, 4), gridspec_kw={"width_ratios": [2, 1]})
+    xs = np.arange(len(mats))
+    ax.bar(xs, np.array(c["cs01_mc"]) * 1e6, width=0.6,
+           color="#2b6cb0", alpha=0.85, label="MC re-dot")
+    ax.plot(xs, np.array(c["cs01_oracle"]) * 1e6, "_", ms=24, mew=2.5,
+            color="#c05621", label="fp64 oracle")
+    ax.axhline(0.0, color="#1a202c", lw=0.8)
+    ax.set_xticks(xs)
+    ax.set_xticklabels([f"{m:g}y" for m in mats])
+    ax.set_ylabel("CS01 per 1bp (x 1e-6 notional)")
+    ax.set_title("bucketed CVA credit deltas")
+    ax.legend()
+    knots = [0.0] + list(c["knots"])
+    hz = np.array(c["hazards"]) * 1e4
+    ax2.stairs(hz, knots, color="#2f855a", lw=2)
+    ax2.set_xlabel("t (years)")
+    ax2.set_ylabel("hazard (bp)")
+    ax2.set_title("bootstrapped curve")
+    out = plots_dir / "cs01_ladder.png"
+    fig.savefig(out, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
 def print_summary(data_dir: Path):
     """Consolidated run report (reference analyze.py:249-344)."""
     print("=" * 72)
@@ -399,7 +436,7 @@ def main(argv=None):
     for fn in [plot_paths_static, plot_p_and_f, plot_theta_recovery,
                plot_sensitivity_comparison, plot_engine_benchmark,
                plot_bermudan_bracket, plot_exotics, plot_exposure,
-               plot_xva_adjustments]:
+               plot_xva_adjustments, plot_cs01_ladder]:
         out = fn(data_dir, plots_dir)
         if out:
             made.append(out)

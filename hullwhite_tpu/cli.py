@@ -940,11 +940,15 @@ def cmd_xva(args):
 
         schedb = swap_fixed_leg(cfg, args.rate, args.tenor)
         exb = tuple(cfg.s1 + float(j) for j in range(int(args.tenor)))
+        # artifact lane runs the fp64 oracle at 3001 grid points: the
+        # MC's Chebyshev value function is near-exact, so the forward
+        # trapezoid's O(h^2) is the binding error (-1.45e-6 at 1501 ->
+        # -2.0e-7 at 3001 vs a 2.4e-7 SE at full paths, measured)
         rb, ob = xva.price_bermudan_xva(
             cfg, key, market, schedb, exb, payer=args.payer,
             quantile=args.quantile, hazard=args.hazard,
             recovery=args.recovery, n_blocks=args.n_blocks,
-            rqmc=bool(args.rqmc))
+            rqmc=bool(args.rqmc), n_grid=3001)
         zb = (float(rb.cva) - ob.cva) / max(float(rb.std_error), 1e-15)
         ok = ok and (abs(zb) < 5 or abs(float(rb.cva) - ob.cva) < 1e-9)
         ystop = max(abs(y - ob.price) for y in ob.y_means)
