@@ -56,6 +56,7 @@ import jax.numpy as jnp
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
+from .ops.interp import uinterp
 from .parallel import mesh as pmesh
 from .range_note import _kernel_avg, _note_dates, _note_shapes, _r_band
 from .floater import _libor_terms
@@ -588,8 +589,8 @@ def _chooser_g2_fn(cfg: HWConfig, g, rate: float, start: float, n: int,
                         ex = (cp[:, j] > 0.0) & (c >= 1)
                     else:
                         thr_all = jax.vmap(
-                            lambda row: jnp.interp(wv[:, j], bw[j],
-                                                   row))(bu[j])
+                            lambda row: uinterp(bw[j], row,
+                                                wv[:, j]))(bu[j])
                         thr = jnp.take_along_axis(
                             thr_all, c[None, :].astype(jnp.int32),
                             axis=0, mode="clip")[0]

@@ -61,6 +61,7 @@ import jax.numpy as jnp
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
+from .ops.interp import uinterp  # noqa: E402
 from .models.g2pp import (G2Params, _B, _v_integral, _g2_functional_cov,
                           _g2_functional_chol, _libor_strip_g2,
                           range_accrual_closed_form_g2)
@@ -339,7 +340,8 @@ def _g2_note_fn(cfg: HWConfig, g: G2Params, coupon: float, lo: float,
                 V = cpn[0]                  # period-0 coupon always accrues
                 Y = cpn[0]                  # CV: non-callable note
                 for j in range(1, n):
-                    ustar = jnp.interp(wv[:, j - 1], bw[j - 1], bu[j - 1])
+                    ustar = uinterp(bw[j - 1], bu[j - 1],
+                                    wv[:, j - 1])
                     put = (u[:, j, 0] > ustar).astype(jnp.float32)
                     V = V + alive * put * discs[:, j - 1]
                     alive = alive * (1.0 - put)
@@ -1007,7 +1009,8 @@ def _g2_floater_fn(cfg: HWConfig, g: G2Params, cap: float, floor: float,
                 V = cpn[0]                  # period-0 coupon always accrues
                 Y = cpn[0]                  # CV: non-callable note
                 for j in range(1, n):
-                    ustar = jnp.interp(wv[:, j - 1], bw[j - 1], bu[j - 1])
+                    ustar = uinterp(bw[j - 1], bu[j - 1],
+                                    wv[:, j - 1])
                     call = (u[:, j] < ustar).astype(jnp.float32)
                     V = V + alive * call * discs[:, j - 1]
                     alive = alive * (1.0 - call)
@@ -1604,10 +1607,10 @@ def _g2_callable_snowball_fn(cfg: HWConfig, g: G2Params, initial: float,
                     # issuer decision at T_j: state (u_j, w_j, c_{j-1});
                     # boundary surface bilinear in (w, coupon)
                     bwj, buj = bw[j - 1], bu[j - 1]
-                    iw = jnp.clip(jnp.searchsorted(bwj, wv[:, j - 1]) - 1,
-                                  0, bwj.shape[0] - 2)
-                    lw = jnp.clip((wv[:, j - 1] - bwj[iw])
-                                  / (bwj[iw + 1] - bwj[iw]), 0.0, 1.0)
+                    uw = (wv[:, j - 1] - bwj[0]) / (bwj[1] - bwj[0])
+                    iw = jnp.clip(jnp.floor(uw), 0,
+                                  bwj.shape[0] - 2).astype(jnp.int32)
+                    lw = jnp.clip(uw - iw, 0.0, 1.0)
                     ic = jnp.clip(jnp.searchsorted(CS, c) - 1,
                                   0, n_c - 2)
                     dc = CS[ic + 1] - CS[ic]

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
+from .ops.interp import uinterp
 from .parallel import mesh as pmesh
 from .range_note import _kernel_avg, _note_dates, _note_shapes
 from .floater import _libor_terms, _p0_discrete
@@ -536,7 +537,7 @@ def _callable_snowball_fn(cfg: HWConfig, initial: float, spread: float,
                 for j in range(1, n):
                     # issuer decision at T_j: state (r(T_j), c_{j-1});
                     # boundary curve linearly interpolated in the coupon
-                    rb = jnp.interp(c, CS, BND[j - 1])
+                    rb = uinterp(CS, BND[j - 1], c)
                     call_now = alive * (ro[:, j] < rb).astype(jnp.float32)
                     V = V + call_now * discs[:, j - 1]   # par at T_j
                     alive = alive - call_now

@@ -4250,19 +4250,6 @@ def bermudan_exposure_oracle_g2(cfg: HWConfig, g, market: MarketCurve,
                              rstars=(), price=sol["price"], cva=cva)
 
 
-def _uinterp(grid, V, x):
-    """Linear interpolation on a UNIFORM grid with flat extrapolation.
-    The DP grids are linspaces, so the cell index is an affine map —
-    one clip + one gather instead of jnp.interp's searchsorted, which
-    lowers to an O(paths x table) broadcast-compare on TPU (measured
-    60x slower on the Bermudan exposure kernel at 2^20 paths)."""
-    h = grid[1] - grid[0]
-    u = (x - grid[0]) / h
-    ix = jnp.clip(jnp.floor(u), 0, grid.shape[0] - 2).astype(jnp.int32)
-    fr = jnp.clip(u - ix, 0.0, 1.0)
-    return (1.0 - fr) * V[ix] + fr * V[ix + 1]
-
-
 def _interp2(gx, gy, F, x, y):
     """Vectorized bilinear interpolation of F — (nx, ny) for one
     surface or (nx, ny, c) for c surfaces sharing the same corner
