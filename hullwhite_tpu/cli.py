@@ -572,6 +572,80 @@ def cmd_cap(args):
     return 0 if ok else 1
 
 
+def cmd_rfr(args):
+    """Backward-looking RFR caplet/floorlet (compounded + averaged
+    overnight-rate styles, the post-LIBOR convention family) vs the
+    exact tilted Black/Bachelier closed forms; HW and optional G2++
+    twins (product family beyond the reference)."""
+    from . import rfr
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 8282)
+    market = hwio.load_market(cfg)
+    style = "averaged" if args.averaged else "compounded"
+    start = cfg.s1 if args.start is None else args.start
+    end = start + 1.0 if args.end is None else args.end
+    print(f"--- RFR {style} caplet/floorlet: accrual [{start}, {end}]y @ "
+          f"{args.strike*100:.2f}% ---")
+    out, ok = {}, True
+    for floor in (False, True):
+        kind = "floorlet" if floor else "caplet"
+        res = rfr.price_rfr_caplet(cfg, key, market, strike=args.strike,
+                                   start=start, end=end, style=style,
+                                   n_obs=args.n_obs, floor=floor)
+        orc = rfr.rfr_caplet_closed_form(cfg, strike=args.strike,
+                                         start=start, end=end, style=style,
+                                         n_obs=args.n_obs, floor=floor)
+        z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+        ok &= abs(z) < 4
+        print(f"{kind:9s} MC {float(res.price):.8f} +/- "
+              f"{float(res.std_error):.2e}   closed form {orc:.8f}   "
+              f"z = {z:+.2f}")
+        out[kind] = {"mc": float(res.price), "se": float(res.std_error),
+                     "closed_form": orc, "z": z}
+    _, v = rfr.vega_rfr_caplet(cfg, key, strike=args.strike, start=start,
+                               end=end, style=style, n_obs=args.n_obs)
+    e = 1e-5
+    va = (rfr.rfr_caplet_closed_form(cfg, strike=args.strike, start=start,
+                                     end=end, style=style, n_obs=args.n_obs,
+                                     sigma=cfg.sigma + e)
+          - rfr.rfr_caplet_closed_form(cfg, strike=args.strike, start=start,
+                                       end=end, style=style,
+                                       n_obs=args.n_obs,
+                                       sigma=cfg.sigma - e)) / (2 * e)
+    print(f"caplet vega (one jvp): {float(v):.6f}   closed-form FD {va:.6f}")
+    out["vega_jvp"], out["vega_closed_fd"] = float(v), va
+    if args.g2:
+        from .models.g2pp import G2Params
+
+        g = G2Params(a=args.g2a, b=args.g2b, sigma=args.g2sigma,
+                     eta=args.g2eta, rho=args.g2rho)
+        for floor in (False, True):
+            kind = "floorlet" if floor else "caplet"
+            res = rfr.price_rfr_caplet_g2(cfg, g, key, market,
+                                          strike=args.strike, start=start,
+                                          end=end, style=style,
+                                          n_obs=args.n_obs, floor=floor)
+            orc = rfr.rfr_caplet_closed_form_g2(cfg, g, market,
+                                                strike=args.strike,
+                                                start=start, end=end,
+                                                style=style,
+                                                n_obs=args.n_obs,
+                                                floor=floor)
+            z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+            ok &= abs(z) < 4
+            print(f"G2++ {kind:9s} MC {float(res.price):.8f} +/- "
+                  f"{float(res.std_error):.2e}   closed form {orc:.8f}   "
+                  f"z = {z:+.2f}")
+            out[f"g2_{kind}"] = {"mc": float(res.price),
+                                 "se": float(res.std_error),
+                                 "closed_form": orc, "z": z}
+    hwio.write_json(hwio.DATA_DIR / "rfr_results.json",
+                    f"RFR {style} caplet/floorlet", cfg, results=out)
+    print(f"agreement: {'PASS' if ok else 'CHECK'}")
+    return 0 if ok else 1
+
+
 def cmd_cms(args):
     """CMS cap/floor leg: constant-maturity-swap caplets (convexity-
     bearing payoff) on the exact multi-date states vs the fp64 tilted-
@@ -2212,6 +2286,20 @@ def main(argv=None):
     pc.add_argument("--tenor", type=float, default=4.0)
     pc.add_argument("--freq", type=float, default=1.0)
     pc.add_argument("--floor", action="store_true")
+    prf = sub.add_parser("rfr", parents=[common])
+    prf.add_argument("--strike", type=float, default=0.02)
+    prf.add_argument("--start", type=float, default=None)
+    prf.add_argument("--end", type=float, default=None)
+    prf.add_argument("--averaged", action="store_true",
+                     help="arithmetic-average style (default: compounded)")
+    prf.add_argument("--n-obs", type=int, default=None,
+                     help="averaged-style observation count "
+                          "(default: one per step)")
+    prf.add_argument("--g2", action="store_true",
+                     help="also price the G2++ twins vs their oracles")
+    for flag, dv in (("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
+                     ("--g2eta", 0.02), ("--g2rho", -0.6)):
+        prf.add_argument(flag, type=float, default=dv)
     pcm = sub.add_parser("cms", parents=[common])
     pcm.add_argument("--rate", type=float, default=0.02)
     pcm.add_argument("--tenor", type=float, default=4.0)
@@ -2365,6 +2453,8 @@ def main(argv=None):
         return cmd_cap(args)
     if args.cmd == "cms":
         return cmd_cms(args)
+    if args.cmd == "rfr":
+        return cmd_rfr(args)
     if args.cmd == "exotics":
         return cmd_exotics(args)
     if args.cmd == "notes":
