@@ -584,36 +584,44 @@ def cmd_rfr(args):
     market = hwio.load_market(cfg)
     style = "averaged" if args.averaged else "compounded"
     start = cfg.s1 if args.start is None else args.start
-    end = start + 1.0 if args.end is None else args.end
-    print(f"--- RFR {style} caplet/floorlet: accrual [{start}, {end}]y @ "
-          f"{args.strike*100:.2f}% ---")
+    span = dict(start=start, tenor=args.tenor, freq=args.freq) \
+        if args.end is None else dict(start=start, end=args.end)
+    mckw = dict(n_obs=args.n_obs, **span)
+    if args.rqmc:
+        # 8 digital-shift replicates at the same total path budget
+        mckw.update(rqmc=True, n_blocks=8,
+                    n_paths=max(cfg.n_paths // 8, 1024))
+    label = (f"[{start}, {args.end}]y" if args.end is not None
+             else f"{args.tenor}y strip @ {args.freq}/y from {start}y")
+    print(f"--- RFR {style} cap/floor: {label} @ "
+          f"{args.strike*100:.2f}%{' (RQMC)' if args.rqmc else ''} ---")
     out, ok = {}, True
     for floor in (False, True):
-        kind = "floorlet" if floor else "caplet"
-        res = rfr.price_rfr_caplet(cfg, key, market, strike=args.strike,
-                                   start=start, end=end, style=style,
-                                   n_obs=args.n_obs, floor=floor)
-        orc = rfr.rfr_caplet_closed_form(cfg, strike=args.strike,
-                                         start=start, end=end, style=style,
-                                         n_obs=args.n_obs, floor=floor)
+        kind = "floor" if floor else "cap"
+        res = rfr.price_rfr_cap(cfg, key, market, strike=args.strike,
+                                style=style, floor=floor, **mckw)
+        orc, per = rfr.rfr_cap_closed_form(cfg, strike=args.strike,
+                                           style=style, floor=floor,
+                                           n_obs=args.n_obs, **span)
         z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
         ok &= abs(z) < 4
-        print(f"{kind:9s} MC {float(res.price):.8f} +/- "
+        print(f"{kind:5s} MC {float(res.price):.8f} +/- "
               f"{float(res.std_error):.2e}   closed form {orc:.8f}   "
               f"z = {z:+.2f}")
         out[kind] = {"mc": float(res.price), "se": float(res.std_error),
-                     "closed_form": orc, "z": z}
-    _, v = rfr.vega_rfr_caplet(cfg, key, strike=args.strike, start=start,
-                               end=end, style=style, n_obs=args.n_obs)
+                     "closed_form": orc, "z": z,
+                     "caplets_mc": [float(x) for x in res.caplets],
+                     "caplets_closed": per}
+    _, v = rfr.vega_rfr_cap(cfg, key, strike=args.strike, style=style,
+                            **mckw)
     e = 1e-5
-    va = (rfr.rfr_caplet_closed_form(cfg, strike=args.strike, start=start,
-                                     end=end, style=style, n_obs=args.n_obs,
-                                     sigma=cfg.sigma + e)
-          - rfr.rfr_caplet_closed_form(cfg, strike=args.strike, start=start,
-                                       end=end, style=style,
-                                       n_obs=args.n_obs,
-                                       sigma=cfg.sigma - e)) / (2 * e)
-    print(f"caplet vega (one jvp): {float(v):.6f}   closed-form FD {va:.6f}")
+    va = (rfr.rfr_cap_closed_form(cfg, strike=args.strike, style=style,
+                                  n_obs=args.n_obs, sigma=cfg.sigma + e,
+                                  **span)[0]
+          - rfr.rfr_cap_closed_form(cfg, strike=args.strike, style=style,
+                                    n_obs=args.n_obs, sigma=cfg.sigma - e,
+                                    **span)[0]) / (2 * e)
+    print(f"cap vega (one jvp): {float(v):.6f}   closed-form FD {va:.6f}")
     out["vega_jvp"], out["vega_closed_fd"] = float(v), va
     if args.g2:
         from .models.g2pp import G2Params
@@ -621,20 +629,18 @@ def cmd_rfr(args):
         g = G2Params(a=args.g2a, b=args.g2b, sigma=args.g2sigma,
                      eta=args.g2eta, rho=args.g2rho)
         for floor in (False, True):
-            kind = "floorlet" if floor else "caplet"
-            res = rfr.price_rfr_caplet_g2(cfg, g, key, market,
-                                          strike=args.strike, start=start,
-                                          end=end, style=style,
-                                          n_obs=args.n_obs, floor=floor)
-            orc = rfr.rfr_caplet_closed_form_g2(cfg, g, market,
+            kind = "floor" if floor else "cap"
+            res = rfr.price_rfr_cap_g2(cfg, g, key, market,
+                                       strike=args.strike, style=style,
+                                       floor=floor, **mckw)
+            orc, _ = rfr.rfr_cap_closed_form_g2(cfg, g, market,
                                                 strike=args.strike,
-                                                start=start, end=end,
                                                 style=style,
                                                 n_obs=args.n_obs,
-                                                floor=floor)
+                                                floor=floor, **span)
             z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
             ok &= abs(z) < 4
-            print(f"G2++ {kind:9s} MC {float(res.price):.8f} +/- "
+            print(f"G2++ {kind:5s} MC {float(res.price):.8f} +/- "
                   f"{float(res.std_error):.2e}   closed form {orc:.8f}   "
                   f"z = {z:+.2f}")
             out[f"g2_{kind}"] = {"mc": float(res.price),
@@ -2290,6 +2296,11 @@ def main(argv=None):
     prf.add_argument("--strike", type=float, default=0.02)
     prf.add_argument("--start", type=float, default=None)
     prf.add_argument("--end", type=float, default=None)
+    prf.add_argument("--tenor", type=float, default=3.0,
+                     help="strip tenor in years (ignored when --end set)")
+    prf.add_argument("--freq", type=float, default=1.0)
+    prf.add_argument("--rqmc", action="store_true",
+                     help="digitally-shifted Sobol draws")
     prf.add_argument("--averaged", action="store_true",
                      help="arithmetic-average style (default: compounded)")
     prf.add_argument("--n-obs", type=int, default=None,

@@ -156,3 +156,45 @@ def test_grid_validation():
         rfr.price_rfr_caplet(CFG, KEY, strike=K, start=6.0, end=5.0)
     with pytest.raises(ValueError):
         rfr.price_rfr_caplet(CFG, KEY, strike=K, style="geometric")
+
+
+def test_cap_strip_vs_oracle(market):
+    """3-period strip, both styles, HW + G2: MC z-gate vs the per-period
+    closed-form sum; per-caplet MC rows match their own oracles."""
+    res = rfr.price_rfr_cap(CFG, KEY, market, strike=K, start=5.0,
+                            tenor=3.0, freq=1.0, n_obs=5, n_blocks=4,
+                            style="averaged")
+    tot, per = rfr.rfr_cap_closed_form(CFG, strike=K, start=5.0,
+                                       tenor=3.0, freq=1.0, n_obs=5,
+                                       style="averaged")
+    z = (float(res.price) - tot) / float(res.std_error)
+    assert abs(z) < 4.0
+    assert res.caplets.shape == (3,)
+    for j in range(3):
+        assert abs(float(res.caplets[j]) - per[j]) < 6 * float(
+            res.std_error)
+    g = G2Params()
+    gres = rfr.price_rfr_cap_g2(CFG, g, KEY, market, strike=K, start=5.0,
+                                tenor=3.0, freq=1.0, n_blocks=4)
+    gtot, _ = rfr.rfr_cap_closed_form_g2(CFG, g, market, strike=K,
+                                         start=5.0, tenor=3.0, freq=1.0)
+    gz = (float(gres.price) - gtot) / float(gres.std_error)
+    assert abs(gz) < 4.0
+
+
+def test_rqmc_tightens_se(market):
+    """Digitally-shifted Sobol through the joint Cholesky: the RQMC SE
+    must beat iid MC at equal path count (smooth-ish payoff, small
+    dimension) and stay unbiased (z-gate vs the oracle)."""
+    kw = dict(strike=K, start=5.0, tenor=3.0, freq=1.0, n_blocks=8,
+              n_paths=1 << 9)
+    mc = rfr.price_rfr_cap(CFG, KEY, market, **kw)
+    qm = rfr.price_rfr_cap(CFG, KEY, market, rqmc=True, **kw)
+    tot, _ = rfr.rfr_cap_closed_form(CFG, strike=K, start=5.0, tenor=3.0,
+                                     freq=1.0)
+    assert abs(float(qm.price) - tot) / max(float(qm.std_error),
+                                            1e-9) < 5.0
+    assert float(qm.std_error) < float(mc.std_error)
+    with pytest.raises(ValueError):
+        rfr.price_rfr_cap(CFG, KEY, market, strike=K, rqmc=True,
+                          n_blocks=1)
