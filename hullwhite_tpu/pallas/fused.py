@@ -968,6 +968,151 @@ def raw_peak_fn(cfg: HWConfig):
     return fn, nb * _MIX_BLOCK  # raws per path lane
 
 
+def _draw_peak_kernel(seed_ref, out_ref, *, nb, interpret):
+    """PRNG-unit wall microbench: the same u32 draw volume as one option
+    fullstep tile with the cheapest possible not-dead-code consumer (one
+    xor-accumulate per word) — isolates the hardware generator's
+    throughput from the octave-spread ALU work that _raw_peak_kernel
+    includes."""
+    draw = _tile_rng(seed_ref, interpret)
+    acc = jnp.zeros((_MIX_BLOCK // 2, TILE_FULL_OPT), jnp.uint32)
+    for q in range(nb):
+        acc ^= draw((_MIX_BLOCK // 2, TILE_FULL_OPT), q)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # Mosaic has no u32 -> f32 cast; bitcast through i32 (checksum only)
+    out_ref[0, :] += jnp.sum(pltpu.bitcast(acc, jnp.int32)
+                             .astype(jnp.float32) * jnp.float32(2 ** -32),
+                             axis=0)
+
+
+def draw_peak_fn(cfg: HWConfig):
+    """jit-able (key -> checksum) measuring the PRNG draw ceiling over the
+    option-tier geometry; returns (fn, u32_words_per_path_lane)."""
+    from functools import partial
+
+    nb = -(-cfg.n_steps_s1 // _MIX_BLOCK)
+    kernel = partial(_draw_peak_kernel, nb=nb,
+                     interpret=cfg.pallas_interpret)
+
+    def fn(key):
+        seeds = _key_seed(key, 0, salt=606)
+        grid = cfg.n_paths // TILE_FULL_OPT
+        out = _pallas_sum(cfg, kernel, grid, (seeds,), out_rows=8,
+                          out_cols=TILE_FULL_OPT)
+        return jnp.sum(out[0])
+
+    return fn, nb * (_MIX_BLOCK // 2)
+
+
+# VPU op accounting constants (vpu_ops_accounting):
+#   _OCTAVE_OPS_PER_WORD — the _raw_block sequence on one u32 word
+#   (2 bf16 raws): and, or, 3 shifts, or, 2 ands, shift, add = 10 vector
+#   ALU ops.  Bitcasts are register reinterpretations (free).
+#   _TRANSC_OP_WEIGHT — one Mosaic exp/log/reciprocal(exact) expands to a
+#   range reduction + degree-7/8 polynomial ~ 8 ALU-op equivalents; the
+#   option tiers have only ~4 transcendentals per pair so the weight
+#   barely moves their totals (q1's 256/pair are 24% of its count).
+_OCTAVE_OPS_PER_WORD = 10
+_TRANSC_OP_WEIGHT = 8
+_BITOPS_ROUNDS = 16
+_BITOPS_OPS_PER_WORD_ROUND = 13  # 10 octave + 1 accumulate + 2 state fold
+
+
+def _bitops_peak_kernel(seed_ref, out_ref, *, rounds, interpret):
+    """VPU ALU wall microbench: _BITOPS_ROUNDS rounds of exactly the
+    octave-spread op mix (plus 1 accumulate + 2 state-fold ops) on
+    register-resident u32 words — no PRNG draws after the first, so the
+    measured ops/s is the sustained vector-ALU ceiling for this op class.
+    Every lane/sublane word is an independent chain, so the pipeline
+    stays full despite the per-word dependency."""
+    draw = _tile_rng(seed_ref, interpret)
+    x = draw((_MIX_BLOCK // 2, TILE_FULL_OPT), 0)
+    acc = jnp.zeros_like(x)
+    for _ in range(rounds):
+        base = (x & jnp.uint32(0x807F807F)) | jnp.uint32(0x3F803F80)
+        c = ((x >> 8) & ((x >> 9) | (x >> 10))) & jnp.uint32(0x00010001)
+        v = base + (c << 9)
+        acc ^= v
+        x = v ^ (x >> 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :] += jnp.sum(pltpu.bitcast(acc, jnp.int32)
+                             .astype(jnp.float32) * jnp.float32(2 ** -32),
+                             axis=0)
+
+
+def bitops_peak_fn(cfg: HWConfig):
+    """jit-able (key -> checksum) for the ALU microbench; returns
+    (fn, counted_ops_per_path_lane)."""
+    from functools import partial
+
+    kernel = partial(_bitops_peak_kernel, rounds=_BITOPS_ROUNDS,
+                     interpret=cfg.pallas_interpret)
+
+    def fn(key):
+        seeds = _key_seed(key, 0, salt=707)
+        grid = cfg.n_paths // TILE_FULL_OPT
+        out = _pallas_sum(cfg, kernel, grid, (seeds,), out_rows=8,
+                          out_cols=TILE_FULL_OPT)
+        return jnp.sum(out[0])
+
+    ops = _BITOPS_ROUNDS * (_MIX_BLOCK // 2) * _BITOPS_OPS_PER_WORD_ROUND
+    return fn, ops
+
+
+def vpu_ops_accounting(cfg: HWConfig) -> dict:
+    """Analytic VPU-op counts per antithetic pair for the full-step tiers,
+    from the live tile constants — the VPU half of the speed-of-light
+    story (fullstep_roofline is the MXU half).
+
+    Counts vector ALU ops per path lane: the octave-spread bit ops
+    (_OCTAVE_OPS_PER_WORD per u32 word), the fp32 z accumulates after each
+    premixed-weight matmul, the payoff/moment tail, and transcendentals at
+    _TRANSC_OP_WEIGHT ALU-equivalents each.  ``benchmarks.run_roofline``
+    divides measured wall time into these counts and reports each tier's
+    achieved fraction of the microbenched ALU ceiling (bitops_peak_fn) and
+    PRNG ceiling (draw_peak_fn) next to its MXU fraction — naming the
+    limiting unit the way the reference's occupancy table names its cap
+    (/root/reference/README.md:148-156)."""
+    nb_curve = -(-cfg.n_steps // _MIX_BLOCK)
+    nb_opt = -(-cfg.n_steps_s1 // _MIX_BLOCK)
+    wpb = _MIX_BLOCK // 2  # u32 words per path lane per 128-step block
+
+    def entry(nb, z_rows, tail_simple, tail_transc):
+        spread = nb * wpb * _OCTAVE_OPS_PER_WORD
+        z_accum = nb * z_rows
+        transc = tail_transc * _TRANSC_OP_WEIGHT
+        return {
+            "raw_words_per_pair": nb * wpb,
+            "vpu_ops_per_pair": spread + z_accum + tail_simple + transc,
+            "breakdown": {"octave_spread": spread, "z_accum": z_accum,
+                          "payoff_tail": tail_simple,
+                          "transcendental_equiv": transc,
+                          "transcendentals": tail_transc},
+        }
+
+    return {
+        # q1: z is (TILE, PAD) so each block's accumulate costs PAD adds
+        # per pair; payoff = exp + recip per maturity (2*PAD transc),
+        # t + 1/t add + sublane-tree sum (~2*PAD simple)
+        "q1_fullstep": entry(nb_curve, PAD, 2 * PAD, 2 * PAD),
+        # options: z is (8, TILE) — 8 adds per pair per block;
+        # zbc tail: _legs_pair 17 simple + 2 exp + 2 recip,
+        # _moment_accum 11 row ops + 6 accumulates
+        "zbc_fullstep": entry(nb_opt, 8, 17 + 17, 4),
+        # vega tail: _vega_terms ~20 simple + 2 exp, 2 accumulates
+        # (single leg per drawn path — throughput counts paths, not pairs)
+        "vega_fullstep": entry(nb_opt, 8, 22, 2),
+    }
+
+
 def fullstep_roofline(cfg: HWConfig) -> dict:
     """Analytic MXU flop accounting of the full-step tiers from the live
     tile constants — the speed-of-light half of the occupancy story (the

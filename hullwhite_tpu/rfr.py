@@ -127,16 +127,22 @@ def _specs(bounds: tuple, n_obs, style: str, cfg: HWConfig):
 
 
 def _cov_np(cfg: HWConfig, specs: tuple) -> np.ndarray:
-    """fp64 covariance of the spec functionals per unit sig_st (the
-    oracle-side mirror of bermudan._functional_chol, no ridge)."""
-    from .bermudan import _step_index
+    """fp64 covariance of the spec functionals per unit sig_st — the
+    oracle-side mirror of bermudan._functional_chol, INCLUDING its
+    RIDGE*I jitter so the closed forms integrate exactly the law the
+    sampler draws from (the G2 oracle reuses _g2_functional_cov for the
+    same reason).  Without the ridge the two laws differ at the 1e-9
+    variance level — far below the ~1e-4 z-gate SEs, but an avoidable
+    asymmetry for near-degenerate specs (periods short enough that
+    Var(dI) approaches the ridge scale)."""
+    from .bermudan import RIDGE, _step_index
 
     U = np.zeros((cfg.n_steps, len(specs)))
     for c, (kind, t) in enumerate(specs):
         n = _step_index(cfg, t)
         u, w = _shock_shapes(cfg, n)
         U[:n, c] = np.asarray(u if kind == "r" else w, np.float64)
-    return U.T @ U
+    return U.T @ U + RIDGE * np.eye(len(specs))
 
 
 def _strip_stats(per_block, n_paths: int, n_blocks: int, n: int,
@@ -387,8 +393,24 @@ def vega_rfr_cap(cfg: HWConfig, key, market: MarketCurve = None, *,
     return out, tang
 
 
-# backward-compatible alias (single-caplet vega)
-vega_rfr_caplet = vega_rfr_cap
+def vega_rfr_caplet(cfg: HWConfig, key, market: MarketCurve = None, *,
+                    strike: float, start: float | None = None,
+                    end: float | None = None, style: str = "compounded",
+                    n_obs: int | None = None, floor: bool = False,
+                    sigma=None, n_paths: int | None = None,
+                    n_blocks: int = 1, rqmc: bool = False, mesh=None):
+    """(price, vega) for the SINGLE one-period caplet, applying
+    price_rfr_caplet's end-default (end = start + one maturity decade)
+    before delegating — a bare alias to vega_rfr_cap would instead fall
+    through to _bounds' multi-period strip default (tenor=10*mat_spacing
+    at freq=1) and silently price a different instrument."""
+    if end is None:
+        s = cfg.s1 if start is None else start
+        end = s + 10 * cfg.mat_spacing
+    return vega_rfr_cap(cfg, key, market, strike=strike, start=start,
+                        end=end, style=style, n_obs=n_obs, floor=floor,
+                        sigma=sigma, n_paths=n_paths, n_blocks=n_blocks,
+                        rqmc=rqmc, mesh=mesh)
 
 
 # ---------------------------------------------------------------------------

@@ -135,6 +135,19 @@ def test_vega_jvp_vs_oracle_fd(market):
     assert abs(float(v) - fd) / abs(fd) < 5e-3
 
 
+def test_vega_caplet_default_is_single_period():
+    """With end omitted, vega_rfr_caplet must price the same SINGLE
+    period [s1, s1 + decade] as price_rfr_caplet — not vega_rfr_cap's
+    multi-period strip default (round-3 advisor finding)."""
+    cfg = tiny_config(n_mat=41, n_steps=200, n_paths=1 << 12)
+    p1, v1 = rfr.vega_rfr_caplet(cfg, KEY, strike=K, n_blocks=2)
+    end = cfg.s1 + 10 * cfg.mat_spacing
+    p2, v2 = rfr.vega_rfr_cap(cfg, KEY, strike=K, end=end, n_blocks=2)
+    assert float(p1) == float(p2) and float(v1) == float(v2)
+    ps, _ = rfr.vega_rfr_cap(cfg, KEY, strike=K, n_blocks=2)
+    assert float(ps) != float(p1)  # the strip is a different instrument
+
+
 def test_averaged_converges_to_compounded_limit():
     """As K -> deep ITM both styles converge to the discounted forward
     of their own rate; sanity-pin ATM levels are within ~20% of each
