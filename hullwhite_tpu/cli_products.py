@@ -1,0 +1,1260 @@
+"""Beyond-reference product drivers (swaption/cap/RFR/CMS/exotics/notes/G2++/sweep/grid/calibrate), split out of cli.py round 4 to mirror the reference's one-driver-per-file layout (src/*.cu); the argparse surface stays in cli.main."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import HWConfig
+from . import greeks, pricing
+from .cli import _cfg, _default_engine, _key
+from .models import hull_white as hw
+from .utils import io as hwio
+from .utils import stats as hwstats
+from .utils.timing import bench, fetch_rtt
+
+
+def cmd_swaption(args):
+    from . import bermudan as bermudan_mod
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 4242)
+    market = hwio.load_market(cfg)
+    kind = "payer" if args.payer else "receiver"
+    print(f"--- European {kind} swaption: expiry {cfg.s1}y, "
+          f"tenor {args.tenor}y @ {args.rate*100:.2f}% ---")
+    est = instruments.price_swaption(cfg, key, market, rate=args.rate,
+                                     tenor=args.tenor, freq=args.freq,
+                                     payer=args.payer)
+    sched = instruments.swap_fixed_leg(cfg, args.rate, args.tenor, args.freq)
+    jam = instruments.jamshidian_price(cfg, market, sched, payer=args.payer)
+    qp, qse = instruments.price_coupon_bond_option_qmc(
+        cfg, key, market, sched, 1.0, payer=args.payer)
+    print(f"MC (CV-adjusted):   {float(est.price):.8f}  (beta {float(est.beta):.4f})")
+    print(f"RQMC:               {float(qp):.8f} +/- {float(qse):.2e} (SE)")
+    print(f"Jamshidian (exact): {jam:.8f}")
+    results = {"mc_price": float(est.price), "qmc_price": float(qp),
+               "qmc_se": float(qse), "jamshidian": jam,
+               "rate": args.rate, "tenor": args.tenor, "payer": args.payer}
+    if args.bermudan:
+        ex = [cfg.s1 + j for j in range(int(args.tenor))]
+        res = bermudan_mod.price_bermudan(cfg, key, market, sched,
+                                          ex, payer=args.payer)
+        orc = bermudan_mod.dp_oracle(cfg, market, sched, ex,
+                                     payer=args.payer)
+        print(f"Bermudan ({len(ex)} annual exercises): "
+              f"[{float(res.price_cv):.8f}, {float(res.upper):.8f}] "
+              f"(SE {float(res.cv_std_error):.2e}/"
+              f"{float(res.upper_std_error):.2e}; raw LSMC lower "
+              f"{float(res.price):.8f} +/- {float(res.std_error):.2e}; "
+              f"DP oracle {orc:.8f}; "
+              f"early-exercise premium {float(res.price_cv)-jam:.6f})")
+        results["bermudan_lower"] = float(res.price)
+        results["bermudan_lower_cv"] = float(res.price_cv)
+        results["bermudan_cv_se"] = float(res.cv_std_error)
+        results["bermudan_upper"] = float(res.upper)
+        results["bermudan_dp_oracle"] = orc
+        results["bermudan_se"] = float(res.std_error)
+        if args.delta:
+            h = 1e-3
+            dl, du = greeks.bermudan_delta(cfg, key, market, sched, ex,
+                                           payer=args.payer, h=h)
+            d_dp = (bermudan_mod.dp_oracle(
+                        cfg, greeks.shift_curve(cfg, market, +h), sched,
+                        ex, payer=args.payer)
+                    - bermudan_mod.dp_oracle(
+                        cfg, greeks.shift_curve(cfg, market, -h), sched,
+                        ex, payer=args.payer)) / (2.0 * h)
+            print(f"Bermudan curve-delta (parallel shift): "
+                  f"[{dl:.6f}, {du:.6f}]  DP oracle {d_dp:.6f}")
+            results["bermudan_delta_lower"] = dl
+            results["bermudan_delta_upper"] = du
+            results["bermudan_delta_dp_oracle"] = d_dp
+    hwio.write_json(hwio.DATA_DIR / "swaption_results.json",
+                    "Swaption pricing", cfg, results=results)
+    if args.bermudan_sweep:
+        sweep = {"k": [], "lower": [], "lower_se": [], "upper": [],
+                 "upper_se": [], "dp_oracle": [], "european": jam}
+        print(f"\n--- Bermudan sweep: bracket vs exercise rights ---")
+        # annual exercises must precede the last cashflow at s1 + tenor
+        max_k = min(5, int(np.ceil(args.tenor)))
+        for k in range(1, max_k + 1):
+            ex = [cfg.s1 + j for j in range(k)]
+            res = bermudan_mod.price_bermudan(cfg, key, market, sched,
+                                              ex, payer=args.payer)
+            orc = bermudan_mod.dp_oracle(cfg, market, sched, ex,
+                                         payer=args.payer)
+            print(f"k={k}: [{float(res.price_cv):.8f}, "
+                  f"{float(res.upper):.8f}]  DP {orc:.8f}")
+            sweep["k"].append(k)
+            sweep["lower"].append(float(res.price_cv))
+            sweep["lower_se"].append(float(res.cv_std_error))
+            sweep["upper"].append(float(res.upper))
+            sweep["upper_se"].append(float(res.upper_std_error))
+            sweep["dp_oracle"].append(orc)
+        hwio.write_json(hwio.DATA_DIR / "bermudan_sweep.json",
+                        "Bermudan exercise-rights sweep", cfg,
+                        results=sweep)
+    return 0
+
+
+def cmd_calibrate(args):
+    """Joint parameter calibration roundtrip on the loaded market: build
+    closed-form quotes at ground-truth parameters, start far away,
+    recover (beyond-reference; the CUDA project hard-codes a and sigma,
+    common.cuh:31-39)."""
+    from .instruments import swap_fixed_leg
+    from .models import g2pp
+
+    cfg = _cfg(args)
+    market = hwio.load_market(cfg)
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    results = {}
+
+    print(f"--- Hull-White joint (a, sigma) calibration ---")
+    pricers = [greeks.zbc_quote(market),
+               greeks.cap_quote(market, rate=0.02, tenor=4.0),
+               greeks.swaption_quote(market, sched)]
+    quotes = [(p, p(cfg)) for p in pricers]
+    res = greeks.calibrate_hw(cfg, quotes, a0=cfg.a / 2,
+                              sigma0=cfg.sigma / 2)
+    print(f"true (a, sigma) = ({cfg.a}, {cfg.sigma});  start = "
+          f"({cfg.a / 2}, {cfg.sigma / 2})")
+    print(f"recovered: a = {res.a:.8f}  sigma = {res.sigma:.8f}  "
+          f"(rmse {res.rmse:.2e}, {res.n_iter} iterations)")
+    ok = abs(res.a - cfg.a) < 1e-4 and abs(res.sigma - cfg.sigma) < 1e-5
+    results.update({"hw_a": res.a, "hw_sigma": res.sigma,
+                    "hw_rmse": res.rmse, "hw_iters": res.n_iter})
+
+    g_true = g2pp.G2Params(a=args.g2a, b=args.g2b, sigma=args.g2sigma,
+                           eta=args.g2eta, rho=args.g2rho)
+    sched3 = swap_fixed_leg(cfg, 0.03, 3.0)
+    gp = [lambda g: g2pp.zbc_price_analytic(cfg, g, market),
+          lambda g: g2pp.swaption_g2_analytic(cfg, g, market, sched),
+          lambda g: g2pp.swaption_g2_analytic(cfg, g, market, sched3,
+                                              payer=True),
+          lambda g: g2pp.cap_closed_form_g2(cfg, g, market, rate=0.02)[0]]
+    gq = [(p, p(g_true)) for p in gp]
+    g0 = g2pp.G2Params(a=g_true.a, b=g_true.b, sigma=2 * g_true.sigma,
+                       eta=2 * g_true.eta, rho=-g_true.rho / 2)
+    gres = g2pp.calibrate_g2(cfg, g0, gq)
+    print(f"\n--- G2++ (sigma, eta, rho) calibration, (a, b) fixed ---")
+    print(f"true = ({g_true.sigma}, {g_true.eta}, {g_true.rho})")
+    print(f"recovered: sigma = {gres.params.sigma:.8f}  "
+          f"eta = {gres.params.eta:.8f}  rho = {gres.params.rho:.6f}  "
+          f"(rmse {gres.rmse:.2e}, {gres.n_iter} iterations)")
+    ok = ok and (abs(gres.params.sigma - g_true.sigma) < 1e-5
+                 and abs(gres.params.eta - g_true.eta) < 1e-5
+                 and abs(gres.params.rho - g_true.rho) < 1e-3)
+    results.update({"g2_sigma": gres.params.sigma,
+                    "g2_eta": gres.params.eta, "g2_rho": gres.params.rho,
+                    "g2_rmse": gres.rmse, "g2_iters": gres.n_iter})
+    hwio.write_json(hwio.DATA_DIR / "calibration_results.json",
+                    "Parameter calibration", cfg, results=results)
+    print("\nvalidation:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def cmd_cap(args):
+    """Cap/floor pricing: MC on exact multi-date states vs the per-caplet
+    ZBP closed forms (instrument family beyond the reference)."""
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 6161)
+    market = hwio.load_market(cfg)
+    kind = "floor" if args.floor else "cap"
+    print(f"--- {kind}: start {cfg.s1}y, tenor {args.tenor}y @ "
+          f"{args.rate*100:.2f}%, freq {args.freq}/y ---")
+    res = instruments.price_cap(cfg, key, market, rate=args.rate,
+                                tenor=args.tenor, freq=args.freq,
+                                floor=args.floor)
+    tot, per = instruments.cap_closed_form(cfg, market, rate=args.rate,
+                                           tenor=args.tenor, freq=args.freq,
+                                           floor=args.floor)
+    print(f"MC:           {float(res.price):.8f} +/- {float(res.std_error):.2e} (SE)")
+    print(f"closed form:  {tot:.8f}")
+    print("per-caplet MC:", np.array2string(np.asarray(res.caplets),
+                                            precision=6))
+    z = (float(res.price) - tot) / max(float(res.std_error), 1e-12)
+    # Curve-noise allowance: the MC bond reconstruction A(t1,t2) consumes
+    # the DIFFERENTIATED forward curve f(0,t1) of the noisy MC bootstrap,
+    # while the closed form uses only P levels, so conditional on one
+    # curve draw the two sit a few e-5 apart with a common sign (mean-zero
+    # across curve draws; measured +7e-5-scale — see RESULTS.md Q2b note).
+    ok = abs(z) < 4 or abs(float(res.price) - tot) < 2e-4
+    print(f"agreement: z = {z:.2f} "
+          f"({'PASS' if ok else 'CHECK'}; curve-noise allowance 2e-4)")
+    v = greeks.fd_vega_cap(cfg, key, market, rate=args.rate,
+                           tenor=args.tenor, freq=args.freq,
+                           floor=args.floor)
+    e = 1e-5
+    va = (instruments.cap_closed_form(
+              cfg, market, rate=args.rate, tenor=args.tenor,
+              freq=args.freq, floor=args.floor, sigma=cfg.sigma + e)[0]
+          - instruments.cap_closed_form(
+              cfg, market, rate=args.rate, tenor=args.tenor,
+              freq=args.freq, floor=args.floor, sigma=cfg.sigma - e)[0]
+          ) / (2 * e)
+    print(f"vega (CRN-FD): {v:.6f}   closed-form FD {va:.6f}")
+    hwio.write_json(hwio.DATA_DIR / f"{kind}_results.json",
+                    f"{kind} pricing", cfg,
+                    results={"mc_price": float(res.price),
+                             "mc_se": float(res.std_error),
+                             "closed_form": tot, "z": z,
+                             "vega_fd": v, "vega_closed_fd": va,
+                             "caplets_mc": [float(x) for x in res.caplets],
+                             "caplets_closed": per})
+    return 0 if ok else 1
+
+
+def cmd_rfr(args):
+    """Backward-looking RFR caplet/floorlet (compounded + averaged
+    overnight-rate styles, the post-LIBOR convention family) vs the
+    exact tilted Black/Bachelier closed forms; HW and optional G2++
+    twins (product family beyond the reference)."""
+    from . import rfr
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 8282)
+    market = hwio.load_market(cfg)
+    style = "averaged" if args.averaged else "compounded"
+    start = cfg.s1 if args.start is None else args.start
+    span = dict(start=start, tenor=args.tenor, freq=args.freq) \
+        if args.end is None else dict(start=start, end=args.end)
+    mckw = dict(n_obs=args.n_obs, **span)
+    if args.rqmc:
+        # 8 digital-shift replicates at the same total path budget
+        mckw.update(rqmc=True, n_blocks=8,
+                    n_paths=max(cfg.n_paths // 8, 1024))
+    label = (f"[{start}, {args.end}]y" if args.end is not None
+             else f"{args.tenor}y strip @ {args.freq}/y from {start}y")
+    print(f"--- RFR {style} cap/floor: {label} @ "
+          f"{args.strike*100:.2f}%{' (RQMC)' if args.rqmc else ''} ---")
+    out, ok = {}, True
+    for floor in (False, True):
+        kind = "floor" if floor else "cap"
+        res = rfr.price_rfr_cap(cfg, key, market, strike=args.strike,
+                                style=style, floor=floor, **mckw)
+        orc, per = rfr.rfr_cap_closed_form(cfg, strike=args.strike,
+                                           style=style, floor=floor,
+                                           n_obs=args.n_obs, **span)
+        z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+        ok &= abs(z) < 4
+        print(f"{kind:5s} MC {float(res.price):.8f} +/- "
+              f"{float(res.std_error):.2e}   closed form {orc:.8f}   "
+              f"z = {z:+.2f}")
+        out[kind] = {"mc": float(res.price), "se": float(res.std_error),
+                     "closed_form": orc, "z": z,
+                     "caplets_mc": [float(x) for x in res.caplets],
+                     "caplets_closed": per}
+    _, v = rfr.vega_rfr_cap(cfg, key, strike=args.strike, style=style,
+                            **mckw)
+    e = 1e-5
+    va = (rfr.rfr_cap_closed_form(cfg, strike=args.strike, style=style,
+                                  n_obs=args.n_obs, sigma=cfg.sigma + e,
+                                  **span)[0]
+          - rfr.rfr_cap_closed_form(cfg, strike=args.strike, style=style,
+                                    n_obs=args.n_obs, sigma=cfg.sigma - e,
+                                    **span)[0]) / (2 * e)
+    print(f"cap vega (one jvp): {float(v):.6f}   closed-form FD {va:.6f}")
+    out["vega_jvp"], out["vega_closed_fd"] = float(v), va
+    if args.g2:
+        from .models.g2pp import G2Params
+
+        g = G2Params(a=args.g2a, b=args.g2b, sigma=args.g2sigma,
+                     eta=args.g2eta, rho=args.g2rho)
+        for floor in (False, True):
+            kind = "floor" if floor else "cap"
+            res = rfr.price_rfr_cap_g2(cfg, g, key, market,
+                                       strike=args.strike, style=style,
+                                       floor=floor, **mckw)
+            orc, _ = rfr.rfr_cap_closed_form_g2(cfg, g, market,
+                                                strike=args.strike,
+                                                style=style,
+                                                n_obs=args.n_obs,
+                                                floor=floor, **span)
+            z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+            ok &= abs(z) < 4
+            print(f"G2++ {kind:5s} MC {float(res.price):.8f} +/- "
+                  f"{float(res.std_error):.2e}   closed form {orc:.8f}   "
+                  f"z = {z:+.2f}")
+            out[f"g2_{kind}"] = {"mc": float(res.price),
+                                 "se": float(res.std_error),
+                                 "closed_form": orc, "z": z}
+    hwio.write_json(hwio.DATA_DIR / "rfr_results.json",
+                    f"RFR {style} caplet/floorlet", cfg, results=out)
+    print(f"agreement: {'PASS' if ok else 'CHECK'}")
+    return 0 if ok else 1
+
+
+def cmd_cms(args):
+    """CMS cap/floor leg: constant-maturity-swap caplets (convexity-
+    bearing payoff) on the exact multi-date states vs the fp64 tilted-
+    quadrature oracle (round 3; product family beyond the reference)."""
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 7171)
+    market = hwio.load_market(cfg)
+    kind = "CMS floor" if args.floor else "CMS cap"
+    print(f"--- {kind}: start {cfg.s1}y, tenor {args.tenor}y @ "
+          f"{args.rate*100:.2f}%, underlying {args.swap_tenor}y swap ---")
+    res = instruments.price_cms(cfg, key, market, rate=args.rate,
+                                tenor=args.tenor, freq=args.freq,
+                                swap_tenor=args.swap_tenor,
+                                floor=args.floor)
+    orc, per = instruments.cms_quadrature(
+        cfg, market, rate=args.rate, tenor=args.tenor, freq=args.freq,
+        swap_tenor=args.swap_tenor, floor=args.floor)
+    print(f"MC:         {float(res.price):.8f} "
+          f"+/- {float(res.std_error):.2e} (SE)")
+    print(f"quadrature: {orc:.8f}")
+    print("per-period MC:", np.array2string(np.asarray(res.periods),
+                                            precision=6))
+    z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+    ok = abs(z) < 4 or abs(float(res.price) - orc) < 2e-4
+    print(f"agreement: z = {z:.2f} ({'PASS' if ok else 'CHECK'})")
+    results = {"mc_price": float(res.price),
+               "mc_se": float(res.std_error),
+               "quadrature": orc, "z": z,
+               "periods_mc": [float(x) for x in res.periods],
+               "periods_quadrature": per}
+    if args.g2:
+        from .models import g2pp
+
+        g2 = g2pp.G2Params()
+        r2 = g2pp.price_cms_g2(cfg, g2, key, market, rate=args.rate,
+                               tenor=args.tenor, freq=args.freq,
+                               swap_tenor=args.swap_tenor,
+                               floor=args.floor)
+        o2, _ = g2pp.cms_quadrature_g2(cfg, g2, market, rate=args.rate,
+                                       tenor=args.tenor, freq=args.freq,
+                                       swap_tenor=args.swap_tenor,
+                                       floor=args.floor)
+        z2 = (float(r2.price) - o2) / max(float(r2.std_error), 1e-12)
+        ok2 = abs(z2) < 4 or abs(float(r2.price) - o2) < 2e-4
+        print(f"G2++ twin:  MC {float(r2.price):.8f} "
+              f"+/- {float(r2.std_error):.2e}  quadrature {o2:.8f}  "
+              f"z = {z2:.2f} ({'PASS' if ok2 else 'CHECK'})")
+        ok = ok and ok2
+        results["g2"] = {"mc_price": float(r2.price),
+                         "mc_se": float(r2.std_error),
+                         "quadrature": o2, "z": z2}
+    hwio.write_json(hwio.DATA_DIR / "cms_results.json", kind, cfg,
+                    results=results)
+    return 0 if ok else 1
+
+
+def cmd_exotics(args):
+    """Exotic payoff layer on the exact multi-date states (round 3):
+    CMS spread caplets (S_long - S_short - K)^+ vs the root-located
+    piecewise-quadrature fp64 oracle, and a range-accrual leg vs its
+    EXACT closed form (tilted Phi differences — no quadrature).
+    Product family beyond the CUDA reference's single option
+    (src/2_option_pricing.cu:14-35 is the product layer being widened)."""
+    from . import instruments
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 9393)
+    market = hwio.load_market(cfg)
+    rc = 0
+    results = {}
+
+    print(f"--- CMS spread cap: start {cfg.s1}y, tenor {args.tenor}y, "
+          f"(S_{args.long_tenor:g}y - S_{args.short_tenor:g}y - "
+          f"{args.strike*100:.2f}%)^+ ---")
+    res = instruments.price_cms_spread(
+        cfg, key, market, strike=args.strike, tenor=args.tenor,
+        freq=args.freq, long_tenor=args.long_tenor,
+        short_tenor=args.short_tenor)
+    orc, per = instruments.cms_spread_quadrature(
+        cfg, market, strike=args.strike, tenor=args.tenor, freq=args.freq,
+        long_tenor=args.long_tenor, short_tenor=args.short_tenor)
+    z = (float(res.price) - orc) / max(float(res.std_error), 1e-12)
+    ok = abs(z) < 4 or abs(float(res.price) - orc) < 2e-4
+    print(f"MC:         {float(res.price):.8f} "
+          f"+/- {float(res.std_error):.2e} (SE)")
+    print(f"quadrature: {orc:.8f}")
+    print(f"agreement: z = {z:.2f} ({'PASS' if ok else 'CHECK'})")
+    rc |= 0 if ok else 1
+    results["cms_spread"] = {
+        "mc_price": float(res.price), "mc_se": float(res.std_error),
+        "quadrature": orc, "z": z,
+        "periods_mc": [float(x) for x in res.periods],
+        "periods_quadrature": per}
+
+    print(f"--- range accrual: coupon {args.coupon*100:.2f}%, band "
+          f"[{args.lo*100:.2f}%, {args.hi*100:.2f}%], tenor {args.tenor}y, "
+          f"{args.obs} obs/period ---")
+    ra = instruments.price_range_accrual(
+        cfg, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    orc_ra, per_ra = instruments.range_accrual_closed_form(
+        cfg, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    z_ra = (float(ra.price) - orc_ra) / max(float(ra.std_error), 1e-12)
+    ok_ra = abs(z_ra) < 4 or abs(float(ra.price) - orc_ra) < 2e-4
+    print(f"MC:          {float(ra.price):.8f} "
+          f"+/- {float(ra.std_error):.2e} (SE)")
+    print(f"closed form: {orc_ra:.8f}")
+    print("mean accrual fractions:",
+          np.array2string(np.asarray(ra.mean_fraction), precision=4))
+    print(f"agreement: z = {z_ra:.2f} ({'PASS' if ok_ra else 'CHECK'})")
+    rc |= 0 if ok_ra else 1
+    results["range_accrual"] = {
+        "mc_price": float(ra.price), "mc_se": float(ra.std_error),
+        "closed_form": orc_ra, "z": z_ra,
+        "periods_mc": [float(x) for x in ra.periods],
+        "periods_closed_form": per_ra,
+        "mean_fractions": [float(x) for x in ra.mean_fraction]}
+
+    from .models import g2pp
+
+    print("--- G2++ range accrual (two-factor twin, same band) ---")
+    g2 = g2pp.G2Params()
+    ra2 = g2pp.price_range_accrual_g2(
+        cfg, g2, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    orc_ra2, _ = g2pp.range_accrual_closed_form_g2(
+        cfg, g2, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    z_ra2 = (float(ra2.price) - orc_ra2) / max(float(ra2.std_error), 1e-12)
+    ok_ra2 = abs(z_ra2) < 4 or abs(float(ra2.price) - orc_ra2) < 2e-4
+    print(f"MC:          {float(ra2.price):.8f} "
+          f"+/- {float(ra2.std_error):.2e} (SE)")
+    print(f"closed form: {orc_ra2:.8f}")
+    print(f"agreement: z = {z_ra2:.2f} ({'PASS' if ok_ra2 else 'CHECK'})")
+    rc |= 0 if ok_ra2 else 1
+    results["range_accrual_g2"] = {
+        "mc_price": float(ra2.price), "mc_se": float(ra2.std_error),
+        "closed_form": orc_ra2, "z": z_ra2}
+
+    print(f"--- puttable range-accrual note (Bermudan put at par, "
+          f"T_1..T_{int(args.tenor*args.freq)-1}) ---")
+    from . import range_note
+
+    dp = range_note.dp_oracle_range_note(
+        cfg, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    nt = range_note.price_range_note(
+        cfg, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs,
+        boundaries=dp.boundaries)
+    z_nt = (float(nt.price) - dp.price) / max(float(nt.std_error), 1e-12)
+    ok_nt = abs(z_nt) < 4 or abs(float(nt.price) - dp.price) < 2e-4
+    print(f"DP oracle:   {dp.price:.8f} (plain {dp.plain_price:.8f}, "
+          f"put premium {dp.put_premium:.6f})")
+    print(f"MC (CV):     {float(nt.price):.8f} "
+          f"+/- {float(nt.std_error):.2e} (SE; raw SE "
+          f"{float(nt.raw_std_error):.2e})")
+    print(f"put fraction {float(nt.put_fraction):.4f}, boundaries "
+          + np.array2string(np.asarray(dp.boundaries), precision=5))
+    print(f"agreement: z = {z_nt:.2f} ({'PASS' if ok_nt else 'CHECK'})")
+    rc |= 0 if ok_nt else 1
+    nv = range_note.vega_range_note(
+        cfg, key, market, coupon=args.coupon, lo=args.lo, hi=args.hi,
+        tenor=args.tenor, freq=args.freq, obs_per_period=args.obs,
+        n_paths=min(cfg.n_paths, 1 << 16))
+    print(f"note vega: CRN-FD {float(nv.vega):.6f} vs DP FD "
+          f"{nv.dp_vega:.6f} (envelope check)")
+    results["range_note_vega"] = {"mc_crn_fd": float(nv.vega),
+                                  "dp_fd": nv.dp_vega}
+    results["range_note"] = {
+        "dp_price": dp.price, "dp_plain": dp.plain_price,
+        "put_premium": dp.put_premium,
+        "boundaries": [float(b) for b in dp.boundaries],
+        "mc_price": float(nt.price), "mc_se": float(nt.std_error),
+        "mc_raw_se": float(nt.raw_std_error),
+        "put_fraction": float(nt.put_fraction), "z": z_nt,
+        "profile_r": list(dp.profile_x[::4]),
+        "profile_cont": list(dp.profile_cont[::4]),
+        "coupon": args.coupon, "lo": args.lo, "hi": args.hi}
+
+    print(f"--- range-accrual TARN: target {args.target*100:.2f}% "
+          f"cumulative coupon (1 obs/period, exact lattice DP) ---")
+    tkw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
+               target=args.target, tenor=args.tenor, freq=args.freq)
+    tdp = range_note.dp_oracle_tarn(cfg, market, **tkw)
+    tmc = range_note.price_tarn(cfg, key, market, **tkw)
+    z_t = (float(tmc.price) - tdp.price) / max(float(tmc.std_error), 1e-12)
+    ok_t = abs(z_t) < 4 or abs(float(tmc.price) - tdp.price) < 2e-4
+    print(f"DP (lattice): {tdp.price:.8f}  knockout prob "
+          f"{tdp.ko_prob:.4f}")
+    print(f"MC:           {float(tmc.price):.8f} "
+          f"+/- {float(tmc.std_error):.2e} (SE); knockout fraction "
+          f"{float(tmc.ko_fraction):.4f}, mean coupon total "
+          f"{float(tmc.mean_total):.5f}")
+    print(f"agreement: z = {z_t:.2f} ({'PASS' if ok_t else 'CHECK'})")
+    rc |= 0 if ok_t else 1
+    results["tarn"] = {
+        "dp_price": tdp.price, "dp_ko_prob": tdp.ko_prob,
+        "mc_price": float(tmc.price), "mc_se": float(tmc.std_error),
+        "mc_ko_fraction": float(tmc.ko_fraction),
+        "mc_mean_total": float(tmc.mean_total), "z": z_t,
+        "target": args.target}
+
+    print("--- G2++ puttable range-accrual note (2-d (u, w) DP oracle, "
+          "boundary-curve policy MC) ---")
+    from . import g2_note
+
+    nkw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
+               tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
+    # --fine: the (u, w) DP's piecewise-bilinear surface carries an
+    # O(h^2) convexity bias concentrated at the exercise kink (measured
+    # +7e-5 at the 161/61/16 defaults, +1.3e-5 at 241/91/24 on the
+    # headline note); artifact runs quote the fine oracle
+    fine = (dict(n_u=241, n_w=91, n_quad=20) if getattr(args, "fine",
+                                                        False) else {})
+    dp2 = g2_note.dp_oracle_range_note_g2(cfg, g2, market, **nkw, **fine)
+    nt2 = g2_note.price_range_note_g2(cfg, g2, key, market,
+                                      boundaries=dp2.boundaries, **nkw)
+    z_n2 = (float(nt2.price) - dp2.price) / max(float(nt2.std_error), 1e-12)
+    ok_n2 = abs(z_n2) < 4 or abs(float(nt2.price) - dp2.price) < 2e-4
+    print(f"DP oracle:   {dp2.price:.8f} (plain {dp2.plain_price:.8f}, "
+          f"put premium {dp2.put_premium:.6f})")
+    print(f"MC (CV):     {float(nt2.price):.8f} "
+          f"+/- {float(nt2.std_error):.2e} (SE; raw SE "
+          f"{float(nt2.raw_std_error):.2e})")
+    print(f"put fraction {float(nt2.put_fraction):.4f}")
+    print(f"agreement: z = {z_n2:.2f} ({'PASS' if ok_n2 else 'CHECK'})")
+    rc |= 0 if ok_n2 else 1
+    nv2 = g2_note.vega_range_note_g2(
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16),
+        dp_kwargs=fine, **nkw)
+    print(f"note vega: CRN-FD {float(nv2.vega):.6f} vs DP FD "
+          f"{nv2.dp_vega:.6f} (2-d envelope check)")
+    results["range_note_g2_vega"] = {"mc_crn_fd": float(nv2.vega),
+                                     "dp_fd": nv2.dp_vega}
+    results["range_note_g2"] = {
+        "dp_price": dp2.price, "dp_plain": dp2.plain_price,
+        "put_premium": dp2.put_premium,
+        "mc_price": float(nt2.price), "mc_se": float(nt2.std_error),
+        "mc_raw_se": float(nt2.raw_std_error),
+        "put_fraction": float(nt2.put_fraction), "z": z_n2,
+        "boundary_w": [list(b[0][::8]) for b in dp2.boundaries],
+        "boundary_u": [list(b[1][::8]) for b in dp2.boundaries]}
+
+    print("--- G2++ range-accrual TARN (lattice DP over (K, u, w)) ---")
+    t2kw = dict(coupon=args.coupon, lo=args.lo, hi=args.hi,
+                target=args.target, tenor=args.tenor, freq=args.freq)
+    tdp2 = g2_note.dp_oracle_tarn_g2(cfg, g2, market, **t2kw, **fine)
+    tmc2 = g2_note.price_tarn_g2(cfg, g2, key, market, **t2kw)
+    z_t2 = (float(tmc2.price) - tdp2.price) / max(float(tmc2.std_error),
+                                                  1e-12)
+    ok_t2 = abs(z_t2) < 4 or abs(float(tmc2.price) - tdp2.price) < 2e-4
+    print(f"DP (lattice): {tdp2.price:.8f}  knockout prob "
+          f"{tdp2.ko_prob:.4f}")
+    print(f"MC:           {float(tmc2.price):.8f} "
+          f"+/- {float(tmc2.std_error):.2e} (SE); knockout fraction "
+          f"{float(tmc2.ko_fraction):.4f}, mean coupon total "
+          f"{float(tmc2.mean_total):.5f}")
+    print(f"agreement: z = {z_t2:.2f} ({'PASS' if ok_t2 else 'CHECK'})")
+    rc |= 0 if ok_t2 else 1
+    results["tarn_g2"] = {
+        "dp_price": tdp2.price, "dp_ko_prob": tdp2.ko_prob,
+        "mc_price": float(tmc2.price), "mc_se": float(tmc2.std_error),
+        "mc_ko_fraction": float(tmc2.ko_fraction),
+        "mc_mean_total": float(tmc2.mean_total), "z": z_t2,
+        "target": args.target}
+
+    print(f"--- chooser (flexi) cap: k = {args.rights} of "
+          f"{int(args.tenor * args.freq)} caplets at "
+          f"{args.cap_rate*100:.2f}%, vs auto-cap ---")
+    from . import chooser as flexi
+
+    ckw = dict(rate=args.cap_rate, k=args.rights, tenor=args.tenor,
+               freq=args.freq)
+    cdp = flexi.dp_oracle_chooser_cap(cfg, market, **ckw)
+    cmc = flexi.price_chooser_cap(cfg, key, market, **ckw)
+    z_c = (float(cmc.price) - cdp.price) / max(float(cmc.std_error), 1e-12)
+    ok_c = abs(z_c) < 4 or abs(float(cmc.price) - cdp.price) < 2e-4
+    cap_cf, _ = instruments.cap_closed_form(cfg, market,
+                                            rate=args.cap_rate,
+                                            tenor=args.tenor,
+                                            freq=args.freq)
+    print(f"DP oracle:   {cdp.price:.8f}  (full cap {cdp.cap_price:.8f}, "
+          f"closed form {cap_cf:.8f})")
+    print(f"MC (CV):     {float(cmc.price):.8f} "
+          f"+/- {float(cmc.std_error):.2e} (SE; raw SE "
+          f"{float(cmc.raw_std_error):.2e}); mean rights used "
+          f"{float(cmc.used_mean):.3f}")
+    print(f"agreement: z = {z_c:.2f} ({'PASS' if ok_c else 'CHECK'})")
+    rc |= 0 if ok_c else 1
+    adp = flexi.dp_oracle_chooser_cap(cfg, market, auto=True, **ckw)
+    amc = flexi.price_chooser_cap(cfg, key, market, auto=True, **ckw)
+    z_a = (float(amc.price) - adp.price) / max(float(amc.std_error), 1e-12)
+    ok_a = abs(z_a) < 4 or abs(float(amc.price) - adp.price) < 2e-4
+    print(f"auto-cap DP: {adp.price:.8f}   MC {float(amc.price):.8f} "
+          f"+/- {float(amc.std_error):.2e}  z = {z_a:.2f} "
+          f"({'PASS' if ok_a else 'CHECK'}); choice premium "
+          f"{cdp.price - adp.price:.6f}")
+    rc |= 0 if ok_a else 1
+    cv = flexi.vega_chooser_cap(cfg, key, market,
+                                n_paths=min(cfg.n_paths, 1 << 16), **ckw)
+    print(f"chooser vega: CRN-FD {float(cv.vega):.6f} vs DP FD "
+          f"{cv.dp_vega:.6f} (frozen-policy envelope check)")
+    results["chooser_cap"] = {
+        "dp_price": cdp.price, "dp_cap": cdp.cap_price,
+        "cap_closed_form": cap_cf, "mc_price": float(cmc.price),
+        "mc_se": float(cmc.std_error),
+        "mc_raw_se": float(cmc.raw_std_error),
+        "used_mean": float(cmc.used_mean), "z": z_c,
+        "auto_dp": adp.price, "auto_mc": float(amc.price),
+        "auto_z": z_a, "choice_premium": cdp.price - adp.price,
+        "vega_mc_crn_fd": float(cv.vega), "vega_dp_fd": cv.dp_vega,
+        "k": args.rights, "rate": args.cap_rate}
+
+    print(f"--- G2++ chooser cap (two-factor twin: boundary CURVES "
+          f"u*(w) per (date, rights) on the (u, w) swing DP) ---")
+    c2kw = dict(ckw, n_paths=min(cfg.n_paths, 1 << 17))
+    cdp2 = flexi.dp_oracle_chooser_cap_g2(cfg, g2, market, **ckw)
+    cmc2 = flexi.price_chooser_cap_g2(cfg, g2, key, market,
+                                      boundaries=cdp2.boundaries, **c2kw)
+    # the default-grid (u, w) DP carries the documented O(h^2) bias;
+    # gate on the absolute gap like the note products
+    ok_c2 = abs(float(cmc2.price) - cdp2.price) < 2.5e-4
+    print(f"DP oracle:   {cdp2.price:.8f}  (full cap "
+          f"{cdp2.cap_price:.8f})")
+    print(f"MC (CV):     {float(cmc2.price):.8f} "
+          f"+/- {float(cmc2.std_error):.2e} (SE; raw SE "
+          f"{float(cmc2.raw_std_error):.2e}); mean rights used "
+          f"{float(cmc2.used_mean):.3f}")
+    print(f"agreement: |MC - DP| = "
+          f"{abs(float(cmc2.price) - cdp2.price):.2e} "
+          f"({'PASS' if ok_c2 else 'CHECK'})")
+    rc |= 0 if ok_c2 else 1
+    adp2 = flexi.dp_oracle_chooser_cap_g2(cfg, g2, market, auto=True,
+                                          **ckw)
+    amc2 = flexi.price_chooser_cap_g2(cfg, g2, key, market, auto=True,
+                                      **c2kw)
+    z_a2 = (float(amc2.price) - adp2.price) / max(float(amc2.std_error),
+                                                  1e-12)
+    ok_a2 = abs(z_a2) < 4 or abs(float(amc2.price) - adp2.price) < 2e-4
+    print(f"auto-cap DP: {adp2.price:.8f}   MC {float(amc2.price):.8f} "
+          f"+/- {float(amc2.std_error):.2e}  z = {z_a2:.2f} "
+          f"({'PASS' if ok_a2 else 'CHECK'}); choice premium "
+          f"{cdp2.price - adp2.price:.6f}")
+    rc |= 0 if ok_a2 else 1
+    results["chooser_cap_g2"] = {
+        "dp_price": cdp2.price, "dp_cap": cdp2.cap_price,
+        "mc_price": float(cmc2.price), "mc_se": float(cmc2.std_error),
+        "mc_raw_se": float(cmc2.raw_std_error),
+        "used_mean": float(cmc2.used_mean),
+        "auto_dp": adp2.price, "auto_mc": float(amc2.price),
+        "auto_z": z_a2, "choice_premium": cdp2.price - adp2.price,
+        "k": args.rights, "rate": args.cap_rate}
+
+    print(f"--- ratchet cap: strike resets to previous LIBOR + "
+          f"{args.ratchet_spread*100:.2f}% (Rao-Blackwell MC vs "
+          f"GH-outer/closed-inner fp64 quadrature) ---")
+    from . import ratchet
+
+    rkw = dict(spread=args.ratchet_spread, tenor=args.tenor,
+               freq=args.freq)
+    rq, rq_per = ratchet.ratchet_cap_quadrature(cfg, market, **rkw)
+    rmc = ratchet.price_ratchet_cap(cfg, key, market, **rkw)
+    z_rt = (float(rmc.price) - rq) / max(float(rmc.std_error), 1e-12)
+    ok_rt = abs(z_rt) < 4 or abs(float(rmc.price) - rq) < 2e-4
+    print(f"quadrature:  {rq:.8f}")
+    print(f"MC (RB+CV):  {float(rmc.price):.8f} "
+          f"+/- {float(rmc.std_error):.2e} (SE; raw kinked-payoff SE "
+          f"{float(rmc.raw_std_error):.2e})")
+    print(f"agreement: z = {z_rt:.2f} ({'PASS' if ok_rt else 'CHECK'})")
+    rc |= 0 if ok_rt else 1
+    rrq = ratchet.price_ratchet_cap(cfg, key, market, rqmc=True,
+                                    n_paths=max(cfg.n_paths // 8,
+                                                1 << 12),
+                                    n_blocks=8, **rkw)
+    print(f"RQMC (8 shifts): {float(rrq.price):.8f} "
+          f"+/- {float(rrq.std_error):.2e} (smooth RB integrand: "
+          f"~50x the MC SE at equal paths)")
+    results_rqmc = {"price": float(rrq.price),
+                    "se": float(rrq.std_error)}
+    rv = ratchet.vega_ratchet_cap(cfg, key, market,
+                                  n_paths=min(cfg.n_paths, 1 << 16), **rkw)
+    print(f"ratchet vega: CRN-FD {float(rv.vega):.6f} vs quadrature FD "
+          f"{rv.oracle_vega:.6f}")
+    results["ratchet_cap"] = {
+        "quadrature": rq, "periods_quadrature": rq_per,
+        "mc_price": float(rmc.price), "mc_se": float(rmc.std_error),
+        "mc_raw_se": float(rmc.raw_std_error),
+        "periods_mc": [float(x) for x in rmc.periods], "z": z_rt,
+        "rqmc": results_rqmc,
+        "vega_mc_crn_fd": float(rv.vega),
+        "vega_quadrature_fd": rv.oracle_vega,
+        "spread": args.ratchet_spread}
+
+    print("--- G2++ ratchet cap (two-factor twin on the strip "
+          "projection) ---")
+    rq2, _ = ratchet.ratchet_cap_quadrature_g2(cfg, g2, market, **rkw)
+    rmc2 = ratchet.price_ratchet_cap_g2(cfg, g2, key, market, **rkw)
+    z_rt2 = (float(rmc2.price) - rq2) / max(float(rmc2.std_error), 1e-12)
+    ok_rt2 = abs(z_rt2) < 4 or abs(float(rmc2.price) - rq2) < 2e-4
+    print(f"quadrature:  {rq2:.8f}")
+    print(f"MC (RB+CV):  {float(rmc2.price):.8f} "
+          f"+/- {float(rmc2.std_error):.2e} (SE; raw SE "
+          f"{float(rmc2.raw_std_error):.2e})")
+    print(f"agreement: z = {z_rt2:.2f} ({'PASS' if ok_rt2 else 'CHECK'})")
+    rc |= 0 if ok_rt2 else 1
+    rrq2 = ratchet.price_ratchet_cap_g2(cfg, g2, key, market, rqmc=True,
+                                        n_paths=max(cfg.n_paths // 8,
+                                                    1 << 12),
+                                        n_blocks=8, **rkw)
+    print(f"RQMC (8 shifts): {float(rrq2.price):.8f} "
+          f"+/- {float(rrq2.std_error):.2e}")
+    results["ratchet_cap_g2"] = {
+        "quadrature": rq2, "mc_price": float(rmc2.price),
+        "mc_se": float(rmc2.std_error),
+        "mc_raw_se": float(rmc2.raw_std_error), "z": z_rt2,
+        "rqmc": {"price": float(rrq2.price),
+                 "se": float(rrq2.std_error)}}
+
+    print(f"--- up-and-out cap: strike {args.cap_rate*100:.2f}%, "
+          f"knock-out at L >= {args.ko_barrier*100:.2f}% (survival-"
+          f"indicator MC vs 1-d double-node DP) ---")
+    from . import barrier as ko
+
+    kkw = dict(rate=args.cap_rate, barrier=args.ko_barrier,
+               tenor=args.tenor, freq=args.freq)
+    kdp = ko.dp_oracle_ko_cap(cfg, market, **kkw)
+    kmc = ko.price_ko_cap(cfg, key, market, **kkw)
+    z_ko = (float(kmc.price) - kdp.price) / max(float(kmc.std_error),
+                                                1e-12)
+    ok_ko = abs(z_ko) < 4 or abs(float(kmc.price) - kdp.price) < 2e-4
+    print(f"DP oracle:   {kdp.price:.8f} (full cap {kdp.cap_price:.8f}, "
+          f"survival {kdp.survival:.4f})")
+    print(f"MC (CV):     {float(kmc.price):.8f} "
+          f"+/- {float(kmc.std_error):.2e} (SE; raw SE "
+          f"{float(kmc.raw_std_error):.2e}); knock-out fraction "
+          f"{float(kmc.ko_fraction):.4f}")
+    print(f"agreement: z = {z_ko:.2f} ({'PASS' if ok_ko else 'CHECK'})")
+    rc |= 0 if ok_ko else 1
+    kv = ko.vega_ko_cap(cfg, key, market,
+                        n_paths=min(cfg.n_paths, 1 << 16), **kkw)
+    print(f"KO-cap vega: CRN-FD {float(kv.vega):.6f} vs DP FD "
+          f"{kv.dp_vega:.6f} (indicator-FD envelope check)")
+    results["ko_cap"] = {
+        "dp_price": kdp.price, "dp_cap": kdp.cap_price,
+        "dp_survival": kdp.survival, "mc_price": float(kmc.price),
+        "mc_se": float(kmc.std_error),
+        "mc_raw_se": float(kmc.raw_std_error),
+        "ko_fraction": float(kmc.ko_fraction), "z": z_ko,
+        "vega_mc_crn_fd": float(kv.vega), "vega_dp_fd": kv.dp_vega,
+        "barrier": args.ko_barrier, "rate": args.cap_rate}
+
+    print(f"--- G2++ up-and-out cap (two-factor twin: barrier is a "
+          f"vertical line in u, (u, w) double-node DP) ---")
+    kdp2 = ko.dp_oracle_ko_cap_g2(cfg, g2, market, **kkw)
+    kmc2 = ko.price_ko_cap_g2(cfg, g2, key, market, **kkw)
+    z_ko2 = (float(kmc2.price) - kdp2.price) / max(float(kmc2.std_error),
+                                                   1e-12)
+    ok_ko2 = abs(z_ko2) < 4 or abs(float(kmc2.price) - kdp2.price) < 2e-4
+    print(f"DP oracle:   {kdp2.price:.8f} (full cap {kdp2.cap_price:.8f},"
+          f" survival {kdp2.survival:.4f})")
+    print(f"MC (CV):     {float(kmc2.price):.8f} "
+          f"+/- {float(kmc2.std_error):.2e} (SE; raw SE "
+          f"{float(kmc2.raw_std_error):.2e}); knock-out fraction "
+          f"{float(kmc2.ko_fraction):.4f}")
+    print(f"agreement: z = {z_ko2:.2f} ({'PASS' if ok_ko2 else 'CHECK'})")
+    rc |= 0 if ok_ko2 else 1
+    results["ko_cap_g2"] = {
+        "dp_price": kdp2.price, "dp_cap": kdp2.cap_price,
+        "dp_survival": kdp2.survival, "mc_price": float(kmc2.price),
+        "mc_se": float(kmc2.std_error),
+        "mc_raw_se": float(kmc2.raw_std_error),
+        "ko_fraction": float(kmc2.ko_fraction), "z": z_ko2,
+        "barrier": args.ko_barrier, "rate": args.cap_rate}
+
+    hwio.write_json(hwio.DATA_DIR / "exotics_results.json", "exotics", cfg,
+                    results=results)
+    return rc
+
+
+def cmd_notes(args):
+    """Structured-note layer: the snowball note (continuous-state
+    path-dependent coupon, 2-d (r, coupon) DP oracle, unclipped-linear
+    closed-form CV) and the issuer-callable capped floater (kinked
+    deterministic coupon, closed-form plain leg, 1-d DP oracle,
+    issuer-policy MC upper bound), both with frozen-policy CRN-FD vegas
+    checked against the re-optimizing DP central difference (envelope
+    theorem).  Widens the reference's product layer
+    (src/2_option_pricing.cu:14-35)."""
+    from . import floater, snowball
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 77121)
+    market = hwio.load_market(cfg)
+    rc = 0
+    results = {}
+
+    print(f"--- snowball note: c_j = clip(c_j-1 + spread - L, floor, cap), "
+          f"c_0 {args.sb_initial*100:.2f}%, spread {args.sb_spread*100:.2f}%"
+          f", cap {args.sb_cap*100:.2f}%, tenor {args.tenor}y ---")
+    skw = dict(initial=args.sb_initial, spread=args.sb_spread,
+               cap=args.sb_cap, floor=args.floor, tenor=args.tenor,
+               freq=args.freq)
+    sdp = snowball.dp_oracle_snowball(cfg, market, **skw)
+    smc = snowball.price_snowball(cfg, key, market, **skw)
+    z_s = (float(smc.price) - sdp.price) / max(float(smc.std_error), 1e-12)
+    ok_s = abs(z_s) < 4 or abs(float(smc.price) - sdp.price) < 2e-4
+    print(f"DP oracle:   {sdp.price:.8f} (unclipped linear CF "
+          f"{sdp.linear_price:.8f})")
+    print(f"MC (CV):     {float(smc.price):.8f} "
+          f"+/- {float(smc.std_error):.2e} (SE; raw SE "
+          f"{float(smc.raw_std_error):.2e})")
+    print(f"mean final coupon: MC {float(smc.mean_final_coupon):.6f} "
+          f"vs DP {sdp.mean_final_coupon:.6f}")
+    print(f"agreement: z = {z_s:.2f} ({'PASS' if ok_s else 'CHECK'})")
+    rc |= 0 if ok_s else 1
+    sv = snowball.vega_snowball(cfg, key, market,
+                                n_paths=min(cfg.n_paths, 1 << 16), **skw)
+    print(f"snowball vega: CRN-FD {float(sv.vega):.6f} vs DP FD "
+          f"{sv.dp_vega:.6f}")
+    results["snowball"] = {
+        "dp_price": sdp.price, "linear_closed_form": sdp.linear_price,
+        "mc_price": float(smc.price), "mc_se": float(smc.std_error),
+        "mc_raw_se": float(smc.raw_std_error), "z": z_s,
+        "mean_final_coupon_mc": float(smc.mean_final_coupon),
+        "mean_final_coupon_dp": sdp.mean_final_coupon,
+        "vega_crn_fd": float(sv.vega), "vega_dp_fd": sv.dp_vega}
+
+    print("--- callable snowball: issuer call at par, boundary-curve "
+          "policy r*(c) over the (r, coupon) DP ---")
+    csdp = snowball.dp_oracle_callable_snowball(cfg, market, **skw)
+    csmc = snowball.price_callable_snowball(
+        cfg, key, market, boundaries=csdp.boundaries, c_grid=csdp.c_grid,
+        plain_mean=csdp.plain_price, **skw)
+    z_cs = (float(csmc.price) - csdp.price) / max(float(csmc.std_error),
+                                                  1e-12)
+    ok_cs = abs(z_cs) < 4 or abs(float(csmc.price) - csdp.price) < 2e-4
+    print(f"DP oracle:   {csdp.price:.8f} (plain {csdp.plain_price:.8f}, "
+          f"call discount {csdp.call_premium:.6f})")
+    print(f"MC (2-CV):   {float(csmc.price):.8f} "
+          f"+/- {float(csmc.std_error):.2e} (SE; raw SE "
+          f"{float(csmc.raw_std_error):.2e}); call fraction "
+          f"{float(csmc.call_fraction):.4f}")
+    print(f"agreement: z = {z_cs:.2f} ({'PASS' if ok_cs else 'CHECK'})")
+    rc |= 0 if ok_cs else 1
+    csv_ = snowball.vega_callable_snowball(
+        cfg, key, market, n_paths=min(cfg.n_paths, 1 << 16), **skw)
+    print(f"callable-snowball vega: CRN-FD {float(csv_.vega):.6f} vs DP "
+          f"FD {csv_.dp_vega:.6f} (envelope check)")
+    results["callable_snowball"] = {
+        "dp_price": csdp.price, "dp_plain": csdp.plain_price,
+        "call_premium": csdp.call_premium,
+        "mc_price": float(csmc.price), "mc_se": float(csmc.std_error),
+        "mc_raw_se": float(csmc.raw_std_error), "z": z_cs,
+        "call_fraction": float(csmc.call_fraction),
+        "vega_crn_fd": float(csv_.vega), "vega_dp_fd": csv_.dp_vega}
+
+    print(f"--- callable capped floater: clip(L + "
+          f"{args.fl_spread*100:.2f}%, {args.floor*100:.2f}%, "
+          f"{args.fl_cap*100:.2f}%), tenor {args.fl_tenor}y, issuer call "
+          f"at par ---")
+    fkw = dict(cap=args.fl_cap, floor=args.floor, spread=args.fl_spread,
+               tenor=args.fl_tenor, freq=args.freq)
+    fdp = floater.dp_oracle_capped_floater(cfg, market, **fkw)
+    fcf = floater.capped_floater_closed_form(cfg, market, **fkw)
+    fmc = floater.price_capped_floater(cfg, key, market,
+                                       boundaries=fdp.boundaries, **fkw)
+    z_f = (float(fmc.price) - fdp.price) / max(float(fmc.std_error), 1e-12)
+    ok_f = abs(z_f) < 4 or abs(float(fmc.price) - fdp.price) < 2e-4
+    print(f"DP oracle:   {fdp.price:.8f} (plain {fdp.plain_price:.8f}, "
+          f"CF coupon leg {fcf[0]:.8f}, call discount "
+          f"{fdp.plain_price - fdp.price:.6f})")
+    print(f"MC (CV):     {float(fmc.price):.8f} "
+          f"+/- {float(fmc.std_error):.2e} (SE; raw SE "
+          f"{float(fmc.raw_std_error):.2e}); call fraction "
+          f"{float(fmc.call_fraction):.4f}")
+    print(f"agreement: z = {z_f:.2f} ({'PASS' if ok_f else 'CHECK'})")
+    rc |= 0 if ok_f else 1
+    fv = floater.vega_capped_floater(cfg, key, market,
+                                     n_paths=min(cfg.n_paths, 1 << 16),
+                                     **fkw)
+    print(f"floater vega: CRN-FD {float(fv.vega):.6f} vs DP FD "
+          f"{fv.dp_vega:.6f} (envelope check)")
+    results["capped_floater"] = {
+        "dp_price": fdp.price, "dp_plain": fdp.plain_price,
+        "closed_form_coupon_leg": fcf[0],
+        "mc_price": float(fmc.price), "mc_se": float(fmc.std_error),
+        "mc_raw_se": float(fmc.raw_std_error), "z": z_f,
+        "call_fraction": float(fmc.call_fraction),
+        "boundaries": [float(b) for b in fdp.boundaries],
+        "vega_crn_fd": float(fv.vega), "vega_dp_fd": fv.dp_vega}
+
+    from . import g2_note
+    from .models import g2pp
+
+    g2 = g2pp.G2Params()
+    fine = (dict(n_u=241, n_w=91, n_quad=20) if getattr(args, "fine",
+                                                        False) else {})
+    print("--- G2++ snowball note ((u, w, c) DP oracle, surface-batched "
+          "c-levels) ---")
+    sdp2 = g2_note.dp_oracle_snowball_g2(cfg, g2, market, **skw, **fine)
+    smc2 = g2_note.price_snowball_g2(cfg, g2, key, market, **skw)
+    z_s2 = (float(smc2.price) - sdp2.price) / max(float(smc2.std_error),
+                                                  1e-12)
+    ok_s2 = abs(z_s2) < 4 or abs(float(smc2.price) - sdp2.price) < 2e-4
+    print(f"DP oracle:   {sdp2.price:.8f} (unclipped linear CF "
+          f"{sdp2.linear_price:.8f})")
+    print(f"MC (CV):     {float(smc2.price):.8f} "
+          f"+/- {float(smc2.std_error):.2e} (SE; raw SE "
+          f"{float(smc2.raw_std_error):.2e})")
+    print(f"mean final coupon: MC {float(smc2.mean_final_coupon):.6f} "
+          f"vs DP {sdp2.mean_final_coupon:.6f}")
+    print(f"agreement: z = {z_s2:.2f} ({'PASS' if ok_s2 else 'CHECK'})")
+    rc |= 0 if ok_s2 else 1
+    sv2 = g2_note.vega_snowball_g2(cfg, g2, key, market,
+                                   n_paths=min(cfg.n_paths, 1 << 16),
+                                   dp_kwargs=fine, **skw)
+    print(f"snowball vega: CRN-FD {float(sv2.vega):.6f} vs DP FD "
+          f"{sv2.dp_vega:.6f}")
+    results["snowball_g2"] = {
+        "dp_price": sdp2.price, "linear_closed_form": sdp2.linear_price,
+        "mc_price": float(smc2.price), "mc_se": float(smc2.std_error),
+        "mc_raw_se": float(smc2.raw_std_error), "z": z_s2,
+        "mean_final_coupon_mc": float(smc2.mean_final_coupon),
+        "mean_final_coupon_dp": sdp2.mean_final_coupon,
+        "vega_crn_fd": float(sv2.vega), "vega_dp_fd": sv2.dp_vega}
+
+    print("--- G2++ callable snowball (issuer call at par, boundary "
+          "SURFACES u*(w, c) over the (u, w, c) DP) ---")
+    # moderate grids by default: the callable DP runs the backward pass
+    # twice (call on/off); --fine restores the snowball defaults
+    csg = (dict(n_u=161, n_w=61, n_quad=16) if getattr(args, "fine",
+                                                       False)
+           else dict(n_u=121, n_w=41, n_quad=12))
+    csdp2 = g2_note.dp_oracle_callable_snowball_g2(cfg, g2, market,
+                                                   **skw, **csg)
+    csmc2 = g2_note.price_callable_snowball_g2(
+        cfg, g2, key, market, boundaries=csdp2.boundaries,
+        c_grid=csdp2.c_grid, plain_mean=csdp2.plain_price, **skw)
+    # the (u, w) bilinear DP carries the documented O(h^2) bias; gate
+    # on the absolute gap like the other G2 note products
+    ok_cs2 = abs(float(csmc2.price) - csdp2.price) < 5e-4
+    print(f"DP oracle:   {csdp2.price:.8f} (plain "
+          f"{csdp2.plain_price:.8f}, call discount "
+          f"{csdp2.call_premium:.6f})")
+    print(f"MC (2-CV):   {float(csmc2.price):.8f} "
+          f"+/- {float(csmc2.std_error):.2e} (SE; raw SE "
+          f"{float(csmc2.raw_std_error):.2e}); call fraction "
+          f"{float(csmc2.call_fraction):.4f}")
+    print(f"agreement: |MC - DP| = "
+          f"{abs(float(csmc2.price) - csdp2.price):.2e} "
+          f"({'PASS' if ok_cs2 else 'CHECK'})")
+    rc |= 0 if ok_cs2 else 1
+    csv2 = g2_note.vega_callable_snowball_g2(
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16),
+        dp_kwargs=csg, **skw)
+    print(f"callable-snowball vega: CRN-FD {float(csv2.vega):.6f} vs "
+          f"DP FD {csv2.dp_vega:.6f} (frozen-surface envelope check)")
+    results["callable_snowball_g2"] = {
+        "dp_price": csdp2.price, "dp_plain": csdp2.plain_price,
+        "call_premium": csdp2.call_premium,
+        "mc_price": float(csmc2.price), "mc_se": float(csmc2.std_error),
+        "mc_raw_se": float(csmc2.raw_std_error),
+        "call_fraction": float(csmc2.call_fraction),
+        "vega_crn_fd": float(csv2.vega), "vega_dp_fd": csv2.dp_vega}
+
+    print("--- G2++ callable capped floater (2-d (u, w) DP oracle, "
+          "boundary-curve issuer policy) ---")
+    fdp2 = g2_note.dp_oracle_capped_floater_g2(cfg, g2, market, **fkw,
+                                                **fine)
+    fcf2 = g2_note.capped_floater_closed_form_g2(cfg, g2, market, **fkw)
+    fmc2 = g2_note.price_capped_floater_g2(cfg, g2, key, market,
+                                           boundaries=fdp2.boundaries,
+                                           **fkw)
+    z_f2 = (float(fmc2.price) - fdp2.price) / max(float(fmc2.std_error),
+                                                  1e-12)
+    ok_f2 = abs(z_f2) < 4 or abs(float(fmc2.price) - fdp2.price) < 2e-4
+    print(f"DP oracle:   {fdp2.price:.8f} (plain {fdp2.plain_price:.8f}, "
+          f"CF coupon leg {fcf2[0]:.8f}, call discount "
+          f"{fdp2.call_premium:.6f})")
+    print(f"MC (CV):     {float(fmc2.price):.8f} "
+          f"+/- {float(fmc2.std_error):.2e} (SE; raw SE "
+          f"{float(fmc2.raw_std_error):.2e}); call fraction "
+          f"{float(fmc2.call_fraction):.4f}")
+    print(f"agreement: z = {z_f2:.2f} ({'PASS' if ok_f2 else 'CHECK'})")
+    rc |= 0 if ok_f2 else 1
+    fv2 = g2_note.vega_capped_floater_g2(
+        cfg, g2, key, market, n_paths=min(cfg.n_paths, 1 << 16),
+        dp_kwargs=fine, **fkw)
+    print(f"floater vega: CRN-FD {float(fv2.vega):.6f} vs DP FD "
+          f"{fv2.dp_vega:.6f} (2-d envelope check)")
+    results["capped_floater_g2"] = {
+        "dp_price": fdp2.price, "dp_plain": fdp2.plain_price,
+        "closed_form_coupon_leg": fcf2[0],
+        "mc_price": float(fmc2.price), "mc_se": float(fmc2.std_error),
+        "mc_raw_se": float(fmc2.raw_std_error), "z": z_f2,
+        "call_fraction": float(fmc2.call_fraction),
+        "vega_crn_fd": float(fv2.vega), "vega_dp_fd": fv2.dp_vega}
+
+    hwio.write_json(hwio.DATA_DIR / "notes_results.json", "notes", cfg,
+                    results=results)
+    return rc
+
+
+def cmd_g2pp(args):
+    """Second model family at product parity: curve bootstrap, ZBC
+    (MC + RQMC + closed form), swaption (MC + conditional-decomposition
+    oracle), and CRN-FD vega — everything the Q1-Q3 pipeline does for
+    Hull-White, under G2++."""
+    from .instruments import swap_fixed_leg
+    from .models import g2pp
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 9292)
+    market = hwio.load_market(cfg)
+    g = g2pp.G2Params(a=args.g2a, b=args.g2b, sigma=args.g2sigma,
+                      eta=args.g2eta, rho=args.g2rho)
+    print(f"--- G2++ two-factor model: {g} ---")
+
+    # Q1 analogue: curve bootstrap must reproduce the calibration target
+    mc = g2pp.bootstrap_curve_g2(cfg, g, key, market,
+                                 n_paths=min(cfg.n_paths, 1 << 18))
+    err = float(np.max(np.abs(np.asarray(mc.P) - np.asarray(market.P))))
+    print(f"[curve] max |P_mc - P_target| = {err:.2e} "
+          f"({'PASS' if err < 5e-4 else 'CHECK'})")
+
+    # ZBC three ways
+    est = g2pp.price_zbc_g2(cfg, g, key, market)
+    true = g2pp.zbc_price_analytic(cfg, g, market)
+    q, qse = g2pp.price_zbc_g2_qmc(cfg, g, key, market)
+    print(f"[ZBC] MC (CV): {float(est.price):.8f} "
+          f"(raw SE {float(est.std_error_raw):.2e}, beta {float(est.beta):.4f})")
+    print(f"[ZBC] RQMC:    {float(q):.8f} +/- {float(qse):.2e} (SE)")
+    print(f"[ZBC] closed:  {true:.8f}")
+
+    # swaption / coupon-bond option vs the 1-d integral oracle
+    sched = swap_fixed_leg(cfg, args.rate, args.tenor, args.freq)
+    results = {"curve_max_err": err, "zbc_mc": float(est.price),
+               "zbc_qmc": float(q), "zbc_qmc_se": float(qse),
+               "zbc_closed": true}
+    for payer in (False, True):
+        kind = "payer" if payer else "receiver"
+        orc = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=payer)
+        sw = g2pp.price_swaption_g2(cfg, g, key, market, sched, payer=payer)
+        swq, swq_se = g2pp.price_swaption_g2_qmc(cfg, g, key, market, sched,
+                                                 payer=payer)
+        print(f"[swaption {kind}] MC {float(sw.price):.8f} "
+              f"(raw SE {float(sw.std_error_raw):.2e})  "
+              f"RQMC {float(swq):.8f} +/- {float(swq_se):.1e}  "
+              f"oracle {orc:.8f}")
+        results[f"swaption_{kind}_mc"] = float(sw.price)
+        results[f"swaption_{kind}_rqmc"] = float(swq)
+        results[f"swaption_{kind}_rqmc_se"] = float(swq_se)
+        results[f"swaption_{kind}_oracle"] = orc
+
+    v = float(g2pp.vega_zbc_g2(cfg, g, key, market, eps=args.eps))
+    v_an = g2pp.vega_zbc_g2_analytic(cfg, g, market)
+    vq, vq_se = g2pp.vega_zbc_g2_rqmc(cfg, g, key, market, eps=args.eps)
+    vs = float(g2pp.vega_swaption_g2(cfg, g, key, market, sched,
+                                     eps=args.eps))
+    vsq, vsq_se = g2pp.vega_swaption_g2_rqmc(cfg, g, key, market, sched,
+                                             eps=args.eps)
+    vs_an = g2pp.vega_swaption_g2_analytic(cfg, g, market, sched)
+    print(f"[vega] ZBC d/dsigma: CRN-FD {v:.6f}  "
+          f"RQMC {float(vq):.6f} +/- {float(vq_se):.1e}  "
+          f"closed-form FD {v_an:.6f}")
+    print(f"[vega] swaption d/dsigma: CRN-FD {vs:.6f}  "
+          f"RQMC {float(vsq):.6f} +/- {float(vsq_se):.1e}  "
+          f"oracle FD {vs_an:.6f}")
+    results.update({"zbc_vega_fd": v, "zbc_vega_analytic": v_an,
+                    "zbc_vega_rqmc": float(vq),
+                    "zbc_vega_rqmc_se": float(vq_se),
+                    "swaption_vega_fd": vs,
+                    "swaption_vega_rqmc": float(vsq),
+                    "swaption_vega_rqmc_se": float(vsq_se),
+                    "swaption_vega_analytic": vs_an})
+
+    # bond-exchange (Margrabe) option — a genuinely two-factor payoff
+    from .instruments import curve_level
+
+    Kx = curve_level(cfg, market, 8.0) / curve_level(cfg, market, 10.0)
+    xo = g2pp.exchange_analytic_g2(cfg, g, market, 8.0, 10.0, K=Kx)
+    xr = g2pp.price_exchange_g2(cfg, g, key, market, 8.0, 10.0, K=Kx)
+    print(f"[exchange P(5,8) vs P(5,10), at-forward K={Kx:.5f}] "
+          f"MC {float(xr.price):.8f} (raw SE {float(xr.std_error_raw):.1e})"
+          f"  closed form {xo:.8f}")
+    results.update({"exchange_mc": float(xr.price), "exchange_closed": xo,
+                    "exchange_K": Kx})
+
+    if args.validate:
+        n = args.validate
+        print(f"\n[G2 ZBC] statistical validation: {n} independent runs "
+              "(single device call)...")
+        runs = g2pp.validate_zbc_g2_runs(cfg, g, key, market, n_runs=n)
+        s = hwstats.summarize([float(x) for x in runs[:, 0]])
+        s_beta = hwstats.summarize([float(x) for x in runs[:, 2]])
+        z = ((s.mean - true) / s.std_error if s.std_error > 0
+             else float("nan"))   # single run: no SE, no z
+        print(f"mean price (CV):   {s.mean:.8f}  +/- "
+              f"{s.margin_of_error:.8f} (95% CI)")
+        print(f"closed form:       {true:.8f}   z = {z:.2f}")
+        print(f"CV%:               {s.cv_percent:.4f}%   "
+              f"mean beta: {s_beta.mean:.6f} (sd {s_beta.std:.6f})")
+        results.update({"validation_mean": s.mean,
+                        "validation_se": s.std_error,
+                        "validation_z_vs_closed": z})
+
+    ex = [cfg.s1 + j for j in range(int(args.tenor))]
+    bm = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex)
+    orc_e = g2pp.swaption_g2_analytic(cfg, g, market, sched, payer=False)
+    print(f"[Bermudan] ({len(ex)} annual exercises, 2-factor LSMC): "
+          f"[{float(bm.price_cv):.8f}, {float(bm.upper):.8f}] "
+          f"(SE {float(bm.cv_std_error):.2e}/"
+          f"{float(bm.upper_std_error):.2e}; raw lower "
+          f"{float(bm.price):.8f} +/- {float(bm.std_error):.2e}; "
+          f"early-exercise premium {float(bm.price_cv) - orc_e:.6f})")
+    results["bermudan_lower"] = float(bm.price)
+    results["bermudan_lower_cv"] = float(bm.price_cv)
+    results["bermudan_cv_se"] = float(bm.cv_std_error)
+    results["bermudan_upper"] = float(bm.upper)
+    results["bermudan_se"] = float(bm.std_error)
+    hwio.write_json(hwio.DATA_DIR / "g2pp_results.json", "G2++ model", cfg,
+                    results=results)
+    # gates scale with the MC noise of the actual --paths (a fixed 5e-4
+    # absolute tolerance flakes below ~2^15 paths where the raw SE alone
+    # exceeds it); the RQMC vega gate is path-count independent
+    curve_tol = 6.0 * 0.15 / np.sqrt(2.0 * min(cfg.n_paths, 1 << 18)) + 5e-5
+    ok = (err < curve_tol
+          and abs(float(est.price) - true)
+          < 5 * float(est.std_error_raw) + 2e-4
+          and abs(v - v_an) < 5.0 * 0.174 / np.sqrt(cfg.n_paths) + 1e-3
+          and abs(float(vq) - v_an) < 0.02 * abs(v_an) + 1e-4)
+    print("validation:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+def cmd_sweep(args):
+    """Pod-scale sweep (BASELINE configs[4]): 2^24 antithetic pairs
+    sharded over a device mesh — curve bootstrap, ZBC CV pricing,
+    pathwise vega, and the shared-path strike x maturity grid, one
+    command.  On the 8-chip pod this is the production entry; with one
+    real chip it runs a 1-device mesh; off-TPU it self-provisions an
+    N-device virtual CPU mesh (the CI configuration), so the sharded
+    code path is exercised everywhere."""
+    from . import grid as grid_mod
+    from .parallel import mesh as pmesh
+    from .utils.timing import bench, fetch_rtt
+
+    n_dev = args.mesh or len(jax.devices())
+    if len(jax.devices()) < n_dev:
+        # self-provision a virtual CPU mesh (same dance as
+        # __graft_entry__.dryrun_multichip; the TPU backend is already
+        # initialized, so env vars are too late)
+        from jax._src import xla_bridge as _xb
+
+        _xb._clear_backends()
+        _xb.get_backend.cache_clear()
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", n_dev)
+    devices = jax.devices()[:n_dev]
+    mesh = pmesh.path_mesh(devices)
+    n_paths = args.paths or (1 << 24)
+    cfg = HWConfig(n_paths=n_paths,
+                   path_block=min(n_paths & -n_paths,
+                                  1 << 15))
+    if (cfg.n_paths // cfg.path_block) % n_dev:
+        raise SystemExit(f"--paths must give a block count divisible by "
+                         f"the {n_dev}-device mesh")
+    key = _key(cfg, args)
+    eng = args.engine or _default_engine(cfg)
+    print(f"--- sweep: {cfg.n_paths} pairs over {n_dev} device(s) "
+          f"[{devices[0].platform}; engine {eng}] ---")
+    rtt = fetch_rtt()
+    t = {}
+
+    prep_c = pricing._curve_prep_fn(cfg, eng)(cfg.sigma, cfg.sigma)
+    fc = pricing._curve_sums_run_fn(cfg, eng, mesh)
+    dt, sums = bench(fc, key, prep_c, n=args.reps, rtt=rtt)
+    t["curve_ms"] = dt * 1e3
+    P = np.asarray(sums / (2.0 * cfg.n_paths))
+    market = pricing.bootstrap_curve(cfg, key, engine=eng, mesh=mesh)
+    print(f"[curve] P(0,10) = {P[-1]:.6f}   {dt*1e3:.1f} ms "
+          f"({2*cfg.n_paths/dt/1e6:.0f} M paths/s)")
+
+    prep_o = pricing._option_prep_fn(cfg, eng, "zbc")(
+        cfg.sigma, cfg.sigma, market)
+    fo = pricing._option_run_fn(cfg, eng, "zbc", mesh)
+    dt, m = bench(fo, key, prep_o, market, n=args.reps, rtt=rtt)
+    t["zbc_ms"] = dt * 1e3
+    from .ops.payoffs import cv_estimate
+
+    est = cv_estimate(jnp.asarray(m), market.P[-1])
+    print(f"[zbc]   price = {float(est.price):.8f}   {dt*1e3:.1f} ms "
+          f"({2*cfg.n_paths/dt/1e6:.0f} M paths/s)")
+
+    prep_v = pricing._option_prep_fn(cfg, eng, "vega")(
+        cfg.sigma, cfg.sigma, market)
+    fv = pricing._option_run_fn(cfg, eng, "vega", mesh)
+    dt, v = bench(fv, key, prep_v, market, n=args.reps, rtt=rtt)
+    t["vega_ms"] = dt * 1e3
+    print(f"[vega]  {float(v[0]/v[1]):.6f}   {dt*1e3:.1f} ms "
+          f"({cfg.n_paths/dt/1e6:.0f} M paths/s)")
+
+    Ks = [cfg.strike * (1 + s) for s in (-0.03, -0.015, 0.0, 0.015, 0.03)]
+    S2s = [6.0, 7.0, 8.0, 9.0, 10.0]
+    g = grid_mod.price_zbc_grid(cfg, key, market, Ks, S2s, mesh=mesh)
+    print(f"[grid]  {len(Ks)}x{len(S2s)} shared-path surface: "
+          f"price[mid] = {float(g.price[2, -1]):.8f}")
+    hwio.write_json(hwio.DATA_DIR / "sweep_results.json",
+                    f"sweep over {n_dev} devices", cfg,
+                    results={**t, "n_devices": n_dev,
+                             "P10": float(P[-1]),
+                             "zbc": float(est.price),
+                             "vega": float(v[0] / v[1]),
+                             "grid_mid": float(g.price[2, -1])})
+    print("saved data/sweep_results.json")
+    return 0
+
+
+def cmd_grid(args):
+    from . import grid as grid_mod
+
+    cfg = _cfg(args)
+    key = jax.random.fold_in(_key(cfg, args), 3333)
+    market = hwio.load_market(cfg)
+    Ks = [cfg.strike * (1 + s) for s in (-0.03, -0.015, 0.0, 0.015, 0.03)]
+    S2s = [6.0, 7.0, 8.0, 9.0, 10.0]
+    print(f"--- ZBC option surface: {len(Ks)} strikes x {len(S2s)} "
+          f"maturities, shared paths ---")
+    g = grid_mod.price_zbc_grid(cfg, key, market, Ks, S2s)
+    _, vegas = grid_mod.vega_zbc_grid(cfg, key, market, Ks, S2s)
+    print("prices (rows = strikes, cols = S2):")
+    print(np.array2string(np.asarray(g.price), precision=6))
+    print("vegas:")
+    print(np.array2string(np.asarray(vegas), precision=5))
+    from .models import g2pp
+
+    g2 = g2pp.G2Params()
+    gres = g2pp.price_zbc_grid_g2(cfg, g2, key, market, Ks, S2s)
+    orc = g2pp.zbc_grid_analytic_g2(cfg, g2, market, Ks, S2s)
+    gerr = float(np.abs(np.asarray(gres.price) - orc).max())
+    print(f"G2++ surface (same grid, shared 3-normal states): "
+          f"max |MC - closed| = {gerr:.2e}")
+    gv, gv_se = g2pp.vega_zbc_grid_g2(cfg, g2, key, market, Ks, S2s)
+    gv_orc = g2pp.vega_zbc_grid_analytic_g2(cfg, g2, market, Ks, S2s)
+    gv_err = float(np.abs(np.asarray(gv) - gv_orc).max())
+    print(f"G2++ vega surface (paired-shift RQMC): "
+          f"max |MC - closed FD| = {gv_err:.2e} "
+          f"(max SE {float(np.max(np.asarray(gv_se))):.1e})")
+    hwio.write_json(
+        hwio.DATA_DIR / "grid_results.json", "Option surface", cfg,
+        results={"strikes": [float(x) for x in Ks],
+                 "maturities": S2s, "g2_max_err": gerr,
+                 "g2_vega_max_err": gv_err},
+        arrays={"price": np.asarray(g.price),
+                "beta": np.asarray(g.beta),
+                "vega": np.asarray(vegas),
+                "g2_price": np.asarray(gres.price),
+                "g2_vega": np.asarray(gv)})
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# benchmark — engine-tier comparison (reference benchmark_reductions.cu)
+# ---------------------------------------------------------------------------
