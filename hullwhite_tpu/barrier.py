@@ -460,7 +460,9 @@ def dp_oracle_ko_cap_g2(cfg: HWConfig, g, market: MarketCurve, *,
         ug = np.linspace(-width * s_u, width * s_u, n_u)
         extra = []
         if ug[0] < uK[t] < ug[-1]:
-            extra.append(uK[t])                     # kink (single node)
+            # kink: +-eps double node since round 4's cubic surfaces
+            # (zero-width cell = slope-segment break; see chooser.grids)
+            extra += [uK[t] - 1e-9, uK[t] + 1e-9]
         if ug[0] < uH[t] < ug[-1]:
             extra += [uH[t] - 1e-9, uH[t]]          # jump (double node)
         if extra:

@@ -626,32 +626,42 @@ def price_bermudan(cfg: HWConfig, key, market: MarketCurve,
 def dp_oracle(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
               exercise_dates: Sequence[float], *, strike: float = 1.0,
               payer: bool = False, n_grid: int = 1501,
-              width: float = 8.5) -> float:
+              width: float = 8.5, order: str = "cubic") -> float:
     """float64 Bermudan price by backward induction on an r-grid.
 
     V_k(r) = payoff_k(r); V_j(r) = max(payoff_j(r),
     E[e^{-dI} V_{j+1}(r') | r]).  The conditional expectation integrates
-    the piecewise-LINEAR interpolant of V_{j+1} against the e^{-dI}-tilted
-    Gaussian EXACTLY (Phi/phi closed forms per segment, flat tails) —
+    an interpolant of V_{j+1} against the e^{-dI}-tilted Gaussian
+    EXACTLY (Phi/phi closed forms per segment, flat tails) —
     Gauss-Hermite quadrature was tried first and converges slowly on the
-    kinked value functions (~5e-5 residual); the exact-segment form leaves
-    only the O(h^2) interpolation error (~1e-6 at the default grid).
-    """
+    kinked value functions (~5e-5 residual).  The round-3 piecewise-
+    LINEAR interpolant left an O(h^2) convexity bias (~+2e-6 at the
+    default grid — enough to sit ABOVE the dual upper bounds in the
+    k-sweep); the round-4 cubic-Hermite default (docs/MATH.md §38)
+    removes it."""
     return dp_solution(cfg, market, sched, exercise_dates, strike=strike,
-                       payer=payer, n_grid=n_grid, width=width)["price"]
+                       payer=payer, n_grid=n_grid, width=width,
+                       order=order)["price"]
 
 
 def dp_solution(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
                 exercise_dates: Sequence[float], *, strike: float = 1.0,
                 payer: bool = False, n_grid: int = 1501,
-                width: float = 8.5) -> dict:
+                width: float = 8.5, order: str = "cubic") -> dict:
     """Full ``dp_oracle`` backward-induction solution, keeping the
     per-date grids for downstream consumers (the Bermudan exposure
     oracle's forward density propagation, xva.py): returns a dict with
     the exercise dates ``ex``, per-date r-``grids``, post-decision value
     ``V``, ``cont``inuation and ``payoff`` arrays, deterministic states
     ``r_det``/``i_det``, interval params ``ivp``, per-date state sds,
-    ``sig`` and the rolled-back ``price``."""
+    ``sig`` and the rolled-back ``price``.
+
+    order="cubic" (round-4 default, docs/MATH.md §38) integrates the
+    C^1 cubic-Hermite interpolant exactly instead of the piecewise-
+    linear one, removing the ~+2e-6 default-grid convexity bias that
+    sat ABOVE the dual upper bounds in the k-sweep; "linear" restores
+    the round-3 kernel (and is the fallback when only a pre-round-4
+    native library is on disk)."""
     from scipy.stats import norm
 
     ex = tuple(sorted(float(t) for t in exercise_dates))
@@ -692,7 +702,8 @@ def dp_solution(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
 
     from .utils import native as hw_native
 
-    use_native = hw_native.available()
+    use_native = hw_native.available() and (
+        order != "cubic" or hw_native.has_dp_cubic())
 
     def continuation(r_s, j_to, rdet_s, V):
         """cont(r_s) for the interval ending at date index j_to."""
@@ -704,10 +715,15 @@ def dp_solution(cfg: HWConfig, market: MarketCurve, sched: CouponSchedule,
         if use_native:
             return hw_native.dp_continuation(
                 r_s, grid_t, V, rdet_s, r_det[j_to], didet,
-                p["bt"], p["bI"], v_t, vI, ctI)
+                p["bt"], p["bI"], v_t, vI, ctI, order=order)
         m_t = r_det[j_to] + p["bt"] * (r_s - rdet_s)
         mI = didet + p["bI"] * (r_s - rdet_s)
         w0 = np.exp(-mI + 0.5 * vI)
+        if order == "cubic":
+            from .range_note import _kernel_avg
+
+            return w0 * _kernel_avg(m_t - ctI, math.sqrt(v_t), grid_t, V,
+                                    order="cubic")
         return w0 * exact_lin_expect(m_t - ctI, math.sqrt(v_t), grid_t, V)
 
     grids = [r_det[j] + sds[j] * np.linspace(-width, width, n_grid)

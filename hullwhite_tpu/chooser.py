@@ -451,11 +451,16 @@ def dp_oracle_chooser_cap_g2(cfg: HWConfig, g, market: MarketCurve, *,
         s_w = math.sqrt(_g2_functional_cov(g, (("u", t, ca, cb),))[0, 0])
         ug = np.linspace(-width * s_u, width * s_u, n_u)
         if ug[0] < uK[t] < ug[-1] and math.isfinite(uK[t]):
-            # chooser: the value is CONTINUOUS at the kink (d = 0 at the
-            # exercise boundary), one node; auto-cap: forced exercise of
-            # a worthless right makes the value JUMP just above u_K —
-            # double node, the barrier-cliff treatment
-            extra = [uK[t], uK[t] + 1e-9] if auto else [uK[t]]
+            # auto-cap: forced exercise of a worthless right makes the
+            # value JUMP just above u_K — double node, the barrier-cliff
+            # treatment.  chooser: the value is CONTINUOUS but KINKED at
+            # u_K; since round 4's cubic surfaces the kink ALSO needs the
+            # +-eps double node — the zero-width cell marks a segment
+            # break so the Hermite slopes stay one-sided (a single kink
+            # node fed central slopes into both neighbor cells and cost a
+            # measured +2.5e-4 DP shift on the k=2 chooser)
+            extra = ([uK[t], uK[t] + 1e-9] if auto
+                     else [uK[t] - 1e-9, uK[t] + 1e-9])
             ug = np.unique(np.concatenate([ug, extra]))
         return ug, np.linspace(-width * s_w, width * s_w, n_w)
 

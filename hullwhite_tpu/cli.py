@@ -519,8 +519,8 @@ def main(argv=None):
                      help="up-and-out cap knock-out LIBOR level")
     pex.add_argument("--fine", action="store_true",
                      help="fine G2 DP oracle grids (241, 91, 20) — "
-                          "artifact runs; shrinks the exercise-kink "
-                          "bilinear bias ~5x")
+                          "pure cross-check since the round-4 cubic "
+                          "surfaces (defaults agree to ~4e-6)")
     pxv = sub.add_parser("xva", parents=[common])
     pxv.add_argument("--rate", type=float, default=0.02)
     pxv.add_argument("--tenor", type=float, default=4.0)

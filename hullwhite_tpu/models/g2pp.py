@@ -1238,11 +1238,15 @@ def _g2_interval_cond(g: G2Params, ex_dates: tuple):
     return tuple(out)
 
 
-PROXY_DEG = 5  # total degree of the 2-d monomial proxy basis.  Degree
+PROXY_DEG = 6  # total degree of the 2-d monomial proxy basis.  Degree
 # matters more than structure here: the continuation surface's Taylor
 # scale in standardized states is (B sigma_x) ~ 0.2, so a cubic fit
 # leaves ~(0.2)^4/24 ~ 7e-5 residual (the measured round-2 dual gap)
-# while quintic leaves ~1e-7 — below the fp32 floor.
+# while quintic leaves ~1e-7 on a SINGLE European surface.  Round 4
+# raises 5 -> 6: the k=3 date-1 continuation is a composed Black-like
+# surface whose smooth misfit under the quintic was the measured
+# ~7-10e-6 dual-gap residual; degree 6 takes a paired-key 3e-6 off it
+# (degree 7 was noise-equal at worse fp32 Gram conditioning).
 POWXY = tuple((d - iy, iy) for d in range(PROXY_DEG + 1)
               for iy in range(d + 1))
 # boundary-relative spline knots: cubic truncated-power columns
@@ -1252,15 +1256,25 @@ POWXY = tuple((d - iy, iy) for d in range(PROXY_DEG + 1)
 # continuation surface (measured: v-direction residual oscillation
 # ~5e-4 under the pure monomial fit); their truncated moments are the
 # same U-recursion closed forms, so the martingale stays exact.
-SPLINE_DELTAS = (-1.2, -0.6, 0.0, 0.6, 1.2)
+# round 4 widens the knot ladder to +-2.0: the mollified-kink ridge's
+# Phi-shaped tails extend past the +-1.2 coverage and the missing outer
+# knots were worth a paired-key 4e-6 of k=3 dual gap on their own.
+SPLINE_DELTAS = (-2.0, -1.2, -0.6, 0.0, 0.6, 1.2, 2.0)
 # round-3b: each knot column is TENSORED with probe powers pt^a
 # (a <= SPLINE_PDEG) — the kink ridge's AMPLITUDE varies along the
-# boundary, which a pc-constant spline coefficient cannot track (the
-# measured k=3 dual-gap residual ~6e-6 was exactly this misfit; the
-# tensor columns take it to ~1e-6).  Their conditional moments are the
-# SAME closed forms: pt is a deterministic function of the outer
-# Gauss-Hermite variable, so it multiplies through the v-moment.
-SPLINE_PDEG = 2
+# boundary, which a pc-constant spline coefficient cannot track.
+# Their conditional moments are the SAME closed forms: pt is a
+# deterministic function of the outer Gauss-Hermite variable, so it
+# multiplies through the v-moment.  Round 4 raises the tensor degree
+# to 3 (amplitude curvature along the boundary).  Combined round-4
+# basis (N_PROXY 37 -> 57), all paired-key 2^17-path measurements vs
+# the (481, 96) cubic fp64 DP oracle on the annual bracket:
+#   k=3 upper gap  +9.8e-6 -> +3.4e-6 (width 7.3e-6 -> 3.9e-6; the
+#     remaining ~2-3e-6 is the documented CPU/TPU fp32 eval floor —
+#     the paired lower bound sits at the same offset),
+#   k=5 annual width 8.7e-7 -> 4.1e-7,  k=2 unchanged at the floor,
+#   k=5 SEMIANNUAL (the hard round-3b A/B case) width 6.1e-5 -> 2.9e-5.
+SPLINE_PDEG = 3
 N_SPL = len(SPLINE_DELTAS) * (SPLINE_PDEG + 1)
 N_PROXY = len(POWXY) + N_SPL + 1               # + the bond feature W
 N_GH = 24      # Gauss-Hermite nodes for the dual's p-direction integral
@@ -1961,7 +1975,8 @@ def dp_oracle_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, sched,
 def dp_solution_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
                    sched, exercise_dates, *, strike: float = 1.0,
                    payer: bool = False, n_grid: int = 121,
-                   width: float = 6.5, n_quad: int = 48) -> dict:
+                   width: float = 6.5, n_quad: int = 48,
+                   order: str = "cubic") -> dict:
     """float64 G2++ Bermudan solution by 2-d backward induction on an
     (x, y) grid, keeping the per-date grids for the exposure oracle's
     forward pass (xva.py; the 1-factor analogue is
@@ -1971,14 +1986,22 @@ def dp_solution_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
     y' = y e^{-b d} + xi_y, dI = x Ba(d) + y Bb(d) + xi_I with
     (xi_x, xi_y, xi_I) ~ _state_cov(g, d).  Tilting by e^{-dI} multiplies
     by e^{-mI + vI/2} and shifts the innovation means by -Cov(., xi_I).
-    The inner y'-integral of the bilinearly interpolated V is EXACT per
-    segment (the value function's kink lives there; same Phi/phi forms as
-    the 1-factor oracle); the outer x'-integral of the then-smoothed
-    function uses Gauss-Hermite.  The deterministic phi-discounting uses
-    the same disc_det decomposition as the LSMC.  Cost O(k nx ny nq ny);
-    accuracy ~1e-5 at the defaults.
+    The inner y'-integral of the interpolated V is EXACT per segment
+    (the value function's kink lives there; range_note._kernel_avg's
+    Phi/phi forms, cubic-Hermite by default — the round-3 bilinear
+    version carried a +1.3e-4 O(h^2) convexity bias at the 121/48
+    defaults); the outer x'-integral of the then-smoothed function uses
+    Gauss-Hermite with a Catmull-Rom column blend (linear under
+    order="linear").
+
+    Round-4 vectorization: the tilted conditional y'-mean shifts by
+    rho_i sy_i node_q independently of the SOURCE x row (xq[i] - m_x[i]
+    = sx_i node_q), so one batched kernel integration per Gauss-Hermite
+    node serves every x-target column and every source at once —
+    O(k nq ny ny nx) with no per-(i, q) Python dispatch (measured
+    ~300x over the round-3 loop at the defaults).
     """
-    from scipy.stats import norm
+    from ..range_note import _catmull_weights, _ghost_cols, _kernel_avg
 
     ex = tuple(sorted(float(t) for t in exercise_dates))
     k = len(ex)
@@ -2016,22 +2039,6 @@ def dp_solution_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
     nodes, wq = np.polynomial.hermite_e.hermegauss(n_quad)
     wq = wq / math.sqrt(2.0 * math.pi)
 
-    def lin_expect_cols(Vcols, gy, m_vec, s):
-        """E[V^(Y)] per column: Vcols (nq, ny) piecewise-linear in gy,
-        Y ~ N(m_vec[i], s^2) per source row i -> (n_src, nq)."""
-        t = (gy[None, :] - m_vec[:, None]) / s            # (n_src, ny)
-        Phi = norm.cdf(t)
-        phi = norm.pdf(t)
-        h = np.diff(gy)
-        b = np.diff(Vcols, axis=1) / h[None, :]           # (nq, ny-1)
-        a_ = Vcols[:, :-1] - b * gy[None, :-1]
-        dPhi = Phi[:, None, 1:] - Phi[:, None, :-1]       # (n_src, 1, ny-1)
-        dphi = phi[:, None, 1:] - phi[:, None, :-1]
-        mid = np.sum((a_[None, :, :] + b[None, :, :] * m_vec[:, None, None])
-                     * dPhi - b[None, :, :] * s * dphi, axis=2)
-        return (mid + Vcols[None, :, 0] * Phi[:, :1]
-                + Vcols[None, :, -1] * (1.0 - Phi[:, -1:]))
-
     def backward_step(j_from, j_to, V, x_src, y_src):
         """cont(x, y) for sources (x_src grid, y_src grid or scalars)."""
         d = ex[j_to] - (ex[j_from] if j_from >= 0 else 0.0)
@@ -2047,27 +2054,34 @@ def dp_solution_g2(cfg: HWConfig, g: G2Params, market: MarketCurve,
         mI = X * Ba + Y * Bb
         w0 = np.exp(-mI + 0.5 * vI) * (dd[j_to] / (dd[j_from]
                                                    if j_from >= 0 else 1.0))
-        m_x = X[:, 0] * Ea - C[0, 2]       # tilted x' mean (per x row)
+        m_x = x_src * Ea - C[0, 2]         # tilted x' mean (per x row)
         # outer GH nodes in x' per source x
         xq = m_x[:, None] + sx_i * nodes[None, :]          # (nx_src, nq)
-        # blend V columns at each x' node: V is (nx_t, ny_t)
-        idx = np.clip(np.searchsorted(gx_t, xq) - 1, 0, len(gx_t) - 2)
-        lam_x = np.clip((xq - gx_t[idx]) / (gx_t[idx + 1] - gx_t[idx]),
-                        0.0, 1.0)
-        cont = np.empty((len(x_src), len(y_src)))
         s_c = sy_i * math.sqrt(max(1.0 - rho_i * rho_i, 1e-14))
-        for i in range(len(x_src)):
-            Vcols = ((1.0 - lam_x[i])[:, None] * V[idx[i], :]
-                     + lam_x[i][:, None] * V[idx[i] + 1, :])   # (nq, ny_t)
-            # conditional y' mean per source y and node (tilt + regression)
-            m_y = (y_src * Eb - C[1, 2])[:, None] + (rho_i * sy_i / sx_i) \
-                * (xq[i][None, :] - m_x[i])                     # (ny_src, nq)
-            # integrate each node column exactly, then GH-combine
-            e_y = np.empty((len(y_src), n_quad))
-            for q in range(n_quad):
-                e_y[:, q] = lin_expect_cols(
-                    Vcols[q:q + 1], gy_t, m_y[:, q], s_c)[:, 0]
-            cont[i] = e_y @ wq
+        # the tilted conditional y' mean at node q is
+        #   y Eb - C[1,2] + rho_i sy_i node_q  — independent of the
+        # SOURCE x row, so ONE exact kernel integration per node serves
+        # every x-target column and every y source at once
+        cont = np.zeros((len(x_src), len(y_src)))
+        for q in range(n_quad):
+            m_y = y_src * Eb - C[1, 2] + rho_i * sy_i * nodes[q]
+            Eq = _kernel_avg(m_y, s_c, gy_t, V.T, order=order)  # (ny_src, nx_t)
+            xv = xq[:, q]
+            if order == "cubic":
+                Eg = _ghost_cols(Eq)
+                idx, cw = _catmull_weights(gx_t, xv)
+                blend = (cw[0][:, None] * Eg[:, idx].T
+                         + cw[1][:, None] * Eg[:, idx + 1].T
+                         + cw[2][:, None] * Eg[:, idx + 2].T
+                         + cw[3][:, None] * Eg[:, idx + 3].T)
+            else:
+                idx = np.clip(np.searchsorted(gx_t, xv) - 1, 0,
+                              len(gx_t) - 2)
+                lam = np.clip((xv - gx_t[idx]) / (gx_t[idx + 1]
+                                                  - gx_t[idx]), 0.0, 1.0)
+                blend = ((1.0 - lam)[:, None] * Eq[:, idx].T
+                         + lam[:, None] * Eq[:, idx + 1].T)
+            cont += wq[q] * blend
         return w0 * cont
 
     X, Y = np.meshgrid(gxs[k - 1], gys[k - 1], indexing="ij")

@@ -56,6 +56,10 @@ def _register(lib):
     lib.hw_dp_continuation.argtypes = (
         [_d, ctypes.c_int, _d, _d, ctypes.c_int]
         + [ctypes.c_double] * 8 + [_d])
+    # cubic-Hermite variant (round 4); absent from pre-round-4 builds —
+    # callers fall back to the numpy kernel when it is missing
+    if hasattr(lib, "hw_dp_continuation3"):
+        lib.hw_dp_continuation3.argtypes = lib.hw_dp_continuation.argtypes
 
 
 def available() -> bool:
@@ -124,15 +128,25 @@ def summarize(samples) -> np.ndarray:
 
 
 def dp_continuation(grid_s, grid_t, V, rdet_s, rdet_t, didet, bt, bI,
-                    vt, vI, ctI):
+                    vt, vI, ctI, order="linear"):
     """One Bermudan DP conditional-expectation sweep (float64, exact
-    piecewise-linear Gaussian integration) — the O(n^2) hot loop of
+    Gaussian integration of the piecewise-linear — or, order="cubic",
+    cubic-Hermite — interpolant) — the O(n^2) hot loop of
     bermudan.dp_oracle in native C++."""
     grid_s = np.ascontiguousarray(grid_s, np.float64)
     grid_t = np.ascontiguousarray(grid_t, np.float64)
     V = np.ascontiguousarray(V, np.float64)
     out = np.empty(len(grid_s), np.float64)
-    _lib().hw_dp_continuation(_dp(grid_s), len(grid_s), _dp(grid_t),
-                              _dp(V), len(grid_t), rdet_s, rdet_t, didet,
-                              bt, bI, vt, vI, ctI, _dp(out))
+    lib = _lib()
+    fn = (lib.hw_dp_continuation3 if order == "cubic"
+          else lib.hw_dp_continuation)
+    fn(_dp(grid_s), len(grid_s), _dp(grid_t),
+       _dp(V), len(grid_t), rdet_s, rdet_t, didet,
+       bt, bI, vt, vI, ctI, _dp(out))
     return out
+
+
+def has_dp_cubic() -> bool:
+    """True when the loaded library exports the round-4 cubic sweep."""
+    lib = _lib()
+    return lib is not None and hasattr(lib, "hw_dp_continuation3")

@@ -255,4 +255,75 @@ void hw_dp_continuation(const double* grid_s, int ns, const double* grid_t,
   }
 }
 
+// Cubic-Hermite variant (round 4, docs/MATH.md §38): the linear sweep
+// plus the exact Gaussian-cell integral of the C1 Hermite correction
+// d1 t + d2 t^2 + d3 t^3, t = (y - x_j)/h_j, killing the piecewise-
+// linear interpolant's O(h^2) convexity bias on smooth stretches of V
+// (the value kink from max(payoff, cont) lies mid-cell on these uniform
+// grids, where any fixed-order interpolant is locally O(h^2); its
+// Gaussian mass keeps the net contribution O(h^3)).  Node slopes are
+// 3-point estimates, one-sided at the ends — the bermudan grids carry
+// no jump features, so no segment breaks are needed (the Python-side
+// _kernel_avg handles those for the note DPs).
+void hw_dp_continuation3(const double* grid_s, int ns, const double* grid_t,
+                         const double* V, int nt, double rdet_s,
+                         double rdet_t, double didet, double bt, double bI,
+                         double vt, double vI, double ctI, double* cont) {
+  const double s = std::sqrt(vt);
+  std::vector<double> slope(nt);
+  for (int j = 1; j + 1 < nt; ++j) {
+    const double hl = grid_t[j] - grid_t[j - 1];
+    const double hr = grid_t[j + 1] - grid_t[j];
+    const double sl = (V[j] - V[j - 1]) / hl;
+    const double sr = (V[j + 1] - V[j]) / hr;
+    slope[j] = (hr * sl + hl * sr) / (hl + hr);
+  }
+  slope[0] = (V[1] - V[0]) / (grid_t[1] - grid_t[0]);
+  slope[nt - 1] = (V[nt - 1] - V[nt - 2]) / (grid_t[nt - 1] - grid_t[nt - 2]);
+  std::vector<double> d1(nt - 1), d2(nt - 1), d3(nt - 1), hinv(nt - 1);
+  for (int j = 0; j + 1 < nt; ++j) {
+    const double h = grid_t[j + 1] - grid_t[j];
+    const double dV = V[j + 1] - V[j];
+    const double hma = h * slope[j], hmb = h * slope[j + 1];
+    d1[j] = hma - dV;
+    d2[j] = 3.0 * dV - 2.0 * hma - hmb;
+    d3[j] = -2.0 * dV + hma + hmb;
+    hinv[j] = 1.0 / h;
+  }
+  for (int i = 0; i < ns; ++i) {
+    const double dr = grid_s[i] - rdet_s;
+    const double mI = didet + bI * dr;
+    const double m = rdet_t + bt * dr - ctI;
+    const double w0 = std::exp(-mI + 0.5 * vI);
+    double t0 = (grid_t[0] - m) / s;
+    double Phi0 = hw_phi_cdf(t0);
+    double phi0 = hw_phi_pdf(t0);
+    double acc = V[0] * Phi0;
+    for (int j = 0; j + 1 < nt; ++j) {
+      const double t1 = (grid_t[j + 1] - m) / s;
+      const double Phi1 = hw_phi_cdf(t1);
+      const double phi1 = hw_phi_pdf(t1);
+      const double E0 = Phi1 - Phi0;
+      const double E1 = phi0 - phi1;                       // int z phi
+      const double E2 = E0 - (t1 * phi1 - t0 * phi0);
+      const double E3 = (t0 * t0 + 2.0) * phi0 - (t1 * t1 + 2.0) * phi1;
+      const double alpha = (m - grid_t[j]) * hinv[j];
+      const double beta = s * hinv[j];
+      const double S1 = alpha * E0 + beta * E1;
+      const double S2 = alpha * (alpha * E0 + 2.0 * beta * E1)
+                        + beta * beta * E2;
+      const double S3 = alpha * alpha * (alpha * E0 + 3.0 * beta * E1)
+                        + beta * beta * (3.0 * alpha * E2 + beta * E3);
+      // linear chord piece (same as hw_dp_continuation, cell form)
+      acc += V[j] * E0 + (V[j + 1] - V[j]) * S1
+             + d1[j] * S1 + d2[j] * S2 + d3[j] * S3;
+      Phi0 = Phi1;
+      phi0 = phi1;
+      t0 = t1;
+    }
+    acc += V[nt - 1] * (1.0 - Phi0);
+    cont[i] = w0 * acc;
+  }
+}
+
 }  // extern "C"

@@ -114,6 +114,31 @@ def test_dp_continuation_matches_numpy():
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
 
 
+def test_dp_continuation_cubic_matches_kernel_avg():
+    """C++ hw_dp_continuation3 vs the shared Python cubic cell kernel
+    (range_note._kernel_avg order="cubic") — the two implementations of
+    the round-4 Hermite correction must agree to fp64 roundoff."""
+    if not (native.available() and native.has_dp_cubic()):
+        pytest.skip("native library without the cubic sweep")
+    from hullwhite_tpu.range_note import _kernel_avg
+
+    grid_t = np.linspace(-0.3, 0.5, 401)
+    V = np.maximum(0.9 - np.exp(-grid_t), 0.0) + 0.05 * grid_t ** 2
+    grid_s = np.linspace(-0.2, 0.4, 97)
+    args = dict(rdet_s=0.05, rdet_t=0.06, didet=0.12, bt=0.8, bI=0.04,
+                vt=0.004, vI=0.03, ctI=0.0008)
+    got = native.dp_continuation(grid_s, grid_t, V, order="cubic",
+                                 **args)
+    m_t = args["rdet_t"] + args["bt"] * (grid_s - args["rdet_s"])
+    mI = args["didet"] + args["bI"] * (grid_s - args["rdet_s"])
+    want = (np.exp(-mI + 0.5 * args["vI"])
+            * _kernel_avg(m_t - args["ctI"], np.sqrt(args["vt"]),
+                          grid_t, V, order="cubic"))
+    # the two sides accumulate the cell sums in different orders
+    # (running C++ scalar loop vs numpy moment matmuls): fp64 roundoff
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
 def test_stale_library_degrades_to_fallback(tmp_path, monkeypatch):
     """A .so predating a newly added symbol must make available() False
     (NumPy fallbacks) rather than raise AttributeError out of _lib()."""
