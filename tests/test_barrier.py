@@ -94,6 +94,7 @@ def dp_g2(market):
     return barrier.dp_oracle_ko_cap_g2(CFG, G2, market, **KW)
 
 
+@pytest.mark.slow
 def test_g2_dp_full_cap_column_matches_closed_form(market, dp_g2):
     cap_cf, per = barrier.cap_closed_form_g2(CFG, G2, market,
                                              rate=KW["rate"],
@@ -109,6 +110,7 @@ def test_g2_dp_full_cap_column_matches_closed_form(market, dp_g2):
     assert 0.0 < dp_g2.survival < 1.0
 
 
+@pytest.mark.slow
 def test_g2_dp_huge_barrier_degenerates_to_cap(market):
     wide = barrier.dp_oracle_ko_cap_g2(CFG, G2, market, rate=KW["rate"],
                                        barrier=5.0, tenor=KW["tenor"])
@@ -136,6 +138,7 @@ def test_g2_sharded_matches_single(market):
     assert abs(float(single.price) - float(shard.price)) < 1e-6
 
 
+@pytest.mark.slow
 def test_g2_vega_crn_envelope(market):
     v = barrier.vega_ko_cap_g2(CFG, G2, KEY, market, n_paths=1 << 14,
                                n_blocks=4, **KW)

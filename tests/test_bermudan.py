@@ -44,6 +44,7 @@ def test_single_date_reduces_to_european(analytic_market, sched):
         float(res.price), jam, float(res.std_error))
 
 
+@pytest.mark.slow
 def test_more_exercise_rights_never_cheaper(analytic_market, sched):
     euro = bermudan.price_bermudan(CFG, KEY, analytic_market, sched,
                                    [5.0], n_paths=N)
@@ -53,6 +54,7 @@ def test_more_exercise_rights_never_cheaper(analytic_market, sched):
     assert float(berm.price) >= float(euro.price) - 3 * float(euro.std_error)
 
 
+@pytest.mark.slow
 def test_bermudan_dominates_each_european(analytic_market, sched):
     """Bermudan >= the best of the individual Europeans at its dates."""
     berm = bermudan.price_bermudan(CFG, KEY, analytic_market, sched,
@@ -71,6 +73,7 @@ def test_bermudan_dominates_each_european(analytic_market, sched):
     assert float(berm.price) >= best_euro - tol, (float(berm.price), best_euro)
 
 
+@pytest.mark.slow
 def test_out_of_sample_not_above_in_sample(analytic_market, sched):
     """Foresight bias direction: in-sample >= out-of-sample in expectation;
     check it holds within noise on one run."""
@@ -97,6 +100,7 @@ def test_dp_oracle_single_date_is_european(analytic_market, sched):
     assert abs(orc - jam) < 3e-5, (orc, jam)
 
 
+@pytest.mark.slow
 def test_bracket_contains_dp_oracle(analytic_market, sched):
     """lower - 4 SE <= DP oracle <= upper + 4 SE, and the bracket is
     tight (< 1.5% of price)."""
@@ -120,6 +124,7 @@ def test_upper_single_date_unbiased(analytic_market, sched):
     assert abs(float(res.upper) - jam) < 5 * float(res.upper_std_error) + 5e-5
 
 
+@pytest.mark.slow
 def test_rqmc_and_streaming_consistent(analytic_market, sched):
     ex = [5.0, 6.0, 7.0]
     orc = bermudan.dp_oracle(CFG, analytic_market, sched, ex)
@@ -153,6 +158,7 @@ def test_rqmc_requires_replicates(analytic_market, sched):
                                 n_paths=1024, rqmc=True)
 
 
+@pytest.mark.slow
 def test_payer_bermudan_bracket(analytic_market, sched):
     """Payer side: bracket still holds around the DP oracle."""
     ex = [5.0, 6.0, 7.0]
@@ -163,6 +169,7 @@ def test_payer_bermudan_bracket(analytic_market, sched):
     assert orc <= float(res.upper) + 4 * float(res.upper_std_error)
 
 
+@pytest.mark.slow
 def test_bermudan_vega_single_date_matches_jamshidian(analytic_market,
                                                       sched):
     """k = 1 Bermudan vega == European vega.  The dual's tangent is a
@@ -183,6 +190,7 @@ def test_bermudan_vega_single_date_matches_jamshidian(analytic_market,
     assert abs(float(dp) - vref) < 1e-2, (float(dp), vref)
 
 
+@pytest.mark.slow
 def test_bermudan_vega_jvp_matches_fd(analytic_market, sched):
     """Multi-date: forward-mode AD through the two-pass estimator agrees
     with central CRN differences — tightly on the smooth dual tangent

@@ -191,6 +191,7 @@ def dp2_g2(analytic_market):
                                             k=2, **KW)
 
 
+@pytest.mark.slow
 def test_g2_full_rights_collapse_to_cap(analytic_market):
     from hullwhite_tpu.barrier import cap_closed_form_g2
 
@@ -206,6 +207,7 @@ def test_g2_full_rights_collapse_to_cap(analytic_market):
     assert abs(ch.cap_price - cf) < 2e-4
 
 
+@pytest.mark.slow
 def test_g2_rights_monotone_concave(analytic_market):
     vals = [chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market,
                                              k=k, **KW).price
@@ -221,6 +223,7 @@ def test_g2_rights_monotone_concave(analytic_market):
         assert a <= vals[k] + 1e-12
 
 
+@pytest.mark.slow
 def test_g2_mc_reproduces_dp(analytic_market, dp2_g2):
     res = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market,
                                        k=2, n_paths=1 << 14, n_blocks=4,
@@ -232,6 +235,7 @@ def test_g2_mc_reproduces_dp(analytic_market, dp2_g2):
     assert 0.0 < float(res.used_mean) <= 2.0
 
 
+@pytest.mark.slow
 def test_g2_auto_mc_reproduces_dp(analytic_market):
     dp = chooser.dp_oracle_chooser_cap_g2(CFG, G2, analytic_market, k=2,
                                           auto=True, **KW)
@@ -242,6 +246,7 @@ def test_g2_auto_mc_reproduces_dp(analytic_market):
     assert abs(z) < 4.0 or abs(float(res.price) - dp.price) < 2e-4
 
 
+@pytest.mark.slow
 def test_g2_chooser_dominates_auto_mc(analytic_market):
     kw = dict(k=2, n_paths=1 << 14, n_blocks=2, **KW)
     ch = chooser.price_chooser_cap_g2(CFG, G2, KEY, analytic_market, **kw)
@@ -250,12 +255,14 @@ def test_g2_chooser_dominates_auto_mc(analytic_market):
     assert float(ch.price) > float(au.price)
 
 
+@pytest.mark.slow
 def test_g2_vega_matches_dp_fd(analytic_market):
     v = chooser.vega_chooser_cap_g2(CFG, G2, KEY, analytic_market, k=2,
                                     n_paths=1 << 14, n_blocks=2, **KW)
     assert abs(float(v.vega) - v.dp_vega) < 0.03 * abs(v.dp_vega) + 1e-3
 
 
+@pytest.mark.slow
 def test_g2_mesh_matches_single(analytic_market):
     from hullwhite_tpu.parallel import mesh as pmesh
 

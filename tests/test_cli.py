@@ -60,6 +60,7 @@ def test_bin_files_match_reference_format(workdir):
     assert abs(raw[0] - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_swaption_and_grid_subcommands(workdir):
     assert main(["swaption", "--paths", "8192", "--payer"]) == 0
     doc = json.loads((workdir / "data" / "swaption_results.json").read_text())
@@ -86,6 +87,7 @@ def test_q3_profile_flag(tmp_path, monkeypatch):
     assert "XLA kernel analysis" in out or "kernel analysis unavailable" in out
 
 
+@pytest.mark.slow
 def test_bermudan_sweep_and_plot(workdir):
     """swaption --bermudan-sweep writes the k=1..5 bracket artifact; the
     analyze plotter consumes it.  Pins lower <= oracle <= upper within

@@ -97,6 +97,7 @@ def test_netting_mc_matches_oracle_under_curve(market, curve):
     assert abs(o.cva - of.cva) > 1e-5
 
 
+@pytest.mark.slow
 def test_exposure_and_bermudan_accept_curves(market, curve):
     """The single-swap exposure pricer and the Bermudan exposure layer
     take curves end to end."""

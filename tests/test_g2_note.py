@@ -169,6 +169,7 @@ def test_tarn_mesh_matches_single_device(analytic_market):
                                float(single.ko_fraction), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_vega_envelope_check(analytic_market):
     """Frozen-boundary CRN-FD vega must match the re-optimizing DP
     central difference (envelope theorem for the curved 2-d boundary)."""
@@ -257,6 +258,7 @@ def test_floater_never_call_is_plain_note(analytic_market):
     assert abs(float(res.price) - (leg + P0n)) < 1e-5
 
 
+@pytest.mark.slow
 def test_floater_vega_envelope_check(analytic_market):
     nv = g2_note.vega_capped_floater_g2(CFG, G2, KEY, analytic_market,
                                         n_blocks=4,
@@ -277,6 +279,7 @@ def snow_dp(analytic_market):
                                          **SKW, **SDPKW)
 
 
+@pytest.mark.slow
 def test_snowball_unclipped_dp_matches_linear_closed_form(analytic_market):
     """With clip bounds the paths cannot reach, the (u, w, c) DP must
     collapse to the unclipped linear snowball's exact closed form —
@@ -314,6 +317,7 @@ def test_snowball_mc_reproduces_dp(analytic_market, snow_dp):
         < 6 * 0.01 / math.sqrt(n_tot) + 2e-4
 
 
+@pytest.mark.slow
 def test_snowball_degenerate_is_fixed_coupon(analytic_market):
     """spread == 0 with floor == cap == initial freezes the coupon: the
     note is a fixed-coupon bond, closed form from the exact curve
@@ -337,6 +341,7 @@ def test_snowball_degenerate_is_fixed_coupon(analytic_market):
     assert abs(float(res.price) - expect) < 5 * float(res.std_error) + 1e-5
 
 
+@pytest.mark.slow
 def test_snowball_vega_crn_matches_dp_fd(analytic_market):
     v = g2_note.vega_snowball_g2(CFG, G2, KEY, analytic_market,
                                  n_blocks=2, eps=2e-3,
@@ -408,6 +413,7 @@ def test_callable_snowball_policy_is_upper_bound(analytic_market,
     assert float(res.price) > csnow_dp.price - 3 * float(res.std_error)
 
 
+@pytest.mark.slow
 def test_callable_snowball_vega_envelope(analytic_market):
     v = g2_note.vega_callable_snowball_g2(CFG, G2, KEY, analytic_market,
                                           n_blocks=2, eps=2e-3,
@@ -416,6 +422,7 @@ def test_callable_snowball_vega_envelope(analytic_market):
         float(v.vega), v.dp_vega)
 
 
+@pytest.mark.slow
 def test_callable_snowball_sharded_matches_single(analytic_market,
                                                   csnow_dp):
     from hullwhite_tpu.parallel import mesh as pmesh

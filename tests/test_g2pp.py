@@ -241,6 +241,7 @@ def test_g2_joint_chol_blocks_match_closed_forms():
             assert abs(got - want) < 1e-8, (t1, t2)
 
 
+@pytest.mark.slow
 def test_g2_bermudan_single_date_is_european(analytic_market):
     from hullwhite_tpu.instruments import swap_fixed_leg
 
@@ -252,6 +253,7 @@ def test_g2_bermudan_single_date_is_european(analytic_market):
     assert abs(float(res.price) - orc) < 5 * float(res.std_error) + 1e-4
 
 
+@pytest.mark.slow
 def test_g2_bermudan_monotone_in_rights(analytic_market):
     from hullwhite_tpu.instruments import swap_fixed_leg
 
@@ -264,6 +266,7 @@ def test_g2_bermudan_monotone_in_rights(analytic_market):
     assert float(e3.price) <= float(e3.price_in_sample) + 3 * float(e3.std_error)
 
 
+@pytest.mark.slow
 def test_g2_bermudan_degenerates_to_hw_oracle(analytic_market):
     """Multi-date pin: with eta = 0 the G2++ Bermudan is the Hull-White
     Bermudan, so the 1-factor DP oracle must price it (the continuous-vs-
@@ -321,6 +324,7 @@ def test_g2_dp_oracle_single_date_is_european(analytic_market):
     assert abs(dp1 - euro) < 2e-5, (dp1, euro)
 
 
+@pytest.mark.slow
 def test_g2_bermudan_bracketed_by_dp_oracle(analytic_market):
     """Multi-date: the two-factor LSMC lower bound sits below the 2-d DP
     oracle (within noise) and close to it (policy near-optimal), and the
@@ -363,6 +367,7 @@ def test_g2_dual_single_date_is_european(analytic_market):
         up, euro)
 
 
+@pytest.mark.slow
 def test_g2_bermudan_rqmc_blocks(analytic_market):
     """Block-streamed RQMC evaluation: replicate guard, total-path
     accounting, and bracket agreement with the MC evaluation."""
@@ -406,6 +411,7 @@ def test_g2_dual_degenerates_to_hw_oracle(analytic_market):
     assert up - orc < 3e-4, (up, orc)
 
 
+@pytest.mark.slow
 def test_g2_bermudan_vega_single_date(analytic_market):
     """k = 1 G2++ Bermudan vega vs the fp64 FD of the conditional-
     decomposition oracle: the dual tangent is stable to 2e-6 across
@@ -430,6 +436,7 @@ def test_g2_bermudan_vega_single_date(analytic_market):
     assert abs(vlo - vref) < 2e-2, (vlo, vref)
 
 
+@pytest.mark.slow
 def test_g2_bermudan_curve_delta_matches_dp_oracle(analytic_market):
     """d/dh of the G2++ bracket under a parallel forward-curve shift vs
     the FD of the 2-d DP oracle on the shifted curves (coarse-grid oracle
@@ -639,6 +646,7 @@ def test_g2_cms_matches_quadrature(analytic_market):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_g2_cms_floor_parity_and_mesh(analytic_market):
     """cap - floor at the same strike equals the forward CMS leg (pure MC
     identity on shared states), and sharded == single."""

@@ -174,6 +174,7 @@ def test_rqmc_collapses_se(market):
                                   n_blocks=1)
 
 
+@pytest.mark.slow
 def test_g2_rqmc_collapses_se(market):
     from hullwhite_tpu.parallel import mesh as pmesh
 

@@ -105,6 +105,7 @@ def test_mc_parity_antithetic(market):
     assert abs(mc_diff - (cap - flo)) < 5e-4
 
 
+@pytest.mark.slow
 def test_sharded_matches_single(market):
     cfg = tiny_config(n_paths=1 << 11)
     mesh = pmesh.path_mesh()

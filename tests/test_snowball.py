@@ -88,6 +88,7 @@ def test_vega_crn_matches_dp_fd(analytic_market):
         float(v.vega), v.dp_vega)
 
 
+@pytest.mark.slow
 def test_sharded_matches_single(analytic_market):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -142,6 +143,7 @@ def test_callable_policy_is_upper_bound(analytic_market, cdp):
     assert float(res.price) > cdp.price - 3 * float(res.std_error)
 
 
+@pytest.mark.slow
 def test_callable_vega_envelope(analytic_market):
     v = snowball.vega_callable_snowball(CFG, KEY, analytic_market,
                                         n_paths=1 << 15, n_blocks=2,
@@ -150,6 +152,7 @@ def test_callable_vega_envelope(analytic_market):
         float(v.vega), v.dp_vega)
 
 
+@pytest.mark.slow
 def test_callable_sharded_matches_single(analytic_market, cdp):
     from hullwhite_tpu.parallel import mesh as pmesh
 

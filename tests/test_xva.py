@@ -231,6 +231,7 @@ def test_netting_mc_matches_oracle(market):
     assert np.all(np.abs(np.asarray(r.profile.exceed) - 0.05) < tol)
 
 
+@pytest.mark.slow
 def test_netting_sharded_matches_single(market):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -320,6 +321,7 @@ def test_bilateral_symmetric_funding_collapses(market):
     assert float(r.fva_se) < 1e-7
 
 
+@pytest.mark.slow
 def test_bilateral_sharded_matches_single(market):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -429,6 +431,7 @@ def test_collateral_mc_matches_oracle(market, lag):
         assert np.all(np.abs(exceed - 0.05) < tol)
 
 
+@pytest.mark.slow
 def test_collateral_sharded_matches_single(market):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -445,6 +448,7 @@ def test_collateral_sharded_matches_single(market):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_g2_netting_one_leg_reduces_to_single(market):
     """A one-leg 'portfolio' must reproduce exposure_oracle_g2 (Newton
     single-root inner) to quadrature precision, both sides."""
@@ -556,6 +560,7 @@ def test_g2_bilateral_sharded_matches_single(market):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_g2_collateral_huge_threshold_is_uncollateralized(market):
     oc = xva.collateral_oracle_g2(CFG, G2, market, LEGS, threshold=10.0,
                                   lag=1)
@@ -573,6 +578,7 @@ def test_g2_collateral_lag0_zero_threshold_kills_exposure(market):
     assert all(p < 1e-12 for p in oc.pfe)
 
 
+@pytest.mark.slow
 def test_g2_collateral_dominated(market):
     """(V_t - C)^+ <= V_t^+ pathwise, so the CSA profile never exceeds
     the uncollateralized netted one, per date and in aggregate."""
@@ -656,6 +662,7 @@ def test_g2_collateral_sharded_matches_single(market):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_wwr_gamma0_reduces_to_netting(market):
     """gamma = 0 must give pd_j x EE_j per date and the netting CVA
     exactly (the two tilts collapse to e^{-lambda0 s/t} x the e^{-I}
@@ -674,6 +681,7 @@ def test_wwr_gamma0_reduces_to_netting(market):
                for c, p, e in zip(g0.contrib, pd, gn.ee)) < 1e-16
 
 
+@pytest.mark.slow
 def test_wwr_sign(market):
     """gamma > 0 (default likely when rates high) is WRONG-way for a
     payer (exposure high when rates high) and RIGHT-way for a receiver,
@@ -747,6 +755,7 @@ def test_wwr_mc_matches_oracle(market):
     assert float(r.std_error) < float(r.raw_std_error)
 
 
+@pytest.mark.slow
 def test_g2_wwr_mc_matches_oracle(market):
     o = xva.wwr_oracle_g2(CFG, G2, market, LEGS, gamma=0.5)
     r = xva.price_wwr_g2(CFG, G2, KEY, market, LEGS, gamma=0.5,
@@ -762,6 +771,7 @@ def test_g2_wwr_mc_matches_oracle(market):
         assert abs(ee[j] - o.contrib[j]) < 5.0 * se[j] + 1e-8
 
 
+@pytest.mark.slow
 def test_wwr_sharded_matches_single(market):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -898,6 +908,7 @@ def test_g2_mva_mc_matches_oracle(market):
         assert abs(im[j] - o.im[j]) < 5.0 * se[j] + 1e-9
 
 
+@pytest.mark.slow
 def test_mva_sharded_matches_single(market):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -957,6 +968,7 @@ def test_g2_kva_mc_matches_oracle(market):
         assert abs(cap[j] - o.capital[j]) < 5.0 * se[j] + 1e-8
 
 
+@pytest.mark.slow
 def test_kva_sharded_matches_single(market):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -1040,6 +1052,7 @@ def test_bermudan_exposure_payer_twin(market, berm_sched):
     assert abs(float(r.cva) - o.cva) < 5.0 * float(r.std_error) + 1e-9
 
 
+@pytest.mark.slow
 def test_bermudan_exposure_sharded_matches_single(market, berm_sched):
     from hullwhite_tpu.parallel import mesh as pmesh
 
@@ -1087,6 +1100,7 @@ def test_g2_bermudan_exposure_sharded_matches_single(market, berm_sched):
     assert abs(float(s1.cva) - float(s8.cva)) < 1e-9
 
 
+@pytest.mark.slow
 def test_netting_vega_three_ways(market):
     """Netted-book dCVA/dsigma: jvp == CRN-FD on the same kernel, both
     on the fp64 oracle FD within MC noise."""
