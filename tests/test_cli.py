@@ -60,8 +60,16 @@ def test_bin_files_match_reference_format(workdir):
     assert abs(raw[0] - 1.0) < 1e-6
 
 
+def _ensure_market(workdir):
+    """Slow-lane self-sufficiency: these tests are deselected from the
+    lane that runs test_pipeline, so bootstrap the market themselves."""
+    if not (workdir / "data" / "market.npz").exists():
+        assert main(["q1", "--paths", "8192", "--reps", "1"]) == 0
+
+
 @pytest.mark.slow
 def test_swaption_and_grid_subcommands(workdir):
+    _ensure_market(workdir)
     assert main(["swaption", "--paths", "8192", "--payer"]) == 0
     doc = json.loads((workdir / "data" / "swaption_results.json").read_text())
     assert abs(doc["results"]["qmc_price"] - doc["results"]["jamshidian"]) < 1e-4
@@ -92,6 +100,7 @@ def test_bermudan_sweep_and_plot(workdir):
     """swaption --bermudan-sweep writes the k=1..5 bracket artifact; the
     analyze plotter consumes it.  Pins lower <= oracle <= upper within
     noise and monotonicity of the oracle in k."""
+    _ensure_market(workdir)
     assert main(["swaption", "--paths", "8192", "--bermudan-sweep"]) == 0
     doc = json.loads(
         (workdir / "data" / "bermudan_sweep.json").read_text())
