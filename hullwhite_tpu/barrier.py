@@ -113,7 +113,9 @@ def dp_oracle_ko_cap(cfg: HWConfig, market: MarketCurve, *, rate: float,
                          n_grid)
         extra = []
         if xs[0] < r_K[t] < xs[-1]:
-            extra.append(r_K[t])                    # kink (single node)
+            # kink: +-eps double node (slope-segment break for the
+            # round-4 cubic cell kernel; see docs/MATH.md §38)
+            extra += [r_K[t] - 1e-9, r_K[t] + 1e-9]
         if xs[0] < r_H[t] < xs[-1]:
             extra += [r_H[t] - 1e-9, r_H[t]]        # jump (double node)
         if extra:
@@ -147,10 +149,12 @@ def dp_oracle_ko_cap(cfg: HWConfig, market: MarketCurve, *, rate: float,
         c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
         mu_p = r_det[Tp] + b_p * e - c_pI
         s_p = math.sqrt(max(v_p, 0.0))
-        cont = _kernel_avg(mu_p, s_p, xs_next, W_next[:, :2])  # (M, 2)
+        cont = _kernel_avg(mu_p, s_p, xs_next, W_next[:, :2],
+                           order="cubic")                     # (M, 2)
         # survival propagates under the UNtilted kernel (no discounting)
         mu_s = r_det[Tp] + b_p * e
-        surv = _kernel_avg(mu_s, s_p, xs_next, W_next[:, 2])
+        surv = _kernel_avg(mu_s, s_p, xs_next, W_next[:, 2],
+                           order="cubic")
         V = np.empty((len(xs), 3))
         alive = xs < r_H[Tj]
         V[:, 0] = np.where(alive, w0 * (cpn + cont[:, 0]), 0.0)
@@ -166,9 +170,9 @@ def dp_oracle_ko_cap(cfg: HWConfig, market: MarketCurve, *, rate: float,
     disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
     mu0 = r_det[T0] - c0
     vals = disc0 * _kernel_avg(np.array([mu0]), math.sqrt(v00), xs_next,
-                               W_next[:, :2])[0]
+                               W_next[:, :2], order="cubic")[0]
     surv0 = float(_kernel_avg(np.array([r_det[T0]]), math.sqrt(v00),
-                              xs_next, W_next[:, 2])[0])
+                              xs_next, W_next[:, 2], order="cubic")[0])
     return KoCapDP(price=float(vals[0]), cap_price=float(vals[1]),
                    barrier_premium=float(vals[1] - vals[0]),
                    r_barriers=tuple(r_H[t] for t in fixes),

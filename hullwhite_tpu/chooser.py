@@ -122,7 +122,10 @@ def dp_oracle_chooser_cap(cfg: HWConfig, market: MarketCurve, *,
                          n_grid)
         v = kink[t]
         if xs[0] < v < xs[-1] and math.isfinite(v):
-            xs = np.unique(np.concatenate([xs, [v]]))
+            # +-eps double node since round 4's cubic cell kernel: the
+            # zero-width cell marks a slope-segment break so Hermite
+            # slopes stay one-sided at the crease (see docs/MATH.md §38)
+            xs = np.unique(np.concatenate([xs, [v - 1e-9, v + 1e-9]]))
         return xs
 
     def caplet_cash(t, xs):
@@ -158,7 +161,8 @@ def dp_oracle_chooser_cap(cfg: HWConfig, market: MarketCurve, *,
             c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
             mu_p = r_det[Tp] + b_p * e - c_pI
             s_p = math.sqrt(max(v_p, 0.0))
-            Ec = _kernel_avg(mu_p, s_p, xs_next, Vn)     # (G, k+2)
+            Ec = _kernel_avg(mu_p, s_p, xs_next, Vn,
+                             order="cubic")      # (G, k+2)
 
         V_new = np.empty((len(xs), k + 2))
         V_new[:, 0] = 0.0                                 # no rights left
@@ -198,7 +202,8 @@ def dp_oracle_chooser_cap(cfg: HWConfig, market: MarketCurve, *,
     c0 = sig * sig * float(u0 @ w0v)
     disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
     mu0 = np.array([r_det[T0] - c0])
-    top = disc0 * _kernel_avg(mu0, math.sqrt(v00), xs_next, Vn)[0]
+    top = disc0 * _kernel_avg(mu0, math.sqrt(v00), xs_next, Vn,
+                              order="cubic")[0]
     return ChooserDP(price=float(top[k]), cap_price=float(top[k + 1]),
                      boundaries=tuple(reversed(boundaries)), k=k,
                      auto=bool(auto), profile_x=profile[0] if profile

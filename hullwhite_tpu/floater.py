@@ -198,13 +198,15 @@ def dp_oracle_capped_floater(cfg: HWConfig, market: MarketCurve, *,
 
     def grid(t):
         """r-grid at date t with the coupon's floor/cap kink nodes
-        inserted (kinks, not jumps: single extra nodes make the
-        piecewise-linear value representation exact at the kink)."""
+        inserted as +-eps DOUBLE nodes (round 4): the value is
+        continuous there, and the zero-width cell marks a slope-segment
+        break so the cubic cell kernel keeps its Hermite slopes
+        one-sided at the crease (docs/MATH.md §38)."""
         s = sig * math.sqrt(float(U[t] @ U[t]))
         xs = np.linspace(r_det[t] - width * s, r_det[t] + width * s,
                          n_grid)
         if t in kinks:
-            extra = [v for v in kinks[t]
+            extra = [v + e for v in kinks[t] for e in (-1e-9, 1e-9)
                      if xs[0] < v < xs[-1] and math.isfinite(v)]
             if extra:
                 xs = np.unique(np.concatenate([xs, np.asarray(extra)]))
@@ -235,7 +237,8 @@ def dp_oracle_capped_floater(cfg: HWConfig, market: MarketCurve, *,
             c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
             mu_p = r_det[Tp] + b_p * e - c_pI
             s_p = math.sqrt(max(v_p, 0.0))
-            cont = w0 * (cpn + _kernel_avg(mu_p, s_p, xs_next, W_next))
+            cont = w0 * (cpn + _kernel_avg(mu_p, s_p, xs_next, W_next,
+                                           order="cubic"))
 
             if callable_ and j == 1:
                 profile.append((tuple(float(v) for v in xs),
@@ -262,8 +265,8 @@ def dp_oracle_capped_floater(cfg: HWConfig, market: MarketCurve, *,
         c0 = sig * sig * float(u0 @ w0v)
         disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
         mu0 = r_det[T0] - c0
-        val = disc0 * float(_kernel_avg(mu0, math.sqrt(v00),
-                                        xs_next, W_next)[0])
+        val = disc0 * float(_kernel_avg(mu0, math.sqrt(v00), xs_next,
+                                        W_next, order="cubic")[0])
         return val, tuple(reversed(boundaries))
 
     price, boundaries = backward(True)

@@ -327,7 +327,8 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
             c_pI = sig * sig * (float(up @ dj) - b_p * b_I / vjj)
             mu_p = r_det[Tp] + b_p * e - c_pI
             s_p = math.sqrt(max(v_p, 0.0))
-            cont = cpn + w0 * _kernel_avg(mu_p, s_p, xs_next, W_next)
+            cont = cpn + w0 * _kernel_avg(mu_p, s_p, xs_next, W_next,
+                                          order="cubic")
 
             if puttable and j == 1:
                 profile.append((tuple(float(v) for v in xs),
@@ -355,8 +356,8 @@ def dp_oracle_range_note(cfg: HWConfig, market: MarketCurve, *,
         c0 = sig * sig * float(u0 @ w0v)
         disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
         mu0 = r_det[T0] - c0
-        val = disc0 * float(_kernel_avg(mu0, math.sqrt(v00),
-                                        xs_next, W_next)[0])
+        val = disc0 * float(_kernel_avg(mu0, math.sqrt(v00), xs_next,
+                                        W_next, order="cubic")[0])
         return val, tuple(reversed(boundaries))
 
     price, boundaries = backward(True)
@@ -678,12 +679,15 @@ def dp_oracle_tarn(cfg: HWConfig, market: MarketCurve, *, coupon: float,
                 p_in = np.ones(len(xs))
             else:
                 li_up = min(li + 1, n)
-                v_in = w0 * (ct + _kernel_avg(mu_p, s_p, xs_next,
-                                              Wn[li_up]))
-                p_in = _kernel_avg(mu_p_real, s_p, xs_next, Pn[li_up])
+                v_in = w0 * (ct + _kernel_avg(mu_p, s_p, xs_next, Wn[li_up],
+                                              order="cubic"))
+                p_in = _kernel_avg(mu_p_real, s_p, xs_next, Pn[li_up],
+                                   order="cubic")
             # no-coupon branch: stay at level li
-            v_out = w0 * _kernel_avg(mu_p, s_p, xs_next, Wn[li])
-            p_out = _kernel_avg(mu_p_real, s_p, xs_next, Pn[li])
+            v_out = w0 * _kernel_avg(mu_p, s_p, xs_next, Wn[li],
+                                     order="cubic")
+            p_out = _kernel_avg(mu_p_real, s_p, xs_next, Pn[li],
+                                order="cubic")
             W_new.append(ind * v_in + (1.0 - ind) * v_out)
             P_new.append(ind * p_in + (1.0 - ind) * p_out)
         Wn, Pn, xs_next = W_new, P_new, xs
@@ -695,9 +699,11 @@ def dp_oracle_tarn(cfg: HWConfig, market: MarketCurve, *, coupon: float,
     c0 = sig * sig * float(u0 @ w0v)
     disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
     price = disc0 * float(_kernel_avg(r_det[T0] - c0, math.sqrt(v00),
-                                      xs_next, Wn[0])[0])
+                                      xs_next, Wn[0],
+                                      order="cubic")[0])
     # knockout probability under the REAL (untilted) measure
-    ko_p = float(_kernel_avg(r_det[T0], math.sqrt(v00), xs_next, Pn[0])[0])
+    ko_p = float(_kernel_avg(r_det[T0], math.sqrt(v00), xs_next, Pn[0],
+                             order="cubic")[0])
     return TarnDP(price=price, ko_prob=ko_p, levels=levels)
 
 

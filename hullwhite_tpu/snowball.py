@@ -200,8 +200,10 @@ def _snowball_dp(cfg: HWConfig, market: MarketCurve, *, initial: float,
         s_p = math.sqrt(max(v_p, 0.0))
         # kernel continuation for all c-levels in one batched call (the
         # kernel is linear in the values: one dPhi assembly serves all)
-        K = _kernel_avg(mu_p, s_p, xs_next, W_next)       # (n_r, n_c)
-        Kc = _kernel_avg(mu_p_real, s_p, xs_next, C_next)
+        K = _kernel_avg(mu_p, s_p, xs_next, W_next,
+                        order="cubic")                    # (n_r, n_c)
+        Kc = _kernel_avg(mu_p_real, s_p, xs_next, C_next,
+                         order="cubic")
         lnA, B = terms[Tj]
         L = (np.exp(B * xs - lnA) - 1.0) / delta
         W_new = np.empty((len(xs), n_cgrid))
@@ -237,9 +239,10 @@ def _snowball_dp(cfg: HWConfig, market: MarketCurve, *, initial: float,
     c0v = sig * sig * float(u0 @ w0v)
     disc0 = math.exp(-i_det[T0] + 0.5 * vI0)
     price = disc0 * float(_kernel_avg(r_det[T0] - c0v, math.sqrt(v00),
-                                      xs_next, W_next[:, 0])[0])
+                                      xs_next, W_next[:, 0],
+                                      order="cubic")[0])
     mean_c = float(_kernel_avg(r_det[T0], math.sqrt(v00), xs_next,
-                               C_next[:, 0])[0])
+                               C_next[:, 0], order="cubic")[0])
     return price, mean_c, tuple(reversed(bnds)), tuple(cs)
 
 
