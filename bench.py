@@ -26,10 +26,23 @@ Timing protocol: this sandbox reaches the TPU through a tunnel with ~30 ms
 host-fetch latency and block_until_ready does not actually block, so each
 measurement loops the jitted fn n times and fetches once; the separately
 measured fetch round-trip is subtracted.
+
+Record integrity (round-5): two defenses against the tunnel-stall
+corruption that silently misstated two round-4 fields 6-14x:
+(1) `utils.timing.bench` itself takes the minimum of k>=3 independent
+windows (stalls only ever inflate); (2) every timed section is
+cross-checked against the LAST COMMITTED BENCH_r*.json — a >1.5x
+deviation triggers exactly one re-measurement, the minimum of the two
+passes is recorded, and a persistent deviation lands in an "anomalies"
+field carrying the prior value and both passes so the record is
+self-defending (cf. the reference's 2-warmup/5-run-average protocol,
+benchmark_reductions.cu:30-54).
 """
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
@@ -58,6 +71,29 @@ BASELINE_Q3 = 509e6     # reference README.md:163
 
 T0 = time.monotonic()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+
+
+def _load_prior():
+    """Timing fields of the newest committed BENCH_r*.json (driver format:
+    the measurements live under "parsed"), or {} when none exists."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = {}, -1
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if isinstance(parsed, dict):
+            best, best_n = parsed, int(m.group(1))
+    return best
+
+
+PRIOR = _load_prior()
 
 
 def main():
@@ -100,6 +136,30 @@ def main():
             return False
         return True
 
+    def timed(field, prior_ms, measure):
+        """measure() -> (seconds_per_call, out), cross-checked against the
+        last committed BENCH_r*.json: a >1.5x deviation triggers one
+        re-measurement (min of the two passes kept); a persistent
+        deviation is recorded under "anomalies" with the prior value and
+        both passes, so drift vs the official record is loud, not silent.
+        """
+        dt, out = measure()
+        if prior_ms:
+            ratio = dt * 1e3 / prior_ms
+            if not (1 / 1.5 < ratio < 1.5):
+                dt2, out = measure()
+                passes = [dt, dt2]
+                dt = min(passes)
+                if not (1 / 1.5 < dt * 1e3 / prior_ms < 1.5):
+                    anom = result.setdefault("anomalies", {})
+                    anom[field] = {
+                        "prior_ms": round(float(prior_ms), 3),
+                        "passes_ms": [round(p * 1e3, 3) for p in passes],
+                        "passes_agree": bool(
+                            max(passes) / min(passes) < 1.5),
+                    }
+        return dt, out
+
     # --- headline: Q1 curve bootstrap at 2^20 ---
     # prepared/run split: the sigma-dependent tables/weights build once
     # outside the timed loop, exactly like the reference's
@@ -114,7 +174,8 @@ def main():
         max((time.perf_counter() - prep_t) - rtt, 0.0) * 1e3, 2)
     prep = jax.tree_util.tree_map(jnp.asarray, prep)
     f = pricing._curve_sums_run_fn(cfg, engine, None)
-    dt, sums = bench(f, key, prep, rtt=rtt)
+    dt, sums = timed("q1_ms", PRIOR.get("q1_ms"),
+                     lambda: bench(f, key, prep, rtt=rtt))
     q1_paths_s = 2 * cfg.n_paths / dt
     P = sums / (2 * cfg.n_paths)
     extras["q1_ms"] = round(dt * 1e3, 3)
@@ -135,7 +196,8 @@ def main():
     if on_tpu and have_budget("q1_fullstep"):
         prep_f = pricing._curve_prep_fn(cfg, "pallas")(cfg.sigma, cfg.sigma)
         ff = pricing._curve_sums_run_fn(cfg, "pallas", None)
-        dtf, _ = bench(ff, key, prep_f, n=10, rtt=rtt)
+        dtf, _ = timed("q1_fullstep_ms", PRIOR.get("q1_fullstep_ms"),
+                       lambda: bench(ff, key, prep_f, n=10, rtt=rtt))
         extras["q1_fullstep_ms"] = round(dtf * 1e3, 3)
         extras["q1_fullstep_paths_per_sec"] = round(2 * cfg.n_paths / dtf)
         extras["q1_fullstep_vs_v100"] = round(
@@ -150,7 +212,8 @@ def main():
         prep_z = pricing._option_prep_fn(big, engine, "zbc")(
             big.sigma, big.sigma, market)
         fz = pricing._option_run_fn(big, engine, "zbc", None)
-        dtz, m = bench(fz, key, prep_z, market, rtt=rtt)
+        dtz, m = timed("q2b_ms_2e24", PRIOR.get("q2b_ms_2e24"),
+                       lambda: bench(fz, key, prep_z, market, rtt=rtt))
         est = cv_estimate(jnp.asarray(m), market.P[-1])
         extras["q2b_ms_2e24"] = round(dtz * 1e3, 3)
         extras["q2b_paths_per_sec"] = round(2 * big.n_paths / dtz)
@@ -164,7 +227,8 @@ def main():
         prep_v = pricing._option_prep_fn(big, engine, "vega")(
             big.sigma, big.sigma, market)
         fv = pricing._option_run_fn(big, engine, "vega", None)
-        dtv, v = bench(fv, key, prep_v, market, rtt=rtt)
+        dtv, v = timed("q3_ms_2e24", PRIOR.get("q3_ms_2e24"),
+                       lambda: bench(fv, key, prep_v, market, rtt=rtt))
         extras["q3_ms_2e24"] = round(dtv * 1e3, 3)
         extras["q3_paths_per_sec"] = round(big.n_paths / dtv)
         extras["q3_vs_v100"] = round(big.n_paths / dtv / BASELINE_Q3, 2)
@@ -178,7 +242,10 @@ def main():
         prep_zf = pricing._option_prep_fn(big, "pallas", "zbc")(
             big.sigma, big.sigma, market)
         fzf = pricing._option_run_fn(big, "pallas", "zbc", None)
-        dtzf, mf = bench(fzf, key, prep_zf, market, n=5, rtt=rtt)
+        pps = PRIOR.get("q2b_fullstep_paths_per_sec")
+        dtzf, mf = timed(
+            "q2b_fullstep_ms", pps and 2 * big.n_paths / pps * 1e3,
+            lambda: bench(fzf, key, prep_zf, market, n=5, rtt=rtt))
         estf = cv_estimate(jnp.asarray(mf), market.P[-1])
         extras["q2b_fullstep_paths_per_sec"] = round(2 * big.n_paths / dtzf)
         extras["q2b_fullstep_vs_v100"] = round(
@@ -190,7 +257,10 @@ def main():
         prep_vf = pricing._option_prep_fn(big, "pallas", "vega")(
             big.sigma, big.sigma, market)
         fvf = pricing._option_run_fn(big, "pallas", "vega", None)
-        dtvf, vf = bench(fvf, key, prep_vf, market, n=5, rtt=rtt)
+        pps = PRIOR.get("q3_fullstep_paths_per_sec")
+        dtvf, vf = timed(
+            "q3_fullstep_ms", pps and big.n_paths / pps * 1e3,
+            lambda: bench(fvf, key, prep_vf, market, n=5, rtt=rtt))
         extras["q3_fullstep_paths_per_sec"] = round(big.n_paths / dtvf)
         extras["q3_fullstep_vs_v100"] = round(
             big.n_paths / dtvf / BASELINE_Q3, 2)
@@ -216,7 +286,8 @@ def main():
 
         g = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
         fg = g2pp._g2_zbc_fn(cfg, g, cfg.n_paths, 1, None)
-        dtg, gout = bench(fg, key, market, n=10, rtt=rtt)
+        dtg, gout = timed("g2_zbc_ms", PRIOR.get("g2_zbc_ms"),
+                          lambda: bench(fg, key, market, n=10, rtt=rtt))
         extras["g2_zbc_ms"] = round(dtg * 1e3, 3)
         extras["g2_zbc_paths_per_sec"] = round(2 * cfg.n_paths / dtg)
         extras["g2_zbc_price"] = round(float(gout[0]), 8)
@@ -230,8 +301,10 @@ def main():
         ex = tuple(5.0 + j for j in range(5))
         fb = bermudan._bermudan_fn(cfg, ex, sched, 1.0, False, 1 << 17,
                                    8, False)
-        dtb, bout = bench(fb, key, jnp.float32(cfg.sigma), market, n=3,
-                          rtt=rtt)
+        dtb, bout = timed(
+            "bermudan_ms", PRIOR.get("bermudan_ms"),
+            lambda: bench(fb, key, jnp.float32(cfg.sigma), market, n=3,
+                          rtt=rtt))
         extras["bermudan_ms"] = round(dtb * 1e3, 3)
         extras["bermudan_bracket"] = [round(float(bout[5]), 8),
                                       round(float(bout[3]), 8)]
