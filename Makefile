@@ -1,7 +1,12 @@
 # hullwhite_tpu — build & run targets (analogue of the reference makefile)
 
 .PHONY: native test tpu-test q1 q2 q3 benchmark all analyze bench clean cms exotics notes \
-        g2pp swaption cap grid calibrate products
+        g2pp swaption cap grid calibrate products results-check
+
+# consistency gate: RESULTS.md flagship claims <-> data/ artifacts <->
+# newest BENCH_r*.json (round-5; fails loudly on the round-4 drift class)
+results-check:
+	python tools/results_check.py
 
 native:
 	$(MAKE) -C native
