@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from .config import HWConfig
 from .models import hull_white as hw
 from .models.hull_white import MarketCurve
+from .ops.accurate import exp32
 from .ops.payoffs import cv_estimate
 from .ops.rng import block_normals
 from .parallel import mesh as pmesh
@@ -64,8 +65,12 @@ def _bond_value_terms(cfg: HWConfig, sigma, market: MarketCurve,
     Ts = jnp.asarray(sched.times, jnp.float32)
     cs = jnp.asarray(sched.coupons, jnp.float32)
     alive = (Ts > t + 1e-9).astype(jnp.float32)
-    A = hw.a_hw(cfg, sigma, market, t, Ts)
-    B = hw.b_func(t, Ts, cfg.a)
+    # accurate software exp (round-5): these coefficients are prep-only
+    # but feed both the MC estimators and the fp64 DP oracles; on the
+    # native TPU exp they carried its -8.4e-7 mean bias, measured as a
+    # common -8.5e-7 platform shift of the Bermudan bracket + oracle
+    A = hw.a_hw(cfg, sigma, market, t, Ts, exp=exp32)
+    B = hw.b_func(t, Ts, cfg.a, exp=exp32)
     return alive * cs * A, B
 
 

@@ -31,6 +31,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import HWConfig
+# accurate software exp/pdf for the Bermudan bracket path (round-5): the
+# TPU hardware fp32 exp's measured -8.4e-7 mean relative bias composed
+# into the bracket's -2e-6 on-chip floor; see ops/accurate.py
+from ..ops.accurate import exp32 as _exp, npdf as _npdf
 from . import hull_white as hw
 from .hull_white import MarketCurve
 
@@ -1320,7 +1324,7 @@ def _g2_proxy_cols(x, y, sx, sy, lam_j, Ba, Bb, bnd, swap, pscale, sg):
     the fit by _VAL_COLS but kept evaluable: its closed-form tilted
     expectation documents the exponential-feature machinery)."""
     xt, yt = x / sx, y / sy
-    V = jnp.sum(lam_j[None, :] * jnp.exp(-Ba[None, :] * x[:, None]
+    V = jnp.sum(lam_j[None, :] * _exp(-Ba[None, :] * x[:, None]
                                          - Bb[None, :] * y[:, None]),
                 axis=1)
     v0, c1, c2, cn = _w_feature_consts(lam_j, Ba, Bb, sx, sy)
@@ -1368,7 +1372,7 @@ def _g2_piecewise_value(x, y, gamma, sx, sy, lam_j, Ba, Bb, strike,
     expectation stays (near-)exact because v given p keeps 1-d
     truncated-Gaussian/lognormal closed forms and the p-direction is a
     SMOOTH integral handled by Gauss-Hermite in _g2_piecewise_cond."""
-    V = jnp.sum(lam_j[None, :] * jnp.exp(-Ba[None, :] * x[:, None]
+    V = jnp.sum(lam_j[None, :] * _exp(-Ba[None, :] * x[:, None]
                                          - Bb[None, :] * y[:, None]),
                 axis=1)
     intr = sg * (V - strike)
@@ -1418,7 +1422,7 @@ def _g2_piecewise_cond(gamma, sx, sy, lam_j, Ba, Bb, strike, bnd, swap,
     f32 = jnp.float32
     vx, vy, cxy = f32(p["vx"]), f32(p["vy"]), f32(p["cxy"])
     cxI, cyI, vII = f32(p["cxI"]), f32(p["cyI"]), f32(p["vII"])
-    w0 = jnp.exp(-mI + 0.5 * vII)
+    w0 = _exp(-mI + 0.5 * vII)
     mx_ = mx - cxI
     my_ = my - cyI
     if swap:      # probe coordinate is y, bisected coordinate is x
@@ -1449,7 +1453,7 @@ def _g2_piecewise_cond(gamma, sx, sy, lam_j, Ba, Bb, strike, bnd, swap,
         m = mv + beta_vp * (pc - mp)         # v | pc mean
         bcut = _g2_boundary_eval(bnd, pc / pscale)
         alpha = (bcut - m) / s
-        phi_a = jnorm.pdf(alpha)
+        phi_a = _npdf(alpha)
         # standardized sided moments on the CONTINUATION side, by the
         # recursion U_p = sg alpha^{p-1} phi + (p-1) U_{p-2}
         U = [jnorm.cdf(-sg * alpha), sg * phi_a]
@@ -1470,7 +1474,7 @@ def _g2_piecewise_cond(gamma, sx, sy, lam_j, Ba, Bb, strike, bnd, swap,
             Ts.append(t)
         # exercise-side exponentials (truncated-lognormal means)
         eterm = (lam_j[None, :]
-                 * jnp.exp(-gp[None, :] * pc[:, None]
+                 * _exp(-gp[None, :] * pc[:, None]
                            - gv[None, :] * m[:, None]
                            + 0.5 * (gv * gv)[None, :] * s2))
         e_ex = jnp.sum(eterm * jnorm.cdf(sg * (alpha[:, None]
@@ -1495,7 +1499,7 @@ def _g2_piecewise_cond(gamma, sx, sy, lam_j, Ba, Bb, strike, bnd, swap,
         e_sp = jnp.zeros_like(m)
         for i, dlt in enumerate(SPLINE_DELTAS):
             at = (max(dlt, 0.0) - m_t) / s_t
-            phi_t = jnorm.pdf(at)
+            phi_t = _npdf(at)
             V0 = jnorm.cdf(-at)
             V2 = V0 + at * phi_t
             V3 = (2.0 + at * at) * phi_t
@@ -1565,11 +1569,11 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             alive, vadj, Ba, Bb, d0 = date_stat[j]
             P1 = P_at(t_ex)
             lam_j = jnp.stack([
-                coupons[i] * P_at(times[i]) / P1 * jnp.exp(jnp.float32(v))
+                coupons[i] * P_at(times[i]) / P1 * _exp(jnp.float32(v))
                 for i, v in zip(alive, vadj)])
             lam.append((lam_j, jnp.asarray(Ba, jnp.float32),
                         jnp.asarray(Bb, jnp.float32)))
-            disc_det.append(P1 * jnp.exp(jnp.float32(d0)))
+            disc_det.append(P1 * _exp(jnp.float32(d0)))
 
         def states(subkey):
             xn = jax.random.normal(subkey, (n_paths, 3 * k), jnp.float32)
@@ -1580,7 +1584,7 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
         def payoff_at(j, x, y):
             lam_j, Ba, Bb = lam[j]
             V = jnp.sum(lam_j[None, :]
-                        * jnp.exp(-Ba[None, :] * x[:, None]
+                        * _exp(-Ba[None, :] * x[:, None]
                                   - Bb[None, :] * y[:, None]), axis=1)
             intrinsic = (strike - V) if payer else (V - strike)
             return jnp.maximum(intrinsic, 0.0)
@@ -1637,7 +1641,7 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             def intr(bv):
                 xv, yv = xy(bv)
                 V = jnp.sum(lam_j[None, :]
-                            * jnp.exp(-Ba[None, :] * xv[:, None]
+                            * _exp(-Ba[None, :] * xv[:, None]
                                       - Bb[None, :] * yv[:, None]),
                             axis=1)
                 return sg * (V - strike)
@@ -1711,7 +1715,7 @@ def _g2_bermudan_fn(cfg: HWConfig, g: G2Params, ex_dates: tuple, times,
             values the dual already computes (they are the same
             conditional expectations, one date shifted), so the lower
             bound's policy is NOISE-FREE — no LSMC regression."""
-            D = jnp.stack([disc_det[j] * jnp.exp(-I[:, j])
+            D = jnp.stack([disc_det[j] * _exp(-I[:, j])
                            for j in range(k)], axis=1)
             M = jnp.zeros((x.shape[0],), jnp.float32)
             Ms = []       # M after each date's increment (for M_tau)

@@ -51,9 +51,16 @@ def theta_fn(t, spec: ThetaSpec):
     )
 
 
-def b_func(t, T, a):
-    """B(t,T) = (1 - e^{-a(T-t)})/a (reference common.cuh:180-182)."""
-    return (1.0 - jnp.exp(-a * (T - t))) / a
+def b_func(t, T, a, exp=jnp.exp):
+    """B(t,T) = (1 - e^{-a(T-t)})/a (reference common.cuh:180-182).
+
+    ``exp`` lets precompute-only callers route through the accurate
+    software exp (ops/accurate.exp32): the TPU hardware fp32 exp carries
+    a -8.4e-7 mean relative bias that otherwise propagates into every
+    bond-term coefficient (measured as a common -8.5e-7 platform shift
+    of the Bermudan bracket AND its oracle).  Per-path hot kernels keep
+    the native exp."""
+    return (1.0 - exp(-a * (T - t))) / a
 
 
 class StepTables(NamedTuple):
@@ -180,15 +187,18 @@ def interp_curve(data, T, cfg: HWConfig):
     return jnp.interp(T, Ts, data)
 
 
-def a_hw(cfg: HWConfig, sigma, market: MarketCurve, t, T):
-    """A(t,T) from market data (reference compute_A_HW, common.cuh:201-214)."""
+def a_hw(cfg: HWConfig, sigma, market: MarketCurve, t, T, exp=jnp.exp):
+    """A(t,T) from market data (reference compute_A_HW, common.cuh:201-214).
+
+    ``exp`` as in b_func: precompute-only callers pass the accurate
+    software exp so bond-term coefficients are platform-independent."""
     a = cfg.a
-    B = b_func(t, T, a)
+    B = b_func(t, T, a, exp)
     P0T = interp_curve(market.P, T, cfg)
     P0t = interp_curve(market.P, t, cfg)
     f0t = interp_curve(market.f, t, cfg)
-    conv = (sigma * sigma / (4.0 * a)) * (1.0 - jnp.exp(-2.0 * a * t)) * B * B
-    return (P0T / P0t) * jnp.exp(B * f0t - conv)
+    conv = (sigma * sigma / (4.0 * a)) * (1.0 - exp(-2.0 * a * t)) * B * B
+    return (P0T / P0t) * exp(B * f0t - conv)
 
 
 def p_bond(cfg: HWConfig, sigma, market: MarketCurve, t, T, r):
