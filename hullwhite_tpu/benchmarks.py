@@ -296,6 +296,77 @@ def run_roofline(cfg: HWConfig, key, reps: int = 10):
     hwio.write_json(hwio.DATA_DIR / "fullstep_roofline.json",
                     "Full-step roofline", cfg, results=out)
     print("saved data/fullstep_roofline.json")
+
+    # --- exact (flagship) tiers: unit walls + occupancy (round-5,
+    # VERDICT r4 #7).  The exact tiers have no premix matmul; their
+    # units are the Box-Muller pipeline, the payoff exp and exact-
+    # reciprocal pipelines, and (q1) the Cholesky weight matmul.  Each
+    # ceiling is microbenched at the tier's own tile geometry; the
+    # analytic per-path usage (fused.exact_tier_accounting) then gives
+    # fraction-of-unit and the serial-model occupancy sum. ---
+    bm_fn, bm_total = fused.bm_peak_fn(cfg)
+    dt_bm, _ = bench(jax.jit(lambda key, _p, _m: bm_fn(key)),
+                     key, None, None, n=reps, rtt=rtt)
+    bm_peak = bm_total / dt_bm
+    exp_fn, exp_total = fused.exp_peak_fn(cfg)
+    dt_e, _ = bench(jax.jit(lambda key, _p, _m: exp_fn(key)),
+                    key, None, None, n=reps, rtt=rtt)
+    exp_peak = exp_total / dt_e
+    rc_fn, rc_total = fused.recip_peak_fn(cfg)
+    dt_rc, _ = bench(jax.jit(lambda key, _p, _m: rc_fn(key)),
+                     key, None, None, n=reps, rtt=rtt)
+    recip_peak = rc_total / dt_rc
+    print(f"\n--- Exact-tier roofline [BM peak {bm_peak/1e9:.0f} G "
+          f"normals/s; exp peak {exp_peak/1e9:.0f} G/s; exact-recip "
+          f"peak {recip_peak/1e9:.0f} G/s] ---")
+    ex_out = {"device": dev, "peak_bf16_tflops": peaks["bf16_tflops"],
+              "matmul_precision": cfg.matmul_precision,
+              "bm_peak_normals_per_sec": bm_peak,
+              "exp_peak_per_sec": exp_peak,
+              "recip_peak_per_sec": recip_peak,
+              "vpu_alu_peak_ops_per_sec": alu_peak, "tiers": {}}
+    acct = fused.exact_tier_accounting(cfg)
+
+    def ex_row(name, dt, paths):
+        a = acct[name]
+        paths_s = paths / dt
+        fr_bm = paths_s * a["normals_per_path"] / bm_peak
+        fr_exp = paths_s * a["exps_per_path"] / exp_peak
+        fr_rc = (paths_s * a["recips_per_path"] / recip_peak
+                 if a["recips_per_path"] else 0.0)
+        fr_mxu = paths_s * a["mxu_flops_per_path"] / peak_fs
+        fr_alu = paths_s * a["alu_tail_per_path"] / alu_peak
+        ssum = fr_bm + fr_exp + fr_rc + fr_mxu + fr_alu
+        units = {"BoxMuller": fr_bm, "exp": fr_exp, "recip": fr_rc,
+                 "MXU": fr_mxu, "VPU-ALU": fr_alu}
+        lim = max(units, key=units.get)
+        print(f"{name:12s} {dt*1e3:8.3f} ms {paths_s/1e9:7.2f} B paths/s"
+              f"  BM {100*fr_bm:5.1f}%  exp {100*fr_exp:5.1f}%  recip "
+              f"{100*fr_rc:5.1f}%  MXU {100*fr_mxu:5.1f}%  ALU "
+              f"{100*fr_alu:4.1f}%  serial {100*ssum:4.0f}%  {lim}")
+        ex_out["tiers"][name] = {
+            "ms": dt * 1e3, "paths_per_sec": paths_s, **a,
+            "fraction_of_bm_peak": fr_bm, "fraction_of_exp_peak": fr_exp,
+            "fraction_of_recip_peak": fr_rc, "fraction_of_mxu_peak": fr_mxu,
+            "fraction_of_vpu_alu_peak": fr_alu,
+            "serial_occupancy_sum": ssum, "limiting_unit": lim}
+
+    prep = pricing._curve_prep_fn(cfg, "pallas_exact")(cfg.sigma, cfg.sigma)
+    dt, _ = bench(pricing._curve_sums_run_fn(cfg, "pallas_exact", None),
+                  key, prep, n=reps, rtt=rtt)
+    ex_row("q1_exact", dt, 2 * cfg.n_paths)
+    for kind, name, paths in (("zbc", "zbc_exact", 2 * cfg.n_paths),
+                              ("vega", "vega_exact", cfg.n_paths)):
+        prep = pricing._option_prep_fn(cfg, "pallas_exact", kind)(
+            cfg.sigma, cfg.sigma, market)
+        f = pricing._option_run_fn(cfg, "pallas_exact", kind, None)
+        dt, _ = bench(f, key, prep, market, n=reps, rtt=rtt)
+        ex_row(name, dt, paths)
+    print("serial sum >= ~100% means the tier is at its combined "
+          "speed of light; a single unit near 100% names the wall")
+    hwio.write_json(hwio.DATA_DIR / "exact_roofline.json",
+                    "Exact-tier roofline", cfg, results=ex_out)
+    print("saved data/exact_roofline.json")
     return 0
 
 

@@ -1067,6 +1067,136 @@ def bitops_peak_fn(cfg: HWConfig):
     return fn, ops
 
 
+# --- exact-tier unit walls (round-5, VERDICT r4 #7) -------------------------
+# The flagship pallas_exact tiers have no Hadamard premix: their units are
+# the Box-Muller transcendental pipeline (sqrt+log+trig polys), the payoff
+# exp/reciprocal pipeline, and (q1 only) the Cholesky weight matmul.  Each
+# wall is microbenched at the tier's own tile geometry with a minimal
+# not-dead-code consumer, and exact_tier_accounting counts each tier's
+# per-path usage so run_roofline can report fraction-of-limiting-unit for
+# the headline tiers exactly like the fullstep table.
+
+def _bm_peak_kernel(seed_ref, out_ref, *, interpret):
+    """Box-Muller wall at the exact-curve geometry: the full normal
+    volume of one _curve_exact_kernel tile with a single add as the
+    consumer."""
+    draw = _tile_rng(seed_ref, interpret)
+    z0, z1 = _box_muller(draw, (TILE_EXACT, PAD))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :] += jnp.sum(z0 + z1, axis=0)
+
+
+def bm_peak_fn(cfg: HWConfig):
+    """jit-able (key -> checksum); returns (fn, normals_per_call)."""
+    from functools import partial
+
+    kernel = partial(_bm_peak_kernel, interpret=cfg.pallas_interpret)
+    grid = cfg.n_paths // (2 * TILE_EXACT)
+
+    def fn(key):
+        seeds = _key_seed(key, 0, salt=808)
+        out = _pallas_sum(cfg, kernel, grid, (seeds,), out_rows=1)
+        return jnp.sum(out[0])
+
+    return fn, grid * 2 * TILE_EXACT * PAD
+
+
+_EXP_ROUNDS = 32
+
+
+def _exp_peak_kernel(seed_ref, out_ref, *, rounds, interpret):
+    """Sustained exp ceiling: register-resident chains x <- e^{-x}
+    (stable fixed point ~0.567, every lane an independent chain)."""
+    draw = _tile_rng(seed_ref, interpret)
+    x = _bits_float12(draw((TILE_OPT, PAD), 0)) - 1.0   # [0, 1)
+    for _ in range(rounds):
+        x = jnp.exp(-x)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :] += jnp.sum(x, axis=0)
+
+
+def exp_peak_fn(cfg: HWConfig):
+    """jit-able (key -> checksum); returns (fn, exps_per_call)."""
+    from functools import partial
+
+    kernel = partial(_exp_peak_kernel, rounds=_EXP_ROUNDS,
+                     interpret=cfg.pallas_interpret)
+    grid = cfg.n_paths // (2 * TILE_OPT * PAD)
+
+    def fn(key):
+        seeds = _key_seed(key, 0, salt=909)
+        out = _pallas_sum(cfg, kernel, grid, (seeds,), out_rows=1)
+        return jnp.sum(out[0])
+
+    return fn, grid * _EXP_ROUNDS * TILE_OPT * PAD
+
+
+def _recip_peak_kernel(seed_ref, out_ref, *, rounds, interpret):
+    """Sustained exact-reciprocal ceiling: chains x <- 1/(x + 1)
+    (fixed point 1/phi ~ 0.618)."""
+    draw = _tile_rng(seed_ref, interpret)
+    x = _bits_float12(draw((TILE_OPT, PAD), 0)) - 1.0
+    for _ in range(rounds):
+        x = pl.reciprocal(x + 1.0, approx=False)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :] += jnp.sum(x, axis=0)
+
+
+def recip_peak_fn(cfg: HWConfig):
+    from functools import partial
+
+    kernel = partial(_recip_peak_kernel, rounds=_EXP_ROUNDS,
+                     interpret=cfg.pallas_interpret)
+    grid = cfg.n_paths // (2 * TILE_OPT * PAD)
+
+    def fn(key):
+        seeds = _key_seed(key, 0, salt=1010)
+        out = _pallas_sum(cfg, kernel, grid, (seeds,), out_rows=1)
+        return jnp.sum(out[0])
+
+    return fn, grid * _EXP_ROUNDS * TILE_OPT * PAD
+
+
+def exact_tier_accounting(cfg: HWConfig) -> dict:
+    """Analytic per-PATH unit usage of the pallas_exact tiers from the
+    live tile constants.
+
+    q1 (_curve_exact_kernel): each tile draws 2 x (TILE_EXACT, PAD)
+    normals and serves 2*TILE_EXACT antithetic paths, so PAD/2 normals,
+    PAD/2 payoff exps and PAD/2 exact reciprocals per path, plus the
+    (TILE_EXACT, PAD) @ (PAD, PAD) Cholesky matmul x2 = PAD^2 flops/path
+    (times the precision pass count).  zbc (_zbc_exact_kernel): each
+    (TILE_OPT, PAD) element is an antithetic PAIR -> 1 normal, 2 exps,
+    1 reciprocal per path, no matmul.  vega (_vega_exact_kernel): one
+    path per element -> 2 normals, 2 exps per path."""
+    passes = 6 if cfg.matmul_precision == "highest" else 1
+    return {
+        "q1_exact": {"normals_per_path": PAD / 2.0,
+                     "exps_per_path": PAD / 2.0,
+                     "recips_per_path": PAD / 2.0,
+                     "mxu_flops_per_path": float(PAD * PAD * passes),
+                     "alu_tail_per_path": 2.0 * PAD},
+        "zbc_exact": {"normals_per_path": 1.0, "exps_per_path": 2.0,
+                      "recips_per_path": 1.0, "mxu_flops_per_path": 0.0,
+                      "alu_tail_per_path": 14.0},
+        "vega_exact": {"normals_per_path": 2.0, "exps_per_path": 2.0,
+                       "recips_per_path": 0.0, "mxu_flops_per_path": 0.0,
+                       "alu_tail_per_path": 20.0},
+    }
+
+
 def vpu_ops_accounting(cfg: HWConfig) -> dict:
     """Analytic VPU-op counts per antithetic pair for the full-step tiers,
     from the live tile constants — the VPU half of the speed-of-light

@@ -143,3 +143,35 @@ def test_fused_grid_matches_xla(market):
     assert np.all(np.abs(np.asarray(g_p.price) - np.asarray(g_x.price))
                   < 6 * se + 1e-4)
     assert np.all(np.abs(np.asarray(g_p.beta) - np.asarray(g_x.beta)) < 0.05)
+
+
+def test_peak_microbenches_run_in_interpret_mode():
+    """The unit-wall microbench kernels (fullstep PRNG/ALU + round-5
+    exact-tier BM/exp/recip) execute under interpret mode and return
+    finite checksums with positive op totals."""
+    import jax
+
+    from hullwhite_tpu.pallas import fused
+
+    for fn_of in (fused.raw_peak_fn, fused.draw_peak_fn,
+                  fused.bitops_peak_fn, fused.bm_peak_fn,
+                  fused.exp_peak_fn, fused.recip_peak_fn):
+        fn, total = fn_of(CFG)
+        assert total > 0, fn_of
+        v = float(jax.jit(fn)(jax.random.key(3)))
+        assert v == v, fn_of   # finite (not NaN)
+
+
+def test_exact_tier_accounting_consistency():
+    """Analytic per-path counts: q1 uses PAD/2 normals+exps+recips per
+    path and PAD^2 x passes matmul flops; the option tiers use O(1)."""
+    from hullwhite_tpu.pallas import fused
+
+    acct = fused.exact_tier_accounting(CFG)
+    q1 = acct["q1_exact"]
+    assert q1["normals_per_path"] == fused.PAD / 2
+    passes = 6 if CFG.matmul_precision == "highest" else 1
+    assert q1["mxu_flops_per_path"] == fused.PAD * fused.PAD * passes
+    assert acct["zbc_exact"]["normals_per_path"] == 1.0
+    assert acct["zbc_exact"]["mxu_flops_per_path"] == 0.0
+    assert acct["vega_exact"]["normals_per_path"] == 2.0
