@@ -208,3 +208,55 @@ def test_sharded_exotics_match_single(mesh):
                                      lo=0.01, hi=0.022, tenor=3.0,
                                      boundaries=b, mesh=mesh, **kw)
     assert abs(float(n1.price) - float(n8.price)) < 1e-6
+
+
+def test_16_device_mesh_in_subprocess():
+    """Core trio certified sharded==single on a 16-device virtual mesh
+    (round-5, VERDICT r4 #8): flushes shape/divisibility assumptions
+    beyond the recorded 8-device default.  Runs in a subprocess because
+    the device count is fixed at backend init in this process."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 16)
+import numpy as np
+from hullwhite_tpu import tiny_config, pricing
+from hullwhite_tpu.parallel import mesh as pmesh
+assert len(jax.devices()) == 16
+mesh = pmesh.path_mesh()
+cfg = tiny_config(n_paths=2 * 16 * 256, path_block=256, n_steps=100,
+                  n_mat=11)
+key = jax.random.key(3)
+m1 = pricing.bootstrap_curve(cfg, key)
+m16 = pricing.bootstrap_curve(cfg, key, mesh=mesh)
+d = float(np.max(np.abs(np.asarray(m16.P, np.float64)
+                        - np.asarray(m1.P, np.float64))))
+assert d < 1e-6, d
+e1 = pricing.price_zbc(cfg, key, m1)
+e16 = pricing.price_zbc(cfg, key, m1, mesh=mesh)
+assert abs(float(e16.price) - float(e1.price)) < 1e-6
+v1 = pricing.pathwise_vega(cfg, key, m1)
+v16 = pricing.pathwise_vega(cfg, key, m1, mesh=mesh)
+assert abs(float(v16) - float(v1)) < 1e-6
+bad = tiny_config(n_paths=24 * 256, path_block=256, n_steps=100,
+                  n_mat=11)  # 24 blocks over 16 devices: uneven
+try:
+    pricing.bootstrap_curve(bad, key, mesh=mesh)
+    raise SystemExit("uneven blocks not rejected at 16 devices")
+except ValueError:
+    pass
+print("16-device certification OK")
+"""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)      # use jax_num_cpu_devices, not flags
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run([sys.executable, "-c", script], cwd=repo,
+                         env=env, capture_output=True, text=True,
+                         timeout=420)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "16-device certification OK" in out.stdout
