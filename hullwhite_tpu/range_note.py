@@ -161,7 +161,16 @@ def _catmull_weights(wg, w_val):
     cubic kills the 2-point lam-blend's O(h^2) convexity bias AND
     restores Gauss-Hermite's fast convergence when the blend feeds a
     quadrature (a C^1 interpolant instead of a kinked piecewise-linear
-    one).  Pair with ``_ghost_cols`` and index idx..idx+3."""
+    one).  Pair with ``_ghost_cols`` and index idx..idx+3.
+
+    The 0.5 tangent weights hard-code UNIFORM spacing; a nonuniform grid
+    (e.g. a w-grid with inserted nodes, mirroring the u-grids) would
+    silently bias the blends — asserted away here (round-5 advisor
+    finding): generalize the tangents before feeding one."""
+    dw = np.diff(wg)
+    assert np.ptp(dw) <= 1e-6 * np.mean(dw), (
+        "_catmull_weights requires a uniform grid (nonuniform tangents "
+        "not implemented)", float(np.ptp(dw)), float(np.mean(dw)))
     last = len(wg) - 2
     idx = np.clip(np.searchsorted(wg, w_val) - 1, 0, last)
     lam = np.clip((w_val - wg[idx]) / (wg[idx + 1] - wg[idx]), 0.0, 1.0)

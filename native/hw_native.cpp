@@ -262,26 +262,45 @@ void hw_dp_continuation(const double* grid_s, int ns, const double* grid_t,
 // (the value kink from max(payoff, cont) lies mid-cell on these uniform
 // grids, where any fixed-order interpolant is locally O(h^2); its
 // Gaussian mass keeps the net contribution O(h^3)).  Node slopes are
-// 3-point estimates, one-sided at the ends — the bermudan grids carry
-// no jump features, so no segment breaks are needed (the Python-side
-// _kernel_avg handles those for the note DPs).
+// 3-point estimates, one-sided at the ends.  Round-5 (advisor): the
+// same zero-width-cell break handling as the Python _kernel_avg /
+// _hermite_slopes — cells narrower than 1e-4 * span/(nt-1) are treated
+// as jump double nodes: no slope differences across them (adjacent
+// nodes take the one-sided estimate from their own segment, a node
+// between two breaks gets slope 0) and the Hermite correction is
+// zeroed on the break cell (linear chord only).  The bermudan grids
+// are uniform today, but a caller inserting kink/jump nodes no longer
+// feeds near-infinite slopes into neighbor cells.
 void hw_dp_continuation3(const double* grid_s, int ns, const double* grid_t,
                          const double* V, int nt, double rdet_s,
                          double rdet_t, double didet, double bt, double bI,
                          double vt, double vI, double ctI, double* cont) {
   const double s = std::sqrt(vt);
+  const double span = grid_t[nt - 1] - grid_t[0];
+  const double h_break = 1e-4 * span / (nt > 1 ? nt - 1 : 1);
+  std::vector<char> brk(nt - 1);
+  for (int j = 0; j + 1 < nt; ++j)
+    brk[j] = (grid_t[j + 1] - grid_t[j]) <= h_break;
   std::vector<double> slope(nt);
   for (int j = 1; j + 1 < nt; ++j) {
     const double hl = grid_t[j] - grid_t[j - 1];
     const double hr = grid_t[j + 1] - grid_t[j];
     const double sl = (V[j] - V[j - 1]) / hl;
     const double sr = (V[j + 1] - V[j]) / hr;
-    slope[j] = (hr * sl + hl * sr) / (hl + hr);
+    const bool bl = brk[j - 1], br = brk[j];
+    slope[j] = (bl && br) ? 0.0 : bl ? sr : br ? sl
+               : (hr * sl + hl * sr) / (hl + hr);
   }
-  slope[0] = (V[1] - V[0]) / (grid_t[1] - grid_t[0]);
-  slope[nt - 1] = (V[nt - 1] - V[nt - 2]) / (grid_t[nt - 1] - grid_t[nt - 2]);
+  slope[0] = brk[0] ? 0.0 : (V[1] - V[0]) / (grid_t[1] - grid_t[0]);
+  slope[nt - 1] = brk[nt - 2] ? 0.0
+      : (V[nt - 1] - V[nt - 2]) / (grid_t[nt - 1] - grid_t[nt - 2]);
   std::vector<double> d1(nt - 1), d2(nt - 1), d3(nt - 1), hinv(nt - 1);
   for (int j = 0; j + 1 < nt; ++j) {
+    if (brk[j]) {
+      d1[j] = d2[j] = d3[j] = 0.0;
+      hinv[j] = 0.0;               // alpha/beta unused: d's are zero
+      continue;
+    }
     const double h = grid_t[j + 1] - grid_t[j];
     const double dV = V[j + 1] - V[j];
     const double hma = h * slope[j], hmb = h * slope[j + 1];

@@ -160,3 +160,40 @@ def test_stale_library_degrades_to_fallback(tmp_path, monkeypatch):
         assert native.available() is False
     finally:
         native._lib.cache_clear()
+
+
+def test_dp_continuation_cubic_double_node_guard():
+    """Round-5 advisor fix: a grid with an inserted ±eps double node
+    carrying a value JUMP must not feed near-infinite slopes into the
+    Hermite correction of neighbor cells — the C++ sweep applies the
+    same break handling as range_note._kernel_avg (one-sided slopes at
+    break-adjacent nodes, zero correction on the break cell), so the
+    two sides still agree to the break cell's own O(eps) mass."""
+    if not (native.available() and native.has_dp_cubic()):
+        pytest.skip("native library without the cubic sweep")
+    from hullwhite_tpu.range_note import _kernel_avg
+
+    base = np.linspace(-0.3, 0.5, 201)
+    eps = 1e-9
+    kink = 0.1234
+    grid_t = np.sort(np.unique(np.concatenate(
+        [base, [kink - eps, kink + eps]])))
+    # value jumps by 0.05 across the double node, smooth elsewhere
+    V = 0.05 * grid_t ** 2 + np.where(grid_t >= kink, 0.05, 0.0)
+    grid_s = np.linspace(-0.2, 0.4, 57)
+    args = dict(rdet_s=0.05, rdet_t=0.06, didet=0.12, bt=0.8, bI=0.04,
+                vt=0.004, vI=0.03, ctI=0.0008)
+    got = native.dp_continuation(grid_s, grid_t, V, order="cubic",
+                                 **args)
+    assert np.all(np.isfinite(got))
+    m_t = args["rdet_t"] + args["bt"] * (grid_s - args["rdet_s"])
+    mI = args["didet"] + args["bI"] * (grid_s - args["rdet_s"])
+    want = (np.exp(-mI + 0.5 * args["vI"])
+            * _kernel_avg(m_t - args["ctI"], np.sqrt(args["vt"]),
+                          grid_t, V, order="cubic"))
+    # the break cell itself carries O(eps) Gaussian mass; the only
+    # allowed difference is its linear-chord treatment (~1e-8)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-7)
+    # and the guard actually matters: without it the correction blows
+    # up by ~jump/eps — assert we are nowhere near that scale
+    assert np.max(np.abs(got - want)) < 1e-3
