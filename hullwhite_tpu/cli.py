@@ -611,6 +611,10 @@ def main(argv=None):
     for flag, dv in [("--g2a", 1.0), ("--g2b", 0.1), ("--g2sigma", 0.08),
                      ("--g2eta", 0.02), ("--g2rho", -0.6)]:
         pcal.add_argument(flag, type=float, default=dv)
+    # calibrate -> reprice book -> XVA on the calibrated parameters,
+    # one composed artifact (round-5; the reference hard-codes its
+    # parameters, common.cuh:31-39)
+    sub.add_parser("pipeline", parents=[common])
     pall = sub.add_parser("all", parents=[common])
     pall.add_argument("--validate", type=int, default=0)
     pall.add_argument("--eps", type=float, default=1e-3)
@@ -627,7 +631,7 @@ def main(argv=None):
     if args.cmd == "benchmark":
         return cmd_benchmark(args)
     if args.cmd in ("swaption", "grid", "sweep", "g2pp", "cap", "cms",
-                    "rfr", "exotics", "notes", "calibrate"):
+                    "rfr", "exotics", "notes", "calibrate", "pipeline"):
         # product drivers live in cli_products (one-driver-per-file,
         # imported lazily so `q1`-only runs skip the product imports)
         from . import cli_products

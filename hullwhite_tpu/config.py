@@ -50,6 +50,34 @@ class ThetaSpec:
 
 
 @dataclass(frozen=True)
+class ThetaFromCurve:
+    """Market-implied drift: theta(t) = df/dT + a f(t) + sigma^2/(2a)
+    (1 - e^{-2at}) with f the OBSERVED instantaneous-forward curve — the
+    textbook Hull-White fit that makes the model reprice the input curve
+    exactly at the config's (a, sigma) (round-5; the closed forms price
+    off the curve directly, so calibrated-parameter Monte Carlo must
+    too, or model-vs-market drift biases every curve-sensitive product
+    — measured +1.8e-3 on a 4y cap at (a, sigma) = (0.85, 0.093) under
+    the default hard-coded ThetaSpec).
+
+    Carries the fp64 forward curve tabulated on the maturity grid
+    (hashable tuple => jit-static config field).  The drift-kernel
+    integral needs no numerical f': d/du[f(u) e^{-a(t-u)}] =
+    (f' + a f) e^{-a(t-u)}, so int_s^t e^{-a(t-u)} (f' + a f) du =
+    f(t) - E f(s) exactly, and the convexity term is sigma0^2/2 times
+    the existing psi kernel — the canonical drift = base +
+    0.5 (sigma^2 - sigma0^2) psi form (and with it CRN, the vega
+    tangent and jax.jvp) is preserved.  Build with
+    ``hull_white.market_theta``.  Note the sigma-shift semantics: under
+    a market spec the curve fit holds at EVERY sigma (theta re-fits),
+    matching the reference's 'recalibrated' FD mode rather than its
+    fixed-theta mode."""
+
+    f: tuple                 # fp64 forward curve on the maturity grid
+    t_final: float = 10.0
+
+
+@dataclass(frozen=True)
 class HWConfig:
     """Hull-White Monte Carlo configuration (frozen & hashable => jit-static).
 

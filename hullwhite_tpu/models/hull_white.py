@@ -44,11 +44,31 @@ from ..config import HWConfig, ThetaSpec
 
 def theta_fn(t, spec: ThetaSpec):
     """Ground-truth piecewise-linear theta(t) (reference common.cuh:228-230)."""
+    from ..config import ThetaFromCurve
+
+    if isinstance(spec, ThetaFromCurve):
+        raise TypeError(
+            "ThetaFromCurve is a drift-table spec (host_tables); it has "
+            "no standalone theta_fn form — the q2a theta-recovery lane "
+            "compares against the analytic ThetaSpec ground truth only")
     return jnp.where(
         t < spec.t_break,
         spec.alpha0 + spec.beta0 * t,
         spec.alpha1 + spec.beta1 * t,
     )
+
+
+def market_theta(cfg: HWConfig, market) -> "ThetaFromCurve":
+    """ThetaFromCurve spec from an observed/bootstrapped market curve:
+    ``cfg.replace(a=.., sigma=.., theta=market_theta(cfg, market))``
+    makes every engine's drift reprice the input curve exactly at the
+    new parameters (the calibrate -> reprice pipeline's consistency
+    requirement; see ThetaFromCurve)."""
+    from ..config import ThetaFromCurve
+
+    return ThetaFromCurve(
+        f=tuple(float(v) for v in np.asarray(market.f, np.float64)),
+        t_final=float(cfg.t_final))
 
 
 def b_func(t, T, a, exp=jnp.exp):
@@ -107,9 +127,10 @@ def host_tables(cfg: HWConfig):
     spec = cfg.theta
     E = math.exp(-a * dt)
 
+    from ..config import ThetaFromCurve
     from ..utils import native
 
-    if native.available():
+    if native.available() and not isinstance(spec, ThetaFromCurve):
         base, psi = native.drift_tables(a, dt, cfg.n_steps, spec)
         return {"E": E, "base": base, "psi": psi}
 
@@ -117,6 +138,20 @@ def host_tables(cfg: HWConfig):
     i = np.arange(cfg.n_steps, dtype=np.float64)
     s = i * dt
     t = (i + 1.0) * dt
+
+    if isinstance(spec, ThetaFromCurve):
+        # market-implied theta (see ThetaFromCurve): the (f' + a f) part
+        # integrates to f(t) - E f(s) EXACTLY, and the convexity part is
+        # sigma0^2/2 psi — so base keeps the canonical form and the
+        # runtime drift base + 0.5 (sigma^2 - sigma0^2) psi refits the
+        # observed curve at every sigma
+        psi = (1.0 + np.exp(-2.0 * a * t) - E
+               - np.exp(-a * (t + s))) / (a * a)
+        Ts = np.linspace(0.0, spec.t_final, len(spec.f))
+        fg = np.asarray(spec.f, np.float64)
+        base = (np.interp(t, Ts, fg) - E * np.interp(s, Ts, fg)
+                + 0.5 * cfg.sigma * cfg.sigma * psi)
+        return {"E": E, "base": base, "psi": psi}
 
     # int_s^t e^{-a(t-u)} (alpha + beta u) du
     #   = alpha (1-E)/a + beta [ (t - E s)/a - (1-E)/a^2 ]

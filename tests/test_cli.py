@@ -130,3 +130,22 @@ def test_calibrate_subcommand(workdir):
     assert abs(r["hw_a"] - 1.0) < 1e-4
     assert abs(r["hw_sigma"] - 0.1) < 1e-5
     assert abs(r["g2_rho"] + 0.6) < 1e-3
+
+
+@pytest.mark.slow
+def test_pipeline_lane(workdir):
+    """Composed calibrate -> reprice -> XVA lane (round-5): hidden
+    (a*, sigma*) recovered from quotes, the book and the XVA stack
+    repriced at the calibrated parameters under the market-refit theta,
+    every gate PASS, one artifact."""
+    _ensure_market(workdir)
+    assert main(["pipeline", "--paths", "8192"]) == 0
+    doc = json.loads(
+        (workdir / "data" / "pipeline_results.json").read_text())
+    r = doc["results"]
+    assert r["hw_calibration"]["ok"] and r["g2_calibration"]["ok"]
+    assert abs(r["hw_calibration"]["a"] - 0.85) < 1e-4
+    for k in ("swaption", "cap", "range_accrual", "cva", "g2_zbc",
+              "g2_netted_cva"):
+        assert abs(r[k]["z"]) < 4.0 or abs(r[k]["mc"]
+                                           - r[k]["oracle"]) < 1e-4, (k, r[k])

@@ -92,3 +92,69 @@ def test_forward_from_p_roundtrip():
     f_true = oracles.forward_rate(cfg, Ts)
     f_got = np.asarray(hw.forward_from_p(cfg, jnp.asarray(P)))
     assert np.abs(f_got[1:-1] - f_true[1:-1]).max() < 2e-4
+
+
+def test_market_theta_reprices_curve_at_shifted_params():
+    """ThetaFromCurve (round-5): with the drift refit to an observed
+    curve, the MODEL discount curve reproduces the market P(0, T) at
+    NON-default (a, sigma) — the calibrate->reprice consistency
+    requirement.  Closed form: P_model(0,T_m) = exp(-c_m + var_m/2)
+    off the linear engine's deterministic I and shock shapes."""
+    import numpy as np
+
+    from hullwhite_tpu import tiny_config
+    from hullwhite_tpu.models import hull_white as hw, oracles
+    from hullwhite_tpu.ops import engine_linear
+
+    cfg = tiny_config(n_steps=500, n_mat=101)
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.array([oracles.bond_price(cfg, T) for T in Ts])
+    f = oracles.forward_rate(cfg, Ts)
+    market = hw.MarketCurve(P=jnp.asarray(P, jnp.float32),
+                            f=jnp.asarray(f, jnp.float32))
+    for a, s in [(0.8, 0.08), (1.3, 0.12)]:
+        cal = cfg.replace(a=a, sigma=s,
+                          theta=hw.market_theta(cfg, market))
+        tables = hw.step_tables(cal, cal.sigma, cal.sigma)
+        cw = engine_linear.curve_weights(cal, tables)
+        var = np.sum(np.asarray(cw.W, np.float64) ** 2, axis=0)
+        P_model = np.exp(-np.asarray(cw.c, np.float64) + 0.5 * var)
+        # discrete trapezoid I-law vs the continuous curve: the
+        # documented ~2e-5 class at dt=0.02, plus fp32 curve storage
+        np.testing.assert_allclose(P_model, P, rtol=0, atol=8e-5)
+    # and the hard-coded default spec does NOT reprice the curve at
+    # shifted parameters (the gap this feature closes)
+    bad = cfg.replace(a=0.8, sigma=0.08)
+    tables = hw.step_tables(bad, bad.sigma, bad.sigma)
+    cw = engine_linear.curve_weights(bad, tables)
+    var = np.sum(np.asarray(cw.W, np.float64) ** 2, axis=0)
+    P_bad = np.exp(-np.asarray(cw.c, np.float64) + 0.5 * var)
+    assert np.max(np.abs(P_bad - P)) > 1e-3
+
+
+def test_market_theta_cap_agrees_with_closed_form():
+    """The measured pipeline failure case: a 4y cap at (a, sigma) =
+    (0.85, 0.093) was +1.8e-3 off its closed form under the default
+    ThetaSpec; with market_theta the MC and the curve-based closed form
+    agree within MC noise."""
+    import numpy as np
+
+    import jax
+
+    from hullwhite_tpu import tiny_config, instruments
+    from hullwhite_tpu.models import hull_white as hw, oracles
+
+    cfg = tiny_config(n_paths=1 << 14, path_block=1 << 12)
+    Ts = np.linspace(0.0, cfg.t_final, cfg.n_mat)
+    P = np.array([oracles.bond_price(cfg, T) for T in Ts])
+    f = oracles.forward_rate(cfg, Ts)
+    market = hw.MarketCurve(P=jnp.asarray(P, jnp.float32),
+                            f=jnp.asarray(f, jnp.float32))
+    cal = cfg.replace(a=0.85, sigma=0.093,
+                      theta=hw.market_theta(cfg, market))
+    cap = instruments.price_cap(cal, jax.random.key(5), market,
+                                rate=0.02, tenor=4.0, n_blocks=2)
+    cf, _ = instruments.cap_closed_form(cal, market, rate=0.02,
+                                        tenor=4.0)
+    assert abs(float(cap.price) - cf) < 5 * float(cap.std_error) + 3e-5, (
+        float(cap.price), cf)
