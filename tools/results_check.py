@@ -205,6 +205,31 @@ def run(md_text=None):
                 abs_tol=15.0, source="data/fullstep_roofline.json "
                 "serial_occupancy_sum (tunnel-timing dependent)")
 
+    # exact-tier roofline (round-5 RESULTS section <-> data/
+    # exact_roofline.json); table columns: ms, B paths/s, %BM, %exp,
+    # %recip, %MXU, serial%, limiting unit
+    for tier in ("q1_exact_bf16", "zbc_exact", "vega_exact"):
+        pat = tier.replace("(2^24)", r"\(2\^24\)") + \
+            r"(?:\(2\^24\))?\s+([0-9.]+)\s+([0-9.]+)\s+"
+        m = re.search(pat, g.md)
+        if not m:
+            g.failures.append(f"exact roofline row {tier} not found")
+            continue
+        g.close(f"exact roofline {tier} paths/s", float(m.group(2)) * 1e9,
+                g.artifact("data/exact_roofline.json",
+                           ["results", "tiers", tier, "paths_per_sec"]),
+                rel_tol=0.3, source="data/exact_roofline.json "
+                "(tunnel-timing, 30% allowance)")
+        ssum = g.artifact("data/exact_roofline.json",
+                          ["results", "tiers", tier,
+                           "serial_occupancy_sum"])
+        if ssum is None or ssum < 1.0:
+            g.failures.append(
+                f"exact roofline {tier}: serial_occupancy_sum {ssum} "
+                "< 1.0 — the 'no idle slack' claim no longer holds")
+        else:
+            g.passes += 1
+
     # A/B artifacts (paired fixed-seed designs: deterministic given code)
     g.close("A/B precision price diff",
             g.md_number(r"precision \(matmul highest vs default\):\s*\n\s*"
