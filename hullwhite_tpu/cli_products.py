@@ -504,10 +504,10 @@ def cmd_exotics(args):
                tenor=args.tenor, freq=args.freq, obs_per_period=args.obs)
     # --fine is a CROSS-CHECK only since the round-4 cubic (u, w)
     # surfaces (range_note._kernel_avg order="cubic" + Catmull-Rom in
-    # w): default-grid bias on the headline note is now ~+5e-6 (<1e-5;
-    # pure put-kink-cell remnant — the smooth-surface convexity bias
-    # that used to be +7e-5 is gone), so defaults and --fine quote the
-    # same number to ~4e-6
+    # w) and the round-5 put-kink double nodes: default-grid bias on
+    # the headline note is now ~+2e-6 (was +7e-5 bilinear, +5e-6 with
+    # the kink cell unhandled), so defaults and --fine quote the same
+    # number to ~2e-6
     fine = (dict(n_u=241, n_w=91, n_quad=20) if getattr(args, "fine",
                                                         False) else {})
     dp2 = g2_note.dp_oracle_range_note_g2(cfg, g2, market, **nkw, **fine)

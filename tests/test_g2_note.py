@@ -67,10 +67,11 @@ def test_mc_reproduces_dp(analytic_market, dp):
     res = g2_note.price_range_note_g2(CFG, G2, KEY, analytic_market,
                                       boundaries=dp.boundaries,
                                       n_blocks=4, **KW)
-    # round 4: the DP's default-grid error is down to the put-kink-cell
-    # remnant (~5e-6 measured by isolated u/w refinement; was +7e-5
-    # under the bilinear surfaces), so the allowance tightens 5e-5 -> 1e-5
-    tol = 4.0 * float(res.std_error) + 1e-5
+    # round 5: the put crease gets per-column +-eps double nodes at the
+    # secant-refined crossing u*(w_j) (this config: bias +1.2e-6 ->
+    # +4.3e-7 vs the (241,91,20) grid; full-scale +5e-6 -> +2.15e-6),
+    # so the allowance tightens 1e-5 -> 4e-6
+    tol = 4.0 * float(res.std_error) + 4e-6
     assert abs(float(res.price) - dp.price) < tol, \
         (float(res.price), dp.price, float(res.std_error))
     assert 0.0 <= float(res.put_fraction) <= 1.0
