@@ -355,11 +355,32 @@ def run_roofline(cfg: HWConfig, key, reps: int = 10):
     dt, _ = bench(pricing._curve_sums_run_fn(cfg, "pallas_exact", None),
                   key, prep, n=reps, rtt=rtt)
     ex_row("q1_exact", dt, 2 * cfg.n_paths)
-    for kind, name, paths in (("zbc", "zbc_exact", 2 * cfg.n_paths),
-                              ("vega", "vega_exact", cfg.n_paths)):
-        prep = pricing._option_prep_fn(cfg, "pallas_exact", kind)(
-            cfg.sigma, cfg.sigma, market)
-        f = pricing._option_run_fn(cfg, "pallas_exact", kind, None)
+    if cfg.matmul_precision == "highest":
+        # the bench headline samples through ONE bf16 MXU pass
+        # ("default", measured bias in RESULTS.md) — report that row's
+        # occupancy too, where the transcendental walls dominate
+        cfg_d = cfg.replace(matmul_precision="default")
+        prep = pricing._curve_prep_fn(cfg_d, "pallas_exact")(
+            cfg.sigma, cfg.sigma)
+        dt, _ = bench(pricing._curve_sums_run_fn(cfg_d, "pallas_exact",
+                                                 None),
+                      key, prep, n=reps, rtt=rtt)
+        acct["q1_exact_bf16"] = dict(acct["q1_exact"],
+                                     mxu_flops_per_path=float(
+                                         fused.PAD * fused.PAD))
+        ex_row("q1_exact_bf16", dt, 2 * cfg_d.n_paths)
+    # option exact tiers at the bench scale (2^24): at 2^20 the 32-tile
+    # grid under-fills the chip and the row reads as launch-bound
+    # headroom that is not really there (measured: 17.8 vs 69.6 B
+    # paths/s) — the headline numbers are quoted at 2^24, so the
+    # occupancy is too
+    big = cfg.replace(n_paths=max(cfg.n_paths, 1 << 24),
+                      path_block=1 << 19)
+    for kind, name, paths in (("zbc", "zbc_exact", 2 * big.n_paths),
+                              ("vega", "vega_exact", big.n_paths)):
+        prep = pricing._option_prep_fn(big, "pallas_exact", kind)(
+            big.sigma, big.sigma, market)
+        f = pricing._option_run_fn(big, "pallas_exact", kind, None)
         dt, _ = bench(f, key, prep, market, n=reps, rtt=rtt)
         ex_row(name, dt, paths)
     print("serial sum >= ~100% means the tier is at its combined "

@@ -1178,9 +1178,12 @@ def exact_tier_accounting(cfg: HWConfig) -> dict:
     PAD/2 payoff exps and PAD/2 exact reciprocals per path, plus the
     (TILE_EXACT, PAD) @ (PAD, PAD) Cholesky matmul x2 = PAD^2 flops/path
     (times the precision pass count).  zbc (_zbc_exact_kernel): each
-    (TILE_OPT, PAD) element is an antithetic PAIR -> 1 normal, 2 exps,
-    1 reciprocal per path, no matmul.  vega (_vega_exact_kernel): one
-    path per element -> 2 normals, 2 exps per path."""
+    (TILE_OPT, PAD) element is an antithetic PAIR -> 1 normal and 1
+    exact reciprocal per path, and ONE per-element exp per path
+    (_legs_pair's t_r and t_i are per-element; its P_base/d_base exps
+    take per-tile scalar arguments and hoist out of the element loop).
+    vega (_vega_exact_kernel): one path per element -> 2 normals, 2
+    per-element exps (P and disc both depend on the path state)."""
     passes = 6 if cfg.matmul_precision == "highest" else 1
     return {
         "q1_exact": {"normals_per_path": PAD / 2.0,
@@ -1188,7 +1191,7 @@ def exact_tier_accounting(cfg: HWConfig) -> dict:
                      "recips_per_path": PAD / 2.0,
                      "mxu_flops_per_path": float(PAD * PAD * passes),
                      "alu_tail_per_path": 2.0 * PAD},
-        "zbc_exact": {"normals_per_path": 1.0, "exps_per_path": 2.0,
+        "zbc_exact": {"normals_per_path": 1.0, "exps_per_path": 1.0,
                       "recips_per_path": 1.0, "mxu_flops_per_path": 0.0,
                       "alu_tail_per_path": 14.0},
         "vega_exact": {"normals_per_path": 2.0, "exps_per_path": 2.0,

@@ -70,3 +70,31 @@ def test_hw_bracket_floor_removed_on_chip():
     # bracket still ordered up to its own SE
     assert lo <= up + 3 * (float(res.cv_std_error)
                            + float(res.upper_std_error))
+
+
+def test_g2_bracket_platform_consistency():
+    """G2++ Bermudan bracket: the on-chip fp32 evaluation must match the
+    in-process CPU fp32 twin (same fn, same key) within ~1e-6 on both
+    sides — the G2 analogue of the HW floor removal (CPU fp32 was
+    already pinned vs the fp64 2-d DP oracle in the CPU suite)."""
+    from hullwhite_tpu.models import g2pp
+
+    cfg = HWConfig(path_block=1 << 16)
+    Ts = np.linspace(0, cfg.t_final, cfg.n_mat)
+    P = np.array([oracles.bond_price(cfg, T) for T in Ts])
+    f = oracles.forward_rate(cfg, Ts)
+    market = hw.MarketCurve(P=jnp.asarray(P, jnp.float32),
+                            f=jnp.asarray(f, jnp.float32))
+    sched = swap_fixed_leg(cfg, 0.025, 5.0)
+    ex = [5.0, 6.0]
+    g = g2pp.G2Params(a=1.0, b=0.1, sigma=0.08, eta=0.02, rho=-0.6)
+    key = jax.random.key(cfg.seed)
+    kw = dict(n_paths=1 << 15, n_blocks=4)
+    res_t = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex, **kw)
+    lo_t, up_t = float(res_t.price_cv), float(res_t.upper)
+    with jax.default_device(jax.devices("cpu")[0]):
+        res_c = g2pp.price_bermudan_g2(cfg, g, key, market, sched, ex,
+                                       **kw)
+        lo_c, up_c = float(res_c.price_cv), float(res_c.upper)
+    assert abs(lo_t - lo_c) < 1.5e-6, (lo_t, lo_c)
+    assert abs(up_t - up_c) < 1.5e-6, (up_t, up_c)
