@@ -230,6 +230,24 @@ def run(md_text=None):
         else:
             g.passes += 1
 
+    # pipeline artifact (round-5): calibration recovered the hidden
+    # parameters and every repricing gate sits within sampling noise
+    g.close("pipeline calibrated a",
+            g.artifact("data/pipeline_results.json",
+                       ["results", "hw_calibration", "a"]),
+            g.artifact("data/pipeline_results.json",
+                       ["results", "hw_calibration", "a_true"]),
+            abs_tol=1e-4, source="data/pipeline_results.json")
+    for claim, path in [("pipeline cap z", ["results", "cap", "z"]),
+                        ("pipeline cva z", ["results", "cva", "z"]),
+                        ("pipeline g2 netted z",
+                         ["results", "g2_netted_cva", "z"])]:
+        z = g.artifact("data/pipeline_results.json", path)
+        if z is None or abs(z) >= 4.0:
+            g.failures.append(f"{claim}: artifact z={z} missing or >= 4")
+        else:
+            g.passes += 1
+
     # A/B artifacts (paired fixed-seed designs: deterministic given code)
     g.close("A/B precision price diff",
             g.md_number(r"precision \(matmul highest vs default\):\s*\n\s*"
