@@ -392,6 +392,7 @@ def test_g2_bermudan_rqmc_blocks(analytic_market):
     assert float(rq.std_error) < float(mc.std_error)
 
 
+@pytest.mark.slow
 def test_g2_dual_degenerates_to_hw_oracle(analytic_market):
     """eta -> 0 multi-date pin: the G2++ dual upper bound must sit just
     above the 1-factor DP oracle (the continuous-vs-trapezoid I-law gap
@@ -580,6 +581,7 @@ def test_g2_validate_runs_batched(analytic_market):
     assert abs(runs[:, 0].mean() - true) < 5 * se + 2e-4
 
 
+@pytest.mark.slow
 def test_g2_martingale_cv_lower_bound(analytic_market):
     """G2++ martingale-CV lower: SE collapsed >=10x vs the raw LSMC
     lower (measured ~30x), never above the dual upper within noise."""

@@ -591,6 +591,7 @@ def test_g2_collateral_dominated(market):
     assert oc.cva <= on.cva + 1e-12
 
 
+@pytest.mark.slow
 def test_g2_collateral_oracle_vs_bruteforce_tensor_grid(market):
     """The triple-quadrature lag>=1 EE (outer x_s x y_s panels x x_t,
     exact row segments in y_t) is pinned against a dense 4-d
