@@ -269,14 +269,21 @@ def run(md_text=None):
             g.artifact("data/ab_results_rng.json", ["results", "price", "z"]),
             abs_tol=0.5, source="data/ab_results_rng.json")
 
-    # Bermudan sweep k=5 row <-> data/bermudan_sweep.json
-    m = re.search(r"k=5 \[([0-9.]+), ([0-9.]+)\] DP ([0-9.]+)", g.md)
+    # Bermudan sweep k=5 row <-> data/bermudan_sweep.json (the LAST
+    # occurrence: the round-5 on-chip re-run block; earlier sweep rows
+    # are history under the since-removed fp32 floor)
+    ms = re.findall(r"k=5: \[([0-9.]+), ([0-9.]+)\]  DP ([0-9.]+)", g.md)
+    m = ms[-1] if ms else None
+    if m is None:
+        m = re.search(r"k=5 \[([0-9.]+), ([0-9.]+)\] DP ([0-9.]+)", g.md)
     if m:
+        grp = (m.group if hasattr(m, "group")
+               else lambda i: m[i - 1])
         for label, idx, key, tol in [
                 ("sweep k=5 lower", 0, "lower", 2e-6),
                 ("sweep k=5 upper", 1, "upper", 2e-6),
                 ("sweep k=5 DP", 2, "dp_oracle", 2e-6)]:
-            g.close(label, float(m.group(idx + 1)),
+            g.close(label, float(grp(idx + 1)),
                     g.artifact("data/bermudan_sweep.json",
                                ["results", key, 4]),
                     abs_tol=tol, source="data/bermudan_sweep.json")
