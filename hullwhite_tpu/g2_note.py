@@ -159,7 +159,8 @@ def dp_oracle_range_note_g2(cfg: HWConfig, g: G2Params,
                             libor_tenor: float | None = None,
                             n_u: int = 161, n_w: int = 61,
                             width: float = 7.0,
-                            n_quad: int = 16) -> G2NoteDP:
+                            n_quad: int = 16,
+                            boundary_cascade: bool = False) -> G2NoteDP:
     """fp64 2-d value iteration for the G2++ puttable range-accrual note
     on rotated (u, w) grids (see the module docstring).  Also returns
     the plain (put-disabled) price from the same iteration — pinned
@@ -191,9 +192,22 @@ def dp_oracle_range_note_g2(cfg: HWConfig, g: G2Params,
         ug = np.linspace(-width * s_u, width * s_u, n_u)
         if t in band:
             eps = 1e-9
-            extra = [v for edge in band[t]
-                     for v in (edge - eps, edge + eps)
-                     if ug[0] < v < ug[-1] and math.isfinite(v)]
+            h = ug[1] - ug[0]
+            extra = []
+            for edge in band[t]:
+                if not (math.isfinite(edge)
+                        and ug[0] < edge < ug[-1]):
+                    continue
+                # jump double node at the edge itself, plus a geometric
+                # halving cascade (round-5): the one-sided cells next to
+                # each band edge carried the full-scale default-grid
+                # residual (+1.65e-6 isolated by u-only refinement) —
+                # three cascade levels shrink the edge-adjacent cell 8x
+                # for 6 extra nodes per edge
+                extra += [edge - eps, edge + eps]
+                for frac in (0.5, 0.25, 0.125):
+                    extra += [edge - frac * h, edge + frac * h]
+            extra = [v for v in extra if ug[0] < v < ug[-1]]
             if extra:
                 ug = np.unique(np.concatenate([ug, np.asarray(extra)]))
         return ug, np.linspace(-width * s_w, width * s_w, n_w)
@@ -301,6 +315,27 @@ def dp_oracle_range_note_g2(cfg: HWConfig, g: G2Params,
                     refined = np.clip(refined, ug[0] + 2 * eps,
                                       ug[-1] - 2 * eps)
                     extra = np.concatenate([refined - eps, refined + eps])
+                    if boundary_cascade:
+                        # OPT-IN halving cascade around each crossing:
+                        # the kink double node's one-sided neighbor
+                        # cells carry O(h^2 V'') error where the value
+                        # curvature peaks.  Measured full scale:
+                        # default-grid bias +1.37e-6 -> +0.50e-6, but
+                        # the boundary spans many cells across the
+                        # w-columns so the satellite union ~4x-es the
+                        # augmented-grid work — accuracy already within
+                        # the band-edge cascade's ~1e-6 without it,
+                        # hence off by default
+                        h_loc = (ug[-1] - ug[0]) / (len(ug) - 1)
+                        sat = np.concatenate(
+                            [refined - 0.5 * h_loc,
+                             refined + 0.5 * h_loc,
+                             refined - 0.25 * h_loc,
+                             refined + 0.25 * h_loc])
+                        sat = np.unique(np.round(sat / (0.25 * h_loc))
+                                        * (0.25 * h_loc))
+                        extra = np.concatenate([extra, sat])
+                    extra = extra[(extra > ug[0]) & (extra < ug[-1])]
                     ug_aug = np.unique(np.concatenate([ug, extra]))
                     new_u = np.asarray(sorted(set(ug_aug) - set(ug)))
                     Un, Wn = np.meshgrid(new_u, wg, indexing="ij")
@@ -565,9 +600,22 @@ def dp_oracle_tarn_g2(cfg: HWConfig, g: G2Params, market: MarketCurve, *,
         ug = np.linspace(-width * s_u, width * s_u, n_u)
         if t in band:
             eps = 1e-9
-            extra = [v for edge in band[t]
-                     for v in (edge - eps, edge + eps)
-                     if ug[0] < v < ug[-1] and math.isfinite(v)]
+            h = ug[1] - ug[0]
+            extra = []
+            for edge in band[t]:
+                if not (math.isfinite(edge)
+                        and ug[0] < edge < ug[-1]):
+                    continue
+                # jump double node at the edge itself, plus a geometric
+                # halving cascade (round-5): the one-sided cells next to
+                # each band edge carried the full-scale default-grid
+                # residual (+1.65e-6 isolated by u-only refinement) —
+                # three cascade levels shrink the edge-adjacent cell 8x
+                # for 6 extra nodes per edge
+                extra += [edge - eps, edge + eps]
+                for frac in (0.5, 0.25, 0.125):
+                    extra += [edge - frac * h, edge + frac * h]
+            extra = [v for v in extra if ug[0] < v < ug[-1]]
             if extra:
                 ug = np.unique(np.concatenate([ug, np.asarray(extra)]))
         return ug, np.linspace(-width * s_w, width * s_w, n_w)
